@@ -1,0 +1,255 @@
+"""Scalar function surface (SURVEY.md §2.8) — one combined query per
+family, all built-in `pyspark.sql.functions` (JVM-side, codegen'd).
+
+Dialect notes encoded in the oracles:
+- DuckDB ``regexp_replace`` replaces the first match unless the 'g'
+  flag is passed; Spark replaces all → oracle passes 'g'.
+- DuckDB ``dayofweek`` is 0=Sunday while Spark's is 1=Sunday → use
+  Spark ``weekday`` (0=Monday) = DuckDB ``isodow - 1``.
+- Map/JSON family: the Spark side exercises map/json builtins; the
+  oracle reproduces the *values* from the raw JSON (the oracle checks
+  results, not plans).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources import load
+
+
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.regexp_extract("p_brand", "#(\\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+        F.element_at(F.split("p_type", " "), 1).alias("type_first"),
+        F.col("p_name").like("%a%").alias("has_a"),
+    )
+
+
+ORACLE_FN_STRING = """
+SELECT p_partkey,
+       UPPER(p_name)                       AS name_upper,
+       LOWER(p_brand)                      AS brand_lower,
+       SUBSTRING(p_name, 1, 5)             AS name_head,
+       CAST(LENGTH(p_name) AS INTEGER)     AS name_len,
+       CONCAT_WS('|', p_brand, p_type)     AS brand_type,
+       TRIM('  pad  ')                     AS trimmed,
+       LPAD(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+       REGEXP_EXTRACT(p_brand, '#(\\d+)', 1) AS brand_num,
+       REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowel,
+       STRING_SPLIT(p_type, ' ')[1]        AS type_first,
+       (p_name LIKE '%a%')                 AS has_a
+FROM part
+"""
+
+
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_2002"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.weekday("o_orderdate").alias("order_weekday"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months(F.col("o_orderdate").cast("date"), 2).alias("plus2m"),
+    )
+
+
+ORACLE_FN_DATE = """
+SELECT o_orderkey,
+       CAST(EXTRACT(year  FROM o_orderdate) AS INTEGER)  AS order_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER)  AS order_month,
+       CAST(EXTRACT(day   FROM o_orderdate) AS INTEGER)  AS order_day,
+       CAST(DATE_TRUNC('month', o_orderdate) AS DATE)    AS order_month_start,
+       CAST(o_orderdate AS DATE) + 30                    AS due_date,
+       CAST(DATE '2002-01-01' - CAST(o_orderdate AS DATE) AS INTEGER) AS days_to_2002,
+       CAST(o_orderdate AS DATE)                         AS order_date,
+       CAST(EXTRACT(isodow FROM o_orderdate) - 1 AS INTEGER) AS order_weekday,
+       CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m
+FROM orders
+"""
+
+
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    # exact decimal product, rounded in decimal domain (see relational.py
+    # note on ROUND-midpoint divergence between engines)
+    net = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(net, 2).cast("double").alias("net_price"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.round(F.abs(F.col("l_discount") - 0.03), 6).alias("disc_dev"),
+        F.round(F.pow("l_quantity", 2), 6).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+    )
+
+
+ORACLE_FN_MATH = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS net_price,
+       CAST(FLOOR(l_quantity) AS BIGINT)            AS qty_floor,
+       CAST(CEIL(l_extendedprice) AS BIGINT)        AS price_ceil,
+       ROUND(ABS(l_discount - 0.03), 6)             AS disc_dev,
+       ROUND(POW(l_quantity, 2), 6)                 AS qty_sq,
+       ROUND(SQRT(l_extendedprice), 6)              AS price_sqrt,
+       ROUND(LN(l_extendedprice), 6)                AS price_ln,
+       ROUND(EXP(l_discount), 6)                    AS disc_exp,
+       l_orderkey % 7                               AS key_mod7,
+       CAST(SIGN(l_discount - 0.05) AS INTEGER)     AS disc_sign
+FROM lineitem
+"""
+
+
+def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_tier"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")), F.lit("CAR")
+        ).alias("segment_renamed"),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 2).alias("bal_floor0"),
+        F.round(F.least(F.col("c_acctbal"), F.lit(1000.0)), 2).alias("bal_cap1000"),
+    )
+
+
+ORACLE_FN_COND = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END                                    AS bal_tier,
+       COALESCE(NULLIF(c_mktsegment, 'AUTOMOBILE'), 'CAR')     AS segment_renamed,
+       ROUND(GREATEST(c_acctbal, 0.0), 2)                      AS bal_floor0,
+       ROUND(LEAST(c_acctbal, 1000.0), 2)                      AS bal_cap1000
+FROM customer
+"""
+
+
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over tokenized document text. Array-valued
+    outputs are folded to scalars (joined strings / sums) so the hash
+    compare is not hostage to list-type conversion differences."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.concat_ws("|", F.slice(F.sort_array(toks), 1, 3)).alias("top3_sorted"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("total_token_chars"),
+    )
+
+
+ORACLE_FN_ARRAY = """
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER)                    AS n_tokens,
+       STRING_SPLIT(text, ' ')[1]                                       AS first_token,
+       LIST_CONTAINS(STRING_SPLIT(text, ' '), 'the')                    AS has_the,
+       CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INTEGER)     AS n_distinct,
+       ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(text, ' '))[1:3], '|')    AS top3_sorted,
+       CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '), x -> LENGTH(x))) AS INTEGER) AS total_token_chars
+FROM documents
+"""
+
+
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction/access over parsed event props. The oracle
+    reproduces the same scalar values straight from the JSON."""
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    m = F.create_map(
+        F.lit("count"), parsed["k"], F.lit("twice"), parsed["k"] * 2
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "count").alias("k_val"),
+        F.element_at(m, "twice").alias("k_twice"),
+        F.size(m).alias("m_size"),
+        F.concat_ws(",", F.map_keys(m)).alias("m_keys"),
+    )
+
+
+ORACLE_FN_MAP = """
+SELECT event_id,
+       CAST(props->>'k' AS INTEGER)     AS k_val,
+       CAST(props->>'k' AS INTEGER) * 2 AS k_twice,
+       2                                AS m_size,
+       'count,twice'                    AS m_keys
+FROM events
+"""
+
+
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k INT")["k"].alias("k_int"),
+        (F.from_json("props", "k INT")["k"] + 1).alias("k_plus1"),
+    )
+
+
+ORACLE_FN_JSON = """
+SELECT event_id,
+       props->>'k'                      AS k_str,
+       CAST(props->>'k' AS INTEGER)     AS k_int,
+       CAST(props->>'k' AS INTEGER) + 1 AS k_plus1
+FROM events
+"""
+
+
+QUERIES = {
+    "q_fn_string": q_fn_string,
+    "q_fn_date": q_fn_date,
+    "q_fn_math": q_fn_math,
+    "q_fn_cond": q_fn_cond,
+    "q_fn_array": q_fn_array,
+    "q_fn_map": q_fn_map,
+    "q_fn_json": q_fn_json,
+}
+
+ORACLES = {
+    "q_fn_string": ORACLE_FN_STRING,
+    "q_fn_date": ORACLE_FN_DATE,
+    "q_fn_math": ORACLE_FN_MATH,
+    "q_fn_cond": ORACLE_FN_COND,
+    "q_fn_array": ORACLE_FN_ARRAY,
+    "q_fn_map": ORACLE_FN_MAP,
+    "q_fn_json": ORACLE_FN_JSON,
+}

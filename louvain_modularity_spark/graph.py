@@ -1,0 +1,416 @@
+"""Graph sources, normalization, degrees, coarsening (SURVEY.md §2.1–2.3, §2.5).
+
+Graph model (SURVEY.md §1.2): ``edges(src LONG, dst LONG, weight
+DOUBLE)`` stored ONCE per undirected pair (self-loops allowed, stored
+once); assignment tables ``(id LONG, community LONG)``.
+
+Degree semantics match the reference (networkx ``G.degree(weight=...)``,
+NX/classes/graph.py:1511): an edge contributes its weight at both
+endpoints, so a self-loop counts twice; graph size ``m`` counts every
+stored edge once (NX/classes/graph.py:1918).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources import (
+    COPURCHASE_EDGES_SQL,
+    KARATE_EDGELIST,
+    KARATE_WEIGHTED_EDGELIST,
+    SUPPLIER_OFFSET,
+    copurchase_edges,
+    karate_edges,
+    load,
+)
+
+# ---------------------------------------------------------------------------
+# core graph algebra (operators)
+# ---------------------------------------------------------------------------
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected expansion: every non-loop edge visible from both
+    endpoints (the relational analogue of the adjacency view
+    NX/classes/graph.py:410). Self-loops stay single so neighbor
+    aggregations exclude them naturally via src != dst filters."""
+    swapped = edges.filter(F.col("src") != F.col("dst")).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    return edges.unionByName(swapped)
+
+
+def degree_weighted(edges: DataFrame) -> DataFrame:
+    """Weighted degree (strength): Σ incident weights per node; a
+    self-loop row (src==dst) contributes at both endpoints → ×2,
+    matching NX degree semantics."""
+    endpoints = edges.select(F.col("src").alias("id"), "weight").unionByName(
+        edges.select(F.col("dst").alias("id"), "weight")
+    )
+    return endpoints.groupBy("id").agg(F.sum("weight").alias("degree"))
+
+
+def graph_size_m(edges: DataFrame) -> DataFrame:
+    """Total edge weight m (each stored edge once) + edge/vertex counts."""
+    counts = edges.agg(
+        F.sum("weight").alias("m"), F.count("*").alias("n_edges")
+    )
+    n_vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .agg(F.countDistinct("id").alias("n_vertices"))
+    )
+    return counts.crossJoin(n_vertices)
+
+
+def aggregate_parallel_edges(multi_edges: DataFrame) -> DataFrame:
+    """Multigraph → simple graph, parallel edge weights summed
+    (reference semantics: _convert_multigraph,
+    NX/algorithms/community/louvain.py:372-384)."""
+    return multi_edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+
+
+def coarsen_edges(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Phase-2 graph aggregation (reference: _gen_graph,
+    NX/algorithms/community/louvain.py:352-369): one supernode per
+    community; edge weights between/within communities summed, with
+    intra-community weight becoming a canonical self-loop
+    (least, greatest) row."""
+    a_src = assignment.select(
+        F.col("id").alias("src"), F.col("community").alias("com_src")
+    )
+    a_dst = assignment.select(
+        F.col("id").alias("dst"), F.col("community").alias("com_dst")
+    )
+    return (
+        edges.join(a_src, "src")
+        .join(a_dst, "dst")
+        .groupBy(
+            F.least("com_src", "com_dst").alias("src"),
+            F.greatest("com_src", "com_dst").alias("dst"),
+        )
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def vertices_of(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def mod10_assignment(edges: DataFrame) -> DataFrame:
+    """G2 synthetic deterministic assignment (FIXTURES.md §2):
+    community := id % 10 — makes every Louvain building block
+    oracle-checkable without running the nondeterministic loop."""
+    return vertices_of(edges).select("id", F.pmod("id", F.lit(10)).alias("community"))
+
+
+# ---------------------------------------------------------------------------
+# declared queries (SURVEY.md §2.1–2.3, §2.5)
+# ---------------------------------------------------------------------------
+
+_KARATE_SQL = f"""
+SELECT TRY_CAST(src AS BIGINT) AS src, TRY_CAST(dst AS BIGINT) AS dst, 1.0 AS weight
+FROM read_csv('{KARATE_EDGELIST}', delim=' ', header=false, null_padding=true, auto_detect=false,
+              columns={{'src':'VARCHAR','dst':'VARCHAR'}})
+WHERE src NOT LIKE '#%'
+"""
+
+_KARATE_W_SQL = f"""
+SELECT TRY_CAST(src AS BIGINT) AS src, TRY_CAST(dst AS BIGINT) AS dst,
+       TRY_CAST(weight AS DOUBLE) AS weight
+FROM read_csv('{KARATE_WEIGHTED_EDGELIST}', delim=' ', header=false, null_padding=true, auto_detect=false,
+              columns={{'src':'VARCHAR','dst':'VARCHAR','weight':'VARCHAR'}})
+WHERE src NOT LIKE '#%'
+"""
+
+
+def q_edges_from_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 weighted edge-list derivation from relational tables."""
+    return copurchase_edges(spark, sf_dir)
+
+
+def q_read_edgelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited edge-list scan: `u v w` lines, '#' comments, typed cast
+    (reference: read_weighted_edgelist, NX/readwrite/edgelist.py:429)."""
+    return karate_edges(spark, weighted=True)
+
+
+def q_default_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing weight column → default 1.0 (reference: louvain.py:205
+    `data=weight, default=1`). The unweighted fixture is read with a
+    3-column schema so weight comes back NULL, then coalesced."""
+    df = spark.read.csv(
+        KARATE_EDGELIST,
+        sep=" ",
+        comment="#",
+        schema="src LONG, dst LONG, weight DOUBLE",
+    )
+    return df.select(
+        "src", "dst", F.coalesce("weight", F.lit(1.0)).alias("weight")
+    )
+
+
+ORACLE_DEFAULT_WEIGHT = f"""
+SELECT TRY_CAST(src AS BIGINT) AS src, TRY_CAST(dst AS BIGINT) AS dst,
+       COALESCE(TRY_CAST(weight AS DOUBLE), 1.0) AS weight
+FROM read_csv('{KARATE_EDGELIST}', delim=' ', header=false, null_padding=true, auto_detect=false,
+              columns={{'src':'VARCHAR','dst':'VARCHAR','weight':'VARCHAR'}})
+WHERE src NOT LIKE '#%'
+"""
+
+
+def q_write_edgelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-list sink + round-trip (rows-only oracle): write the derived
+    G1 edges as csv and parquet, read both back, report counts and
+    total weight so the round-trip is self-verifying."""
+    edges = copurchase_edges(spark, sf_dir)
+    out_root = os.path.join("/root/repo/.tmp", f"edgelist_{uuid.uuid4().hex[:8]}")
+    results = []
+    for fmt in ("csv", "parquet"):
+        path = os.path.join(out_root, fmt)
+        if fmt == "csv":
+            edges.write.mode("overwrite").option("header", True).csv(path)
+            back = spark.read.option("header", True).csv(
+                path, schema="src LONG, dst LONG, weight DOUBLE"
+            )
+        else:
+            edges.write.mode("overwrite").parquet(path)
+            back = spark.read.parquet(path)
+        row = back.agg(
+            F.count("*").alias("n_edges"), F.sum("weight").alias("total_weight")
+        ).collect()[0]
+        results.append((fmt, row["n_edges"], float(row["total_weight"])))
+    return spark.createDataFrame(
+        results, "format STRING, n_edges LONG, total_weight DOUBLE"
+    )
+
+
+def q_adjacency_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge list → dense adjacency matrix via pivot, 0-filled
+    (reference: to_pandas_adjacency, NX/convert_matrix.py:46).
+
+    Deliberately small-n only (rows-only oracle): a dense n×n pivot is
+    the canonical 100 TB anti-pattern — at scale keep the edge list
+    sparse; this operator exists for small-graph export parity."""
+    edges = symmetrize(karate_edges(spark))
+    node_ids = [str(i) for i in range(34)]
+    return (
+        edges.groupBy("src")
+        .pivot("dst", node_ids)
+        .sum("weight")
+        .na.fill(0.0)
+        .orderBy("src")
+    )
+
+
+def q_edge_agg_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-edge aggregation: the raw lineitem⋈orders rows form a
+    multigraph (one edge per lineitem, weight 1); summing collapses it
+    to the simple weighted graph."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    multi = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(SUPPLIER_OFFSET)).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    return aggregate_parallel_edges(multi)
+
+
+ORACLE_EDGE_AGG_PARALLEL = f"""
+WITH multi AS (
+  SELECT o_custkey AS src, l_suppkey + {SUPPLIER_OFFSET} AS dst, 1.0 AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT src, dst, SUM(weight) AS weight FROM multi GROUP BY src, dst
+"""
+
+
+def q_symmetrize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return symmetrize(karate_edges(spark, weighted=True))
+
+
+ORACLE_SYMMETRIZE = f"""
+WITH e AS ({_KARATE_W_SQL})
+SELECT src, dst, weight FROM e
+UNION ALL
+SELECT dst AS src, src AS dst, weight FROM e WHERE src <> dst
+"""
+
+
+def q_selfloop_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor maps exclude u==v (reference: louvain.py:267); self-loops
+    still exist in the graph for degree/m purposes."""
+    loops = spark.range(9).select(
+        F.col("id").alias("src"),
+        F.col("id").alias("dst"),
+        (F.col("id") * 1000.0).alias("weight"),
+    )
+    edges = karate_edges(spark, weighted=True).unionByName(loops)
+    return edges.filter(F.col("src") != F.col("dst"))
+
+
+ORACLE_SELFLOOP_FILTER = f"""
+WITH e AS (
+  {_KARATE_W_SQL}
+  UNION ALL
+  SELECT i AS src, i AS dst, i * 1000.0 AS weight FROM range(9) t(i)
+)
+SELECT src, dst, weight FROM e WHERE src <> dst
+"""
+
+
+def q_degree_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted degree on karate + self-loops fixture (FIXTURES.md §3.4):
+    self-loop weight counts twice, matching NX degree."""
+    loops = spark.range(9).select(
+        F.col("id").alias("src"),
+        F.col("id").alias("dst"),
+        (F.col("id") * 1000.0).alias("weight"),
+    )
+    edges = karate_edges(spark, weighted=True).unionByName(loops)
+    return degree_weighted(edges)
+
+
+ORACLE_DEGREE_WEIGHTED = f"""
+WITH e AS (
+  {_KARATE_W_SQL}
+  UNION ALL
+  SELECT i AS src, i AS dst, i * 1000.0 AS weight FROM range(9) t(i)
+),
+endpoints AS (
+  SELECT src AS id, weight FROM e
+  UNION ALL
+  SELECT dst AS id, weight FROM e
+)
+SELECT id, SUM(weight) AS degree FROM endpoints GROUP BY id
+"""
+
+
+def q_degree_inout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed in/out weighted degree on the (directed) co-purchase
+    graph customer → supplier."""
+    edges = copurchase_edges(spark, sf_dir)
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").alias("out_degree")
+    )
+    in_deg = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.sum("weight").alias("in_degree")
+    )
+    return out_deg.join(in_deg, "id", "full").select(
+        "id",
+        F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"),
+        F.coalesce("in_degree", F.lit(0.0)).alias("in_degree"),
+    )
+
+
+ORACLE_DEGREE_INOUT = f"""
+WITH e AS ({COPURCHASE_EDGES_SQL}),
+o AS (SELECT src AS id, SUM(weight) AS out_degree FROM e GROUP BY 1),
+i AS (SELECT dst AS id, SUM(weight) AS in_degree  FROM e GROUP BY 1)
+SELECT COALESCE(o.id, i.id) AS id,
+       COALESCE(out_degree, 0.0) AS out_degree,
+       COALESCE(in_degree, 0.0)  AS in_degree
+FROM o FULL OUTER JOIN i ON o.id = i.id
+"""
+
+
+def q_graph_size_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_size_m(copurchase_edges(spark, sf_dir))
+
+
+ORACLE_GRAPH_SIZE_M = f"""
+WITH e AS ({COPURCHASE_EDGES_SQL})
+SELECT (SELECT SUM(weight) FROM e)   AS m,
+       (SELECT COUNT(*) FROM e)     AS n_edges,
+       (SELECT COUNT(DISTINCT id) FROM (
+          SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)) AS n_vertices
+"""
+
+
+def q_coarsen_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    return coarsen_edges(edges, mod10_assignment(edges))
+
+
+ORACLE_COARSEN_EDGES = f"""
+WITH e AS ({COPURCHASE_EDGES_SQL})
+SELECT LEAST(src % 10, dst % 10)    AS src,
+       GREATEST(src % 10, dst % 10) AS dst,
+       SUM(weight)                  AS weight
+FROM e GROUP BY 1, 2
+"""
+
+
+def q_membership_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supernode membership across two levels: original node → level-0
+    community (id % 10) → level-1 community (community % 3), chained by
+    join (replaces the reference's set-valued supernode attr,
+    NX/algorithms/community/louvain.py:356-361)."""
+    edges = copurchase_edges(spark, sf_dir)
+    level0 = mod10_assignment(edges)
+    level1 = (
+        level0.select("community")
+        .distinct()
+        .select(
+            F.col("community").alias("id"),
+            F.pmod("community", F.lit(3)).alias("community"),
+        )
+    )
+    return (
+        level0.alias("l0")
+        .join(level1.alias("l1"), F.col("l0.community") == F.col("l1.id"))
+        .select(
+            F.col("l0.id").alias("id"),
+            F.col("l0.community").alias("community_l0"),
+            F.col("l1.community").alias("community_final"),
+        )
+    )
+
+
+ORACLE_MEMBERSHIP_ROLLUP = f"""
+WITH e AS ({COPURCHASE_EDGES_SQL}),
+v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e))
+SELECT id, id % 10 AS community_l0, (id % 10) % 3 AS community_final FROM v
+"""
+
+
+QUERIES = {
+    "q_edges_from_relational": q_edges_from_relational,
+    "q_read_edgelist": q_read_edgelist,
+    "q_write_edgelist": q_write_edgelist,
+    "q_adjacency_pivot": q_adjacency_pivot,
+    "q_edge_agg_parallel": q_edge_agg_parallel,
+    "q_symmetrize": q_symmetrize,
+    "q_selfloop_filter": q_selfloop_filter,
+    "q_default_weight": q_default_weight,
+    "q_degree_weighted": q_degree_weighted,
+    "q_degree_inout": q_degree_inout,
+    "q_graph_size_m": q_graph_size_m,
+    "q_coarsen_edges": q_coarsen_edges,
+    "q_membership_rollup": q_membership_rollup,
+}
+
+ORACLES = {
+    "q_edges_from_relational": COPURCHASE_EDGES_SQL,
+    "q_read_edgelist": _KARATE_W_SQL,
+    "q_edge_agg_parallel": ORACLE_EDGE_AGG_PARALLEL,
+    "q_symmetrize": ORACLE_SYMMETRIZE,
+    "q_selfloop_filter": ORACLE_SELFLOOP_FILTER,
+    "q_default_weight": ORACLE_DEFAULT_WEIGHT,
+    "q_degree_weighted": ORACLE_DEGREE_WEIGHTED,
+    "q_degree_inout": ORACLE_DEGREE_INOUT,
+    "q_graph_size_m": ORACLE_GRAPH_SIZE_M,
+    "q_coarsen_edges": ORACLE_COARSEN_EDGES,
+    "q_membership_rollup": ORACLE_MEMBERSHIP_ROLLUP,
+    # rows-only: q_write_edgelist (sink round-trip), q_adjacency_pivot
+    # (dynamic pivot columns)
+}

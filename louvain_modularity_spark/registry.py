@@ -1,0 +1,38 @@
+"""Assembles the full query inventory declared in SURVEY.md §2.
+
+Each operator module exposes ``QUERIES: dict[name, fn(spark, sf_dir)
+-> DataFrame]`` and ``ORACLES: dict[name, duckdb_sql]`` (oracle absent
+→ the driver runs its weaker rows-only check). This module merges
+them; ``__spark_entry__.py`` re-exports.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _modules():
+    from . import funcs, graph, llm_ops, louvain, metrics, multimodal, relational, streaming
+
+    return [relational, funcs, graph, louvain, metrics, llm_ops, multimodal, streaming]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for mod in _modules():
+        overlap = out.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _modules():
+        out.update(mod.ORACLES)
+    return out

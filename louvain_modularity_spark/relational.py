@@ -1,0 +1,676 @@
+"""Relational core operators (SURVEY.md §2.7).
+
+Every query here is pure built-in DataFrame API (JVM-side, whole-stage
+codegen) and ships a matching DuckDB oracle. Hash-stability rules
+(SURVEY.md §5.2): alias every computed column identically in both
+dialects; round float aggregates (2 dp for money sums, 6 dp for
+ratios/averages); break top-k ties with unique keys; never emit raw
+session-timezone-dependent values.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .sources import load
+
+# Money/measure columns are exact 2-decimal values; double arithmetic on
+# them lands exactly on ROUND midpoints, where Spark (exact BigDecimal
+# HALF_UP) and DuckDB (FP-multiply) can disagree by 1 ulp of the grid.
+# Hash-stable pattern: cast to DECIMAL, aggregate exactly, ROUND in the
+# decimal domain, cast the (now exact) result back to DOUBLE. The same
+# shape appears in each oracle: CAST(ROUND(SUM(CAST(..)), 2) AS DOUBLE).
+
+
+def _dec(col, prec: int = 12, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+def _money_sum(expr, ndigits: int = 2):
+    return F.round(F.sum(expr), ndigits).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# scans / filters
+# ---------------------------------------------------------------------------
+
+
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan with projection + predicate.
+
+    The filter and the 4-column projection both reach the parquet
+    reader (PushedFilters / ReadSchema in .explain) — at 100 TB this is
+    the difference between scanning 4 columns of a date-pruned subset
+    and scanning the whole table.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_quantity") < 10)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+        )
+    )
+
+
+ORACLE_SCAN_PARQUET = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity < 10
+"""
+
+
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicates: AND / OR / NOT / IN / BETWEEN / LIKE / IS NULL."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").between(5, 15)
+        & (
+            (F.col("l_discount") > 0.05)
+            | (~(F.col("l_linestatus") == F.lit("O")))
+        )
+        & F.col("l_shipdate").isNotNull()
+        & F.col("l_returnflag").like("_")
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity", "l_discount")
+
+
+ORACLE_FILTER_PRED = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity, l_discount
+FROM lineitem
+WHERE l_returnflag IN ('A','R')
+  AND l_quantity BETWEEN 5 AND 15
+  AND (l_discount > 0.05 OR NOT (l_linestatus = 'O'))
+  AND l_shipdate IS NOT NULL
+  AND l_returnflag LIKE '_'
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregate with HAVING.
+
+    Spark runs this as partial (map-side) + final aggregation
+    automatically; the only shuffle moves one row per (flag, status)
+    pair per mapper.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    ext = _dec("l_extendedprice")
+    qty = _dec("l_quantity")
+    disc = _dec("l_discount", 4, 2)
+    tax = _dec("l_tax", 4, 2)
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money_sum(qty).alias("sum_qty"),
+            _money_sum(ext).alias("sum_base_price"),
+            _money_sum(ext * (one - disc)).alias("sum_disc_price"),
+            _money_sum(ext * (one - disc) * (one + tax)).alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(ext).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .filter(F.col("count_order") > 10)
+    )
+
+
+ORACLE_AGG_GROUPBY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)      AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                      * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)      AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6)       AS avg_disc,
+       COUNT(*)                                                              AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 10
+"""
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) + sum(distinct) per group."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.sum_distinct(F.col("l_suppkey")).cast("long").alias("sum_distinct_supp"),
+    )
+
+
+ORACLE_AGG_DISTINCT = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey)            AS n_parts,
+       COUNT(DISTINCT l_suppkey)            AS n_supps,
+       CAST(SUM(DISTINCT l_suppkey) AS BIGINT) AS sum_distinct_supp
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++) per event_type.
+
+    rows-only oracle: HLL estimates are engine-specific. The exact
+    count is emitted alongside so tests can assert the ±5% envelope.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id over orders.
+
+    NULL group keys are coalesced to 'ALL' (the data has no natural
+    NULLs) so the hash compare is not hostage to engine NULL-sorting.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money_sum(_dec("o_totalprice")).alias("sum_price"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "sum_price",
+            "gid",
+        )
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT COALESCE(o_orderstatus, 'ALL')   AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COUNT(*)                          AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders ⋈ customer (sort-merge / shuffled-hash at
+    scale; both sides shuffle on custkey — at 100 TB, bucket both
+    tables on the key to make it shuffle-free)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+ORACLE_JOIN_INNER = """
+SELECT o_orderkey, c_custkey, c_mktsegment, ROUND(o_totalprice, 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join with explicit broadcast of the two dimension
+    tables (nation 25 rows, region 5 rows) — no shuffle of the fact
+    side at any scale."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(_dec("c_acctbal")).cast("double") / F.count("*"), 6).alias(
+                "avg_bal"
+            ),
+        )
+    )
+
+
+ORACLE_JOIN_BROADCAST = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers with no orders (NULL keys)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_orderstatus"
+    )
+
+
+ORACLE_JOIN_OUTER = """
+SELECT c_custkey, c_mktsegment, o_orderkey, o_orderstatus
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+"""
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer vs supplier counts."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return c.join(s, c.nk_c == s.nk_s, "full").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+ORACLE_JOIN_FULL_OUTER = """
+WITH c AS (SELECT c_nationkey AS nk_c, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nk_s, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+SELECT COALESCE(nk_c, nk_s)        AS nationkey,
+       COALESCE(n_customers, 0)    AS n_customers,
+       COALESCE(n_suppliers, 0)    AS n_suppliers
+FROM c FULL OUTER JOIN s ON nk_c = nk_s
+"""
+
+
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence joins: customers with (semi) / without (anti) orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n_customers"))
+        .select(F.lit("with_orders").alias("kind"), "n_customers")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n_customers"))
+        .select(F.lit("without_orders").alias("kind"), "n_customers")
+    )
+    return semi.unionAll(anti)
+
+
+ORACLE_JOIN_SEMI_ANTI = """
+SELECT 'with_orders' AS kind, COUNT(*) AS n_customers
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'without_orders' AS kind, COUNT(*) AS n_customers
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: events whose value falls inside the
+    [min, avg] band of their event_type. The equi key keeps the join
+    hash-partitionable; the range predicate is evaluated post-match."""
+    ev = load(spark, sf_dir, "events")
+    # the band's upper bound is an average — computed via exact decimal
+    # sum / count so both engines place borderline rows identically
+    bounds = ev.groupBy(F.col("event_type").alias("bt")).agg(
+        F.min("value").alias("lo"),
+        (F.sum(_dec("value")).cast("double") / F.count("*")).alias("hi"),
+    )
+    return (
+        ev.join(
+            bounds,
+            (ev.event_type == bounds.bt)
+            & (ev.value >= bounds.lo)
+            & (ev.value <= bounds.hi),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_in_band"),
+            F.round(F.sum(_dec("value")).cast("double") / F.count("*"), 6).alias(
+                "avg_in_band"
+            ),
+        )
+    )
+
+
+ORACLE_JOIN_THETA_RANGE = """
+WITH bounds AS (
+  SELECT event_type AS bt, MIN(value) AS lo,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS hi
+  FROM events GROUP BY 1
+)
+SELECT event_type, COUNT(*) AS n_in_band,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_in_band
+FROM events JOIN bounds
+  ON event_type = bt AND value >= lo AND value <= hi
+GROUP BY event_type
+"""
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event → latest preceding (<=) click of
+    the same user.
+
+    Spark has no ASOF JOIN operator; the idiomatic distributed plan is
+    a union of both streams sorted per key with a running
+    last(click_ts) window — one shuffle on user_id, no range
+    explosion. DuckDB oracle uses its native ASOF LEFT JOIN.
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", F.lit(1).alias("is_purchase")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("is_purchase"),
+    )
+    merged = purchases.unionByName(clicks).withColumn(
+        "click_ts_us",
+        F.last(
+            F.when(F.col("is_purchase") == 0, F.col("ts_us")), ignorenulls=True
+        ).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "is_purchase")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return merged.filter(F.col("is_purchase") == 1).select(
+        "event_id", "user_id", "ts_us", "click_ts_us"
+    )
+
+
+ORACLE_JOIN_ASOF = """
+SELECT p.event_id,
+       p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       epoch_us(c.ts) AS click_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cartesian product (region × first-5 nations)."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 5)
+        .select("n_name")
+    )
+    return r.crossJoin(n)
+
+
+ORACLE_CROSS_SMALL = """
+SELECT r_name, n_name
+FROM region CROSS JOIN (SELECT n_name FROM nation WHERE n_nationkey < 5) n
+"""
+
+
+# ---------------------------------------------------------------------------
+# windows
+# ---------------------------------------------------------------------------
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer with row_number / rank / dense_rank.
+    Tie-break by o_orderkey keeps the limit deterministic."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+ORACLE_WINDOW_RANK = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total_price,
+         ROW_NUMBER() OVER w AS rn,
+         RANK()       OVER w AS rnk,
+         DENSE_RANK() OVER w AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+) t WHERE rn <= 3
+"""
+
+
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + sliding 3-row average per customer."""
+    o = load(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    slide = order_w.rowsBetween(-2, Window.currentRow)
+    price = _dec("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(price).over(run), 2).cast("double").alias("running_total"),
+        F.round(
+            F.sum(price).over(slide).cast("double") / F.count("*").over(slide), 6
+        ).alias("sliding_avg3"),
+    )
+
+
+ORACLE_WINDOW_FRAME = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)  AS sliding_avg3
+FROM orders
+"""
+
+
+def q_window_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first-in-partition + inter-event gap per user."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.first("value").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("first_value"),
+        (F.col("ts_us") - F.lag("ts_us", 1).over(w)).alias("gap_us"),
+    )
+
+
+ORACLE_WINDOW_LAGLEAD = """
+SELECT event_id, user_id,
+       LAG(value)  OVER w                        AS prev_value,
+       LEAD(value) OVER w                        AS next_value,
+       FIRST_VALUE(value) OVER w                 AS first_value,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w   AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# sort / limit / set ops / dedup
+# ---------------------------------------------------------------------------
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 (TakeOrderedAndProject — each partition keeps its
+    local top-100, the driver merges; no full sort at any scale).
+    Unique tie-break (orderkey, linenumber) makes the cut deterministic."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+        .orderBy(F.desc("price"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+ORACLE_SORT_LIMIT = """
+SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+FROM lineitem
+ORDER BY price DESC, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union all / union distinct / intersect / except over the
+    distinct nation-key sets of customers vs suppliers."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    ).distinct()
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    ).distinct()
+    tag = lambda df, kind: df.select(F.lit(kind).alias("kind"), "nationkey")  # noqa: E731
+    return (
+        tag(c.unionAll(s), "union_all")
+        .unionAll(tag(c.union(s).distinct(), "union_distinct"))
+        .unionAll(tag(c.intersect(s), "intersect"))
+        .unionAll(tag(c.exceptAll(s), "except"))
+    )
+
+
+ORACLE_SET_OPS = """
+WITH c AS (SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer),
+     s AS (SELECT DISTINCT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier)
+SELECT 'union_all' AS kind, nationkey FROM (SELECT nationkey FROM c UNION ALL SELECT nationkey FROM s)
+UNION ALL
+SELECT 'union_distinct', nationkey FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+UNION ALL
+SELECT 'intersect', nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT 'except', nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup canonicalized: keep the (orderkey, linenumber)-least
+    row per (partkey, suppkey). dropDuplicates() keeps an *arbitrary*
+    row, which is fine operationally but not hash-checkable — a
+    row_number window makes the choice deterministic in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey", "l_suppkey").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, l_quantity
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey, l_suppkey
+                               ORDER BY l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+) t WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "q_scan_parquet": q_scan_parquet,
+    "q_filter_pred": q_filter_pred,
+    "q_agg_groupby": q_agg_groupby,
+    "q_agg_distinct": q_agg_distinct,
+    "q_approx_cd": q_approx_cd,
+    "q_grouping_sets": q_grouping_sets,
+    "q_join_inner": q_join_inner,
+    "q_join_broadcast": q_join_broadcast,
+    "q_join_outer": q_join_outer,
+    "q_join_full_outer": q_join_full_outer,
+    "q_join_semi_anti": q_join_semi_anti,
+    "q_join_theta_range": q_join_theta_range,
+    "q_join_asof": q_join_asof,
+    "q_cross_small": q_cross_small,
+    "q_window_rank": q_window_rank,
+    "q_window_frame": q_window_frame,
+    "q_window_laglead": q_window_laglead,
+    "q_sort_limit": q_sort_limit,
+    "q_set_ops": q_set_ops,
+    "q_dedup_exact": q_dedup_exact,
+}
+
+ORACLES = {
+    "q_scan_parquet": ORACLE_SCAN_PARQUET,
+    "q_filter_pred": ORACLE_FILTER_PRED,
+    "q_agg_groupby": ORACLE_AGG_GROUPBY,
+    "q_agg_distinct": ORACLE_AGG_DISTINCT,
+    "q_grouping_sets": ORACLE_GROUPING_SETS,
+    "q_join_inner": ORACLE_JOIN_INNER,
+    "q_join_broadcast": ORACLE_JOIN_BROADCAST,
+    "q_join_outer": ORACLE_JOIN_OUTER,
+    "q_join_full_outer": ORACLE_JOIN_FULL_OUTER,
+    "q_join_semi_anti": ORACLE_JOIN_SEMI_ANTI,
+    "q_join_theta_range": ORACLE_JOIN_THETA_RANGE,
+    "q_join_asof": ORACLE_JOIN_ASOF,
+    "q_cross_small": ORACLE_CROSS_SMALL,
+    "q_window_rank": ORACLE_WINDOW_RANK,
+    "q_window_frame": ORACLE_WINDOW_FRAME,
+    "q_window_laglead": ORACLE_WINDOW_LAGLEAD,
+    "q_sort_limit": ORACLE_SORT_LIMIT,
+    "q_set_ops": ORACLE_SET_OPS,
+    "q_dedup_exact": ORACLE_DEDUP_EXACT,
+    # q_approx_cd: rows-only (approximate, engine-specific estimates)
+}

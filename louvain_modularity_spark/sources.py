@@ -1,0 +1,105 @@
+"""Table and graph sources (SURVEY.md §1.3, §2.1, FIXTURES.md §1-2).
+
+All harness tables load from ``{sf_dir}/{name}.parquet``. The
+``events`` table's ``ts`` column is parquet TIMESTAMP(NANOS); it is
+read as LONG nanos (see session.ensure_conf) and exposed additionally
+as ``ts_us`` = integer epoch microseconds. All event-time logic in the
+engine works on ``ts_us`` so results are timezone-independent and
+exactly match DuckDB's nanos→micros truncation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import ensure_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+#: absolute paths of packaged edge-list fixtures (FIXTURES.md §3.1)
+KARATE_EDGELIST = os.path.join(_DATA_DIR, "karate.edgelist")
+KARATE_WEIGHTED_EDGELIST = os.path.join(_DATA_DIR, "karate_weighted.edgelist")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one harness table; events gets the ts_us convenience column."""
+    ensure_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # integer division: exact micros, matches DuckDB's truncation
+        df = df.withColumn("ts_us", F.expr("ts div 1000"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Graph derivation (FIXTURES.md §2 — the harness ships no raw edge table)
+# ---------------------------------------------------------------------------
+
+#: id-space offset keeping supplier vertex ids disjoint from customer ids
+SUPPLIER_OFFSET = 1_000_000
+
+COPURCHASE_EDGES_SQL = f"""
+SELECT o_custkey                   AS src,
+       l_suppkey + {SUPPLIER_OFFSET} AS dst,
+       CAST(count(*) AS DOUBLE)    AS weight
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — customer–supplier co-purchase bipartite graph (undirected,
+    stored once per pair; src = customer id, dst = supplier id +
+    SUPPLIER_OFFSET, weight = number of lineitems).
+
+    Scale: lineitem⋈orders is the big join — both sides shuffle on the
+    orderkey; at 100 TB the tables would be bucketed on orderkey so the
+    join is shuffle-free. The groupBy benefits from partial (map-side)
+    aggregation, which Spark applies automatically.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(SUPPLIER_OFFSET)).alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+
+
+def karate_edges(spark: SparkSession, weighted: bool = False) -> DataFrame:
+    """Zachary karate-club fixture as an edge DataFrame (34 nodes,
+    78 edges; FIXTURES.md §3.1). Comment lines start with '#'.
+    """
+    ensure_conf(spark)
+    if weighted:
+        df = spark.read.csv(
+            KARATE_WEIGHTED_EDGELIST,
+            sep=" ",
+            comment="#",
+            schema="src LONG, dst LONG, weight DOUBLE",
+        )
+    else:
+        df = spark.read.csv(
+            KARATE_EDGELIST, sep=" ", comment="#", schema="src LONG, dst LONG"
+        ).withColumn("weight", F.lit(1.0))
+    return df
