@@ -1,3 +1,819 @@
-"""Placeholder — filled in by subsequent milestones."""
-QUERIES = {}
-ORACLES = {}
+"""Louvain community detection, Spark-first (SURVEY.md §2.4–2.6).
+
+Phase-1 building blocks (neighbor→community weights, community Σ_tot,
+ΔQ, best move) are pure relational operators — given a deterministic
+assignment they hash-match a SQL oracle. The full algorithm wraps them
+in a driver-side convergence loop (Catalyst has no fixpoint operator).
+
+ΔQ formula (reference: NX/algorithms/community/louvain.py:283-311,
+docstring :30-49), undirected, relative to removing u from its own
+community:
+
+    remove_cost = −w2c(u, com_u)/m + γ·(Σ_tot(com_u) − k_u)·k_u/(2m²)
+    gain(u→C)   = remove_cost + w2c(u, C)/m − γ·Σ_tot(C)·k_u/(2m²)
+
+Parallel semantics (SURVEY.md §7.5): the reference moves nodes one at
+a time in seeded-shuffle order (louvain.py:268-274); a distributed
+engine moves many nodes per synchronized round, so partitions can
+legitimately differ. Correctness contract = partition invariants +
+modularity parity (±0.05 of the sequential golden), not membership
+equality. Oscillation (two adjacent nodes endlessly swapping) is
+prevented by only applying moves from one hash-parity class per
+sub-round — a standard parallel-Louvain trick.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .graph import (
+    aggregate_parallel_edges,
+    coarsen_edges,
+    degree_weighted,
+    mod10_assignment,
+    symmetrize,
+    vertices_of,
+)
+from .metrics import modularity
+from .sources import COPURCHASE_EDGES_SQL, copurchase_edges, karate_edges
+
+#: set SPARK_GRAFT_VERBOSE=1 for driver-side round/level progress prints
+_VERBOSE = os.environ.get("SPARK_GRAFT_VERBOSE", "") not in ("", "0")
+
+# ---------------------------------------------------------------------------
+# phase-1 building blocks (relational, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def neighbor_com_weights(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+    """w2c: for each node u, Σ weight of u's edges into each adjacent
+    community (reference: _neighbor_weights, louvain.py:335-349).
+    Self-loops excluded (louvain.py:267)."""
+    sym = symmetrize(edges).filter(F.col("src") != F.col("dst"))
+    a_dst = assignment.select(
+        F.col("id").alias("dst"), F.col("community").alias("community")
+    )
+    return (
+        sym.join(a_dst, "dst")
+        .groupBy(F.col("src").alias("id"), "community")
+        .agg(F.sum("weight").alias("w2c"))
+    )
+
+
+def community_totals(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Σ_tot per community: sum of weighted degrees of its members
+    (reference: louvain.py:252-253, maintained incrementally there;
+    recomputed as a 2-shuffle aggregate here)."""
+    return (
+        degree_weighted(edges)
+        .join(assignment, "id")
+        .groupBy("community")
+        .agg(F.sum("degree").alias("sigma_tot"))
+    )
+
+
+def delta_q(
+    edges: DataFrame, assignment: DataFrame, gamma: float = 1.0
+) -> DataFrame:
+    """ΔQ for every candidate move (u → adjacent community C ≠ com_u).
+
+    All inputs (w2c, Σ_tot, k, m) are exact sums; the arithmetic
+    expression is spelled identically in the SQL oracle so evaluation
+    is bit-identical (see metrics.py module note).
+    """
+    w2c = neighbor_com_weights(edges, assignment)
+    sigma = community_totals(edges, assignment)
+    deg = degree_weighted(edges)
+    m = edges.agg(F.sum("weight").alias("m"))
+
+    node = (
+        assignment.join(deg, "id")
+        .withColumnRenamed("community", "own_com")
+        .withColumnRenamed("degree", "k")
+    )
+    own_w2c = w2c.select("id", F.col("community"), F.col("w2c").alias("w2c_own"))
+    node = (
+        node.join(
+            own_w2c,
+            (node.id == own_w2c.id) & (node.own_com == own_w2c.community),
+            "left",
+        )
+        .select(
+            node["id"],
+            "own_com",
+            "k",
+            F.coalesce("w2c_own", F.lit(0.0)).alias("w2c_own"),
+        )
+    )
+    sigma_own = sigma.select(
+        F.col("community").alias("own_com"), F.col("sigma_tot").alias("sigma_own")
+    )
+    sigma_cand = sigma.select(
+        F.col("community"), F.col("sigma_tot").alias("sigma_cand")
+    )
+    cand = (
+        w2c.withColumnRenamed("w2c", "w2c_cand")
+        .join(node, "id")
+        .filter(F.col("community") != F.col("own_com"))
+        .join(sigma_own, "own_com")
+        .join(sigma_cand, "community")
+        .crossJoin(m)
+    )
+    expr = (
+        f"-(w2c_own) / m + {gamma!r} * (sigma_own - k) * k / (2.0 * m * m)"
+        f" + w2c_cand / m - {gamma!r} * sigma_cand * k / (2.0 * m * m)"
+    )
+    return cand.select("id", "community", F.expr(expr).alias("delta"))
+
+
+def best_move(
+    edges: DataFrame, assignment: DataFrame, gamma: float = 1.0
+) -> DataFrame:
+    """Per node: the strictly-positive-gain argmax move, ties broken by
+    lowest community id (reference: `gain > best_mod` with best_mod
+    initialized 0, louvain.py:313-315,321-329)."""
+    dq = delta_q(edges, assignment, gamma)
+    w = Window.partitionBy("id").orderBy(F.desc("delta"), F.asc("community"))
+    return (
+        dq.filter(F.col("delta") > 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("community").alias("new_community"), "delta")
+    )
+
+
+# ---------------------------------------------------------------------------
+# iterative engine
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LouvainResult:
+    assignment: DataFrame  # (id LONG, community LONG) on original node ids
+    dendrogram: list[DataFrame] = field(default_factory=list)  # per-level (id, community)
+    modularities: list[float] = field(default_factory=list)  # Q after each level
+    n_levels: int = 0
+
+
+def _sequential_louvain(
+    edge_list: list[tuple[int, int, float]],
+    gamma: float,
+    threshold: float,
+    seed: int,
+    max_level: int | None = None,
+) -> tuple[list[dict[int, int]], list[float]]:
+    """Exact sequential Louvain on an in-driver edge list — the tail of
+    the hybrid plan (see louvain_communities). Implements the published
+    algorithm (Blondel, Guillaume, Lambiotte, Lefebvre, *Fast unfolding
+    of communities in large networks*, J. Stat. Mech. 2008, P10008):
+    seeded-order local moves to the max-positive-ΔQ neighbor community
+    until no move improves, then coarsen and repeat until the level's
+    modularity gain ≤ threshold.
+
+    Returns (per-level mapping of ORIGINAL node → community, Q per
+    level). Mappings are cumulative (level k maps original ids).
+    """
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(seed)
+    cur_edges = [(int(u), int(v), float(w)) for u, v, w in edge_list]
+    orig_map: dict[int, int] | None = None  # original id -> current node
+    level_maps: list[dict[int, int]] = []
+    level_mods: list[float] = []
+
+    def _q(adj_m, self_w, deg, com, m):
+        # Q = Σ_c [L_c/m − γ (k_c/2m)²]; L_c counts each intra edge once
+        intra = defaultdict(float)
+        for u, nbrs in adj_m.items():
+            cu = com[u]
+            for v, w in nbrs.items():
+                if u < v and com[v] == cu:
+                    intra[cu] += w
+        for u, w in self_w.items():
+            intra[com[u]] += w
+        k_c = defaultdict(float)
+        for u, k in deg.items():
+            k_c[com[u]] += k
+        return sum(
+            intra[c] / m - gamma * (k_c[c] / (2.0 * m)) ** 2 for c in k_c
+        )
+
+    prev_q: float | None = None
+    while True:
+        adj: dict[int, dict[int, float]] = defaultdict(dict)
+        self_w: dict[int, float] = defaultdict(float)
+        deg: dict[int, float] = defaultdict(float)
+        m = 0.0
+        for u, v, w in cur_edges:
+            m += w
+            if u == v:
+                self_w[u] += w
+                deg[u] += 2.0 * w
+            else:
+                adj[u][v] = adj[u].get(v, 0.0) + w
+                adj[v][u] = adj[v].get(u, 0.0) + w
+                deg[u] += w
+                deg[v] += w
+        nodes = sorted(set(deg))
+        if m <= 0 or not nodes:
+            break
+        com = {u: u for u in nodes}
+        sigma = dict(deg)
+        # real ΔQ values are rationals with denominator 2m² — any "gain"
+        # below 1/(4m²) is floating-point noise; accepting it causes
+        # infinite move cycles (the reference's issues #5175/#5704 are
+        # this same failure class)
+        eps = 1.0 / (4.0 * m * m)
+        improving = True
+        n_pass = 0
+        while improving and n_pass < 100:
+            improving = False
+            n_pass += 1
+            order = nodes[:]
+            rng.shuffle(order)
+            for u in order:
+                cu = com[u]
+                ku = deg[u]
+                w2c = defaultdict(float)
+                for v, w in adj.get(u, {}).items():
+                    w2c[com[v]] += w
+                sigma[cu] -= ku
+                remove_cost = (
+                    -w2c.get(cu, 0.0) / m
+                    + gamma * sigma[cu] * ku / (2.0 * m * m)
+                )
+                best, best_gain = cu, eps
+                for c, wuc in w2c.items():
+                    if c == cu:
+                        continue
+                    g = remove_cost + wuc / m - gamma * sigma.get(c, 0.0) * ku / (
+                        2.0 * m * m
+                    )
+                    if g > best_gain:
+                        best_gain, best = g, c
+                sigma[best] = sigma.get(best, 0.0) + ku
+                if best != cu:
+                    com[u] = best
+                    improving = True
+        q = _q(adj, self_w, deg, com, m)
+        if orig_map is None:
+            orig_map = dict(com)
+        else:
+            orig_map = {o: com[c] for o, c in orig_map.items()}
+        level_maps.append(dict(orig_map))
+        level_mods.append(q)
+        if prev_q is not None and q - prev_q <= threshold:
+            break
+        if max_level is not None and len(level_maps) >= max_level:
+            break
+        prev_q = q
+        # coarsen: supernode per community, canonical (min,max) edges
+        agg: dict[tuple[int, int], float] = defaultdict(float)
+        for u, v, w in cur_edges:
+            cu, cv = com[u], com[v]
+            key = (cu, cv) if cu <= cv else (cv, cu)
+            agg[key] += w
+        new_edges = [(a, b, w) for (a, b), w in agg.items()]
+        if len(new_edges) == len(cur_edges):
+            break  # no contraction happened; avoid spinning
+        cur_edges = new_edges
+    return level_maps, level_mods
+
+
+def _one_level(
+    spark: SparkSession,
+    edges: DataFrame,
+    gamma: float,
+    seed: int,
+    max_sweeps: int,
+) -> tuple[DataFrame, int]:
+    """One Louvain level (reference: _one_level, louvain.py:227-332) as
+    synchronized parity-alternating rounds. Returns (assignment on this
+    level's node ids, total moves applied).
+
+    Per round: 3 aggregate shuffles over E (w2c) / n (Σ_tot, degree) —
+    the static symmetrized edge list and degree table are cached, so a
+    round only reshuffles the small per-node state. localCheckpoint
+    truncates lineage each round (plan depth would otherwise grow
+    linearly and analysis time dominate).
+    """
+    sym = symmetrize(edges).filter(F.col("src") != F.col("dst")).persist()
+    deg = degree_weighted(edges).persist()
+    m = float(edges.agg(F.sum("weight")).collect()[0][0] or 0.0)
+    if m <= 0:
+        return vertices_of(edges).select("id", F.col("id").alias("community")), 0
+
+    # singleton start: community = node id (louvain.py:194)
+    state = deg.select("id", F.col("id").alias("community"), F.col("degree").alias("k"))
+    state = state.localCheckpoint(eager=True)
+    n_nodes = state.count()
+
+    total_moves = 0
+    idle_rounds = 0
+    for rnd in range(max_sweeps):
+        t_round = time.time()
+        a_dst = state.select(F.col("id").alias("dst"), "community")
+        w2c = (
+            sym.join(a_dst, "dst")
+            .groupBy(F.col("src").alias("id"), "community")
+            .agg(F.sum("weight").alias("w2c"))
+        )
+        sigma = state.groupBy("community").agg(F.sum("k").alias("sigma_tot"))
+
+        own = state.select("id", "community", "k")
+        own_w2c = w2c.withColumnRenamed("w2c", "w2c_own")
+        node = (
+            own.join(own_w2c, ["id", "community"], "left")
+            .select(
+                "id",
+                F.col("community").alias("own_com"),
+                "k",
+                F.coalesce("w2c_own", F.lit(0.0)).alias("w2c_own"),
+            )
+            .join(
+                sigma.select(
+                    F.col("community").alias("own_com"),
+                    F.col("sigma_tot").alias("sigma_own"),
+                ),
+                "own_com",
+            )
+        )
+        cand = (
+            w2c.withColumnRenamed("w2c", "w2c_cand")
+            .join(node, "id")
+            .filter(F.col("community") != F.col("own_com"))
+            .join(
+                sigma.select("community", F.col("sigma_tot").alias("sigma_cand")),
+                "community",
+            )
+        )
+        gain = (
+            F.lit(-1.0) * F.col("w2c_own") / m
+            + gamma * (F.col("sigma_own") - F.col("k")) * F.col("k") / (2.0 * m * m)
+            + F.col("w2c_cand") / m
+            - gamma * F.col("sigma_cand") * F.col("k") / (2.0 * m * m)
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("delta"), F.asc("community"))
+        # same noise floor as the sequential tail: true gains are
+        # multiples of ~1/(2m²); below 1/(4m²) is float noise
+        moves = (
+            cand.withColumn("delta", gain)
+            .filter(F.col("delta") > 1.0 / (4.0 * m * m))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            # oscillation guard: one hash-parity class per round
+            .filter(
+                F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(2))
+                == F.lit(rnd % 2)
+            )
+            .select("id", F.col("community").alias("new_community"))
+            # materialize once: n_moves comes free, and the state update
+            # below reuses the tiny checkpointed result
+            .localCheckpoint(eager=True)
+        )
+        n_moves = moves.count()
+        if n_moves > 0:
+            state = (
+                state.join(moves, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("new_community", "community").alias("community"),
+                    "k",
+                )
+                .localCheckpoint(eager=True)
+            )
+        total_moves += n_moves
+        if _VERBOSE:
+            print(
+                f"    round {rnd}: moves={n_moves} [{time.time() - t_round:.1f}s]",
+                flush=True,
+            )
+        if n_moves == 0:
+            idle_rounds += 1
+            if idle_rounds >= 2:  # both parity classes idle → fixpoint
+                break
+        else:
+            idle_rounds = 0
+        # diminishing returns: when almost no node wants to move, an
+        # extra synchronized sweep costs more than coarsening + the
+        # exact in-driver tail that follows
+        if rnd >= 1 and n_moves < max(1, n_nodes // 50):
+            break
+    sym.unpersist()
+    deg.unpersist()
+    return state.select("id", "community"), total_moves
+
+
+def louvain_communities(
+    spark: SparkSession,
+    edges: DataFrame,
+    gamma: float = 1.0,
+    threshold: float = 1e-07,
+    max_level: int | None = None,
+    seed: int = 1,
+    max_sweeps: int = 10,
+    inline_threshold: int = 1_000_000,
+    vertices: DataFrame | None = None,
+) -> LouvainResult:
+    """Full Louvain (reference: louvain_partitions, louvain.py:135-224):
+    alternate local-move and coarsen until the level's modularity gain
+    ≤ threshold (louvain.py:218-219) or max_level is reached.
+
+    Hybrid execution plan (the 100 TB design): while the current-level
+    graph is large, run distributed synchronized-round local moves
+    (_one_level) and coarsen — each level shrinks the graph to
+    ~#communities. As soon as the level graph fits ``inline_threshold``
+    edges it is collected to the driver and finished with the *exact*
+    sequential algorithm (_sequential_louvain) — a coarse graph of even
+    a trillion-edge input is a few hundred thousand supernodes, so the
+    tail always fits, avoids tens of near-empty Spark jobs, and matches
+    the reference's move-at-a-time semantics on the part of the
+    dendrogram where sequential order actually changes the outcome.
+
+    The cumulative original-id → community mapping is maintained by
+    chaining each level's assignment through a join (replacing the
+    reference's set-valued supernode attribute, louvain.py:356-361).
+
+    ``vertices``: optional (id) DataFrame; isolated vertices (no edges)
+    become singleton communities (reference: louvain.py:194-197).
+    """
+    edges = aggregate_parallel_edges(edges)  # multigraph → simple (louvain.py:372-384)
+    result = LouvainResult(assignment=None)  # type: ignore[arg-type]
+    global_assign = None  # orig id -> current-level community
+    mod_prev: float | None = None
+    level = 0
+    while True:
+        n_edges = edges.count()
+        if n_edges <= inline_threshold:
+            # ---- in-driver exact tail ----
+            rows = [(r["src"], r["dst"], r["weight"]) for r in edges.collect()]
+            if _VERBOSE:
+                print(f"  level {level}: inline tail ({n_edges} edges)", flush=True)
+            remaining = None if max_level is None else max_level - level
+            if rows and (remaining is None or remaining > 0):
+                maps, mods = _sequential_louvain(
+                    rows, gamma, threshold, seed + level, remaining
+                )
+                for lmap, q in zip(maps, mods):
+                    lvl_df = spark.createDataFrame(
+                        list(lmap.items()), "id LONG, community LONG"
+                    )
+                    if global_assign is None:
+                        cum = lvl_df
+                    else:
+                        cum = (
+                            global_assign.withColumnRenamed("community", "prev")
+                            .join(lvl_df.withColumnRenamed("id", "prev"), "prev")
+                            .select("id", "community")
+                        )
+                    result.dendrogram.append(cum.localCheckpoint(eager=True))
+                    result.modularities.append(q)
+                    level += 1
+                if result.dendrogram:
+                    global_assign = result.dendrogram[-1]
+            break
+        # ---- distributed level ----
+        if _VERBOSE:
+            print(f"  level {level}: distributed ({n_edges} edges)", flush=True)
+        level_assign, n_moves = _one_level(spark, edges, gamma, seed + level, max_sweeps)
+        level_assign = level_assign.localCheckpoint(eager=True)
+        if global_assign is None:
+            global_assign = level_assign
+        else:
+            global_assign = (
+                global_assign.withColumnRenamed("community", "prev")
+                .join(level_assign.withColumnRenamed("id", "prev"), "prev")
+                .select("id", "community")
+                .localCheckpoint(eager=True)
+            )
+        mod_new = modularity(edges, level_assign, gamma)
+        if _VERBOSE:
+            print(f"  level {level}: moves={n_moves} Q={mod_new:.6f}", flush=True)
+        result.dendrogram.append(global_assign)
+        result.modularities.append(mod_new)
+        level += 1
+        if (
+            n_moves == 0
+            or (mod_prev is not None and mod_new - mod_prev <= threshold)
+            or (max_level is not None and level >= max_level)
+        ):
+            break
+        mod_prev = mod_new
+        edges = coarsen_edges(edges, level_assign).localCheckpoint(eager=True)
+    if global_assign is None:
+        # graph had no edges at all → every (optional) vertex a singleton
+        base = vertices if vertices is not None else spark.createDataFrame([], "id LONG")
+        global_assign = base.select("id", F.col("id").alias("community"))
+        result.dendrogram.append(global_assign)
+        result.modularities.append(0.0)
+        level = 1
+    elif vertices is not None:
+        # isolated vertices → singleton communities appended to the result
+        global_assign = (
+            vertices.select("id")
+            .join(global_assign, "id", "left")
+            .select("id", F.coalesce("community", F.col("id")).alias("community"))
+        )
+    result.assignment = global_assign
+    result.n_levels = level
+    return result
+
+
+def _singleton(edges: DataFrame) -> DataFrame:
+    return vertices_of(edges).select("id", F.col("id").alias("community"))
+
+
+# ---------------------------------------------------------------------------
+# companion algorithms: label propagation, connected components
+# ---------------------------------------------------------------------------
+
+
+def label_propagation(
+    spark: SparkSession, edges: DataFrame, max_iter: int = 10, seed: int = 1
+) -> DataFrame:
+    """Synchronous weighted label propagation (reference:
+    NX/algorithms/community/label_propagation.py:238 sync variant):
+    each round every node adopts the label with max incident weight,
+    ties broken by smallest label; same parity guard as Louvain."""
+    sym = symmetrize(edges).filter(F.col("src") != F.col("dst")).persist()
+    state = vertices_of(edges).select("id", F.col("id").alias("label"))
+    state = state.localCheckpoint(eager=True)
+    for rnd in range(max_iter):
+        lbl = state.select(F.col("id").alias("dst"), "label")
+        votes = (
+            sym.join(lbl, "dst")
+            .groupBy(F.col("src").alias("id"), "label")
+            .agg(F.sum("weight").alias("w"))
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("w"), F.asc("label"))
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .filter(
+                F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(2))
+                == F.lit(rnd % 2)
+            )
+            .select("id", F.col("label").alias("new_label"))
+        )
+        new_state = (
+            state.join(best, "id", "left")
+            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_state.join(
+                state.select("id", F.col("label").alias("old")), "id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        state = new_state
+        if changed == 0 and rnd % 2 == 1:
+            break
+    sym.unpersist()
+    return state
+
+
+def connected_components(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Connected components by iterative min-id propagation (the
+    DataFrame rendition of Pregel supersteps; SURVEY.md §7.3): each
+    round every node takes the min of its own and its neighbors'
+    component ids, until fixpoint. O(diameter) rounds — for graphs with
+    large diameter at scale, switch to the large-/small-star algorithm.
+    """
+    sym = symmetrize(edges).persist()
+    state = vertices_of(edges).select("id", F.col("id").alias("component"))
+    state = state.localCheckpoint(eager=True)
+    while True:
+        comp = state.select(F.col("id").alias("dst"), "component")
+        msgs = (
+            sym.join(comp, "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_state = (
+            state.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_state.join(state.select("id", F.col("component").alias("old")), "id")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        state = new_state
+        if changed == 0:
+            break
+    sym.unpersist()
+    return state
+
+
+# ---------------------------------------------------------------------------
+# declared queries
+# ---------------------------------------------------------------------------
+
+_G1_W2C_SQL = f"""
+WITH e AS ({COPURCHASE_EDGES_SQL}),
+sym AS (
+  SELECT src, dst, weight FROM e WHERE src <> dst
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM e WHERE src <> dst
+)
+SELECT src AS id, dst % 10 AS community, SUM(weight) AS w2c
+FROM sym GROUP BY 1, 2
+"""
+
+
+def q_neighbor_com_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    return neighbor_com_weights(edges, mod10_assignment(edges))
+
+
+def q_com_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    return community_totals(edges, mod10_assignment(edges))
+
+
+ORACLE_COM_TOTALS = f"""
+WITH e AS ({COPURCHASE_EDGES_SQL}),
+deg AS (
+  SELECT id, SUM(weight) AS degree
+  FROM (SELECT src AS id, weight FROM e UNION ALL SELECT dst AS id, weight FROM e)
+  GROUP BY id
+)
+SELECT id % 10 AS community, SUM(degree) AS sigma_tot FROM deg GROUP BY 1
+"""
+
+
+def q_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    return delta_q(edges, mod10_assignment(edges), gamma=1.0)
+
+
+ORACLE_DELTA_Q = f"""
+WITH e AS ({COPURCHASE_EDGES_SQL}),
+sym AS (
+  SELECT src, dst, weight FROM e WHERE src <> dst
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM e WHERE src <> dst
+),
+w2c AS (
+  SELECT src AS id, dst % 10 AS community, SUM(weight) AS w2c
+  FROM sym GROUP BY 1, 2
+),
+deg AS (
+  SELECT id, SUM(weight) AS degree
+  FROM (SELECT src AS id, weight FROM e UNION ALL SELECT dst AS id, weight FROM e)
+  GROUP BY id
+),
+sigma AS (
+  SELECT id % 10 AS community, SUM(degree) AS sigma_tot FROM deg GROUP BY 1
+),
+mm AS (SELECT SUM(weight) AS m FROM e),
+node AS (
+  SELECT deg.id, deg.id % 10 AS own_com, deg.degree AS k,
+         COALESCE(w.w2c, 0.0) AS w2c_own
+  FROM deg LEFT JOIN w2c w ON w.id = deg.id AND w.community = deg.id % 10
+)
+SELECT c.id, c.community,
+       -(n.w2c_own) / m + 1.0 * (so.sigma_tot - n.k) * n.k / (2.0 * m * m)
+         + c.w2c / m - 1.0 * sc.sigma_tot * n.k / (2.0 * m * m) AS delta
+FROM w2c c
+JOIN node n ON c.id = n.id
+JOIN sigma so ON so.community = n.own_com
+JOIN sigma sc ON sc.community = c.community
+CROSS JOIN mm
+WHERE c.community <> n.own_com
+"""
+
+
+def q_best_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    return best_move(edges, mod10_assignment(edges), gamma=1.0)
+
+
+ORACLE_BEST_MOVE = f"""
+WITH dq AS ({ORACLE_DELTA_Q})
+SELECT id, community AS new_community, delta
+FROM (
+  SELECT id, community, delta,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY delta DESC, community ASC) AS rn
+  FROM dq WHERE delta > 0
+) t WHERE rn = 1
+"""
+
+
+def q_louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full phase-1 sweep on G1 (rows-only: parallel move order is
+    engine-defined; invariants asserted in tests)."""
+    edges = copurchase_edges(spark, sf_dir)
+    assignment, _ = _one_level(spark, edges, gamma=1.0, seed=1, max_sweeps=6)
+    return assignment
+
+
+def q_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Louvain on G1 with self-verifying invariant columns:
+    (id, community) plus per-run n_levels and final Q."""
+    edges = copurchase_edges(spark, sf_dir)
+    res = louvain_communities(spark, edges, max_sweeps=8)
+    return res.assignment.select(
+        "id",
+        "community",
+        F.lit(res.n_levels).alias("n_levels"),
+        F.lit(round(res.modularities[-1], 9)).alias("final_q"),
+    )
+
+
+def q_louvain_dendrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-level partitions in long format (level, id, community)."""
+    edges = copurchase_edges(spark, sf_dir)
+    res = louvain_communities(spark, edges, max_sweeps=8)
+    out = None
+    for lvl, df in enumerate(res.dendrogram):
+        row = df.select(F.lit(lvl).alias("level"), "id", "community")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def q_seeded_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic visit order (substitute for the reference's
+    seed.shuffle, louvain.py:268-269): rank nodes by xxhash64(seed, id).
+    rows-only: xxhash64 has no DuckDB twin."""
+    edges = copurchase_edges(spark, sf_dir)
+    w = Window.orderBy(F.xxhash64(F.lit(42), F.col("id")), F.col("id"))
+    return vertices_of(edges).select("id", F.row_number().over(w).alias("visit_rank"))
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation communities on G1 (rows-only + invariants)."""
+    return label_propagation(spark, copurchase_edges(spark, sf_dir), max_iter=8)
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on karate ∪ two disjoint extra edges
+    (oracle: DuckDB recursive CTE computing min reachable id)."""
+    extra = spark.createDataFrame(
+        [(100, 101, 1.0), (102, 103, 1.0), (103, 104, 1.0)],
+        "src LONG, dst LONG, weight DOUBLE",
+    )
+    edges = karate_edges(spark).unionByName(extra)
+    return connected_components(spark, edges)
+
+
+def _oracle_connected_components() -> str:
+    from .graph import _KARATE_SQL
+
+    return f"""
+WITH RECURSIVE e AS (
+  {_KARATE_SQL}
+  UNION ALL
+  SELECT * FROM (VALUES (100, 101, 1.0), (102, 103, 1.0), (103, 104, 1.0)) t(src, dst, weight)
+),
+sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+),
+v AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, comp) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT sym.dst AS id, reach.comp
+  FROM reach JOIN sym ON sym.src = reach.id
+)
+SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+"""
+
+
+QUERIES = {
+    "q_neighbor_com_weights": q_neighbor_com_weights,
+    "q_com_totals": q_com_totals,
+    "q_delta_q": q_delta_q,
+    "q_best_move": q_best_move,
+    "q_louvain_one_level": q_louvain_one_level,
+    "q_louvain_communities": q_louvain_communities,
+    "q_louvain_dendrogram": q_louvain_dendrogram,
+    "q_seeded_order": q_seeded_order,
+    "q_label_propagation": q_label_propagation,
+    "q_connected_components": q_connected_components,
+}
+
+ORACLES = {
+    "q_neighbor_com_weights": _G1_W2C_SQL,
+    "q_com_totals": ORACLE_COM_TOTALS,
+    "q_delta_q": ORACLE_DELTA_Q,
+    "q_best_move": ORACLE_BEST_MOVE,
+    "q_connected_components": _oracle_connected_components(),
+    # rows-only: q_louvain_one_level / q_louvain_communities /
+    # q_louvain_dendrogram (parallel move order is engine-defined),
+    # q_seeded_order (xxhash64), q_label_propagation (iterative)
+}

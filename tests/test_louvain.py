@@ -1,0 +1,165 @@
+"""Louvain correctness: golden fixtures + invariants (SURVEY.md §5.2,
+mirroring the reference suite's idioms in
+NX/algorithms/community/tests/test_louvain.py / test_quality.py).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+from conftest import SF_DIR
+
+from louvain_modularity_spark.graph import vertices_of
+from louvain_modularity_spark.louvain import (
+    _sequential_louvain,
+    connected_components,
+    label_propagation,
+    louvain_communities,
+)
+from louvain_modularity_spark.metrics import (
+    KARATE_GOLDEN_Q,
+    karate_golden_assignment,
+    modularity,
+)
+from louvain_modularity_spark.sources import copurchase_edges, karate_edges
+
+
+def _is_partition(assignment, vertices):
+    dup = assignment.groupBy("id").count().filter(F.col("count") > 1).count()
+    uncovered = vertices.join(assignment, "id", "left_anti").count()
+    return dup == 0 and uncovered == 0
+
+
+def test_karate_golden_modularity(spark):
+    """Exact golden: Q of the seed=2 sequential-reference partition
+    (FIXTURES.md §3.1) = 0.41880341880341876."""
+    q = modularity(karate_edges(spark), karate_golden_assignment(spark))
+    assert q == pytest.approx(KARATE_GOLDEN_Q, abs=1e-12)
+
+
+def test_barbell_exact_modularity(spark):
+    """Exact golden (FIXTURES.md §3.2): barbell(3,0) partitions."""
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0),
+         (3, 5, 1.0), (4, 5, 1.0)],
+        "src LONG, dst LONG, weight DOUBLE",
+    )
+    good = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)], "id LONG, community LONG"
+    )
+    bad = spark.createDataFrame(
+        [(0, 0), (1, 0), (4, 0), (2, 1), (3, 1), (5, 1)], "id LONG, community LONG"
+    )
+    assert modularity(edges, good) == pytest.approx(70 / 196, abs=1e-12)
+    assert modularity(edges, bad) == pytest.approx(-16 / 196, abs=1e-12)
+
+
+def test_karate_louvain_quality(spark):
+    """Parallel/hybrid result must be a valid partition with Q within
+    ±0.05 of the sequential golden (SURVEY.md §7.5)."""
+    edges = karate_edges(spark)
+    res = louvain_communities(spark, edges, seed=2)
+    assert _is_partition(res.assignment, vertices_of(edges))
+    assert res.modularities[-1] >= KARATE_GOLDEN_Q - 0.05
+    # modularity non-decreasing across dendrogram levels
+    assert all(
+        b >= a - 1e-9 for a, b in zip(res.modularities, res.modularities[1:])
+    )
+    # improves on the singleton partition
+    singleton = vertices_of(edges).select("id", F.col("id").alias("community"))
+    assert res.modularities[-1] > modularity(edges, singleton)
+
+
+def test_resolution_monotonicity(spark):
+    """|P(γ=0.5)| ≤ |P(1)| ≤ |P(2)| (reference test_louvain.py:218-227)."""
+    edges = karate_edges(spark)
+    sizes = []
+    for g in (0.5, 1.0, 2.0):
+        res = louvain_communities(spark, edges, gamma=g, seed=2)
+        sizes.append(res.assignment.select("community").distinct().count())
+    assert sizes[0] <= sizes[1] <= sizes[2]
+
+
+def test_empty_graph_singletons(spark):
+    """5 isolated nodes → 5 singleton communities
+    (reference test_louvain.py:242-246)."""
+    empty = spark.createDataFrame([], "src LONG, dst LONG, weight DOUBLE")
+    verts = spark.createDataFrame([(i,) for i in range(5)], "id LONG")
+    res = louvain_communities(spark, empty, vertices=verts)
+    rows = {(r["id"], r["community"]) for r in res.assignment.collect()}
+    assert rows == {(i, i) for i in range(5)}
+
+
+def test_selfloop_sensitivity(spark):
+    """Self-loop weights must influence the weighted partition
+    (reference test_louvain.py:54-72): karate + huge self-loops on
+    nodes 0-8 changes the result vs unweighted."""
+    edges = karate_edges(spark)
+    loops = spark.createDataFrame(
+        [(i, i, float(i * 1000)) for i in range(9)], "src LONG, dst LONG, weight DOUBLE"
+    )
+    res_plain = louvain_communities(spark, edges, seed=2)
+    res_loops = louvain_communities(spark, edges.unionByName(loops), seed=2)
+    # with w(i,i)=1000i the m and degrees explode; partitions differ
+    plain = {(r["id"], r["community"]) for r in res_plain.assignment.collect()}
+    loops_p = {(r["id"], r["community"]) for r in res_loops.assignment.collect()}
+    assert plain != loops_p
+
+
+def test_parallel_edges_sum(spark):
+    """Multigraph parallel edges sum before Louvain
+    (reference test_louvain.py:203-215): duplicated edge list gives the
+    same partition as doubled weights."""
+    edges = karate_edges(spark)
+    doubled = edges.unionByName(edges)
+    res_a = louvain_communities(spark, doubled, seed=2)
+    res_b = louvain_communities(
+        spark, edges.withColumn("weight", F.col("weight") * 2), seed=2
+    )
+    a = {(r["id"], r["community"]) for r in res_a.assignment.collect()}
+    b = {(r["id"], r["community"]) for r in res_b.assignment.collect()}
+    assert a == b
+
+
+def test_directed_toys_terminate():
+    """The sequential core terminates on the (symmetrized) regression
+    toys from reference issues #5175/#5704 (FIXTURES.md §3.3)."""
+    g = [(0, 2), (0, 1), (1, 0), (2, 1), (2, 0), (3, 4), (4, 3),
+         (7, 8), (8, 7), (9, 10), (10, 9)]
+    maps, mods = _sequential_louvain([(u, v, 1.0) for u, v in g], 1.0, 1e-7, 123)
+    assert maps  # terminated and produced at least one level
+    h = [(1, 2), (1, 6), (1, 9), (2, 3), (2, 4), (2, 5), (3, 4), (4, 3),
+         (4, 5), (5, 4), (6, 7), (6, 8), (9, 10), (9, 11), (10, 11), (11, 10)]
+    maps2, _ = _sequential_louvain([(u, v, 1.0) for u, v in h], 1.0, 1e-7, 123)
+    assert maps2
+
+
+def test_distributed_level_path(spark):
+    """Force the distributed synchronized-round path (inline_threshold
+    below the edge count) and check it reaches the same quality class
+    as the inline path."""
+    edges = copurchase_edges(spark, SF_DIR)
+    res_dist = louvain_communities(
+        spark, edges, inline_threshold=100, max_sweeps=4, seed=1
+    )
+    res_inline = louvain_communities(spark, edges, seed=1)
+    assert _is_partition(res_dist.assignment, vertices_of(edges))
+    assert res_dist.modularities[-1] >= res_inline.modularities[-1] - 0.05
+
+
+def test_connected_components(spark):
+    edges = karate_edges(spark).unionByName(
+        spark.createDataFrame([(100, 101, 1.0)], "src LONG, dst LONG, weight DOUBLE")
+    )
+    comp = connected_components(spark, edges)
+    groups = {}
+    for r in comp.collect():
+        groups.setdefault(r["component"], set()).add(r["id"])
+    assert set(groups[0]) == set(range(34))
+    assert groups[100] == {100, 101}
+
+
+def test_label_propagation_partition(spark):
+    edges = karate_edges(spark)
+    lp = label_propagation(spark, edges, max_iter=8)
+    assert _is_partition(
+        lp.withColumnRenamed("label", "community"), vertices_of(edges)
+    )
