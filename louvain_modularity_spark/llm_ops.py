@@ -1,3 +1,802 @@
-"""Placeholder — filled in by subsequent milestones."""
-QUERIES = {}
-ORACLES = {}
+"""LLM-data-pipeline operators (SURVEY.md §2.9): deduplication,
+similarity search, text analysis — each designed as a scale path first
+(pure built-in DataFrame ops, shuffle-conscious), then given a DuckDB
+oracle where the math is engine-portable.
+
+Dedup ladder (cheap → expensive):
+  exact (sha2 groupBy)  →  minhash+LSH (bucketed candidate join)
+  →  simhash  →  n-gram Jaccard verify  →  embedding-cosine near-dup.
+At 100 TB only LSH-bucketed joins are viable: candidates meet in
+hash-partitioned band buckets instead of an O(n²) cross join.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401  (resolves pandas_udf string annotations)
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .sources import load
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def tokens_of(df: DataFrame) -> DataFrame:
+    """(doc_id, pos, token) — whitespace tokenization, 1-based pos."""
+    return df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies (tokenize → explode → count)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        tokens_of(d)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"), F.countDistinct("doc_id").alias("df"))
+    )
+
+
+ORACLE_TEXT_TOKENS = """
+SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split + a BPE-ish regex
+    segmentation (alnum runs)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.split("text", "[^a-z0-9]+")).alias("n_re_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+ORACLE_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER)                AS n_ws_tokens,
+       CAST(len(string_split_regex(text, '[^a-z0-9]+')) AS INTEGER) AS n_re_tokens,
+       CAST(length(text) AS INTEGER)                                AS n_chars
+FROM documents
+"""
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf per (doc, term): idf = ln((1+N)/(1+df)) + 1 (smoothed)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_of(d).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar: fold into the expression as a literal
+    return (
+        tf.join(df_, "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * (F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+def _oracle_tfidf(n_docs_expr: str = "(SELECT COUNT(*) FROM documents)") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks WHERE token <> '' GROUP BY 1
+)
+SELECT tf.doc_id, tf.token, tf.tf,
+       ROUND(tf.tf * (LN((1.0 + {n_docs_expr}) / (1.0 + dfreq.df)) + 1.0), 6) AS tfidf
+FROM tf JOIN dfreq ON tf.token = dfreq.token
+"""
+
+
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus statistics."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias("avg_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+    )
+
+
+ORACLE_LANG_STATS = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang, source
+"""
+
+
+#: tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic (the corpus is synthetic, so most docs resolve 'unknown' —
+#: the operator shape is what matters)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist"),
+    "en": ("the", "of", "and", "to", "in"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "les", "et", "des", "une"),
+    "zh": ("de", "le", "shi", "wo", "bu"),
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language identification: argmax language by
+    stopword occurrences, ties → lexicographically smallest language,
+    no hits → 'unknown'."""
+    d = load(spark, sf_dir, "documents")
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, ws in LANG_STOPWORDS.items() for w in ws],
+        "sw_lang STRING, token STRING",
+    )
+    hits = (
+        tokens_of(d)
+        .join(F.broadcast(sw), "token")
+        .groupBy("doc_id", "sw_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("sw_lang"))
+    best = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return d.select("doc_id", "lang").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        F.coalesce("sw_lang", F.lit("unknown")).alias("pred_lang"),
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+    )
+
+
+def _oracle_lang_id() -> str:
+    values = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in LANG_STOPWORDS.items() for w in ws
+    )
+    return f"""
+WITH sw(sw_lang, token) AS (VALUES {values}),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+hits AS (
+  SELECT doc_id, sw_lang, COUNT(*) AS hits
+  FROM toks JOIN sw USING (token) GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, sw_lang, hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, sw_lang ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id, d.lang AS actual_lang,
+       COALESCE(b.sw_lang, 'unknown') AS pred_lang,
+       COALESCE(b.hits, 0) AS hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics: length, lexical diversity, token
+    length — combined into a [0,1] score. All integer-derived ratios →
+    bit-identical across engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("double")
+    n_dist = F.size(F.array_distinct(toks)).cast("double")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        (n_dist / n_tok).alias("distinct_ratio"),
+        (F.length("text").cast("double") / n_tok).alias("avg_token_span"),
+        F.round(
+            0.5 * (n_dist / n_tok)
+            + 0.5 * F.least(n_tok / 100.0, F.lit(1.0)),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+ORACLE_QUALITY_SCORE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER)                   AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)    AS n_distinct,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE)                AS distinct_ratio,
+       CAST(length(text) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE)                AS avg_token_span,
+       ROUND(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE))
+             + 0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0),
+             6)                                                        AS quality_score
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive positional document fingerprint:
+    Σ pos·(ascii(token)·256 + len(token)) mod 2³¹−1 — a rolling-hash
+    style signature expressible identically in both engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_of(d).filter(F.col("token") != "")
+    return toks.groupBy("doc_id").agg(
+        F.pmod(
+            F.sum(
+                F.col("pos")
+                * (F.ascii("token").cast("long") * 256 + F.length("token"))
+            ),
+            F.lit(2147483647),
+        ).alias("fingerprint")
+    )
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id,
+       SUM(ord * (ascii(token) * 256 + length(token))) % 2147483647 AS fingerprint
+FROM (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_doc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: sha2 the text, keep the min doc_id per
+    digest (the 100 TB pattern: hash-groupBy, never pairwise compare)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2("text", 256).alias("digest")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+ORACLE_DEDUP_DOC_EXACT = """
+SELECT sha256(text) AS digest, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def shingles_of(df: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct k-token shingles per document."""
+    toks = F.split("text", " ")
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i, {k})))"
+    )
+    return (
+        df.select("doc_id", F.explode(sh).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing at
+    least one 3-token shingle (inverted-index join — the pairwise
+    comparison never materializes beyond actually-overlapping pairs)."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_of(d).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             unnest(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)) AS i
+      FROM documents
+    )
+  )
+  WHERE shingle <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+#: minhash configuration: 16 permutations → 4 bands × 4 rows
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4
+
+
+def minhash_sketches(df: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, perm, minhash): k-min sketch via xxhash64(perm, shingle)
+    — pure DataFrame, deterministic, one shuffle (the groupBy)."""
+    sh = shingles_of(df, k)
+    perms = F.explode(
+        F.array(*[F.lit(i) for i in range(MINHASH_PERMS)])
+    ).alias("perm")
+    return (
+        sh.select("doc_id", "shingle", perms)
+        .select(
+            "doc_id", "perm", F.xxhash64(F.col("perm"), F.col("shingle")).alias("h")
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidates: band the 16-perm sketch
+    into 4 bands; docs sharing any band bucket are candidates; output
+    the estimated Jaccard (fraction of matching minhashes).
+
+    rows-only oracle: xxhash64 has no DuckDB twin; the estimate is
+    cross-checked against exact q_ngram_jaccard in tests.
+
+    100 TB shape: sketches are 16 longs/doc; the candidate join happens
+    inside hash-partitioned (band, band_hash) buckets — never O(n²).
+    """
+    d = load(spark, sf_dir, "documents")
+    mh = minhash_sketches(d).persist()
+    bands = (
+        mh.withColumn("band", F.col("perm") % MINHASH_BANDS)
+        .groupBy("doc_id", "band")
+        .agg(F.xxhash64(F.concat_ws(",", F.collect_list(F.col("minhash").cast("string")))).alias("band_hash"))
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = mh.select(F.col("doc_id").alias("doc_a"), "perm", F.col("minhash").alias("mh_a"))
+    b = mh.select(F.col("doc_id").alias("doc_b"), "perm", F.col("minhash").alias("mh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "perm"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
+                / float(MINHASH_PERMS)
+            ).alias("est_jaccard")
+        )
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from tf-weighted token hashes
+    (rows-only: xxhash64-based). Near-dup candidates = small Hamming
+    distance; at scale, bucket by bit-bands like minhash."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        tokens_of(d)
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.xxhash64("token"))
+    )
+    bits = tf.select(
+        "doc_id",
+        "tf",
+        F.explode(F.array(*[F.lit(i) for i in range(32)])).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN tf ELSE -tf END").alias(
+            "vote"
+        ),
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE 0 END")
+            ).alias("simhash")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    """Sequential-fold double dot product of two float arrays (bit-
+    deterministic; matches the oracle's list_sum/list_transform order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query (queries = vec_id % 50 = 0).
+
+    The baseline ANN path: broadcast the small query set against all
+    candidates; rank per query; ties broken by candidate id. At scale
+    the candidate side stays partitioned, queries broadcast — one pass,
+    no shuffle of the big side (see q_ann_ivf for the bucketed path).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select("vec_id", "embedding", norm.alias("n2"))
+    qs = base.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    pairs = base.crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / F.sqrt(
+        F.col("q_n2") * F.col("n2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rnk",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+ORACLE_SIM_TOPK = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         {_DOT_SQL.format(a='embedding', b='embedding')} AS n2
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM base WHERE vec_id % 50 = 0),
+pairs AS (
+  SELECT q.query_id, b.vec_id,
+         {_DOT_SQL.format(a='q.q_emb', b='b.embedding')} / SQRT(q.q_n2 * b.n2) AS cos
+  FROM base b CROSS JOIN qs q
+  WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       CAST(rnk AS INTEGER) AS rnk, ROUND(cos, 6) AS cosine
+FROM (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM pairs
+) t WHERE rnk <= 5
+"""
+
+
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority label (k=10) over the cosine neighbors; ties →
+    smallest label."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select("vec_id", "label", "embedding", norm.alias("n2"))
+    qs = base.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    pairs = base.crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / F.sqrt(
+        F.col("q_n2") * F.col("n2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    knn = (
+        pairs.withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+    )
+    votes = knn.groupBy("query_id", "label").agg(F.count("*").alias("votes"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+ORACLE_KNN_LABEL = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding,
+         {_DOT_SQL.format(a='embedding', b='embedding')} AS n2
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM base WHERE vec_id % 50 = 0),
+knn AS (
+  SELECT query_id, vec_id, label,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY {_DOT_SQL.format(a='q_emb', b='embedding')} / SQRT(q_n2 * n2) DESC,
+                    vec_id ASC
+         ) AS rnk
+  FROM base b CROSS JOIN qs q
+  WHERE b.vec_id <> q.query_id
+),
+votes AS (
+  SELECT query_id, label, COUNT(*) AS votes
+  FROM knn WHERE rnk <= 10 GROUP BY 1, 2
+)
+SELECT query_id, label AS pred_label, votes
+FROM (
+  SELECT query_id, label, votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+  FROM votes
+) t WHERE rn = 1
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse centroids (every 100th vector as seed),
+    vectors assigned to nearest centroid; a query probes its 2 nearest
+    centroid lists only. The scale path: the inverted lists are
+    hash-partitioned by centroid, so a query touches 2 partitions
+    instead of the whole corpus. Recall vs q_sim_topk is measured in
+    tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select("vec_id", "embedding", norm.alias("n2")).persist()
+    cent = base.filter(F.pmod("vec_id", F.lit(100)) == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("n2").alias("c_n2"),
+    )
+    ccos = _dot(F.col("c_emb"), F.col("embedding")) / F.sqrt(
+        F.col("c_n2") * F.col("n2")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    assign = (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "n2", "cent_id")
+    )
+    qs = base.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cent_id"))
+    probes = (
+        qs.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "qcos",
+            _dot(F.col("q_emb"), F.col("c_emb")) / F.sqrt(F.col("q_n2") * F.col("c_n2")),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "q_emb", "q_n2", "cent_id")
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / F.sqrt(
+        F.col("q_n2") * F.col("n2")
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        probes.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w_top))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rnk",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+ORACLE_ANN_IVF = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         {_DOT_SQL.format(a='embedding', b='embedding')} AS n2
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
+  FROM base WHERE vec_id % 100 = 0
+),
+assign AS (
+  SELECT vec_id, embedding, n2, cent_id FROM (
+    SELECT b.vec_id, b.embedding, b.n2, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {_DOT_SQL.format(a='c.c_emb', b='b.embedding')} / SQRT(c.c_n2 * b.n2) DESC,
+                      c.cent_id ASC
+           ) AS rn
+    FROM base b CROSS JOIN cent c
+  ) t WHERE rn = 1
+),
+qs AS (SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2 FROM base WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, q_emb, q_n2, cent_id FROM (
+    SELECT q.query_id, q.q_emb, q.q_n2, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_DOT_SQL.format(a='q.q_emb', b='c.c_emb')} / SQRT(q.q_n2 * c.c_n2) DESC,
+                      c.cent_id ASC
+           ) AS rn
+    FROM qs q CROSS JOIN cent c
+  ) t WHERE rn <= 2
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+       ROUND(cos, 6) AS cosine
+FROM (
+  SELECT p.query_id, a.vec_id,
+         {_DOT_SQL.format(a='p.q_emb', b='a.embedding')} / SQRT(p.q_n2 * a.n2) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY {_DOT_SQL.format(a='p.q_emb', b='a.embedding')} / SQRT(p.q_n2 * a.n2) DESC,
+                    a.vec_id ASC
+         ) AS rnk
+  FROM probes p JOIN assign a USING (cent_id)
+  WHERE a.vec_id <> p.query_id
+) t WHERE rnk <= 3
+"""
+
+
+def q_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.42) — the last
+    rung of the dedup ladder; brute force here, LSH-bucketed at scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select("vec_id", "embedding", norm.alias("n2"))
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), F.col("n2").alias("n2_a")
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), F.col("n2").alias("n2_b")
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / F.sqrt(F.col("n2_a") * F.col("n2_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.42)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+ORACLE_DUP_EMBEDDING = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         {_DOT_SQL.format(a='embedding', b='embedding')} AS n2
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')} / SQRT(a.n2 * b.n2), 6) AS cosine
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')} / SQRT(a.n2 * b.n2) >= 0.42
+"""
+
+
+# ---------------------------------------------------------------------------
+# vectorized UDF surface
+# ---------------------------------------------------------------------------
+
+
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas UDF vs built-in cross-check: embedding L2
+    norm both ways; rows-only oracle, self-validating via the diff
+    column (asserted ≈0 in tests)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2_norm(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return emb.map(lambda v: float(np.sqrt(np.dot(v, v))))
+
+    emb = load(spark, sf_dir, "embeddings")
+    builtin = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm("embedding"), 6).alias("norm_udf"),
+        F.round(builtin, 6).alias("norm_builtin"),
+        F.round(F.abs(l2_norm("embedding") - builtin), 9).alias("diff"),
+    )
+
+
+QUERIES = {
+    "q_text_tokens": q_text_tokens,
+    "q_token_count": q_token_count,
+    "q_tfidf": q_tfidf,
+    "q_lang_stats": q_lang_stats,
+    "q_lang_id": q_lang_id,
+    "q_quality_score": q_quality_score,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_dedup_doc_exact": q_dedup_doc_exact,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_simhash": q_simhash,
+    "q_sim_topk": q_sim_topk,
+    "q_knn_label": q_knn_label,
+    "q_ann_ivf": q_ann_ivf,
+    "q_dup_embedding": q_dup_embedding,
+    "q_udf_pandas": q_udf_pandas,
+}
+
+ORACLES = {
+    "q_text_tokens": ORACLE_TEXT_TOKENS,
+    "q_token_count": ORACLE_TOKEN_COUNT,
+    "q_tfidf": _oracle_tfidf(),
+    "q_lang_stats": ORACLE_LANG_STATS,
+    "q_lang_id": _oracle_lang_id(),
+    "q_quality_score": ORACLE_QUALITY_SCORE,
+    "q_doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "q_dedup_doc_exact": ORACLE_DEDUP_DOC_EXACT,
+    "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "q_sim_topk": ORACLE_SIM_TOPK,
+    "q_knn_label": ORACLE_KNN_LABEL,
+    "q_ann_ivf": ORACLE_ANN_IVF,
+    "q_dup_embedding": ORACLE_DUP_EMBEDDING,
+    # rows-only: q_dedup_minhash / q_simhash (xxhash64-based),
+    # q_udf_pandas (self-validating cross-check)
+}

@@ -1,3 +1,181 @@
-"""Placeholder — filled in by subsequent milestones."""
-QUERIES = {}
-ORACLES = {}
+"""Multimodal columns (SURVEY.md §2.9 / task brief): image/audio/video
+as opaque BINARY payloads + typed metadata, processed through
+Arrow-batched ``mapInPandas`` pipelines.
+
+The container has no image/audio codecs, so the decode step is STUBBED
+(``NotImplementedError`` behind ``require_codec``) — but everything
+Spark-side is real and tested: the payload schema, the mapInPandas
+batch shape, deterministic byte-level feature extraction, and frame
+sampling over raw bytes. Swapping the stub for PIL/librosa changes one
+function, not the plumbing.
+
+Scale notes: payload columns ride along scans untouched (parquet column
+pruning skips them unless referenced); feature extraction is an
+embarrassingly-parallel mapInPandas with no shuffle; keep
+``spark.sql.files.maxPartitionBytes`` modest when payloads are MBs so a
+task's Arrow batch fits executor memory.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401  (resolves pandas_udf/mapInPandas annotations)
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources import load
+
+#: metadata carried with every payload (mirrors a typical lakehouse
+#: multimodal schema: opaque bytes + mime + size + content fingerprint)
+PAYLOAD_SCHEMA = (
+    "doc_id LONG, payload BINARY, mime STRING, byte_len INT, fingerprint LONG"
+)
+
+
+def attach_payload(df: DataFrame, mime: str = "application/octet-stream") -> DataFrame:
+    """Wrap a text column as an opaque binary payload + typed metadata.
+
+    In production the payload column arrives from parquet as real
+    image/audio bytes; here document text stands in as the byte source
+    so the pipeline is end-to-end testable.
+    """
+    payload = F.encode("text", "UTF-8")
+    return df.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit(mime).alias("mime"),
+        F.length(payload).cast("int").alias("byte_len"),
+        F.xxhash64(payload).alias("fingerprint"),
+    )
+
+
+def require_codec(kind: str) -> None:
+    """Gate for real decoders; the container ships none."""
+    raise NotImplementedError(
+        f"no {kind} codec available in this environment — plug a decoder "
+        "(e.g. PIL for images, soundfile for audio) into decode_payload()"
+    )
+
+
+def decode_payload(kind: str = "image"):
+    """Real decode entry point — intentionally a stub (see module doc)."""
+    require_codec(kind)
+
+
+def extract_features(payloads: DataFrame, n_features: int = 4) -> DataFrame:
+    """Deterministic byte-level 'feature extraction' through mapInPandas
+    (the stand-in for a neural feature extractor): first-N byte values
+    + simple byte statistics, computed per Arrow batch.
+    """
+    out_schema = "doc_id LONG, byte_len INT, head0 INT, head1 INT, byte_sum LONG"
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["payload"].map(len).astype("int32"),
+                    "head0": pdf["payload"].map(
+                        lambda b: int(b[0]) if len(b) > 0 else -1
+                    ),
+                    "head1": pdf["payload"].map(
+                        lambda b: int(b[1]) if len(b) > 1 else -1
+                    ),
+                    "byte_sum": pdf["payload"].map(lambda b: int(sum(b))),
+                }
+            )
+
+    return payloads.mapInPandas(batches, schema=out_schema)
+
+
+def frame_sample(payloads: DataFrame, frame_size: int = 16, stride: int = 64) -> DataFrame:
+    """'Frame sampling' over raw bytes (the video analogue: take a
+    frame_size-byte window every stride bytes) — pure DataFrame slice
+    arithmetic, no Python in the loop."""
+    return payloads.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, greatest(cast(floor((byte_len - {frame_size}) / {stride}) as int), 0)),"
+                f" i -> substring(payload, i * {stride} + 1, {frame_size}))"
+            )
+        ).alias("frame_idx", "frame_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# declared queries
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload metadata surface: byte length, mime, head-bytes hex —
+    values reproducible by the oracle straight from the text."""
+    d = load(spark, sf_dir, "documents")
+    p = attach_payload(d)
+    return p.select(
+        "doc_id",
+        "mime",
+        "byte_len",
+        F.upper(F.hex(F.expr("substring(payload, 1, 4)"))).alias("head_hex"),
+    )
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT doc_id,
+       'application/octet-stream' AS mime,
+       CAST(strlen(text) AS INTEGER) AS byte_len,
+       upper(hex(substring(text, 1, 4))) AS head_hex
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte features THROUGH the mapInPandas path, verified against a
+    pure-SQL oracle — proves the Arrow plumbing computes exactly what
+    it should."""
+    d = load(spark, sf_dir, "documents")
+    return extract_features(attach_payload(d))
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+SELECT doc_id,
+       CAST(strlen(text) AS INTEGER)                       AS byte_len,
+       CAST(ascii(substring(text, 1, 1)) AS INTEGER)       AS head0,
+       CAST(ascii(substring(text, 2, 1)) AS INTEGER)       AS head1,
+       CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+                     i -> ascii(substring(text, i, 1)))) AS BIGINT) AS byte_sum
+FROM documents
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-window frame sampling; count + first-frame hex per doc."""
+    d = load(spark, sf_dir, "documents")
+    frames = frame_sample(attach_payload(d))
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.upper(F.hex(F.min(F.struct("frame_idx", "frame_bytes"))["frame_bytes"])).alias(
+            "first_frame_hex"
+        ),
+    )
+
+
+ORACLE_FRAME_SAMPLE = """
+SELECT doc_id,
+       CAST(greatest(CAST(FLOOR((strlen(text) - 16) / 64) AS INTEGER), 0) + 1 AS BIGINT) AS n_frames,
+       upper(hex(substring(text, 1, 16))) AS first_frame_hex
+FROM documents
+"""
+
+
+QUERIES = {
+    "q_multimodal_meta": q_multimodal_meta,
+    "q_multimodal_features": q_multimodal_features,
+    "q_frame_sample": q_frame_sample,
+}
+
+ORACLES = {
+    "q_multimodal_meta": ORACLE_MULTIMODAL_META,
+    "q_multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "q_frame_sample": ORACLE_FRAME_SAMPLE,
+}

@@ -1,3 +1,238 @@
-"""Placeholder — filled in by subsequent milestones."""
-QUERIES = {}
-ORACLES = {}
+"""Structured Streaming operators over the events stream (SURVEY.md §2.11).
+
+Verification trick (SURVEY.md §2.11): each streaming query runs with
+``trigger(availableNow=True)`` over the same parquet the batch oracle
+reads — the streaming result must equal the batch-SQL result, so the
+DuckDB hash-match still applies.
+
+Event time: ``ts`` is LONG nanoseconds (see sources.py); windows are
+computed on ``timestamp_micros(ts div 1000)`` — epoch-aligned, so
+window starts are timezone-independent and expressible as pure integer
+arithmetic in the oracle (``ts_us - ts_us % width``).
+
+Scale notes: all stateful ops below keep state bounded by watermark;
+at 100 TB the source is Kafka/file streams partitioned by key, state
+store backed by RocksDB, and `session_window` state is per-key ordered
+merges — same logical plans as written here.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import ensure_conf
+
+EVENTS_SCHEMA = (
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE,"
+    " props STRING"
+)
+
+HOUR_US = 3_600_000_000
+QUARTER_US = 900_000_000
+GAP_30M_US = 1_800_000_000
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """The streaming file source wants a *directory*; stage one under
+    .tmp with a hardlink (or copy) of the single events.parquet file.
+    Idempotent per sf_dir."""
+    import hashlib
+    import shutil
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out_dir = os.path.join("/root/repo/.tmp", f"stream_events_{tag}")
+    dst = os.path.join(out_dir, "events.parquet")
+    if not os.path.exists(dst):
+        os.makedirs(out_dir, exist_ok=True)
+        src = os.path.join(sf_dir, "events.parquet")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+    return out_dir
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (file source, explicit schema —
+    streaming reads cannot infer)."""
+    ensure_conf(spark)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(_staged_events_dir(sf_dir))
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("ts_ltz", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_to_table(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the materialized table."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type (count + decimal-exact
+    value sum)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts_ltz", "10 minutes")
+        .groupBy(F.window("ts_ltz", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_table(spark, agg, "complete")
+
+
+ORACLE_STREAM_TUMBLING = f"""
+SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 hour every 15 minutes (each event lands in 4
+    windows)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts_ltz", "10 minutes")
+        .groupBy(F.window("ts_ltz", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_to_table(spark, agg, "complete")
+
+
+ORACLE_STREAM_SLIDING = f"""
+SELECT ((epoch_us(ts) // {QUARTER_US}) - j) * {QUARTER_US} AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events
+FROM events, (SELECT unnest(range(4)) AS j)
+GROUP BY 1, 2
+"""
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (30-minute inactivity gap): an event at
+    exactly last + 30min starts a NEW session (window is
+    [first, last + gap))."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts_ltz", "10 minutes")
+        .groupBy(F.session_window("ts_ltz", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+    return run_to_table(spark, agg, "complete")
+
+
+ORACLE_STREAM_SESSION = f"""
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                   >= {GAP_30M_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts_us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + {GAP_30M_US} AS session_end_us,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type) within the
+    watermark; single-batch availableNow ⇒ equals batch DISTINCT."""
+    ev = stream_events(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts_ltz", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_table(spark, deduped, "append")
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data handling surface: watermarked tumbling count in APPEND
+    mode — only windows the watermark has passed are emitted (rows-only
+    oracle; the drop semantics are pinned by tests/test_streaming.py
+    with crafted two-batch late data)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts_ltz", "10 minutes")
+        .groupBy(F.window("ts_ltz", "1 hour"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            "n_events",
+        )
+    )
+    return run_to_table(spark, agg, "append")
+
+
+QUERIES = {
+    "q_stream_tumbling": q_stream_tumbling,
+    "q_stream_sliding": q_stream_sliding,
+    "q_stream_session": q_stream_session,
+    "q_stream_dedup": q_stream_dedup,
+    "q_stream_watermark": q_stream_watermark,
+}
+
+ORACLES = {
+    "q_stream_tumbling": ORACLE_STREAM_TUMBLING,
+    "q_stream_sliding": ORACLE_STREAM_SLIDING,
+    "q_stream_session": ORACLE_STREAM_SESSION,
+    "q_stream_dedup": ORACLE_STREAM_DEDUP,
+    # rows-only: q_stream_watermark (append-mode emission depends on
+    # final-batch watermark advancement; semantics pinned in tests)
+}

@@ -1,0 +1,88 @@
+"""Streaming semantics the batch oracle can't check: late-data drop
+under watermark across micro-batches (SURVEY.md §2.11 / §5.2)."""
+
+import pyspark.sql.functions as F
+
+HOUR_US = 3_600_000_000
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, "event_id LONG, ts LONG, user_id LONG").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two micro-batches: batch 1 advances the watermark far past an
+    old window; batch 2's very-late row must NOT create/extend that
+    window in append-mode output."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    us = lambda h, m=0: (h * 3600 + m * 60) * 1_000_000 * 1000  # ns  # noqa: E731
+
+    # batch 1: events at hour 0 and hour 10 (watermark → 10:00 - 10min)
+    _write_batch(spark, src, [(1, us(0, 5), 1), (2, us(10), 1)])
+
+    stream = (
+        spark.readStream.schema("event_id LONG, ts LONG, user_id LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts_ltz", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts_ltz", "10 minutes")
+        .groupBy(F.window("ts_ltz", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros("window.start").alias("ws"), "n")
+    )
+    emitted: list[tuple[int, int]] = []
+
+    def _run():
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _bid: emitted.extend(
+                    (r["ws"], r["n"]) for r in df.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run()
+    # batch 2: a very late row for hour 0 — arrives after watermark passed
+    _write_batch(spark, src, [(3, us(0, 30), 1)])
+    _run()
+
+    out = dict(emitted)
+    # hour-0 window was finalized by batch 1's watermark with n=1;
+    # the late row must not have produced an updated hour-0 window
+    assert out.get(0, 0) == 1, f"late row leaked into finalized window: {emitted}"
+
+
+def test_stream_equals_batch_tumbling(spark):
+    """availableNow streaming result == batch computation on the same
+    data (the §2.11 equivalence that underpins the oracle checks)."""
+    from louvain_modularity_spark.sources import load
+    from louvain_modularity_spark.streaming import q_stream_tumbling
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = {
+        (r["window_start_us"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in q_stream_tumbling(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    batch = {
+        (r["ws"], r["event_type"]): (r["n"], r["sv"])
+        for r in ev.groupBy(
+            (F.col("ts_us") - F.col("ts_us") % HOUR_US).alias("ws"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sv"),
+        )
+        .collect()
+    }
+    assert streamed == batch
