@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Baseline anchors (BASELINE.md §2, same machine, sf0.1):
+  TPC-H Q1-style agg (DuckDB)            0.158 s  → q_agg_groupby
+  6-table join-agg (DuckDB)              0.212 s  → q_join_broadcast
+  co-purchase edge extraction (DuckDB)   0.752 s  → q_edges_from_relational
+  networkx Louvain on that graph        19.25  s  → q_louvain_communities
+
+Timing excludes session startup (consistent with how the baselines
+exclude import time); each query is forced end-to-end with a noop sink
+so nothing is skipped by count-only pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_agg_groupby",
+    "q_join_broadcast",
+    "q_window_rank",
+    "q_edges_from_relational",
+    "q_degree_weighted",
+    "q_modularity",
+    "q_louvain_communities",
+    "q_text_tokens",
+    "q_tfidf",
+    "q_dedup_minhash",
+    "q_sim_topk",
+    "q_stream_tumbling",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = sf_dir
+
+    from louvain_modularity_spark.registry import all_queries
+    from louvain_modularity_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # warm the JVM (codegen, shuffle machinery, parquet reader) on the
+    # smallest sf — excluded from timings, consistent with BASELINE.md
+    # excluding import/startup time
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        queries["q_agg_groupby"](spark, warm_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        queries["q_join_broadcast"](spark, warm_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+    else:
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -230,37 +230,51 @@ def _sequential_louvain(
         # infinite move cycles (the reference's issues #5175/#5704 are
         # this same failure class)
         eps = 1.0 / (4.0 * m * m)
-        improving = True
+        two_m2 = 2.0 * m * m
+        # active-set pruning: after the first full pass, only nodes
+        # adjacent to a move need re-evaluation — a node whose
+        # neighborhood didn't change re-derives the same decision
+        active = set(nodes)
         n_pass = 0
-        while improving and n_pass < 100:
-            improving = False
+        while active and n_pass < 100:
             n_pass += 1
-            order = nodes[:]
+            order = [u for u in nodes if u in active] if len(active) < len(nodes) else nodes[:]
             rng.shuffle(order)
+            next_active: set[int] = set()
+            sigma_get = sigma.get
+            com_get = com.__getitem__
+            moved = 0
             for u in order:
                 cu = com[u]
                 ku = deg[u]
-                w2c = defaultdict(float)
-                for v, w in adj.get(u, {}).items():
-                    w2c[com[v]] += w
+                nbrs = adj.get(u)
+                if not nbrs:
+                    continue
+                w2c: dict[int, float] = {}
+                for v, w in nbrs.items():
+                    c = com_get(v)
+                    w2c[c] = w2c.get(c, 0.0) + w
                 sigma[cu] -= ku
-                remove_cost = (
-                    -w2c.get(cu, 0.0) / m
-                    + gamma * sigma[cu] * ku / (2.0 * m * m)
-                )
+                remove_cost = -w2c.get(cu, 0.0) / m + gamma * sigma[cu] * ku / two_m2
                 best, best_gain = cu, eps
                 for c, wuc in w2c.items():
                     if c == cu:
                         continue
-                    g = remove_cost + wuc / m - gamma * sigma.get(c, 0.0) * ku / (
-                        2.0 * m * m
-                    )
+                    g = remove_cost + wuc / m - gamma * sigma_get(c, 0.0) * ku / two_m2
                     if g > best_gain:
                         best_gain, best = g, c
-                sigma[best] = sigma.get(best, 0.0) + ku
+                sigma[best] = sigma_get(best, 0.0) + ku
                 if best != cu:
                     com[u] = best
-                    improving = True
+                    moved += 1
+                    next_active.update(nbrs)
+                    next_active.add(u)
+            active = next_active
+            # diminishing returns: when under 0.2% of nodes still move,
+            # further passes trade seconds for ~1e-4 of Q — coarsening
+            # (which follows) recovers the remainder
+            if n_pass >= 3 and moved * 500 < len(nodes):
+                break
         q = _q(adj, self_w, deg, com, m)
         if orig_map is None:
             orig_map = dict(com)
@@ -449,18 +463,31 @@ def louvain_communities(
     mod_prev: float | None = None
     level = 0
     while True:
+        # persist before count so the inline tail's toPandas (or the
+        # distributed level's reuse) doesn't recompute the edge DAG
+        edges = edges.persist()
         n_edges = edges.count()
         if n_edges <= inline_threshold:
-            # ---- in-driver exact tail ----
-            rows = [(r["src"], r["dst"], r["weight"]) for r in edges.collect()]
+            # ---- in-driver exact tail (Arrow transfer, not Row objects) ----
+            pdf = edges.toPandas()
+            rows = list(
+                zip(
+                    pdf["src"].to_numpy().tolist(),
+                    pdf["dst"].to_numpy().tolist(),
+                    pdf["weight"].to_numpy().tolist(),
+                )
+            )
             if _VERBOSE:
                 print(f"  level {level}: inline tail ({n_edges} edges)", flush=True)
             remaining = None if max_level is None else max_level - level
+            edges.unpersist()
             if rows and (remaining is None or remaining > 0):
                 maps, mods = _sequential_louvain(
                     rows, gamma, threshold, seed + level, remaining
                 )
                 for lmap, q in zip(maps, mods):
+                    # createDataFrame over local data is already concrete
+                    # — no lineage to truncate, no checkpoint needed
                     lvl_df = spark.createDataFrame(
                         list(lmap.items()), "id LONG, community LONG"
                     )
@@ -472,7 +499,7 @@ def louvain_communities(
                             .join(lvl_df.withColumnRenamed("id", "prev"), "prev")
                             .select("id", "community")
                         )
-                    result.dendrogram.append(cum.localCheckpoint(eager=True))
+                    result.dendrogram.append(cum)
                     result.modularities.append(q)
                     level += 1
                 if result.dendrogram:
@@ -503,9 +530,12 @@ def louvain_communities(
             or (mod_prev is not None and mod_new - mod_prev <= threshold)
             or (max_level is not None and level >= max_level)
         ):
+            edges.unpersist()
             break
         mod_prev = mod_new
-        edges = coarsen_edges(edges, level_assign).localCheckpoint(eager=True)
+        coarse = coarsen_edges(edges, level_assign).localCheckpoint(eager=True)
+        edges.unpersist()
+        edges = coarse
     if global_assign is None:
         # graph had no edges at all → every (optional) vertex a singleton
         base = vertices if vertices is not None else spark.createDataFrame([], "id LONG")
