@@ -354,61 +354,84 @@ MINHASH_PERMS = 16
 MINHASH_BANDS = 4
 
 
-def minhash_sketches(df: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, perm, minhash): k-min sketch via xxhash64(perm, shingle)
-    — pure DataFrame, deterministic, one shuffle (the groupBy)."""
+def minhash_sketches_wide(df: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, mh0..mh15): k-min sketch via xxhash64(perm, shingle),
+    one column per permutation — a single map-side-combined groupBy, no
+    16× row explosion."""
     sh = shingles_of(df, k)
-    perms = F.explode(
-        F.array(*[F.lit(i) for i in range(MINHASH_PERMS)])
-    ).alias("perm")
-    return (
-        sh.select("doc_id", "shingle", perms)
-        .select(
-            "doc_id", "perm", F.xxhash64(F.col("perm"), F.col("shingle")).alias("h")
-        )
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(MINHASH_PERMS)
+        ]
+    )
+
+
+def minhash_sketches(df: DataFrame, k: int = 3) -> DataFrame:
+    """Long-format view (doc_id, perm, minhash) of the wide sketch."""
+    wide = minhash_sketches_wide(df, k)
+    stack = ", ".join(f"{i}, mh{i}" for i in range(MINHASH_PERMS))
+    return wide.selectExpr(
+        "doc_id", f"stack({MINHASH_PERMS}, {stack}) AS (perm, minhash)"
     )
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate candidates: band the 16-perm sketch
-    into 4 bands; docs sharing any band bucket are candidates; output
-    the estimated Jaccard (fraction of matching minhashes).
+    into 4 bands of 4 rows; docs sharing any band bucket are
+    candidates; output the estimated Jaccard (fraction of matching
+    minhashes).
 
     rows-only oracle: xxhash64 has no DuckDB twin; the estimate is
     cross-checked against exact q_ngram_jaccard in tests.
 
-    100 TB shape: sketches are 16 longs/doc; the candidate join happens
-    inside hash-partitioned (band, band_hash) buckets — never O(n²).
+    100 TB shape: sketches are 16 longs/doc; band hashes are computed
+    column-wise in fixed perm order (deterministic — no collect_list
+    ordering hazards); the candidate join happens inside
+    hash-partitioned (band, band_hash) buckets — never O(n²).
     """
     d = load(spark, sf_dir, "documents")
-    mh = minhash_sketches(d).persist()
-    bands = (
-        mh.withColumn("band", F.col("perm") % MINHASH_BANDS)
-        .groupBy("doc_id", "band")
-        .agg(F.xxhash64(F.concat_ws(",", F.collect_list(F.col("minhash").cast("string")))).alias("band_hash"))
-    )
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    mh = minhash_sketches_wide(d).persist()
+    band_dfs = []
+    for b in range(MINHASH_BANDS):
+        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        band_dfs.append(
+            mh.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.xxhash64(*cols).alias("band_hash"),
+            )
+        )
+    bands = band_dfs[0]
+    for extra in band_dfs[1:]:
+        bands = bands.unionByName(extra)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_hash"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    a = mh.select(F.col("doc_id").alias("doc_a"), "perm", F.col("minhash").alias("mh_a"))
-    b = mh.select(F.col("doc_id").alias("doc_b"), "perm", F.col("minhash").alias("mh_b"))
+    a = mh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_PERMS)],
+    )
+    b_ = mh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_PERMS)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_PERMS)
+    )
     return (
         cand.join(a, "doc_a")
-        .join(b, ["doc_b", "perm"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (
-                F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
-                / float(MINHASH_PERMS)
-            ).alias("est_jaccard")
+        .join(b_, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches / float(MINHASH_PERMS)).alias("est_jaccard"),
         )
     )
 

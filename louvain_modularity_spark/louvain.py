@@ -166,6 +166,7 @@ def _sequential_louvain(
     threshold: float,
     seed: int,
     max_level: int | None = None,
+    directed: bool = False,
 ) -> tuple[list[dict[int, int]], list[float]]:
     """Exact sequential Louvain on an in-driver edge list — the tail of
     the hybrid plan (see louvain_communities). Implements the published
@@ -177,6 +178,12 @@ def _sequential_louvain(
 
     Returns (per-level mapping of ORIGINAL node → community, Q per
     level). Mappings are cumulative (level k maps original ids).
+
+    ``directed=True`` switches to directed semantics (reference:
+    louvain.py:249-306): neighbor weights combine in- and out-edges,
+    Σ_tot splits into in/out, ΔQ uses
+    (out_deg·Σ_in[C] + in_deg·Σ_out[C])/m², and
+    Q = Σ_c [L_c/m − γ·k_c^in·k_c^out/m²].
     """
     import random
     from collections import defaultdict
@@ -187,44 +194,67 @@ def _sequential_louvain(
     level_maps: list[dict[int, int]] = []
     level_mods: list[float] = []
 
-    def _q(adj_m, self_w, deg, com, m):
-        # Q = Σ_c [L_c/m − γ (k_c/2m)²]; L_c counts each intra edge once
+    def _q(edges_now, com, m, deg=None, deg_in=None, deg_out=None):
+        # L_c counts each stored edge once (self-loops once)
         intra = defaultdict(float)
-        for u, nbrs in adj_m.items():
+        for u, v, w in edges_now:
             cu = com[u]
-            for v, w in nbrs.items():
-                if u < v and com[v] == cu:
-                    intra[cu] += w
-        for u, w in self_w.items():
-            intra[com[u]] += w
+            if cu == com[v]:
+                intra[cu] += w
+        if directed:
+            # Q = Σ_c [L_c/m − γ·k_c^in·k_c^out/m²] (Leicht–Newman)
+            kin = defaultdict(float)
+            kout = defaultdict(float)
+            for u, k in deg_in.items():
+                kin[com[u]] += k
+            for u, k in deg_out.items():
+                kout[com[u]] += k
+            coms = set(kin) | set(kout)
+            return sum(
+                intra[c] / m - gamma * kin[c] * kout[c] / (m * m) for c in coms
+            )
+        # Q = Σ_c [L_c/m − γ (k_c/2m)²]
         k_c = defaultdict(float)
         for u, k in deg.items():
             k_c[com[u]] += k
-        return sum(
-            intra[c] / m - gamma * (k_c[c] / (2.0 * m)) ** 2 for c in k_c
-        )
+        return sum(intra[c] / m - gamma * (k_c[c] / (2.0 * m)) ** 2 for c in k_c)
 
     prev_q: float | None = None
     while True:
         adj: dict[int, dict[int, float]] = defaultdict(dict)
-        self_w: dict[int, float] = defaultdict(float)
         deg: dict[int, float] = defaultdict(float)
+        deg_in: dict[int, float] = defaultdict(float)
+        deg_out: dict[int, float] = defaultdict(float)
         m = 0.0
-        for u, v, w in cur_edges:
-            m += w
-            if u == v:
-                self_w[u] += w
-                deg[u] += 2.0 * w
-            else:
-                adj[u][v] = adj[u].get(v, 0.0) + w
-                adj[v][u] = adj[v].get(u, 0.0) + w
-                deg[u] += w
-                deg[v] += w
-        nodes = sorted(set(deg))
+        if directed:
+            # neighbor weights combine in- and out-edges, self-loops
+            # excluded from neighbor maps (reference: louvain.py:254-262)
+            for u, v, w in cur_edges:
+                m += w
+                deg_out[u] += w
+                deg_in[v] += w
+                if u != v:
+                    adj[u][v] = adj[u].get(v, 0.0) + w
+                    adj[v][u] = adj[v].get(u, 0.0) + w
+            nodes = sorted(set(deg_in) | set(deg_out))
+        else:
+            for u, v, w in cur_edges:
+                m += w
+                if u == v:
+                    deg[u] += 2.0 * w
+                else:
+                    adj[u][v] = adj[u].get(v, 0.0) + w
+                    adj[v][u] = adj[v].get(u, 0.0) + w
+                    deg[u] += w
+                    deg[v] += w
+            nodes = sorted(set(deg))
         if m <= 0 or not nodes:
             break
         com = {u: u for u in nodes}
         sigma = dict(deg)
+        sigma_in = {u: deg_in.get(u, 0.0) for u in nodes}
+        sigma_out = {u: deg_out.get(u, 0.0) for u in nodes}
+        m2 = m * m
         # real ΔQ values are rationals with denominator 2m² — any "gain"
         # below 1/(4m²) is floating-point noise; accepting it causes
         # infinite move cycles (the reference's issues #5175/#5704 are
@@ -246,7 +276,6 @@ def _sequential_louvain(
             moved = 0
             for u in order:
                 cu = com[u]
-                ku = deg[u]
                 nbrs = adj.get(u)
                 if not nbrs:
                     continue
@@ -254,16 +283,51 @@ def _sequential_louvain(
                 for v, w in nbrs.items():
                     c = com_get(v)
                     w2c[c] = w2c.get(c, 0.0) + w
-                sigma[cu] -= ku
-                remove_cost = -w2c.get(cu, 0.0) / m + gamma * sigma[cu] * ku / two_m2
-                best, best_gain = cu, eps
-                for c, wuc in w2c.items():
-                    if c == cu:
-                        continue
-                    g = remove_cost + wuc / m - gamma * sigma_get(c, 0.0) * ku / two_m2
-                    if g > best_gain:
-                        best_gain, best = g, c
-                sigma[best] = sigma_get(best, 0.0) + ku
+                if directed:
+                    kin = deg_in.get(u, 0.0)
+                    kout = deg_out.get(u, 0.0)
+                    sigma_in[cu] -= kin
+                    sigma_out[cu] -= kout
+                    remove_cost = (
+                        -w2c.get(cu, 0.0) / m
+                        + gamma * (kout * sigma_in[cu] + kin * sigma_out[cu]) / m2
+                    )
+                    best, best_gain = cu, eps
+                    for c, wuc in w2c.items():
+                        if c == cu:
+                            continue
+                        g = (
+                            remove_cost
+                            + wuc / m
+                            - gamma
+                            * (
+                                kout * sigma_in.get(c, 0.0)
+                                + kin * sigma_out.get(c, 0.0)
+                            )
+                            / m2
+                        )
+                        if g > best_gain:
+                            best_gain, best = g, c
+                    sigma_in[best] = sigma_in.get(best, 0.0) + kin
+                    sigma_out[best] = sigma_out.get(best, 0.0) + kout
+                else:
+                    ku = deg[u]
+                    sigma[cu] -= ku
+                    remove_cost = (
+                        -w2c.get(cu, 0.0) / m + gamma * sigma[cu] * ku / two_m2
+                    )
+                    best, best_gain = cu, eps
+                    for c, wuc in w2c.items():
+                        if c == cu:
+                            continue
+                        g = (
+                            remove_cost
+                            + wuc / m
+                            - gamma * sigma_get(c, 0.0) * ku / two_m2
+                        )
+                        if g > best_gain:
+                            best_gain, best = g, c
+                    sigma[best] = sigma_get(best, 0.0) + ku
                 if best != cu:
                     com[u] = best
                     moved += 1
@@ -275,7 +339,7 @@ def _sequential_louvain(
             # (which follows) recovers the remainder
             if n_pass >= 3 and moved * 500 < len(nodes):
                 break
-        q = _q(adj, self_w, deg, com, m)
+        q = _q(cur_edges, com, m, deg=deg, deg_in=deg_in, deg_out=deg_out)
         if orig_map is None:
             orig_map = dict(com)
         else:
@@ -287,11 +351,12 @@ def _sequential_louvain(
         if max_level is not None and len(level_maps) >= max_level:
             break
         prev_q = q
-        # coarsen: supernode per community, canonical (min,max) edges
+        # coarsen: supernode per community; undirected edges canonical
+        # (min,max), directed edges keep their orientation
         agg: dict[tuple[int, int], float] = defaultdict(float)
         for u, v, w in cur_edges:
             cu, cv = com[u], com[v]
-            key = (cu, cv) if cu <= cv else (cv, cu)
+            key = (cu, cv) if (directed or cu <= cv) else (cv, cu)
             agg[key] += w
         new_edges = [(a, b, w) for (a, b), w in agg.items()]
         if len(new_edges) == len(cur_edges):
@@ -434,6 +499,7 @@ def louvain_communities(
     max_sweeps: int = 10,
     inline_threshold: int = 1_000_000,
     vertices: DataFrame | None = None,
+    directed: bool = False,
 ) -> LouvainResult:
     """Full Louvain (reference: louvain_partitions, louvain.py:135-224):
     alternate local-move and coarsen until the level's modularity gain
@@ -467,7 +533,10 @@ def louvain_communities(
         # distributed level's reuse) doesn't recompute the edge DAG
         edges = edges.persist()
         n_edges = edges.count()
-        if n_edges <= inline_threshold:
+        # directed graphs currently always take the exact in-driver path
+        # (the distributed synchronized rounds implement the undirected
+        # ΔQ; extend _one_level with the in/out split to lift this)
+        if n_edges <= inline_threshold or directed:
             # ---- in-driver exact tail (Arrow transfer, not Row objects) ----
             pdf = edges.toPandas()
             rows = list(
@@ -483,7 +552,7 @@ def louvain_communities(
             edges.unpersist()
             if rows and (remaining is None or remaining > 0):
                 maps, mods = _sequential_louvain(
-                    rows, gamma, threshold, seed + level, remaining
+                    rows, gamma, threshold, seed + level, remaining, directed=directed
                 )
                 for lmap, q in zip(maps, mods):
                     # createDataFrame over local data is already concrete
@@ -728,6 +797,153 @@ WHERE c.community <> n.own_com
 """
 
 
+def q_delta_q_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed ΔQ (reference: louvain.py:278-306 directed branch) on
+    the directed co-purchase graph with the id%10 assignment: neighbor
+    weights combine in- and out-edges; the null-model term uses
+    out_deg·Σ_in + in_deg·Σ_out over m²."""
+    edges = copurchase_edges(spark, sf_dir)
+    assignment = mod10_assignment(edges)
+    nonloop = edges.filter(F.col("src") != F.col("dst"))
+    combined = nonloop.select("src", "dst", "weight").unionByName(
+        nonloop.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    w2c = (
+        combined.join(assignment.select(F.col("id").alias("dst"), "community"), "dst")
+        .groupBy(F.col("src").alias("id"), "community")
+        .agg(F.sum("weight").alias("w2c"))
+    )
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").alias("k_out")
+    )
+    in_deg = edges.groupBy(F.col("dst").alias("id")).agg(F.sum("weight").alias("k_in"))
+    node = (
+        assignment.withColumnRenamed("community", "own_com")
+        .join(out_deg, "id", "left")
+        .join(in_deg, "id", "left")
+        .select(
+            "id",
+            "own_com",
+            F.coalesce("k_out", F.lit(0.0)).alias("k_out"),
+            F.coalesce("k_in", F.lit(0.0)).alias("k_in"),
+        )
+    )
+    sigma = (
+        node.groupBy(F.col("own_com").alias("community"))
+        .agg(
+            F.sum("k_in").alias("sigma_in"), F.sum("k_out").alias("sigma_out")
+        )
+    )
+    own_w2c = w2c.select("id", F.col("community"), F.col("w2c").alias("w2c_own"))
+    node2 = (
+        node.join(
+            own_w2c,
+            (node.id == own_w2c.id) & (node.own_com == own_w2c.community),
+            "left",
+        )
+        .select(
+            node["id"],
+            "own_com",
+            "k_in",
+            "k_out",
+            F.coalesce("w2c_own", F.lit(0.0)).alias("w2c_own"),
+        )
+        .join(
+            sigma.select(
+                F.col("community").alias("own_com"),
+                F.col("sigma_in").alias("sigma_in_own"),
+                F.col("sigma_out").alias("sigma_out_own"),
+            ),
+            "own_com",
+        )
+    )
+    m = edges.agg(F.sum("weight").alias("m"))
+    cand = (
+        w2c.withColumnRenamed("w2c", "w2c_cand")
+        .join(node2, "id")
+        .filter(F.col("community") != F.col("own_com"))
+        .join(
+            sigma.select(
+                "community",
+                F.col("sigma_in").alias("sigma_in_cand"),
+                F.col("sigma_out").alias("sigma_out_cand"),
+            ),
+            "community",
+        )
+        .crossJoin(m)
+    )
+    expr = (
+        "-(w2c_own) / m"
+        " + 1.0 * (k_out * (sigma_in_own - k_in) + k_in * (sigma_out_own - k_out)) / (m * m)"
+        " + w2c_cand / m"
+        " - 1.0 * (k_out * sigma_in_cand + k_in * sigma_out_cand) / (m * m)"
+    )
+    return cand.select("id", "community", F.expr(expr).alias("delta"))
+
+
+ORACLE_DELTA_Q_DIRECTED = f"""
+WITH e AS ({COPURCHASE_EDGES_SQL}),
+nonloop AS (SELECT * FROM e WHERE src <> dst),
+combined AS (
+  SELECT src, dst, weight FROM nonloop
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM nonloop
+),
+v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+a AS (SELECT id, id % 10 AS community FROM v),
+w2c AS (
+  SELECT src AS id, dst % 10 AS community, SUM(weight) AS w2c
+  FROM combined GROUP BY 1, 2
+),
+od AS (SELECT src AS id, SUM(weight) AS k_out FROM e GROUP BY 1),
+idg AS (SELECT dst AS id, SUM(weight) AS k_in FROM e GROUP BY 1),
+node AS (
+  SELECT a.id, a.community AS own_com,
+         COALESCE(od.k_out, 0.0) AS k_out,
+         COALESCE(idg.k_in, 0.0) AS k_in
+  FROM a LEFT JOIN od ON a.id = od.id LEFT JOIN idg ON a.id = idg.id
+),
+sigma AS (
+  SELECT own_com AS community, SUM(k_in) AS sigma_in, SUM(k_out) AS sigma_out
+  FROM node GROUP BY 1
+),
+mm AS (SELECT SUM(weight) AS m FROM e),
+node2 AS (
+  SELECT n.id, n.own_com, n.k_in, n.k_out,
+         COALESCE(w.w2c, 0.0) AS w2c_own,
+         s.sigma_in AS sigma_in_own, s.sigma_out AS sigma_out_own
+  FROM node n
+  LEFT JOIN w2c w ON w.id = n.id AND w.community = n.own_com
+  JOIN sigma s ON s.community = n.own_com
+)
+SELECT c.id, c.community,
+       -(n.w2c_own) / m
+       + 1.0 * (n.k_out * (n.sigma_in_own - n.k_in) + n.k_in * (n.sigma_out_own - n.k_out)) / (m * m)
+       + c.w2c / m
+       - 1.0 * (n.k_out * sc.sigma_in + n.k_in * sc.sigma_out) / (m * m) AS delta
+FROM w2c c
+JOIN node2 n ON c.id = n.id
+JOIN sigma sc ON sc.community = c.community
+CROSS JOIN mm
+WHERE c.community <> n.own_com
+"""
+
+
+def q_louvain_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end directed Louvain on the customer→supplier graph
+    (rows-only; invariants + termination pinned in tests)."""
+    edges = copurchase_edges(spark, sf_dir)
+    res = louvain_communities(spark, edges, directed=True)
+    return res.assignment.select(
+        "id",
+        "community",
+        F.lit(res.n_levels).alias("n_levels"),
+        F.lit(round(res.modularities[-1], 9)).alias("final_q"),
+    )
+
+
 def q_best_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(spark, sf_dir)
     return best_move(edges, mod10_assignment(edges), gamma=1.0)
@@ -828,6 +1044,8 @@ QUERIES = {
     "q_neighbor_com_weights": q_neighbor_com_weights,
     "q_com_totals": q_com_totals,
     "q_delta_q": q_delta_q,
+    "q_delta_q_directed": q_delta_q_directed,
+    "q_louvain_directed": q_louvain_directed,
     "q_best_move": q_best_move,
     "q_louvain_one_level": q_louvain_one_level,
     "q_louvain_communities": q_louvain_communities,
@@ -841,6 +1059,7 @@ ORACLES = {
     "q_neighbor_com_weights": _G1_W2C_SQL,
     "q_com_totals": ORACLE_COM_TOTALS,
     "q_delta_q": ORACLE_DELTA_Q,
+    "q_delta_q_directed": ORACLE_DELTA_Q_DIRECTED,
     "q_best_move": ORACLE_BEST_MOVE,
     "q_connected_components": _oracle_connected_components(),
     # rows-only: q_louvain_one_level / q_louvain_communities /

@@ -48,12 +48,21 @@ def modularity_parts(edges: DataFrame, assignment: DataFrame) -> DataFrame:
     """
     a_src = assignment.select(F.col("id").alias("src"), F.col("community").alias("com_src"))
     a_dst = assignment.select(F.col("id").alias("dst"), F.col("community").alias("com_dst"))
-    m_df = edges.agg(F.sum("weight").alias("m"))
-    intra_df = (
+    # one pass over the (assignment-joined) edges yields both m and the
+    # intra-community weight — the inner joins keep every edge since the
+    # assignment covers all endpoint ids
+    m_intra_df = (
         edges.join(a_src, "src")
         .join(a_dst, "dst")
-        .filter(F.col("com_src") == F.col("com_dst"))
-        .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("intra"))
+        .agg(
+            F.coalesce(F.sum("weight"), F.lit(0.0)).alias("m"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("com_src") == F.col("com_dst"), F.col("weight"))
+                ),
+                F.lit(0.0),
+            ).alias("intra"),
+        )
     )
     sumk2_df = (
         degree_weighted(edges)
@@ -62,7 +71,7 @@ def modularity_parts(edges: DataFrame, assignment: DataFrame) -> DataFrame:
         .agg(F.sum("degree").alias("k_c"))
         .agg(F.sum(F.col("k_c") * F.col("k_c")).alias("sumk2"))
     )
-    return m_df.crossJoin(intra_df).crossJoin(sumk2_df)
+    return m_intra_df.crossJoin(sumk2_df)
 
 
 def modularity_df(edges: DataFrame, assignment: DataFrame, gamma: float = 1.0) -> DataFrame:
@@ -79,6 +88,44 @@ def modularity(edges: DataFrame, assignment: DataFrame, gamma: float = 1.0) -> f
     """Driver-side scalar Q (used by the Louvain convergence loop)."""
     row = modularity_df(edges, assignment, gamma).collect()[0]
     return float(row["q"])
+
+
+def modularity_directed_df(
+    edges: DataFrame, assignment: DataFrame, gamma: float = 1.0
+) -> DataFrame:
+    """Directed modularity Q = Σ_c [L_c/m − γ·k_c^in·k_c^out/m²]
+    (Leicht–Newman; reference: quality.py:161-168 directed branch)."""
+    a_src = assignment.select(F.col("id").alias("src"), F.col("community").alias("com_src"))
+    a_dst = assignment.select(F.col("id").alias("dst"), F.col("community").alias("com_dst"))
+    m_df = edges.agg(F.sum("weight").alias("m"))
+    intra_df = (
+        edges.join(a_src, "src")
+        .join(a_dst, "dst")
+        .filter(F.col("com_src") == F.col("com_dst"))
+        .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("intra"))
+    )
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("k_out"))
+    in_deg = edges.groupBy(F.col("dst").alias("id")).agg(F.sum("weight").alias("k_in"))
+    kk = (
+        assignment.join(out_deg, "id", "left")
+        .join(in_deg, "id", "left")
+        .groupBy("community")
+        .agg(
+            F.sum(F.coalesce("k_in", F.lit(0.0))).alias("kin_c"),
+            F.sum(F.coalesce("k_out", F.lit(0.0))).alias("kout_c"),
+        )
+        .agg(F.sum(F.col("kin_c") * F.col("kout_c")).alias("sum_kio"))
+    )
+    return (
+        m_df.crossJoin(intra_df)
+        .crossJoin(kk)
+        .select(
+            F.expr(f"intra / m - {gamma!r} * sum_kio / (m * m)").alias("q"),
+            "m",
+            "intra",
+            "sum_kio",
+        )
+    )
 
 
 def karate_golden_assignment(spark: SparkSession) -> DataFrame:
@@ -127,13 +174,45 @@ SELECT m, intra, sumk2 FROM mm, ii, kk
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q of the G1 co-purchase graph under the deterministic id%10
     assignment (G2) at γ=1."""
-    edges = copurchase_edges(spark, sf_dir)
+    edges = copurchase_edges(spark, sf_dir).persist()
     return modularity_df(edges, mod10_assignment(edges), gamma=1.0)
 
 
 ORACLE_MODULARITY = f"""
 SELECT intra / m - 1.0 * sumk2 / (4.0 * m * m) AS q, m, intra, sumk2
 FROM ({_G1_PARTS_SQL})
+"""
+
+
+def q_modularity_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed modularity of the (directed) co-purchase graph
+    customer → supplier under the id%10 assignment."""
+    edges = copurchase_edges(spark, sf_dir)
+    return modularity_directed_df(edges, mod10_assignment(edges), gamma=1.0)
+
+
+ORACLE_MODULARITY_DIRECTED = f"""
+WITH e AS ({COPURCHASE_EDGES_SQL}),
+v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+a AS (SELECT id, id % 10 AS community FROM v),
+mm AS (SELECT SUM(weight) AS m FROM e),
+ii AS (
+  SELECT COALESCE(SUM(weight), 0.0) AS intra
+  FROM e WHERE src % 10 = dst % 10
+),
+od AS (SELECT src AS id, SUM(weight) AS k_out FROM e GROUP BY 1),
+idg AS (SELECT dst AS id, SUM(weight) AS k_in FROM e GROUP BY 1),
+kk AS (
+  SELECT SUM(kin_c * kout_c) AS sum_kio FROM (
+    SELECT a.community,
+           SUM(COALESCE(k_in, 0.0))  AS kin_c,
+           SUM(COALESCE(k_out, 0.0)) AS kout_c
+    FROM a LEFT JOIN od ON a.id = od.id LEFT JOIN idg ON a.id = idg.id
+    GROUP BY a.community
+  )
+)
+SELECT intra / m - 1.0 * sum_kio / (m * m) AS q, m, intra, sum_kio
+FROM mm, ii, kk
 """
 
 
@@ -338,6 +417,7 @@ FROM es, sz
 
 QUERIES = {
     "q_modularity": q_modularity,
+    "q_modularity_directed": q_modularity_directed,
     "q_resolution_sweep": q_resolution_sweep,
     "q_is_partition": q_is_partition,
     "q_intra_inter_edges": q_intra_inter_edges,
@@ -347,6 +427,7 @@ QUERIES = {
 
 ORACLES = {
     "q_modularity": ORACLE_MODULARITY,
+    "q_modularity_directed": ORACLE_MODULARITY_DIRECTED,
     "q_resolution_sweep": _oracle_resolution_sweep(),
     "q_is_partition": ORACLE_IS_PARTITION,
     "q_intra_inter_edges": ORACLE_INTRA_INTER,

@@ -1,0 +1,104 @@
+"""Contract guards: every query name declared in SURVEY.md §2 must be
+implemented in the registry, and scale-critical plan shapes must hold.
+"""
+
+import re
+
+import pyspark.sql.functions as F
+
+from louvain_modularity_spark.registry import all_oracles, all_queries
+
+
+def test_survey_inventory_covered():
+    """SURVEY.md §2 is the binding contract (BASELINE.json t2): every
+    declared q_* name needs a queries() entry."""
+    text = open("/root/repo/SURVEY.md").read()
+    sec2 = text.split("## 2. Operator inventory")[1].split("## 3.")[0]
+    declared = set(re.findall(r"\bq_[a-z0-9_]+\b", sec2))
+    implemented = set(all_queries())
+    missing = declared - implemented
+    assert not missing, f"SURVEY §2 queries not implemented: {sorted(missing)}"
+
+
+def test_every_oracle_has_query():
+    q, o = all_queries(), all_oracles()
+    assert not (set(o) - set(q)), "orphan oracles"
+
+
+def test_scan_pushdown(spark):
+    """Predicate + projection must reach the parquet scan."""
+    from louvain_modularity_spark.relational import q_scan_parquet
+
+    plan = (
+        q_scan_parquet(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "l_extendedprice" not in plan  # unused column pruned away
+
+
+def test_broadcast_join_plan(spark):
+    from louvain_modularity_spark.relational import q_join_broadcast
+
+    plan = (
+        q_join_broadcast(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    from louvain_modularity_spark.relational import q_sort_limit
+
+    plan = (
+        q_sort_limit(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """The 100 TB co-location story (SCALE.md §2): bucketing both join
+    sides on the key eliminates the shuffle — the joined plan must
+    contain no Exchange."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+        f"li_b_{suffix}"
+    )
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+        f"o_b_{suffix}"
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (a broadcast join would bypass
+        # bucketing here; at 100 TB neither side is broadcastable)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(f"li_b_{suffix}").join(
+            spark.table(f"o_b_{suffix}"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS li_b_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS o_b_{suffix}")

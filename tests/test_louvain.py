@@ -120,16 +120,34 @@ def test_parallel_edges_sum(spark):
 
 
 def test_directed_toys_terminate():
-    """The sequential core terminates on the (symmetrized) regression
-    toys from reference issues #5175/#5704 (FIXTURES.md §3.3)."""
+    """Directed Louvain terminates on the regression toys from
+    reference issues #5175/#5704 (FIXTURES.md §3.3) and groups the
+    strongly-connected blocks."""
     g = [(0, 2), (0, 1), (1, 0), (2, 1), (2, 0), (3, 4), (4, 3),
          (7, 8), (8, 7), (9, 10), (10, 9)]
-    maps, mods = _sequential_louvain([(u, v, 1.0) for u, v in g], 1.0, 1e-7, 123)
+    maps, mods = _sequential_louvain(
+        [(u, v, 1.0) for u, v in g], 1.0, 1e-7, 123, directed=True
+    )
     assert maps  # terminated and produced at least one level
+    com = maps[-1]
+    # expected blocks (FIXTURES.md §3.3): {0,1,2} {3,4} {7,8} {9,10}
+    for block in [(0, 1, 2), (3, 4), (7, 8), (9, 10)]:
+        assert len({com[b] for b in block}) == 1, (block, com)
     h = [(1, 2), (1, 6), (1, 9), (2, 3), (2, 4), (2, 5), (3, 4), (4, 3),
          (4, 5), (5, 4), (6, 7), (6, 8), (9, 10), (9, 11), (10, 11), (11, 10)]
-    maps2, _ = _sequential_louvain([(u, v, 1.0) for u, v in h], 1.0, 1e-7, 123)
+    maps2, _ = _sequential_louvain(
+        [(u, v, 1.0) for u, v in h], 1.0, 1e-7, 123, directed=True
+    )
     assert maps2
+
+
+def test_directed_louvain_g1(spark):
+    """Directed Louvain on the customer→supplier graph: valid
+    partition, positive final Q."""
+    edges = copurchase_edges(spark, SF_DIR)
+    res = louvain_communities(spark, edges, directed=True)
+    assert _is_partition(res.assignment, vertices_of(edges))
+    assert res.modularities[-1] > 0
 
 
 def test_distributed_level_path(spark):
