@@ -74,27 +74,29 @@ def aggregate_parallel_edges(multi_edges: DataFrame) -> DataFrame:
     return multi_edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
 
 
-def coarsen_edges(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+def coarsen_edges(
+    edges: DataFrame, assignment: DataFrame, directed: bool = False
+) -> DataFrame:
     """Phase-2 graph aggregation (reference: _gen_graph,
     NX/algorithms/community/louvain.py:352-369): one supernode per
-    community; edge weights between/within communities summed, with
-    intra-community weight becoming a canonical self-loop
-    (least, greatest) row."""
+    community; edge weights between/within communities summed. For
+    undirected graphs the coarse edge is canonicalized (least,
+    greatest); directed edges keep their orientation."""
     a_src = assignment.select(
         F.col("id").alias("src"), F.col("community").alias("com_src")
     )
     a_dst = assignment.select(
         F.col("id").alias("dst"), F.col("community").alias("com_dst")
     )
-    return (
-        edges.join(a_src, "src")
-        .join(a_dst, "dst")
-        .groupBy(
+    joined = edges.join(a_src, "src").join(a_dst, "dst")
+    if directed:
+        keys = [F.col("com_src").alias("src"), F.col("com_dst").alias("dst")]
+    else:
+        keys = [
             F.least("com_src", "com_dst").alias("src"),
             F.greatest("com_src", "com_dst").alias("dst"),
-        )
-        .agg(F.sum("weight").alias("weight"))
-    )
+        ]
+    return joined.groupBy(*keys).agg(F.sum("weight").alias("weight"))
 
 
 def vertices_of(edges: DataFrame) -> DataFrame:

@@ -371,6 +371,7 @@ def _one_level(
     gamma: float,
     seed: int,
     max_sweeps: int,
+    directed: bool = False,
 ) -> tuple[DataFrame, int]:
     """One Louvain level (reference: _one_level, louvain.py:227-332) as
     synchronized parity-alternating rounds. Returns (assignment on this
@@ -383,13 +384,39 @@ def _one_level(
     linearly and analysis time dominate).
     """
     sym = symmetrize(edges).filter(F.col("src") != F.col("dst")).persist()
-    deg = degree_weighted(edges).persist()
+    if directed:
+        # directed degrees split into in/out; the message graph (sym)
+        # is the same combined both-directions view
+        out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+            F.sum("weight").alias("k_out")
+        )
+        in_deg = edges.groupBy(F.col("dst").alias("id")).agg(
+            F.sum("weight").alias("k_in")
+        )
+        deg = (
+            out_deg.join(in_deg, "id", "full")
+            .select(
+                "id",
+                F.coalesce("k_in", F.lit(0.0)).alias("k_in"),
+                F.coalesce("k_out", F.lit(0.0)).alias("k_out"),
+            )
+            .persist()
+        )
+    else:
+        deg = degree_weighted(edges).persist()
     m = float(edges.agg(F.sum("weight")).collect()[0][0] or 0.0)
     if m <= 0:
         return vertices_of(edges).select("id", F.col("id").alias("community")), 0
 
     # singleton start: community = node id (louvain.py:194)
-    state = deg.select("id", F.col("id").alias("community"), F.col("degree").alias("k"))
+    if directed:
+        state = deg.select(
+            "id", F.col("id").alias("community"), "k_in", "k_out"
+        )
+    else:
+        state = deg.select(
+            "id", F.col("id").alias("community"), F.col("degree").alias("k")
+        )
     state = state.localCheckpoint(eager=True)
     n_nodes = state.count()
 
@@ -403,41 +430,92 @@ def _one_level(
             .groupBy(F.col("src").alias("id"), "community")
             .agg(F.sum("weight").alias("w2c"))
         )
-        sigma = state.groupBy("community").agg(F.sum("k").alias("sigma_tot"))
-
-        own = state.select("id", "community", "k")
         own_w2c = w2c.withColumnRenamed("w2c", "w2c_own")
-        node = (
-            own.join(own_w2c, ["id", "community"], "left")
-            .select(
-                "id",
-                F.col("community").alias("own_com"),
-                "k",
-                F.coalesce("w2c_own", F.lit(0.0)).alias("w2c_own"),
+        if directed:
+            sigma = state.groupBy("community").agg(
+                F.sum("k_in").alias("sigma_in"), F.sum("k_out").alias("sigma_out")
             )
-            .join(
-                sigma.select(
+            node = (
+                state.join(own_w2c, ["id", "community"], "left")
+                .select(
+                    "id",
                     F.col("community").alias("own_com"),
-                    F.col("sigma_tot").alias("sigma_own"),
-                ),
-                "own_com",
+                    "k_in",
+                    "k_out",
+                    F.coalesce("w2c_own", F.lit(0.0)).alias("w2c_own"),
+                )
+                .join(
+                    sigma.select(
+                        F.col("community").alias("own_com"),
+                        F.col("sigma_in").alias("sigma_in_own"),
+                        F.col("sigma_out").alias("sigma_out_own"),
+                    ),
+                    "own_com",
+                )
             )
-        )
-        cand = (
-            w2c.withColumnRenamed("w2c", "w2c_cand")
-            .join(node, "id")
-            .filter(F.col("community") != F.col("own_com"))
-            .join(
-                sigma.select("community", F.col("sigma_tot").alias("sigma_cand")),
-                "community",
+            cand = (
+                w2c.withColumnRenamed("w2c", "w2c_cand")
+                .join(node, "id")
+                .filter(F.col("community") != F.col("own_com"))
+                .join(
+                    sigma.select(
+                        "community",
+                        F.col("sigma_in").alias("sigma_in_cand"),
+                        F.col("sigma_out").alias("sigma_out_cand"),
+                    ),
+                    "community",
+                )
             )
-        )
-        gain = (
-            F.lit(-1.0) * F.col("w2c_own") / m
-            + gamma * (F.col("sigma_own") - F.col("k")) * F.col("k") / (2.0 * m * m)
-            + F.col("w2c_cand") / m
-            - gamma * F.col("sigma_cand") * F.col("k") / (2.0 * m * m)
-        )
+            gain = (
+                F.lit(-1.0) * F.col("w2c_own") / m
+                + gamma
+                * (
+                    F.col("k_out") * (F.col("sigma_in_own") - F.col("k_in"))
+                    + F.col("k_in") * (F.col("sigma_out_own") - F.col("k_out"))
+                )
+                / (m * m)
+                + F.col("w2c_cand") / m
+                - gamma
+                * (
+                    F.col("k_out") * F.col("sigma_in_cand")
+                    + F.col("k_in") * F.col("sigma_out_cand")
+                )
+                / (m * m)
+            )
+        else:
+            sigma = state.groupBy("community").agg(F.sum("k").alias("sigma_tot"))
+            node = (
+                state.select("id", "community", "k")
+                .join(own_w2c, ["id", "community"], "left")
+                .select(
+                    "id",
+                    F.col("community").alias("own_com"),
+                    "k",
+                    F.coalesce("w2c_own", F.lit(0.0)).alias("w2c_own"),
+                )
+                .join(
+                    sigma.select(
+                        F.col("community").alias("own_com"),
+                        F.col("sigma_tot").alias("sigma_own"),
+                    ),
+                    "own_com",
+                )
+            )
+            cand = (
+                w2c.withColumnRenamed("w2c", "w2c_cand")
+                .join(node, "id")
+                .filter(F.col("community") != F.col("own_com"))
+                .join(
+                    sigma.select("community", F.col("sigma_tot").alias("sigma_cand")),
+                    "community",
+                )
+            )
+            gain = (
+                F.lit(-1.0) * F.col("w2c_own") / m
+                + gamma * (F.col("sigma_own") - F.col("k")) * F.col("k") / (2.0 * m * m)
+                + F.col("w2c_cand") / m
+                - gamma * F.col("sigma_cand") * F.col("k") / (2.0 * m * m)
+            )
         w = Window.partitionBy("id").orderBy(F.desc("delta"), F.asc("community"))
         # same noise floor as the sequential tail: true gains are
         # multiples of ~1/(2m²); below 1/(4m²) is float noise
@@ -458,12 +536,13 @@ def _one_level(
         )
         n_moves = moves.count()
         if n_moves > 0:
+            carry = ["k_in", "k_out"] if directed else ["k"]
             state = (
                 state.join(moves, "id", "left")
                 .select(
                     "id",
                     F.coalesce("new_community", "community").alias("community"),
-                    "k",
+                    *carry,
                 )
                 .localCheckpoint(eager=True)
             )
@@ -533,10 +612,7 @@ def louvain_communities(
         # distributed level's reuse) doesn't recompute the edge DAG
         edges = edges.persist()
         n_edges = edges.count()
-        # directed graphs currently always take the exact in-driver path
-        # (the distributed synchronized rounds implement the undirected
-        # ΔQ; extend _one_level with the in/out split to lift this)
-        if n_edges <= inline_threshold or directed:
+        if n_edges <= inline_threshold:
             # ---- in-driver exact tail (Arrow transfer, not Row objects) ----
             pdf = edges.toPandas()
             rows = list(
@@ -577,7 +653,9 @@ def louvain_communities(
         # ---- distributed level ----
         if _VERBOSE:
             print(f"  level {level}: distributed ({n_edges} edges)", flush=True)
-        level_assign, n_moves = _one_level(spark, edges, gamma, seed + level, max_sweeps)
+        level_assign, n_moves = _one_level(
+            spark, edges, gamma, seed + level, max_sweeps, directed=directed
+        )
         level_assign = level_assign.localCheckpoint(eager=True)
         if global_assign is None:
             global_assign = level_assign
@@ -588,7 +666,14 @@ def louvain_communities(
                 .select("id", "community")
                 .localCheckpoint(eager=True)
             )
-        mod_new = modularity(edges, level_assign, gamma)
+        if directed:
+            from .metrics import modularity_directed_df
+
+            mod_new = float(
+                modularity_directed_df(edges, level_assign, gamma).collect()[0]["q"]
+            )
+        else:
+            mod_new = modularity(edges, level_assign, gamma)
         if _VERBOSE:
             print(f"  level {level}: moves={n_moves} Q={mod_new:.6f}", flush=True)
         result.dendrogram.append(global_assign)
@@ -602,7 +687,9 @@ def louvain_communities(
             edges.unpersist()
             break
         mod_prev = mod_new
-        coarse = coarsen_edges(edges, level_assign).localCheckpoint(eager=True)
+        coarse = coarsen_edges(edges, level_assign, directed=directed).localCheckpoint(
+            eager=True
+        )
         edges.unpersist()
         edges = coarse
     if global_assign is None:

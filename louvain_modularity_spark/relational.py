@@ -629,8 +629,59 @@ FROM (
 """
 
 
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + correlated subqueries through the SQL surface: customers
+    above the global average balance, with their order count."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+               (SELECT COUNT(*) FROM v_orders o WHERE o.o_custkey = c.c_custkey)
+                 AS n_orders
+        FROM v_customer c
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                                  / COUNT(*) FROM v_customer)
+        """
+    )
+
+
+ORACLE_SUBQUERY_SCALAR = """
+SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+       (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                          / COUNT(*) FROM customer)
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a fixed value list: order counts per priority ×
+    status (explicit values keep the output schema static)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+    )
+
+
+ORACLE_PIVOT_STATUS = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q_scan_parquet": q_scan_parquet,
+    "q_subquery_scalar": q_subquery_scalar,
+    "q_pivot_status": q_pivot_status,
     "q_filter_pred": q_filter_pred,
     "q_agg_groupby": q_agg_groupby,
     "q_agg_distinct": q_agg_distinct,
@@ -654,6 +705,8 @@ QUERIES = {
 
 ORACLES = {
     "q_scan_parquet": ORACLE_SCAN_PARQUET,
+    "q_subquery_scalar": ORACLE_SUBQUERY_SCALAR,
+    "q_pivot_status": ORACLE_PIVOT_STATUS,
     "q_filter_pred": ORACLE_FILTER_PRED,
     "q_agg_groupby": ORACLE_AGG_GROUPBY,
     "q_agg_distinct": ORACLE_AGG_DISTINCT,

@@ -143,11 +143,16 @@ def test_directed_toys_terminate():
 
 def test_directed_louvain_g1(spark):
     """Directed Louvain on the customer→supplier graph: valid
-    partition, positive final Q."""
+    partition, positive final Q — both execution paths."""
     edges = copurchase_edges(spark, SF_DIR)
     res = louvain_communities(spark, edges, directed=True)
     assert _is_partition(res.assignment, vertices_of(edges))
     assert res.modularities[-1] > 0
+    res_dist = louvain_communities(
+        spark, edges, directed=True, inline_threshold=100, max_sweeps=4
+    )
+    assert _is_partition(res_dist.assignment, vertices_of(edges))
+    assert res_dist.modularities[-1] >= res.modularities[-1] - 0.05
 
 
 def test_distributed_level_path(spark):
