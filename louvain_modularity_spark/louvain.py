@@ -160,6 +160,77 @@ class LouvainResult:
     n_levels: int = 0
 
 
+def _numpy_prepass(
+    cur_edges: list[tuple[int, int, float]], gamma: float, seed: int
+) -> dict[int, int]:
+    """Vectorized synchronous local-move rounds (numpy segment sums) —
+    the in-memory mirror of the distributed rounds, used to bulk-move
+    the easy 95% of nodes on large first levels before the exact
+    sequential polish. Parity-guarded like the distributed path.
+    Returns node → community (community labels are node ids).
+    """
+    import numpy as np
+
+    e = len(cur_edges)
+    src = np.fromiter((t[0] for t in cur_edges), dtype=np.int64, count=e)
+    dst = np.fromiter((t[1] for t in cur_edges), dtype=np.int64, count=e)
+    w = np.fromiter((t[2] for t in cur_edges), dtype=np.float64, count=e)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    n = len(nodes)
+    s, d = inv[:e], inv[e:]
+    m = float(w.sum())
+    if m <= 0 or n == 0:
+        return {}
+    deg = np.zeros(n)
+    np.add.at(deg, s, w)
+    np.add.at(deg, d, w)  # self-loop rows (s==d) land twice, matching NX degree
+    nonloop = s != d
+    u = np.concatenate([s[nonloop], d[nonloop]])
+    v = np.concatenate([d[nonloop], s[nonloop]])
+    ww = np.concatenate([w[nonloop], w[nonloop]])
+    com = np.arange(n, dtype=np.int64)
+    eps = 1.0 / (4.0 * m * m)
+    two_m2 = 2.0 * m * m
+    for rnd in range(16):
+        key = u * n + com[v]
+        order = np.argsort(key, kind="stable")
+        ks, ws_ = key[order], ww[order]
+        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        uk = ks[bounds]
+        w2c = np.add.reduceat(ws_, bounds)
+        pu = uk // n
+        pc = uk % n
+        sigma = np.bincount(com, weights=deg, minlength=n)
+        ku = deg[pu]
+        own_mask = pc == com[pu]
+        w2c_own = np.zeros(n)
+        w2c_own[pu[own_mask]] = w2c[own_mask]
+        gain = (
+            -w2c_own[pu] / m
+            + gamma * (sigma[com[pu]] - ku) * ku / two_m2
+            + w2c / m
+            - gamma * sigma[pc] * ku / two_m2
+        )
+        gain[own_mask] = -np.inf
+        # argmax per node, ties → smallest candidate community id
+        ordr = np.lexsort((pc, -gain, pu))
+        pu_sorted = pu[ordr]
+        first = np.flatnonzero(np.r_[True, pu_sorted[1:] != pu_sorted[:-1]])
+        best = ordr[first]
+        bu, bc, bg = pu[best], pc[best], gain[best]
+        sel = (bg > eps) & (((bu + rnd + seed) % 2) == 0)  # parity guard
+        moved = int(np.count_nonzero(sel & (com[bu] != bc)))
+        com[bu[sel]] = bc[sel]
+        if rnd >= 3 and moved * 50 < n:
+            break
+    return {int(nodes[i]): int(nodes[com[i]]) for i in range(n)}
+
+
+#: edge count above which the sequential tail bulk-moves with the
+#: vectorized prepass before exact polishing
+_PREPASS_EDGES = 150_000
+
+
 def _sequential_louvain(
     edge_list: list[tuple[int, int, float]],
     gamma: float,
@@ -250,8 +321,17 @@ def _sequential_louvain(
             nodes = sorted(set(deg))
         if m <= 0 or not nodes:
             break
-        com = {u: u for u in nodes}
-        sigma = dict(deg)
+        if not directed and len(cur_edges) > _PREPASS_EDGES:
+            # bulk-move via vectorized synchronous rounds, then let the
+            # exact sequential passes below polish from that state
+            com = _numpy_prepass(cur_edges, gamma, seed)
+            sigma = defaultdict(float)
+            for uu in nodes:
+                sigma[com[uu]] += deg[uu]
+            sigma = dict(sigma)
+        else:
+            com = {u: u for u in nodes}
+            sigma = dict(deg)
         sigma_in = {u: deg_in.get(u, 0.0) for u in nodes}
         sigma_out = {u: deg_out.get(u, 0.0) for u in nodes}
         m2 = m * m
