@@ -176,13 +176,16 @@ def q_write_edgelist(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(spark, sf_dir)
     out_root = os.path.join("/root/repo/.tmp", f"edgelist_{uuid.uuid4().hex[:8]}")
     results = []
-    for fmt in ("csv", "parquet"):
+    for fmt in ("csv", "parquet", "json"):
         path = os.path.join(out_root, fmt)
         if fmt == "csv":
             edges.write.mode("overwrite").option("header", True).csv(path)
             back = spark.read.option("header", True).csv(
                 path, schema="src LONG, dst LONG, weight DOUBLE"
             )
+        elif fmt == "json":
+            edges.write.mode("overwrite").json(path)
+            back = spark.read.json(path, schema="src LONG, dst LONG, weight DOUBLE")
         else:
             edges.write.mode("overwrite").parquet(path)
             back = spark.read.parquet(path)

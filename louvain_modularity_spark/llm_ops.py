@@ -724,6 +724,74 @@ FROM (
 """
 
 
+def _lsh_planes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG-derived, seedless of
+    wall clock) for sign-bit LSH over embeddings."""
+    planes = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(n_planes * dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        planes.append(((state >> 16) % 2001 - 1000) / 1000.0)
+    return [planes[p * dim : (p + 1) * dim] for p in range(n_planes)]
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit (random-hyperplane) LSH ANN with multi-probe: 4
+    hyperplanes → 16 buckets; a query probes its own bucket plus the 4
+    buckets at Hamming distance 1 (sign bits near the hyperplane flip
+    easily, so adjacent buckets hold most of the missed neighbors).
+
+    rows-only oracle (the plane constants are engine-side); recall vs
+    brute force asserted in tests. Scale path: the corpus is
+    hash-partitioned by bucket; a query touches n_planes+1 partitions.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    planes = _lsh_planes()
+    n_planes = len(planes)
+    bucket = None
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bit = (_dot(plane_col, F.col("embedding")) > 0).cast("long") * (2 ** p)
+        bucket = bit if bucket is None else bucket + bit
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select(
+        "vec_id", "embedding", norm.alias("n2"), bucket.alias("bucket")
+    ).persist()
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(2 ** p)).cast("long")
+            for p in range(n_planes)
+        ],
+    )
+    qs = (
+        base.filter(F.pmod("vec_id", F.lit(50)) == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("n2").alias("q_n2"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / F.sqrt(
+        F.col("q_n2") * F.col("n2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        qs.join(base, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rnk",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
 def q_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.42) — the last
     rung of the dedup ladder; brute force here, LSH-bucketed at scale."""
@@ -802,6 +870,7 @@ QUERIES = {
     "q_sim_topk": q_sim_topk,
     "q_knn_label": q_knn_label,
     "q_ann_ivf": q_ann_ivf,
+    "q_ann_lsh": q_ann_lsh,
     "q_dup_embedding": q_dup_embedding,
     "q_udf_pandas": q_udf_pandas,
 }

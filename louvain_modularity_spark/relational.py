@@ -629,6 +629,70 @@ FROM (
 """
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per return flag —
+    Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+    )
+
+
+ORACLE_QUANTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+       ROUND(quantile_cont(l_quantity, 0.5), 6)      AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (t-digest-style sketch) with the exact
+    value alongside (rows-only oracle: sketch results are
+    engine-specific; the envelope is asserted in tests)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 bins) over order totals — bin edges
+    derived from exact min/max aggregates."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    return (
+        o.crossJoin(bounds)
+        .select(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10.0)),
+                F.lit(9),
+            )
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+ORACLE_HISTOGRAM = """
+WITH bounds AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10.0)), 9) AS INTEGER) AS bucket,
+       COUNT(*) AS n_orders
+FROM orders, bounds
+GROUP BY 1
+"""
+
+
 def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar + correlated subqueries through the SQL surface: customers
     above the global average balance, with their order count."""
@@ -682,6 +746,9 @@ QUERIES = {
     "q_scan_parquet": q_scan_parquet,
     "q_subquery_scalar": q_subquery_scalar,
     "q_pivot_status": q_pivot_status,
+    "q_quantiles": q_quantiles,
+    "q_approx_quantile": q_approx_quantile,
+    "q_histogram": q_histogram,
     "q_filter_pred": q_filter_pred,
     "q_agg_groupby": q_agg_groupby,
     "q_agg_distinct": q_agg_distinct,
@@ -707,6 +774,9 @@ ORACLES = {
     "q_scan_parquet": ORACLE_SCAN_PARQUET,
     "q_subquery_scalar": ORACLE_SUBQUERY_SCALAR,
     "q_pivot_status": ORACLE_PIVOT_STATUS,
+    "q_quantiles": ORACLE_QUANTILES,
+    "q_histogram": ORACLE_HISTOGRAM,
+    # q_approx_quantile: rows-only (sketch estimates are engine-specific)
     "q_filter_pred": ORACLE_FILTER_PRED,
     "q_agg_groupby": ORACLE_AGG_GROUPBY,
     "q_agg_distinct": ORACLE_AGG_DISTINCT,

@@ -202,6 +202,56 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running totals held in explicit state (the escape hatch when the
+    built-in windows can't express the semantics). With a single
+    availableNow batch the final state equals the batch aggregate, so
+    the oracle hash-match applies."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir)
+
+    out_schema = "user_id LONG, n_events LONG, total_value DOUBLE"
+    state_schema = "n LONG, total DOUBLE"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # value is exact 2-decimal; sum in cents to stay exact
+            total += int(round(pdf["value"].mul(100).sum()))
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total / 100.0, 2)],
+            }
+        )
+
+    counted = (
+        ev.withWatermark("ts_ltz", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_table(spark, counted, "update")
+
+
+ORACLE_STREAM_STATEFUL_COUNT = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data handling surface: watermarked tumbling count in APPEND
     mode — only windows the watermark has passed are emitted (rows-only
@@ -225,6 +275,7 @@ QUERIES = {
     "q_stream_sliding": q_stream_sliding,
     "q_stream_session": q_stream_session,
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_stateful_count": q_stream_stateful_count,
     "q_stream_watermark": q_stream_watermark,
 }
 
@@ -233,6 +284,7 @@ ORACLES = {
     "q_stream_sliding": ORACLE_STREAM_SLIDING,
     "q_stream_session": ORACLE_STREAM_SESSION,
     "q_stream_dedup": ORACLE_STREAM_DEDUP,
+    "q_stream_stateful_count": ORACLE_STREAM_STATEFUL_COUNT,
     # rows-only: q_stream_watermark (append-mode emission depends on
     # final-batch watermark advancement; semantics pinned in tests)
 }

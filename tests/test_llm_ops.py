@@ -45,6 +45,23 @@ def test_approx_count_distinct_envelope(spark):
         ), r
 
 
+def test_ann_recall(spark):
+    """Both ANN paths must retrieve a usable share of the brute-force
+    top-3 (random data is the worst case; real clustered corpora do
+    far better)."""
+    from louvain_modularity_spark.llm_ops import q_ann_ivf, q_ann_lsh, q_sim_topk
+
+    top = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_sim_topk(spark, SF_DIR).collect()
+        if r["rnk"] <= 3
+    }
+    for fn in (q_ann_ivf, q_ann_lsh):
+        got = {(r["query_id"], r["neighbor_id"]) for r in fn(spark, SF_DIR).collect()}
+        recall = len(top & got) / len(top)
+        assert recall >= 0.3, f"{fn.__name__}: recall@3 = {recall:.2f}"
+
+
 def test_multimodal_decode_is_stubbed():
     from louvain_modularity_spark.multimodal import decode_payload
 
