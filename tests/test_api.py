@@ -1,0 +1,50 @@
+"""Reference-shaped API facade behaves like the reference entry points."""
+
+import pytest
+
+from louvain_modularity_spark import api
+from louvain_modularity_spark.metrics import KARATE_GOLDEN_Q, KARATE_GOLDEN_PARTITION
+from louvain_modularity_spark.sources import karate_edges
+
+
+def test_api_louvain_and_modularity(spark):
+    edges = karate_edges(spark)
+    assignment = api.louvain_communities(spark, edges, seed=2)
+    q = api.modularity(edges, assignment)
+    assert q >= KARATE_GOLDEN_Q - 0.05
+    sets = api.as_partition_sets(assignment)
+    assert sum(len(s) for s in sets) == 34
+    assert all(a.isdisjoint(b) for i, a in enumerate(sets) for b in sets[i + 1:])
+
+
+def test_api_weight_none_ignores_weights(spark):
+    """weight=None ⇒ every edge counts 1 regardless of the column
+    (reference test_louvain.py:157-176)."""
+    import pyspark.sql.functions as F
+
+    edges = karate_edges(spark).withColumn("weight", F.col("src") * 1000.0 + 1)
+    a_weighted = api.louvain_communities(spark, edges, weight="weight", seed=2)
+    a_none = api.louvain_communities(spark, edges, weight=None, seed=2)
+    plain = api.louvain_communities(spark, karate_edges(spark), seed=2)
+    none_sets = {frozenset(s) for s in api.as_partition_sets(a_none)}
+    plain_sets = {frozenset(s) for s in api.as_partition_sets(plain)}
+    assert none_sets == plain_sets
+    weighted_sets = {frozenset(s) for s in api.as_partition_sets(a_weighted)}
+    assert weighted_sets != none_sets  # the weights actually mattered
+
+
+def test_api_golden_partition_modularity(spark):
+    golden = spark.createDataFrame(
+        [(n, c) for c, ns in KARATE_GOLDEN_PARTITION.items() for n in ns],
+        "id LONG, community LONG",
+    )
+    assert api.modularity(karate_edges(spark), golden) == pytest.approx(
+        KARATE_GOLDEN_Q, abs=1e-12
+    )
+
+
+def test_api_partitions_dendrogram(spark):
+    levels = api.louvain_partitions(spark, karate_edges(spark), seed=2)
+    assert len(levels) >= 1
+    for lvl in levels:
+        assert lvl.count() == 34
