@@ -221,6 +221,58 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 # ---------------------------------------------------------------------------
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2² grouping combinations."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            _money_sum(_dec("l_quantity")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface: by status, by
+    priority, and grand total — no cross combinations."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL')   AS o_orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COUNT(*) AS n_orders
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS_EXPLICIT = """
+SELECT COALESCE(o_orderstatus, 'ALL')   AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi inner join orders ⋈ customer (sort-merge / shuffled-hash at
     scale; both sides shuffle on custkey — at 100 TB, bucket both
@@ -754,6 +806,8 @@ QUERIES = {
     "q_agg_distinct": q_agg_distinct,
     "q_approx_cd": q_approx_cd,
     "q_grouping_sets": q_grouping_sets,
+    "q_cube": q_cube,
+    "q_grouping_sets_explicit": q_grouping_sets_explicit,
     "q_join_inner": q_join_inner,
     "q_join_broadcast": q_join_broadcast,
     "q_join_outer": q_join_outer,
@@ -781,6 +835,8 @@ ORACLES = {
     "q_agg_groupby": ORACLE_AGG_GROUPBY,
     "q_agg_distinct": ORACLE_AGG_DISTINCT,
     "q_grouping_sets": ORACLE_GROUPING_SETS,
+    "q_cube": ORACLE_CUBE,
+    "q_grouping_sets_explicit": ORACLE_GROUPING_SETS_EXPLICIT,
     "q_join_inner": ORACLE_JOIN_INNER,
     "q_join_broadcast": ORACLE_JOIN_BROADCAST,
     "q_join_outer": ORACLE_JOIN_OUTER,
