@@ -828,6 +828,91 @@ WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')} / SQRT(a.n2 * b.n2) >=
 
 
 # ---------------------------------------------------------------------------
+# sampling / data mixing (training-data curation)
+# ---------------------------------------------------------------------------
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the 20 lowest-doc_id documents
+    per language — reproducible across runs and engines (a random
+    sample would not hash-match; hash-ordered sampling is
+    q_sample_hash)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+ORACLE_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+) t WHERE rn <= 20
+"""
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded hash-Bernoulli sample (~10%): membership depends only on
+    (seed, doc_id), so the sample is stable under reprocessing and
+    across cluster sizes — the correct way to subsample 100 TB
+    reproducibly. rows-only oracle (xxhash64 is engine-side)."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(
+        F.pmod(F.xxhash64(F.lit(42), F.col("doc_id")), F.lit(100)) < 10
+    ).select("doc_id", "lang", "source")
+
+
+def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: per-language quotas (en-heavy
+    training mix), filled in seeded-hash order so the selection is
+    reproducible but not biased toward low ids. Output: the mixture
+    composition per language."""
+    quotas = {"en": 60, "de": 30, "es": 30, "fr": 30, "zh": 15}
+    d = load(spark, sf_dir, "documents")
+    # Knuth multiplicative hash: exact 64-bit integer arithmetic in
+    # both engines, so the *selection* (not just the counts) is
+    # oracle-reproducible
+    scramble = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    w = Window.partitionBy("lang").orderBy(scramble, F.col("doc_id"))
+    quota_expr = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(q))
+            for lang, q in quotas.items()
+        ],
+        F.lit(0),
+    )
+    picked = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota_expr)
+    )
+    return picked.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+ORACLE_DATA_MIX = """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM ranked
+WHERE rn <= CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30 WHEN 'es' THEN 30
+                      WHEN 'fr' THEN 30 WHEN 'zh' THEN 15 ELSE 0 END
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # vectorized UDF surface
 # ---------------------------------------------------------------------------
 
@@ -872,6 +957,9 @@ QUERIES = {
     "q_ann_ivf": q_ann_ivf,
     "q_ann_lsh": q_ann_lsh,
     "q_dup_embedding": q_dup_embedding,
+    "q_sample_stratified": q_sample_stratified,
+    "q_sample_hash": q_sample_hash,
+    "q_data_mix": q_data_mix,
     "q_udf_pandas": q_udf_pandas,
 }
 
@@ -889,6 +977,9 @@ ORACLES = {
     "q_knn_label": ORACLE_KNN_LABEL,
     "q_ann_ivf": ORACLE_ANN_IVF,
     "q_dup_embedding": ORACLE_DUP_EMBEDDING,
+    "q_sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "q_data_mix": ORACLE_DATA_MIX,
+    # q_sample_hash: rows-only (xxhash64-seeded membership)
     # rows-only: q_dedup_minhash / q_simhash (xxhash64-based),
     # q_udf_pandas (self-validating cross-check)
 }
