@@ -18,7 +18,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def _modules():
     from . import funcs, graph, llm_ops, louvain, metrics, multimodal, relational, streaming
 
-    return [relational, funcs, graph, louvain, metrics, llm_ops, multimodal, streaming]
+    # Order matters: the correctness driver verifies the FIRST 50 entries of
+    # all_queries(). Round 1 verified the relational/funcs/graph packs (and the
+    # first three louvain queries); this order puts the remaining 44 queries —
+    # the louvain tail, metrics, llm_ops, multimodal, and streaming packs —
+    # inside the round-2 window so every registered query ends up with a hard
+    # driver-verified correctness row across rounds.
+    return [louvain, metrics, llm_ops, multimodal, streaming, relational, funcs, graph]
 
 
 def all_queries() -> dict[str, QueryFn]:
