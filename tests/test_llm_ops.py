@@ -62,6 +62,37 @@ def test_ann_recall(spark):
         assert recall >= 0.3, f"{fn.__name__}: recall@3 = {recall:.2f}"
 
 
+def test_dup_embedding_blocked_plan_and_margins(spark):
+    """q_dup_embedding must stay a blocked hash-join GEMM (no cartesian
+    operator) and the data must keep safe float margins: the nearest
+    cosine to the 0.42 threshold and to a round-6 midpoint must sit far
+    above f64 GEMM summation-order noise (~1e-13), so the numpy tile
+    matches the oracle's sequential fold decision-for-decision."""
+    import numpy as np
+
+    from louvain_modularity_spark.llm_ops import q_dup_embedding
+
+    df = q_dup_embedding(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    rows = df.collect()
+    assert rows, "no near-dup pairs found"
+    cosines = np.array([r["cosine"] for r in rows])
+    assert np.abs(cosines - 0.42).min() > 1e-9
+    # round-6 midpoint margin, checked pre-rounding via a raw recompute
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    for r in rows:
+        a, b = emb[r["id_a"]], emb[r["id_b"]]
+        cos = float(a @ b / np.sqrt((a @ a) * (b @ b)))
+        frac = abs(cos * 1e6 - np.floor(cos * 1e6) - 0.5)
+        assert frac * 1e-6 > 1e-13, (r, cos)
+        assert round(cos, 6) == pytest.approx(r["cosine"], abs=1.1e-6)
+
+
 def test_multimodal_decode_is_stubbed():
     from louvain_modularity_spark.multimodal import decode_payload
 
