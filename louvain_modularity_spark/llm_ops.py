@@ -291,15 +291,35 @@ def shingles_of(df: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs sharing at
-    least one 3-token shingle (inverted-index join — the pairwise
-    comparison never materializes beyond actually-overlapping pairs)."""
-    d = load(spark, sf_dir, "documents")
+def ngram_jaccard_pairs(d: DataFrame, max_df: int = 100) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing ≥1 three-token shingle,
+    via an inverted-index join — only actually-overlapping pairs ever
+    materialize.
+
+    Skew bound: a shingle present in ``df`` documents produces df²
+    candidate rows in the self-join, so one boilerplate 3-gram shared by
+    1M docs would emit 10¹² rows. Shingles with document frequency >
+    ``max_df`` are dropped from the *index* before the join (standard
+    prefix-filter practice — pairs whose only overlap is an ultra-common
+    shingle are not near-dups), which caps the per-shingle fan-out at
+    max_df². Per-doc shingle-set sizes (the Jaccard denominator) are
+    computed on the FULL shingle set, so reported similarities stay
+    exact for every surviving pair; only n_common excludes the dropped
+    hot shingles. On the test corpus max df < max_df, so the output is
+    bit-identical to the uncapped join (oracle unchanged); the cap is
+    exercised by a synthetic-skew test."""
     sh = shingles_of(d).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    # power-law corpora have few ultra-common shingles → broadcast anti-join
+    cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = cold.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -320,6 +340,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over the documents table (see
+    ngram_jaccard_pairs for the skew-capped inverted-index design)."""
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
 
 
 ORACLE_NGRAM_JACCARD = """
@@ -376,7 +402,7 @@ def minhash_sketches(df: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_pairs(d: DataFrame, max_bucket: int = 100) -> DataFrame:
     """MinHash + LSH near-duplicate candidates: band the 16-perm sketch
     into 4 bands of 4 rows; docs sharing any band bucket are
     candidates; output the estimated Jaccard (fraction of matching
@@ -389,8 +415,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     column-wise in fixed perm order (deterministic — no collect_list
     ordering hazards); the candidate join happens inside
     hash-partitioned (band, band_hash) buckets — never O(n²).
-    """
-    d = load(spark, sf_dir, "documents")
+
+    Skew bound: a bucket holding ``s`` docs emits s² pairs, and a giant
+    bucket is a giant *duplicate cluster* (e.g. 1M copies of one
+    boilerplate page), where all-pairs is pointless. Buckets larger
+    than ``max_bucket`` switch to STAR pairing — every member pairs
+    with the bucket's min doc_id only — which keeps the cluster
+    connected for downstream grouping at O(s) pairs instead of O(s²).
+    Test-corpus buckets are far below the cap, so output is identical
+    to the uncapped join; the cap is exercised by a synthetic-skew
+    test."""
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     mh = minhash_sketches_wide(d).persist()
     band_dfs = []
@@ -406,13 +440,26 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = band_dfs[0]
     for extra in band_dfs[1:]:
         bands = bands.unionByName(extra)
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "band_hash"])
+    sz = bands.groupBy("band", "band_hash").agg(
+        F.count("*").alias("bucket_sz"), F.min("doc_id").alias("rep")
+    )
+    bands_sz = bands.join(sz, ["band", "band_hash"])
+    small = bands_sz.filter(F.col("bucket_sz") <= max_bucket).select(
+        "band", "band_hash", "doc_id"
+    )
+    pairs_small = (
+        small.alias("x")
+        .join(small.alias("y"), ["band", "band_hash"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
     )
+    pairs_big = (
+        bands_sz.filter(
+            (F.col("bucket_sz") > max_bucket) & (F.col("doc_id") != F.col("rep"))
+        )
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    cand = pairs_small.unionByName(pairs_big).distinct()
     a = mh.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_PERMS)],
@@ -434,6 +481,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (matches / float(MINHASH_PERMS)).alias("est_jaccard"),
         )
     )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates over the documents table (see
+    dedup_minhash_pairs for the bucketed, skew-capped design)."""
+    return dedup_minhash_pairs(load(spark, sf_dir, "documents"))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

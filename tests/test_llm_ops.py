@@ -62,6 +62,41 @@ def test_ann_recall(spark):
         assert recall >= 0.3, f"{fn.__name__}: recall@3 = {recall:.2f}"
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """One boilerplate shingle shared by n docs must NOT produce n²
+    candidate pairs: shingles with df > max_df are dropped from the
+    inverted index, while pairs sharing rare shingles survive."""
+    from louvain_modularity_spark.llm_ops import ngram_jaccard_pairs
+
+    n = 200
+    rows = [(i, f"common boiler plate unique{i} token{i} tail{i}") for i in range(n)]
+    rows += [(n, "alpha beta gamma delta common boiler plate"),
+             (n + 1, "alpha beta gamma delta other words here")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(d, max_df=10).collect()
+    # boilerplate-only pairs vanish; the rare-shingle pair survives
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(n, n + 1)}
+    uncapped = ngram_jaccard_pairs(d, max_df=10**9)
+    assert uncapped.count() > n * (n - 1) // 2
+
+
+def test_minhash_bucket_cap_star_pairing(spark):
+    """A giant duplicate cluster (identical docs → one LSH bucket) must
+    emit O(s) star pairs, not s², and stay connected via the bucket
+    representative."""
+    from louvain_modularity_spark.llm_ops import dedup_minhash_pairs
+
+    n = 150
+    d = spark.createDataFrame(
+        [(i, "exact same boilerplate page text repeated everywhere") for i in range(n)],
+        "doc_id long, text string",
+    )
+    capped = dedup_minhash_pairs(d, max_bucket=100).collect()
+    assert len(capped) == n - 1
+    assert all(r["doc_a"] == 0 and r["est_jaccard"] == 1.0 for r in capped)
+    assert dedup_minhash_pairs(d, max_bucket=10**9).count() == n * (n - 1) // 2
+
+
 def test_dup_embedding_blocked_plan_and_margins(spark):
     """q_dup_embedding must stay a blocked hash-join GEMM (no cartesian
     operator) and the data must keep safe float margins: the nearest
