@@ -492,7 +492,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document from tf-weighted token hashes
     (rows-only: xxhash64-based). Near-dup candidates = small Hamming
-    distance; at scale, bucket by bit-bands like minhash."""
+    distance; at scale, bucket by bit-bands like minhash.
+
+    Shuffle shape: the 32 bit-votes are 32 conditional-sum columns in
+    ONE map-side-combined groupBy over (doc, token) rows — no 32× bit
+    explosion multiplying the shuffle (same wide-aggregate trick as
+    minhash_sketches_wide; equality with the exploded formulation
+    verified at sf0.001 and sf0.01 before the swap)."""
     d = load(spark, sf_dir, "documents")
     tf = (
         tokens_of(d)
@@ -501,28 +507,22 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
         .withColumn("h", F.xxhash64("token"))
     )
-    bits = tf.select(
-        "doc_id",
-        "tf",
-        F.explode(F.array(*[F.lit(i) for i in range(32)])).alias("bit"),
-        "h",
-    ).select(
-        "doc_id",
-        "bit",
-        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN tf ELSE -tf END").alias(
-            "vote"
-        ),
-    )
-    return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE 0 END")
-            ).alias("simhash")
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"v{i}")
+        for i in range(32)
+    ]
+    sim = F.expr(
+        " + ".join(
+            f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for i in range(32)
         )
     )
+    return tf.groupBy("doc_id").agg(*votes).select("doc_id", sim.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -1037,7 +1037,12 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def l2_norm(emb: pd.Series) -> pd.Series:
         import numpy as np
 
-        return emb.map(lambda v: float(np.sqrt(np.dot(v, v))))
+        if len(emb) == 0:
+            return pd.Series([], dtype="float64")
+        # whole-batch vectorization: one stacked ndarray per Arrow batch,
+        # not a Python lambda per row
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        return pd.Series(np.sqrt((m * m).sum(axis=1)))
 
     emb = load(spark, sf_dir, "embeddings")
     builtin = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
