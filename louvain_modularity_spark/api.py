@@ -90,8 +90,13 @@ def modularity(
     resolution: float = 1.0,
     directed: bool = False,
 ) -> float:
-    """Scalar Q of a partition (reference: quality.py:145-255)."""
+    """Scalar Q of a partition (reference: quality.py:145-255).
+
+    Raises metrics.NotAPartition if the assignment does not cover every
+    graph node exactly once, matching the reference's behavior instead
+    of silently computing Q over a shrunken graph."""
     e = _normalize(edges, weight)
+    _metrics.validate_partition(e, communities)
     if directed:
         row = _metrics.modularity_directed_df(e, communities, resolution).collect()[0]
         return float(row["q"])

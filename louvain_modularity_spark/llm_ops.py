@@ -985,8 +985,14 @@ def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     # Knuth multiplicative hash: exact 64-bit integer arithmetic in
     # both engines, so the *selection* (not just the counts) is
-    # oracle-reproducible
-    scramble = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    # oracle-reproducible. The id is masked to 31 bits BEFORE the
+    # multiply so the product caps at (2^31-1)*2654435761 ≈ 5.7e18 <
+    # 2^63-1 — Spark would silently wrap on int64 overflow while DuckDB
+    # raises, so unmasked ids ≳ 3.5e9 would break engine parity
+    scramble = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
     w = Window.partitionBy("lang").orderBy(scramble, F.col("doc_id"))
     quota_expr = F.coalesce(
         *[
@@ -1009,7 +1015,7 @@ WITH ranked AS (
   SELECT doc_id, lang, n_chars,
          ROW_NUMBER() OVER (
            PARTITION BY lang
-           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
          ) AS rn
   FROM documents
 )

@@ -502,6 +502,7 @@ def _one_level(
 
     total_moves = 0
     idle_rounds = 0
+    low_move_rounds = 0
     for rnd in range(max_sweeps):
         t_round = time.time()
         a_dst = state.select(F.col("id").alias("dst"), "community")
@@ -640,9 +641,16 @@ def _one_level(
             idle_rounds = 0
         # diminishing returns: when almost no node wants to move, an
         # extra synchronized sweep costs more than coarsening + the
-        # exact in-driver tail that follows
-        if rnd >= 1 and n_moves < max(1, n_nodes // 50):
-            break
+        # exact in-driver tail that follows. Each round evaluates one
+        # hash-parity class only, so require the low-movement signal
+        # from BOTH classes (two consecutive rounds) before cutting —
+        # one quiet class does not prove the other has no pending moves
+        if n_moves < max(1, n_nodes // 50):
+            low_move_rounds += 1
+            if rnd >= 1 and low_move_rounds >= 2:
+                break
+        else:
+            low_move_rounds = 0
     sym.unpersist()
     deg.unpersist()
     return state.select("id", "community"), total_moves
@@ -810,6 +818,7 @@ def label_propagation(
     sym = symmetrize(edges).filter(F.col("src") != F.col("dst")).persist()
     state = vertices_of(edges).select("id", F.col("id").alias("label"))
     state = state.localCheckpoint(eager=True)
+    idle_rounds = 0
     for rnd in range(max_iter):
         lbl = state.select(F.col("id").alias("dst"), "label")
         votes = (
@@ -840,8 +849,15 @@ def label_propagation(
             .count()
         )
         state = new_state
-        if changed == 0 and rnd % 2 == 1:
-            break
+        # each round moves a single hash-parity class, so one idle round
+        # does not prove the other class is at fixpoint — require both
+        # classes (two consecutive rounds) idle, mirroring _one_level
+        if changed == 0:
+            idle_rounds += 1
+            if idle_rounds >= 2:
+                break
+        else:
+            idle_rounds = 0
     sym.unpersist()
     return state
 

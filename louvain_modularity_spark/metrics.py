@@ -38,6 +38,28 @@ KARATE_GOLDEN_Q = 0.41880341880341876
 # ---------------------------------------------------------------------------
 
 
+class NotAPartition(ValueError):
+    """The given assignment is not a partition of the graph's nodes
+    (uncovered or multiply-assigned nodes) — reference:
+    NX quality.py NotAPartition."""
+
+
+def validate_partition(edges: DataFrame, assignment: DataFrame) -> None:
+    """Raise NotAPartition unless every graph node is assigned exactly
+    once. Two counting jobs (anti-join + duplicate scan) — used by the
+    public api.modularity, not by the inner Louvain loop, whose
+    assignments are partitions by construction."""
+    verts = vertices_of(edges)
+    n_uncovered = verts.join(assignment, "id", "left_anti").count()
+    if n_uncovered:
+        raise NotAPartition(f"{n_uncovered} graph nodes missing from the assignment")
+    n_multi = (
+        assignment.groupBy("id").agg(F.count("*").alias("c")).filter(F.col("c") > 1).count()
+    )
+    if n_multi:
+        raise NotAPartition(f"{n_multi} nodes assigned to multiple communities")
+
+
 def modularity_parts(edges: DataFrame, assignment: DataFrame) -> DataFrame:
     """One row: (m, intra, sumk2) — the three aggregate inputs of Q.
 
@@ -45,17 +67,19 @@ def modularity_parts(edges: DataFrame, assignment: DataFrame) -> DataFrame:
     to the assignment on both endpoints), per-community degree sums.
     The assignment side is broadcast-sized at every Louvain level above
     the first; AQE picks broadcast automatically when it fits.
+
+    m comes from the raw edge table, NOT from the assignment-joined
+    edges, so a partial assignment cannot silently shrink m and distort
+    Q (api.modularity additionally validates coverage and raises
+    NotAPartition, matching the reference).
     """
     a_src = assignment.select(F.col("id").alias("src"), F.col("community").alias("com_src"))
     a_dst = assignment.select(F.col("id").alias("dst"), F.col("community").alias("com_dst"))
-    # one pass over the (assignment-joined) edges yields both m and the
-    # intra-community weight — the inner joins keep every edge since the
-    # assignment covers all endpoint ids
-    m_intra_df = (
+    m_df = edges.agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("m"))
+    intra_df = (
         edges.join(a_src, "src")
         .join(a_dst, "dst")
         .agg(
-            F.coalesce(F.sum("weight"), F.lit(0.0)).alias("m"),
             F.coalesce(
                 F.sum(
                     F.when(F.col("com_src") == F.col("com_dst"), F.col("weight"))
@@ -71,7 +95,7 @@ def modularity_parts(edges: DataFrame, assignment: DataFrame) -> DataFrame:
         .agg(F.sum("degree").alias("k_c"))
         .agg(F.sum(F.col("k_c") * F.col("k_c")).alias("sumk2"))
     )
-    return m_intra_df.crossJoin(sumk2_df)
+    return m_df.crossJoin(intra_df).crossJoin(sumk2_df)
 
 
 def modularity_df(edges: DataFrame, assignment: DataFrame, gamma: float = 1.0) -> DataFrame:

@@ -137,13 +137,22 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_payload(d))
 
 
+# NOTE: this oracle reads *characters* (ascii/substring) while the
+# engine reads *bytes* — they agree only because the documents fixture
+# is pure 7-bit ASCII (one byte per char), which
+# tests/test_llm_ops.py::test_documents_fixture_is_ascii asserts. A
+# multi-byte character would break head0/head1/byte_sum parity; the
+# empty/1-char edge cases are handled explicitly below so they cannot
+# diverge (engine emits -1; DuckDB ascii('') does not).
 ORACLE_MULTIMODAL_FEATURES = """
 SELECT doc_id,
        CAST(strlen(text) AS INTEGER)                       AS byte_len,
-       CAST(ascii(substring(text, 1, 1)) AS INTEGER)       AS head0,
-       CAST(ascii(substring(text, 2, 1)) AS INTEGER)       AS head1,
-       CAST(list_sum(list_transform(range(1, strlen(text) + 1),
-                     i -> ascii(substring(text, i, 1)))) AS BIGINT) AS byte_sum
+       CAST(CASE WHEN strlen(text) >= 1 THEN ascii(substring(text, 1, 1))
+                 ELSE -1 END AS INTEGER)                   AS head0,
+       CAST(CASE WHEN strlen(text) >= 2 THEN ascii(substring(text, 2, 1))
+                 ELSE -1 END AS INTEGER)                   AS head1,
+       CAST(COALESCE(list_sum(list_transform(range(1, strlen(text) + 1),
+                     i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS byte_sum
 FROM documents
 """
 

@@ -48,3 +48,20 @@ def test_api_partitions_dendrogram(spark):
     assert len(levels) >= 1
     for lvl in levels:
         assert lvl.count() == 34
+
+
+def test_api_modularity_rejects_partial_partition(spark):
+    """A non-covering assignment must raise NotAPartition (reference
+    behavior), not silently compute Q over a shrunken graph."""
+    from louvain_modularity_spark.metrics import NotAPartition
+
+    partial = spark.createDataFrame(
+        [(i, 0) for i in range(17)], "id LONG, community LONG"
+    )
+    with pytest.raises(NotAPartition, match="missing"):
+        api.modularity(karate_edges(spark), partial)
+    dup = spark.createDataFrame(
+        [(i, i % 3) for i in range(34)] + [(0, 1)], "id LONG, community LONG"
+    )
+    with pytest.raises(NotAPartition, match="multiple"):
+        api.modularity(karate_edges(spark), dup)

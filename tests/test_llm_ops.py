@@ -128,6 +128,19 @@ def test_dup_embedding_blocked_plan_and_margins(spark):
         assert round(cos, 6) == pytest.approx(r["cosine"], abs=1.1e-6)
 
 
+def test_documents_fixture_is_ascii(spark):
+    """The multimodal oracles equate byte-level payload ops with
+    character-level SQL (ascii/substring/strlen), which is only sound
+    for pure 7-bit ASCII text — assert the fixture honors that at the
+    driver's scale too."""
+    import os
+
+    for sf in ("sf0.001", "sf0.01"):
+        d = spark.read.parquet(os.path.join("/root/testdata", sf, "documents.parquet"))
+        n_bad = d.filter(~F.col("text").rlike(r"^[\x00-\x7F]*$")).count()
+        assert n_bad == 0, f"{sf}: {n_bad} non-ASCII documents break byte/char parity"
+
+
 def test_multimodal_decode_is_stubbed():
     from louvain_modularity_spark.multimodal import decode_payload
 
