@@ -50,19 +50,78 @@ _VERBOSE = os.environ.get("SPARK_GRAFT_VERBOSE", "") not in ("", "0")
 # ---------------------------------------------------------------------------
 
 
-def neighbor_com_weights(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+def _w2c_from_sym(
+    sym: DataFrame,
+    a_dst: DataFrame,
+    salt_hubs: int = 0,
+    hub_min_neighbors: int = 10_000,
+) -> DataFrame:
+    """w2c over an already-symmetrized self-loop-free edge view.
+
+    Hub salting (``salt_hubs`` = s > 1): on a power-law graph the join
+    ``sym ⋈ a_dst`` hashes every one of a hub's deg(hub) incident rows
+    to the single partition owning that dst — the straggler that kills
+    the first Louvain level at 100 TB (AQE's skew-join split covers
+    sort-merge plans only, and only after the fact). With salting, rows
+    whose dst is a hub (≥ ``hub_min_neighbors`` incident rows in sym)
+    get a ``hash(src) % s`` salt and the hub's assignment rows are
+    replicated across all s salt values, so the join key (dst, salt)
+    spreads each hub over s partitions. The downstream groupBy re-
+    aggregates across salts for free since salt is not in the group key,
+    and the map-side partial aggregation already bounds the groupBy
+    shuffle itself. Identical output with and without salting is
+    asserted on a synthetic star graph in tests/test_louvain.py."""
+    if salt_hubs <= 1:
+        return (
+            sym.join(a_dst, "dst")
+            .groupBy(F.col("src").alias("id"), "community")
+            .agg(F.sum("weight").alias("w2c"))
+        )
+    hubs = (
+        sym.groupBy("dst")
+        .agg(F.count("*").alias("n_nbr"))
+        .filter(F.col("n_nbr") >= hub_min_neighbors)
+        .select("dst")
+    )
+    # few hubs by power-law assumption → broadcast both uses
+    sym_s = sym.join(
+        F.broadcast(hubs).withColumn("is_hub", F.lit(True)), "dst", "left"
+    ).withColumn(
+        "salt",
+        F.when(
+            F.col("is_hub").isNotNull(),
+            F.pmod(F.xxhash64("src"), F.lit(salt_hubs)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    a_hub = (
+        a_dst.join(F.broadcast(hubs), "dst")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(salt_hubs)])))
+    )
+    a_rest = a_dst.join(F.broadcast(hubs), "dst", "left_anti").withColumn(
+        "salt", F.lit(0)
+    )
+    return (
+        sym_s.join(a_rest.unionByName(a_hub), ["dst", "salt"])
+        .groupBy(F.col("src").alias("id"), "community")
+        .agg(F.sum("weight").alias("w2c"))
+    )
+
+
+def neighbor_com_weights(
+    edges: DataFrame,
+    assignment: DataFrame,
+    salt_hubs: int = 0,
+    hub_min_neighbors: int = 10_000,
+) -> DataFrame:
     """w2c: for each node u, Σ weight of u's edges into each adjacent
     community (reference: _neighbor_weights, louvain.py:335-349).
-    Self-loops excluded (louvain.py:267)."""
+    Self-loops excluded (louvain.py:267). See _w2c_from_sym for the
+    hub-salting skew bound."""
     sym = symmetrize(edges).filter(F.col("src") != F.col("dst"))
     a_dst = assignment.select(
         F.col("id").alias("dst"), F.col("community").alias("community")
     )
-    return (
-        sym.join(a_dst, "dst")
-        .groupBy(F.col("src").alias("id"), "community")
-        .agg(F.sum("weight").alias("w2c"))
-    )
+    return _w2c_from_sym(sym, a_dst, salt_hubs, hub_min_neighbors)
 
 
 def community_totals(edges: DataFrame, assignment: DataFrame) -> DataFrame:
@@ -452,6 +511,8 @@ def _one_level(
     seed: int,
     max_sweeps: int,
     directed: bool = False,
+    salt_hubs: int = 0,
+    hub_min_neighbors: int = 10_000,
 ) -> tuple[DataFrame, int]:
     """One Louvain level (reference: _one_level, louvain.py:227-332) as
     synchronized parity-alternating rounds. Returns (assignment on this
@@ -506,11 +567,7 @@ def _one_level(
     for rnd in range(max_sweeps):
         t_round = time.time()
         a_dst = state.select(F.col("id").alias("dst"), "community")
-        w2c = (
-            sym.join(a_dst, "dst")
-            .groupBy(F.col("src").alias("id"), "community")
-            .agg(F.sum("weight").alias("w2c"))
-        )
+        w2c = _w2c_from_sym(sym, a_dst, salt_hubs, hub_min_neighbors)
         own_w2c = w2c.withColumnRenamed("w2c", "w2c_own")
         if directed:
             sigma = state.groupBy("community").agg(
@@ -667,6 +724,8 @@ def louvain_communities(
     inline_threshold: int = 1_000_000,
     vertices: DataFrame | None = None,
     directed: bool = False,
+    salt_hubs: int = 0,
+    hub_min_neighbors: int = 10_000,
 ) -> LouvainResult:
     """Full Louvain (reference: louvain_partitions, louvain.py:135-224):
     alternate local-move and coarsen until the level's modularity gain
@@ -689,6 +748,11 @@ def louvain_communities(
 
     ``vertices``: optional (id) DataFrame; isolated vertices (no edges)
     become singleton communities (reference: louvain.py:194-197).
+
+    ``salt_hubs`` / ``hub_min_neighbors``: skew control for the per-round
+    w2c join on power-law graphs — see _w2c_from_sym. Off by default
+    (salting costs an extra degree count + broadcast per round and only
+    pays off when real hubs exist).
     """
     edges = aggregate_parallel_edges(edges)  # multigraph → simple (louvain.py:372-384)
     result = LouvainResult(assignment=None)  # type: ignore[arg-type]
@@ -742,7 +806,14 @@ def louvain_communities(
         if _VERBOSE:
             print(f"  level {level}: distributed ({n_edges} edges)", flush=True)
         level_assign, n_moves = _one_level(
-            spark, edges, gamma, seed + level, max_sweeps, directed=directed
+            spark,
+            edges,
+            gamma,
+            seed + level,
+            max_sweeps,
+            directed=directed,
+            salt_hubs=salt_hubs,
+            hub_min_neighbors=hub_min_neighbors,
         )
         level_assign = level_assign.localCheckpoint(eager=True)
         if global_assign is None:

@@ -186,3 +186,40 @@ def test_label_propagation_partition(spark):
     assert _is_partition(
         lp.withColumnRenamed("label", "community"), vertices_of(edges)
     )
+
+
+def test_hub_salting_identical_results(spark):
+    """On a star/power-law graph, hub-salted w2c and _one_level must be
+    bit-identical to the unsalted versions — salting only changes WHERE
+    rows meet, never what is aggregated."""
+    import pyspark.sql.functions as F
+
+    from louvain_modularity_spark.louvain import _one_level, neighbor_com_weights
+
+    # hub 0 with 400 spokes + a chain through the spokes for structure
+    rows = [(0, i, 1.0) for i in range(1, 401)]
+    rows += [(i, i + 1, 2.0) for i in range(1, 400, 3)]
+    edges = spark.createDataFrame(rows, "src LONG, dst LONG, weight DOUBLE")
+    assign = edges.select(F.col("src").alias("id")).union(
+        edges.select("dst")
+    ).distinct().select("id", F.pmod("id", F.lit(7)).alias("community"))
+
+    plain = {
+        (r["id"], r["community"]): r["w2c"]
+        for r in neighbor_com_weights(edges, assign).collect()
+    }
+    salted = {
+        (r["id"], r["community"]): r["w2c"]
+        for r in neighbor_com_weights(
+            edges, assign, salt_hubs=4, hub_min_neighbors=50
+        ).collect()
+    }
+    assert plain == salted
+
+    a_plain, m_plain = _one_level(spark, edges, gamma=1.0, seed=1, max_sweeps=4)
+    a_salt, m_salt = _one_level(
+        spark, edges, gamma=1.0, seed=1, max_sweeps=4,
+        salt_hubs=4, hub_min_neighbors=50,
+    )
+    assert m_plain == m_salt
+    assert sorted(map(tuple, a_plain.collect())) == sorted(map(tuple, a_salt.collect()))
