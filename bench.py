@@ -33,6 +33,7 @@ HEADLINE = [
     "q_degree_weighted",
     "q_modularity",
     "q_louvain_communities",
+    "q_louvain_distributed",
     "q_text_tokens",
     "q_tfidf",
     "q_dedup_minhash",

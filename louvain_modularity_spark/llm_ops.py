@@ -440,10 +440,13 @@ def dedup_minhash_pairs(d: DataFrame, max_bucket: int = 100) -> DataFrame:
     bands = band_dfs[0]
     for extra in band_dfs[1:]:
         bands = bands.unionByName(extra)
-    sz = bands.groupBy("band", "band_hash").agg(
-        F.count("*").alias("bucket_sz"), F.min("doc_id").alias("rep")
+    # bucket size + representative via a window over the SAME
+    # (band, band_hash) partitioning the candidate self-join uses —
+    # one shuffle, no extra aggregate+join round trip
+    wb = Window.partitionBy("band", "band_hash")
+    bands_sz = bands.withColumn("bucket_sz", F.count("*").over(wb)).withColumn(
+        "rep", F.min("doc_id").over(wb)
     )
-    bands_sz = bands.join(sz, ["band", "band_hash"])
     small = bands_sz.filter(F.col("bucket_sz") <= max_bucket).select(
         "band", "band_hash", "doc_id"
     )

@@ -1235,6 +1235,25 @@ def q_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_louvain_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship with the distributed path FORCED: inline_threshold=50k
+    makes the sf0.1 co-purchase graph (~587k edges) run ≥1 real
+    synchronized-round _one_level level before the in-driver tail, so
+    the distributed per-round cost — the part that dominates a 100 TB
+    first level — is measured by bench.py every round instead of only
+    being correctness-tested. rows-only (parallel move order is
+    engine-defined); quality-vs-inline parity asserted in
+    tests/test_louvain.py::test_distributed_level_path."""
+    edges = copurchase_edges(spark, sf_dir)
+    res = louvain_communities(spark, edges, inline_threshold=50_000, max_sweeps=4)
+    return res.assignment.select(
+        "id",
+        "community",
+        F.lit(res.n_levels).alias("n_levels"),
+        F.lit(round(res.modularities[-1], 9)).alias("final_q"),
+    )
+
+
 def q_louvain_dendrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-level partitions in long format (level, id, community)."""
     edges = copurchase_edges(spark, sf_dir)
@@ -1303,6 +1322,7 @@ QUERIES = {
     "q_best_move": q_best_move,
     "q_louvain_one_level": q_louvain_one_level,
     "q_louvain_communities": q_louvain_communities,
+    "q_louvain_distributed": q_louvain_distributed,
     "q_louvain_dendrogram": q_louvain_dendrogram,
     "q_seeded_order": q_seeded_order,
     "q_label_propagation": q_label_propagation,
