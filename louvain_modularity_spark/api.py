@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import louvain as _louvain
 from . import metrics as _metrics
+from .sources import read_edgelist  # noqa: F401  (public API re-export)
 
 
 def _normalize(edges: DataFrame, weight: str | None) -> DataFrame:

@@ -86,20 +86,37 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def karate_edges(spark: SparkSession, weighted: bool = False) -> DataFrame:
-    """Zachary karate-club fixture as an edge DataFrame (34 nodes,
-    78 edges; FIXTURES.md §3.1). Comment lines start with '#'.
-    """
+def read_edgelist(
+    spark: SparkSession,
+    path: str,
+    weighted: bool = False,
+    sep: str = " ",
+    comment: str = "#",
+) -> DataFrame:
+    """Generic whitespace-separated edge-list reader — a real user's
+    first action ("load my edge file") as one public call, not a
+    packaged-fixture special case. Lines: ``src dst [weight]``; comment
+    lines start with ``comment``; missing weights default to 1.0
+    (reference: NX read_weighted_edgelist semantics).
+
+    Scale: spark.read.csv splits large files by HDFS block and prunes
+    the weight column when unused; schema is explicit so no inference
+    pass over the data."""
     ensure_conf(spark)
     if weighted:
         df = spark.read.csv(
-            KARATE_WEIGHTED_EDGELIST,
-            sep=" ",
-            comment="#",
-            schema="src LONG, dst LONG, weight DOUBLE",
-        )
+            path, sep=sep, comment=comment, schema="src LONG, dst LONG, weight DOUBLE"
+        ).withColumn("weight", F.coalesce("weight", F.lit(1.0)))
     else:
         df = spark.read.csv(
-            KARATE_EDGELIST, sep=" ", comment="#", schema="src LONG, dst LONG"
+            path, sep=sep, comment=comment, schema="src LONG, dst LONG"
         ).withColumn("weight", F.lit(1.0))
     return df
+
+
+def karate_edges(spark: SparkSession, weighted: bool = False) -> DataFrame:
+    """Zachary karate-club fixture as an edge DataFrame (34 nodes,
+    78 edges; FIXTURES.md §3.1) — the packaged-path case of
+    read_edgelist."""
+    path = KARATE_WEIGHTED_EDGELIST if weighted else KARATE_EDGELIST
+    return read_edgelist(spark, path, weighted=weighted)

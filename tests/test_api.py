@@ -65,3 +65,21 @@ def test_api_modularity_rejects_partial_partition(spark):
     )
     with pytest.raises(NotAPartition, match="multiple"):
         api.modularity(karate_edges(spark), dup)
+
+
+def test_read_edgelist_generic(spark, tmp_path):
+    """Path-parameterized edge-list reading: comments, blank weights,
+    weighted and unweighted forms."""
+    p = tmp_path / "my.edgelist"
+    p.write_text("# a comment\n1 2 3.5\n2 3 1.5\n")
+    rows = sorted(
+        map(tuple, api.read_edgelist(spark, str(p), weighted=True).collect())
+    )
+    assert rows == [(1, 2, 3.5), (2, 3, 1.5)]
+    pu = tmp_path / "unweighted.edgelist"
+    pu.write_text("5 6\n6 7\n")
+    rows_u = sorted(map(tuple, api.read_edgelist(spark, str(pu)).collect()))
+    assert rows_u == [(5, 6, 1.0), (6, 7, 1.0)]
+    # end-to-end: reader output feeds the flagship directly
+    res = api.louvain_communities(spark, api.read_edgelist(spark, str(pu)))
+    assert res.count() == 3

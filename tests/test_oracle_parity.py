@@ -25,3 +25,14 @@ def test_rows_only_runs(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.columns, f"{name}: no columns"
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity_sf001(spark, name):
+    """Same parity at sf0.01 — the scale the driver compares at;
+    catches scale-dependent divergence (bin bounds, top-k ties) that
+    sf0.001 can't."""
+    from conftest import SF01_DIR
+
+    ok, msg = compare(spark, QUERIES[name], ORACLES[name], SF01_DIR, name)
+    assert ok, msg
