@@ -16,15 +16,37 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
-    from . import funcs, graph, llm_ops, louvain, metrics, multimodal, relational, streaming
+    from . import (
+        funcs,
+        graph,
+        llm_ops,
+        louvain,
+        metrics,
+        multimodal,
+        relational,
+        streaming,
+        textprep,
+    )
 
     # Order matters: the correctness driver verifies the FIRST 50 entries of
     # all_queries(). Round 1 verified the relational/funcs/graph packs (and the
-    # first three louvain queries); this order puts the remaining 44 queries —
+    # first three louvain queries); this order puts the remaining queries —
     # the louvain tail, metrics, llm_ops, multimodal, and streaming packs —
     # inside the round-2 window so every registered query ends up with a hard
-    # driver-verified correctness row across rounds.
-    return [louvain, metrics, llm_ops, multimodal, streaming, relational, funcs, graph]
+    # driver-verified correctness row across rounds. textprep (new in round 2)
+    # is appended last so it cannot displace this round's verification
+    # targets; it rotates into the window next round.
+    return [
+        louvain,
+        metrics,
+        llm_ops,
+        multimodal,
+        streaming,
+        relational,
+        funcs,
+        graph,
+        textprep,
+    ]
 
 
 def all_queries() -> dict[str, QueryFn]:

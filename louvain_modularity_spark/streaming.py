@@ -252,6 +252,95 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the canonical streaming lookup:
+    the events stream joined to the static customer dimension on
+    user_id, aggregated per (mktsegment, event_type). The static side
+    is broadcast at scale (it is re-read per micro-batch, so dimension
+    updates are picked up); availableNow ⇒ equals the batch join."""
+    from .sources import load
+
+    ev = stream_events(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    agg = (
+        ev.withWatermark("ts_ltz", "10 minutes")
+        .join(cust, "user_id")
+        .groupBy("mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    return run_to_table(spark, agg, "complete")
+
+
+ORACLE_STREAM_STATIC_JOIN = """
+SELECT c_mktsegment AS mktsegment, event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    each click joined to the same user's purchases within the following
+    hour. Both sides carry watermarks so the join state is bounded —
+    the 100 TB shape (state expires once the watermark passes the range
+    bound). availableNow single batch ⇒ equals the batch θ-join."""
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts_us").alias("click_us"),
+            F.col("ts_ltz").alias("click_ltz"),
+        )
+        .withWatermark("click_ltz", "10 minutes")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts_us").alias("purchase_us"),
+            F.col("ts_ltz").alias("purchase_ltz"),
+        )
+        .withWatermark("purchase_ltz", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND "
+            "purchase_ltz >= click_ltz AND "
+            "purchase_ltz <= click_ltz + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.col("purchase_us") - F.col("click_us")).alias("gap_us"),
+    )
+    return run_to_table(spark, joined, "append")
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) >= epoch_us(c.ts)
+ AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+"""
+
+
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data handling surface: watermarked tumbling count in APPEND
     mode — only windows the watermark has passed are emitted (rows-only
@@ -276,6 +365,8 @@ QUERIES = {
     "q_stream_session": q_stream_session,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_stateful_count": q_stream_stateful_count,
+    "q_stream_static_join": q_stream_static_join,
+    "q_stream_stream_join": q_stream_stream_join,
     "q_stream_watermark": q_stream_watermark,
 }
 
@@ -285,6 +376,8 @@ ORACLES = {
     "q_stream_session": ORACLE_STREAM_SESSION,
     "q_stream_dedup": ORACLE_STREAM_DEDUP,
     "q_stream_stateful_count": ORACLE_STREAM_STATEFUL_COUNT,
+    "q_stream_static_join": ORACLE_STREAM_STATIC_JOIN,
+    "q_stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
     # rows-only: q_stream_watermark (append-mode emission depends on
     # final-batch watermark advancement; semantics pinned in tests)
 }

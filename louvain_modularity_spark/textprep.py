@@ -1,0 +1,339 @@
+"""Training-data preparation operators (SURVEY.md §2.14 round-2 pack):
+chunking, n-gram statistics, vocabulary building, stopword removal,
+log sessionization, quality filtering, PII scrubbing, and embedding
+hygiene — the batch text/embedding plumbing of an LLM data pipeline,
+each with a DuckDB oracle.
+
+Scale notes: every operator is an explode→groupBy / window / regex
+projection — map-side-combined single shuffles or shuffle-free
+projections. The only global window (vocabulary ranking) runs on the
+token *vocabulary*, orders of magnitude smaller than the corpus.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .llm_ops import _DOT_SQL, _dot, tokens_of
+from .sources import load
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+GAP_30M_US = 1_800_000_000
+
+#: function words of the synthetic corpus (FIXTURES.md: lowercase,
+#: space-separated vocabulary)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window prep: split each document into sliding token
+    chunks (32 tokens, stride 16; trailing partial chunk kept) — the
+    standard pretraining 'pack documents into windows' step. Pure
+    array arithmetic, shuffle-free."""
+    d = load(spark, sf_dir, "documents")
+    starts = (
+        f"sequence(1, greatest(size(split(text, ' ')) - {CHUNK_TOKENS}, 0) + 1,"
+        f" {CHUNK_STRIDE})"
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.split("text", " ").alias("toks"),
+            F.posexplode(F.expr(starts)).alias("chunk_idx", "start_pos"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(f"slice(toks, start_pos, {CHUNK_TOKENS})").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").alias("n_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+ORACLE_CHUNK_SLIDING = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {CHUNK_TOKENS}, 0) + 2, {CHUNK_STRIDE})) AS start_pos,
+         unnest(range(len(range(1, greatest(len(toks) - {CHUNK_TOKENS}, 0) + 2, {CHUNK_STRIDE})))) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(list_slice(toks, start_pos, start_pos + {CHUNK_TOKENS} - 1)) AS INTEGER) AS n_tokens,
+       array_to_string(list_slice(toks, start_pos, start_pos + {CHUNK_TOKENS} - 1), ' ') AS chunk_text
+FROM s
+"""
+
+
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics (language-model n-gram counting):
+    adjacent token pairs per document, counted corpus-wide. explode →
+    one map-side-combined groupBy."""
+    d = load(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) < 2 THEN array()"
+        " ELSE transform(sequence(1, size(split(text, ' ')) - 1),"
+        "  i -> concat(element_at(split(text, ' '), i), ' ',"
+        "              element_at(split(text, ' '), i + 1))) END"
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+ORACLE_NGRAM_COUNTS = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+b AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)
+)
+SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY bigram
+"""
+
+
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with stable ids (the tokenizer-
+    training id assignment): rank by (count DESC, token ASC). The
+    global window runs over the VOCABULARY (distinct tokens), not the
+    corpus — small by construction."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        tokens_of(d)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.select(
+        "token", "cnt", F.row_number().over(w).alias("vocab_id")
+    )
+
+
+ORACLE_TOKEN_VOCAB = """
+SELECT token, cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS INTEGER) AS vocab_id
+FROM (
+  SELECT token, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> '' GROUP BY token
+)
+"""
+
+
+def q_stopword_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal with order-preserving reconstruction: tokens
+    are position-tagged, filtered against the broadcast stopword list,
+    and re-joined in position order — collect_list order is made
+    deterministic by array_sort over (pos, token) structs."""
+    d = load(spark, sf_dir, "documents")
+    kept = (
+        tokens_of(d)
+        .filter((F.col("token") != "") & (~F.col("token").isin(*STOPWORDS)))
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, token))), x -> x.token)"),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+ORACLE_STOPWORD_REMOVE = f"""
+SELECT doc_id, COUNT(*) AS n_kept,
+       string_agg(token, ' ' ORDER BY pos) AS clean_text
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+)
+WHERE token <> '' AND token NOT IN ({_STOP_SQL})
+GROUP BY doc_id
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch log sessionization (the training-data view of user event
+    history): sessions split on ≥30-minute inactivity via lag + running
+    sum — one shuffle on user_id, both window functions share it."""
+    ev = load(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_sess = F.when(
+        F.col("ts_us") - F.lag("ts_us").over(w_ord) >= GAP_30M_US, 1
+    ).otherwise(0)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = ev.select(
+        "user_id", "ts_us", "event_id", new_sess.alias("new_sess")
+    ).withColumn("session_id", F.sum("new_sess").over(w_run))
+    return marked.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   >= {GAP_30M_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality gate: length bounds, mean token length,
+    and type-token (distinct) ratio as filter flags plus the combined
+    keep decision — shuffle-free per-document arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    mean_len = (F.length("text") - (n_tok - 1)).cast("double") / n_tok
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(n_distinct.cast("double") / n_tok, 6).alias("distinct_ratio"),
+        (
+            n_tok.between(20, 80)
+            & (mean_len <= 8.0)
+            & (n_distinct.cast("double") / n_tok >= 0.3)
+        ).alias("keep"),
+    )
+
+
+ORACLE_LENGTH_FILTER = """
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       ROUND(CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks), 6) AS mean_token_len,
+       ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio,
+       (len(toks) BETWEEN 20 AND 80
+        AND CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) <= 8.0
+        AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3) AS keep
+FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+"""
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+_NUM_RE = "[0-9]+"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scrubbing of telemetry payloads (the PII-redaction shape):
+    count and redact digit runs and email-shaped substrings in
+    events.props. Pure projections — no shuffle; regexes are shared
+    verbatim with the oracle (Java and RE2 agree on this subset)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.size(F.expr(f"regexp_extract_all(props, '{_NUM_RE}', 0)")).alias("n_digit_runs"),
+        F.size(F.expr(f"regexp_extract_all(props, '{_EMAIL_RE}', 0)")).alias("n_emails"),
+        F.regexp_replace(
+            F.regexp_replace("props", _EMAIL_RE, "<EMAIL>"), _NUM_RE, "<NUM>"
+        ).alias("scrubbed"),
+    )
+
+
+ORACLE_PII_SCRUB = f"""
+SELECT event_id,
+       CAST(len(regexp_extract_all(props, '{_NUM_RE}')) AS INTEGER) AS n_digit_runs,
+       CAST(len(regexp_extract_all(props, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       regexp_replace(regexp_replace(props, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_NUM_RE}', '<NUM>', 'g') AS scrubbed
+FROM events
+"""
+
+
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene: L2 norm plus the first two unit-normalized
+    components (the checkable slice of x/|x|) — JVM-side fold, no
+    Python, no shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    n2 = _dot(F.col("embedding"), F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(n2), 6).alias("l2_norm"),
+        F.round(F.expr("CAST(element_at(embedding, 1) AS DOUBLE)") / F.sqrt(n2), 6).alias("u0"),
+        F.round(F.expr("CAST(element_at(embedding, 2) AS DOUBLE)") / F.sqrt(n2), 6).alias("u1"),
+    )
+
+
+ORACLE_EMBEDDING_NORMALIZE = f"""
+SELECT vec_id,
+       ROUND(SQRT({_DOT_SQL.format(a='embedding', b='embedding')}), 6) AS l2_norm,
+       ROUND(CAST(embedding[1] AS DOUBLE)
+             / SQRT({_DOT_SQL.format(a='embedding', b='embedding')}), 6) AS u0,
+       ROUND(CAST(embedding[2] AS DOUBLE)
+             / SQRT({_DOT_SQL.format(a='embedding', b='embedding')}), 6) AS u1
+FROM embeddings
+"""
+
+
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids in long format (label, dimension, mean) —
+    the k-means/IVF training step. posexplode → one map-side-combined
+    groupBy on (label, dim); at scale this is the standard
+    sum/count-per-dimension partial aggregate."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "x"))
+        .groupBy("label", (F.col("pos0") + 1).alias("dim"))
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
+    )
+
+
+ORACLE_EMBEDDING_CENTROID = """
+SELECT label, CAST(i AS INTEGER) AS dim,
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+GROUP BY label, i
+"""
+
+
+QUERIES = {
+    "q_chunk_sliding": q_chunk_sliding,
+    "q_ngram_counts": q_ngram_counts,
+    "q_token_vocab": q_token_vocab,
+    "q_stopword_remove": q_stopword_remove,
+    "q_sessionize": q_sessionize,
+    "q_length_filter": q_length_filter,
+    "q_pii_scrub": q_pii_scrub,
+    "q_embedding_normalize": q_embedding_normalize,
+    "q_embedding_centroid": q_embedding_centroid,
+}
+
+ORACLES = {
+    "q_chunk_sliding": ORACLE_CHUNK_SLIDING,
+    "q_ngram_counts": ORACLE_NGRAM_COUNTS,
+    "q_token_vocab": ORACLE_TOKEN_VOCAB,
+    "q_stopword_remove": ORACLE_STOPWORD_REMOVE,
+    "q_sessionize": ORACLE_SESSIONIZE,
+    "q_length_filter": ORACLE_LENGTH_FILTER,
+    "q_pii_scrub": ORACLE_PII_SCRUB,
+    "q_embedding_normalize": ORACLE_EMBEDDING_NORMALIZE,
+    "q_embedding_centroid": ORACLE_EMBEDDING_CENTROID,
+}
