@@ -223,3 +223,39 @@ def test_hub_salting_identical_results(spark):
     )
     assert m_plain == m_salt
     assert sorted(map(tuple, a_plain.collect())) == sorted(map(tuple, a_salt.collect()))
+
+
+def test_connected_components_star_equivalence(spark):
+    """large-/small-star must agree with min-id propagation on: karate
+    + disjoint extras, a 60-node path (the high-diameter case the
+    algorithm exists for), and a random multi-component graph."""
+    from louvain_modularity_spark.louvain import connected_components_star
+
+    def comp_map(df):
+        return {r["id"]: r["component"] for r in df.collect()}
+
+    cases = []
+    cases.append(
+        karate_edges(spark).unionByName(
+            spark.createDataFrame(
+                [(100, 101, 1.0), (102, 103, 1.0), (103, 104, 1.0)],
+                "src LONG, dst LONG, weight DOUBLE",
+            )
+        )
+    )
+    cases.append(
+        spark.createDataFrame(
+            [(i, i + 1, 1.0) for i in range(60)], "src LONG, dst LONG, weight DOUBLE"
+        )
+    )
+    import random
+
+    rng = random.Random(7)
+    rand = [
+        (rng.randrange(0, 200), rng.randrange(0, 200), 1.0) for _ in range(150)
+    ]
+    cases.append(spark.createDataFrame(rand, "src LONG, dst LONG, weight DOUBLE"))
+    for edges in cases:
+        assert comp_map(connected_components_star(spark, edges)) == comp_map(
+            connected_components(spark, edges)
+        )
