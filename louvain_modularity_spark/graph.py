@@ -16,7 +16,7 @@ import os
 import uuid
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from .sources import (
     COPURCHASE_EDGES_SQL,
@@ -388,6 +388,147 @@ SELECT id, id % 10 AS community_l0, (id % 10) % 3 AS community_final FROM v
 """
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count by DEGREE-ORIENTED wedge closing — the
+    scale-correct formulation: orient every undirected edge from the
+    lower-(degree, id) endpoint to the higher one, form wedges at the
+    low-degree apex, and close them against the oriented edge list.
+    Orientation bounds wedge fan-out by O(m^1.5) total (a hub only
+    fans out to its few HIGHER-degree neighbors), where id-orientation
+    would explode on power-law graphs. The count is
+    orientation-invariant, so the SQL oracle can use plain
+    id-orientation and still match."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    # total order: rank by (degree, id); orient edges rank-up
+    w = Window.orderBy("deg", "id")
+    rank = deg.select("id", F.row_number().over(w).alias("r"))
+    ra = rank.select(F.col("id").alias("a"), F.col("r").alias("ra"))
+    rb = rank.select(F.col("id").alias("b"), F.col("r").alias("rb"))
+    o = (
+        und.join(ra, "a")
+        .join(rb, "b")
+        .select(
+            F.least("ra", "rb").alias("lo"), F.greatest("ra", "rb").alias("hi")
+        )
+    )
+    wedges = (
+        o.alias("x")
+        .join(o.alias("y"), "lo")
+        .filter(F.col("x.hi") < F.col("y.hi"))
+        .select(F.col("x.hi").alias("lo"), F.col("y.hi").alias("hi"))
+    )
+    return wedges.join(o, ["lo", "hi"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of karate ∪ a disjoint 4-clique (45 + 4 = 49;
+    the co-purchase graph is bipartite, hence triangle-free — dull)."""
+    extra = spark.createDataFrame(
+        [(100, 101, 1.0), (100, 102, 1.0), (100, 103, 1.0),
+         (101, 102, 1.0), (101, 103, 1.0), (102, 103, 1.0)],
+        "src LONG, dst LONG, weight DOUBLE",
+    )
+    return triangle_count(karate_edges(spark).unionByName(extra))
+
+
+def _oracle_triangle_count() -> str:
+    return f"""
+WITH e AS (
+  {_KARATE_SQL}
+  UNION ALL
+  SELECT * FROM (VALUES (100, 101, 1.0), (100, 102, 1.0), (100, 103, 1.0),
+                        (101, 102, 1.0), (101, 103, 1.0), (102, 103, 1.0)) t(src, dst, weight)
+),
+o AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e WHERE src <> dst
+)
+SELECT COUNT(*) AS n_triangles
+FROM o e1 JOIN o e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    iters: int = 20,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank by power iteration over the edge DataFrame
+    (Pregel-style superstep = one join + one aggregate per iteration;
+    same execution model as connected_components/label_propagation).
+    Dangling-node mass is redistributed uniformly each step (the
+    standard stochastic-matrix fix), so total rank stays n.
+
+    Scale: per iteration one shuffle of E contributions (map-side
+    combined) + one of n ranks; static out-degree table cached;
+    lineage truncated per iteration. Returns (id, rank) with
+    Σ rank = n (networkx-convention × n)."""
+    verts = vertices_of(edges).localCheckpoint(eager=True)
+    n = verts.count()
+    if n == 0:
+        return verts.select("id", F.lit(1.0).alias("rank"))
+    wout = edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").alias("wout")
+    )
+    base = verts.join(wout, "id", "left").localCheckpoint(eager=True)
+    ranks = base.select("id", "wout", F.lit(1.0).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(
+                ranks.select(
+                    F.col("id").alias("src"), "rank", F.col("wout").alias("w_src")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("weight") / F.col("w_src")).alias("flow"))
+        )
+        dangling = ranks.filter(F.col("wout").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        dm = dangling.collect()[0]["dm"]
+        ranks = (
+            base.join(contribs, "id", "left")
+            .select(
+                "id",
+                "wout",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce("flow", F.lit(0.0)) + F.lit(dm / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", "rank")
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on symmetrized karate, 50 iterations (rows-only:
+    iterative; golden-checked against networkx power iteration in
+    tests)."""
+    sym = symmetrize(karate_edges(spark))
+    return pagerank(spark, sym, iters=50).select(
+        "id", F.round("rank", 6).alias("rank")
+    )
+
+
 QUERIES = {
     "q_edges_from_relational": q_edges_from_relational,
     "q_read_edgelist": q_read_edgelist,
@@ -402,6 +543,8 @@ QUERIES = {
     "q_graph_size_m": q_graph_size_m,
     "q_coarsen_edges": q_coarsen_edges,
     "q_membership_rollup": q_membership_rollup,
+    "q_triangle_count": q_triangle_count,
+    "q_pagerank": q_pagerank,
 }
 
 ORACLES = {
@@ -416,6 +559,8 @@ ORACLES = {
     "q_graph_size_m": ORACLE_GRAPH_SIZE_M,
     "q_coarsen_edges": ORACLE_COARSEN_EDGES,
     "q_membership_rollup": ORACLE_MEMBERSHIP_ROLLUP,
+    "q_triangle_count": _oracle_triangle_count(),
     # rows-only: q_write_edgelist (sink round-trip), q_adjacency_pivot
-    # (dynamic pivot columns)
+    # (dynamic pivot columns), q_pagerank (iterative; networkx golden
+    # in tests)
 }

@@ -314,6 +314,39 @@ GROUP BY label, i
 """
 
 
+def q_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-sink round trip — the lakehouse layout step of a
+    training-data pipeline: write per-(lang, source) document stats
+    partitioned BY lang to parquet, read them back through the
+    partition-discovering reader, and return the read-back rows. The
+    oracle recomputes the same stats straight from the table, so the
+    round trip must be lossless (including the partition column's
+    string→read-back identity). At 100 TB this is `partitionBy` on a
+    low-cardinality column: one file set per partition value, enabling
+    partition pruning for downstream readers."""
+    import hashlib
+    import os
+
+    d = load(spark, sf_dir, "documents")
+    stats = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join("/root/repo/.tmp", f"part_sink_{tag}")
+    stats.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select(
+        "lang", "source", "n_docs", "total_chars"
+    )
+
+
+ORACLE_WRITE_PARTITIONED = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q_chunk_sliding": q_chunk_sliding,
     "q_ngram_counts": q_ngram_counts,
@@ -324,6 +357,7 @@ QUERIES = {
     "q_pii_scrub": q_pii_scrub,
     "q_embedding_normalize": q_embedding_normalize,
     "q_embedding_centroid": q_embedding_centroid,
+    "q_write_partitioned": q_write_partitioned,
 }
 
 ORACLES = {
@@ -336,4 +370,5 @@ ORACLES = {
     "q_pii_scrub": ORACLE_PII_SCRUB,
     "q_embedding_normalize": ORACLE_EMBEDDING_NORMALIZE,
     "q_embedding_centroid": ORACLE_EMBEDDING_CENTROID,
+    "q_write_partitioned": ORACLE_WRITE_PARTITIONED,
 }

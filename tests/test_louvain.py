@@ -259,3 +259,50 @@ def test_connected_components_star_equivalence(spark):
         assert comp_map(connected_components_star(spark, edges)) == comp_map(
             connected_components(spark, edges)
         )
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    """PageRank golden: the distributed job after 50 supersteps must
+    match an independent in-memory power iteration on the same graph
+    (same damping, same uniform-dangling handling, ranks summing to n)
+    to 1e-9. (networkx's pagerank needs scipy, absent here; karate has
+    no dangling nodes so the dense reference below is the same math.)"""
+    from louvain_modularity_spark.graph import pagerank, symmetrize
+
+    edges = [(r["src"], r["dst"]) for r in karate_edges(spark).collect()]
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    n = len(nbrs)
+    ranks = {u: 1.0 for u in nbrs}
+    for _ in range(50):  # same superstep count as the job under test
+        flow = {u: 0.0 for u in nbrs}
+        for u, vs in nbrs.items():
+            share = ranks[u] / len(vs)
+            for v in vs:
+                flow[v] += share
+        ranks = {u: 0.15 + 0.85 * flow[u] for u in nbrs}
+
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(spark, symmetrize(karate_edges(spark)), iters=50).collect()
+    }
+    assert len(got) == n
+    for node, want in ranks.items():
+        assert abs(got[node] - want) < 1e-9, (node, got[node], want)
+
+
+def test_triangle_count_known_graphs(spark):
+    """Degree-oriented triangle counting: karate has 45 triangles, a
+    4-clique has 4, the bipartite co-purchase graph has 0."""
+    from louvain_modularity_spark.graph import triangle_count
+
+    assert triangle_count(karate_edges(spark)).collect()[0]["n_triangles"] == 45
+    clique = spark.createDataFrame(
+        [(a, b, 1.0) for a in range(4) for b in range(a + 1, 4)],
+        "src LONG, dst LONG, weight DOUBLE",
+    )
+    assert triangle_count(clique).collect()[0]["n_triangles"] == 4
+    bip = copurchase_edges(spark, SF_DIR)
+    assert triangle_count(bip).collect()[0]["n_triangles"] == 0
