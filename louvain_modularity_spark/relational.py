@@ -794,6 +794,72 @@ GROUP BY o_orderpriority
 """
 
 
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style 'latest row per key': the newest event per
+    (user_id, event_type), ties broken by event_id — the standard
+    changelog-compaction shape. One shuffle on the key; the window's
+    sort is per-partition."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts_us", "value")
+    )
+
+
+ORACLE_LATEST_PER_KEY = """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert (MERGE INTO) as its engine-level primitive: a full-outer
+    join of the base table against a changeset, coalescing updated
+    columns — matched keys take the update, unmatched base rows keep
+    their values, update-only keys would insert. Changeset here: each
+    customer's order spend replaces the account balance where orders
+    exist. At scale both sides shuffle on the key once (or are
+    co-located by bucketing); this is what table formats execute under
+    MERGE."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    upd = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            _money_sum(_dec("o_totalprice")).alias("spend"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    return c.join(upd, "c_custkey", "full").select(
+        "c_custkey",
+        "c_name",
+        F.round(F.coalesce("spend", "c_acctbal"), 2).alias("acctbal"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH upd AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS spend,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT c.c_custkey, c.c_name,
+       ROUND(COALESCE(u.spend, c.c_acctbal), 2) AS acctbal,
+       COALESCE(u.n_orders, 0) AS n_orders
+FROM customer c FULL OUTER JOIN upd u USING (c_custkey)
+"""
+
+
 QUERIES = {
     "q_scan_parquet": q_scan_parquet,
     "q_subquery_scalar": q_subquery_scalar,
@@ -822,6 +888,8 @@ QUERIES = {
     "q_sort_limit": q_sort_limit,
     "q_set_ops": q_set_ops,
     "q_dedup_exact": q_dedup_exact,
+    "q_latest_per_key": q_latest_per_key,
+    "q_merge_upsert": q_merge_upsert,
 }
 
 ORACLES = {
@@ -851,5 +919,7 @@ ORACLES = {
     "q_sort_limit": ORACLE_SORT_LIMIT,
     "q_set_ops": ORACLE_SET_OPS,
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
+    "q_latest_per_key": ORACLE_LATEST_PER_KEY,
+    "q_merge_upsert": ORACLE_MERGE_UPSERT,
     # q_approx_cd: rows-only (approximate, engine-specific estimates)
 }
