@@ -440,15 +440,20 @@ def dedup_minhash_pairs(d: DataFrame, max_bucket: int = 100) -> DataFrame:
     bands = band_dfs[0]
     for extra in band_dfs[1:]:
         bands = bands.unionByName(extra)
-    # bucket size + representative via a window over the SAME
-    # (band, band_hash) partitioning the candidate self-join uses —
-    # one shuffle, no extra aggregate+join round trip
-    wb = Window.partitionBy("band", "band_hash")
-    bands_sz = bands.withColumn("bucket_sz", F.count("*").over(wb)).withColumn(
-        "rep", F.min("doc_id").over(wb)
+    # bands is consumed three times below (hot-list aggregate, anti-join,
+    # star pairs) and is tiny (4 longs/doc) — materialize it once
+    bands = bands.localCheckpoint(eager=True)
+    # oversized buckets are rare by construction (they are giant
+    # duplicate clusters), so compute ONLY the hot-bucket list (one
+    # map-side-combined aggregate) and broadcast it — cheaper than
+    # tagging every row with its bucket size via a window sort
+    big = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.count("*").alias("bucket_sz"), F.min("doc_id").alias("rep"))
+        .filter(F.col("bucket_sz") > max_bucket)
     )
-    small = bands_sz.filter(F.col("bucket_sz") <= max_bucket).select(
-        "band", "band_hash", "doc_id"
+    small = bands.join(
+        F.broadcast(big.select("band", "band_hash")), ["band", "band_hash"], "left_anti"
     )
     pairs_small = (
         small.alias("x")
@@ -457,9 +462,8 @@ def dedup_minhash_pairs(d: DataFrame, max_bucket: int = 100) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
     )
     pairs_big = (
-        bands_sz.filter(
-            (F.col("bucket_sz") > max_bucket) & (F.col("doc_id") != F.col("rep"))
-        )
+        bands.join(F.broadcast(big), ["band", "band_hash"])
+        .filter(F.col("doc_id") != F.col("rep"))
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
     cand = pairs_small.unionByName(pairs_big).distinct()
