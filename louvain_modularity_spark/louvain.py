@@ -654,20 +654,30 @@ def _one_level(
                 + F.col("w2c_cand") / m
                 - gamma * F.col("sigma_cand") * F.col("k") / (2.0 * m * m)
             )
-        w = Window.partitionBy("id").orderBy(F.desc("delta"), F.asc("community"))
         # same noise floor as the sequential tail: true gains are
-        # multiples of ~1/(2m²); below 1/(4m²) is float noise
+        # multiples of ~1/(2m²); below 1/(4m²) is float noise.
+        # Argmax over candidates is a map-side-combinable max_by hash
+        # aggregate, NOT a row_number window — the window shuffles and
+        # SORTS the full ~E-row candidate set, while max_by reduces it
+        # to one row per node per map partition before the shuffle.
+        # Tie order matches the window it replaced: highest delta, then
+        # smallest community (via -community in the comparison struct).
+        # The parity oscillation guard filters BEFORE the aggregate so
+        # the off-class candidates never shuffle at all.
         moves = (
             cand.withColumn("delta", gain)
             .filter(F.col("delta") > 1.0 / (4.0 * m * m))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            # oscillation guard: one hash-parity class per round
             .filter(
                 F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(2))
                 == F.lit(rnd % 2)
             )
-            .select("id", F.col("community").alias("new_community"))
+            .groupBy("id")
+            .agg(
+                F.max_by(
+                    "community",
+                    F.struct(F.col("delta"), (-F.col("community")).alias("nc")),
+                ).alias("new_community")
+            )
             # materialize once: n_moves comes free, and the state update
             # below reuses the tiny checkpointed result
             .localCheckpoint(eager=True)
