@@ -567,7 +567,17 @@ def _one_level(
     for rnd in range(max_sweeps):
         t_round = time.time()
         a_dst = state.select(F.col("id").alias("dst"), "community")
-        w2c = _w2c_from_sym(sym, a_dst, salt_hubs, hub_min_neighbors)
+        # oscillation guard, pushed to the source: only one hash-parity
+        # class of nodes may move this round, so only their incident
+        # edges need to flow through the w2c join+aggregate at all —
+        # a map-side filter on the cached sym halves the dominant
+        # per-round shuffle instead of discarding half the aggregated
+        # candidates afterwards. w2c groups by src, so filtering src
+        # parity keeps every (dst → community) edge of each active node.
+        sym_active = sym.filter(
+            F.pmod(F.xxhash64(F.col("src"), F.lit(seed)), F.lit(2)) == F.lit(rnd % 2)
+        )
+        w2c = _w2c_from_sym(sym_active, a_dst, salt_hubs, hub_min_neighbors)
         own_w2c = w2c.withColumnRenamed("w2c", "w2c_own")
         if directed:
             sigma = state.groupBy("community").agg(
@@ -662,15 +672,11 @@ def _one_level(
         # to one row per node per map partition before the shuffle.
         # Tie order matches the window it replaced: highest delta, then
         # smallest community (via -community in the comparison struct).
-        # The parity oscillation guard filters BEFORE the aggregate so
-        # the off-class candidates never shuffle at all.
+        # The parity oscillation guard already ran at the source (the
+        # sym_active filter above), so cand holds active-class nodes only.
         moves = (
             cand.withColumn("delta", gain)
             .filter(F.col("delta") > 1.0 / (4.0 * m * m))
-            .filter(
-                F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(2))
-                == F.lit(rnd % 2)
-            )
             .groupBy("id")
             .agg(
                 F.max_by(
@@ -678,8 +684,10 @@ def _one_level(
                     F.struct(F.col("delta"), (-F.col("community")).alias("nc")),
                 ).alias("new_community")
             )
-            # materialize once: n_moves comes free, and the state update
-            # below reuses the tiny checkpointed result
+            # materialize once: n_moves comes free, the state update
+            # below broadcast-joins the tiny checkpointed result, and a
+            # fused single-checkpoint variant measured SLOWER (the
+            # unmaterialized moves side loses its broadcast sizing)
             .localCheckpoint(eager=True)
         )
         n_moves = moves.count()
