@@ -1,0 +1,428 @@
+"""End-to-end training-data pipeline operators (SURVEY.md §2.15,
+round-2 pack): near-duplicate clustering with canonical-keeper
+selection, contiguous sequence packing, benchmark-contamination
+detection, Gopher-style repetition scoring, and Lloyd k-means over
+embeddings — the steps that turn a raw corpus into a training set.
+
+These compose the engine's own primitives (n-gram Jaccard pairs,
+distributed connected components) instead of re-implementing them —
+the same layering a user of the engine would write.
+
+Scale notes per operator are in each docstring; the common theme is
+that every step is either a bounded inverted-index join, a per-shard
+window, or an O(K·d) broadcast of driver-held centroids — no all-pairs
+products and no corpus-sized driver state.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .llm_ops import ngram_jaccard_pairs, shingles_of
+from .louvain import connected_components
+from .sources import load
+
+#: near-dup clustering edge threshold (exact n-gram Jaccard)
+DUP_JACCARD = 0.5
+#: sequence-packing context window, in whitespace tokens
+PACK_TOKENS = 256
+#: contamination shingle width / benchmark-membership modulus
+CONTAM_K = 4
+CONTAM_MOD = 23
+#: k-means cluster count (init = the K smallest vec_ids)
+KMEANS_K = 8
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate clustering
+# ---------------------------------------------------------------------------
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering + canonical-keeper selection — the
+    step AFTER pair generation that actual dedup pipelines need: build
+    the dup graph from exact n-gram Jaccard pairs (≥ DUP_JACCARD),
+    take connected components, and keep the min-doc_id member of each
+    cluster.
+
+    Output: (doc_id, cluster, keep) for every document; singletons are
+    their own cluster and always kept.
+
+    100 TB shape: pair generation is the skew-capped inverted-index
+    join (ngram_jaccard_pairs); clustering is Pregel-style min-id
+    propagation over the PAIR graph only — near-dup graphs are tiny
+    relative to the corpus (most docs are singletons and never enter
+    the iteration); the final join back to the corpus is a broadcast
+    of the clustered minority."""
+    d = load(spark, sf_dir, "documents")
+    edges = (
+        ngram_jaccard_pairs(d)
+        .filter(F.col("jaccard") >= DUP_JACCARD)
+        .select(
+            F.col("doc_a").alias("src"),
+            F.col("doc_b").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    comp = connected_components(spark, edges).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    return d.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster", "doc_id").alias("cluster"),
+        (F.coalesce("cluster", "doc_id") == F.col("doc_id")).alias("keep"),
+    )
+
+
+ORACLE_DUP_CLUSTERS = f"""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+            unnest(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)) AS i
+          FROM documents)
+  ) WHERE shingle <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {DUP_JACCARD}
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT sym.dst, reach.comp FROM reach JOIN sym ON sym.src = reach.id
+),
+cc AS (SELECT id AS doc_id, MIN(comp) AS cluster FROM reach GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(cc.cluster, d.doc_id) AS cluster,
+       COALESCE(cc.cluster, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN cc USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing (GPT-style pretraining batches):
+    within each language shard, lay documents end-to-end in doc_id
+    order and cut the token stream into PACK_TOKENS-sized windows; a
+    document's bin is the window its first token lands in.
+
+    Output: (doc_id, lang, n_tokens, stream_offset, bin_id).
+
+    100 TB shape: one running-sum window per shard, no global sort —
+    the shard key (here `lang` for oracle determinism; a hash-bucket
+    key in production) bounds every window partition, and packing
+    shards are embarrassingly parallel."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select(
+            "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        .withColumn(
+            "stream_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .withColumn(
+            "bin_id",
+            F.floor(F.col("stream_offset") / F.lit(PACK_TOKENS)).cast("bigint"),
+        )
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens AS stream_offset,
+       CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  / {PACK_TOKENS}) AS BIGINT) AS bin_id
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: count, per corpus document, the
+    distinct CONTAM_K-token shingles it shares with a held-out
+    benchmark set (docs with doc_id % CONTAM_MOD == 0 stand in for an
+    eval suite). Docs with any overlap are what a decontamination pass
+    would drop.
+
+    Output: (doc_id, n_shared) for contaminated non-benchmark docs.
+
+    100 TB shape: benchmark suites are small and fixed, so the
+    benchmark shingle set is BROADCAST; the corpus side is one
+    shuffle-free semi-join + one map-side-combined count — the corpus
+    is never self-joined."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_of(d, CONTAM_K)
+    bench = (
+        sh.filter(F.col("doc_id") % CONTAM_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % CONTAM_MOD != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+ORACLE_CONTAMINATION = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           array_to_string(list_slice(toks, i, i + {CONTAM_K} - 1), ' ') AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+            unnest(range(1, greatest(len(string_split(text, ' ')) - {CONTAM_K - 1}, 1) + 1)) AS i
+          FROM documents)
+  ) WHERE shingle <> ''
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {CONTAM_MOD} = 0)
+SELECT doc_id, COUNT(*) AS n_shared
+FROM sh JOIN bench USING (shingle)
+WHERE doc_id % {CONTAM_MOD} <> 0
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition / quality scoring
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: distinct-token
+    ratio and the fraction of all bigrams taken by the single most
+    frequent bigram (high → boilerplate/spam). Ratios are exact
+    integer-over-integer divisions, so both engines agree bitwise.
+
+    Output: (doc_id, n_tokens, distinct_ratio, top_bigram_frac).
+
+    100 TB shape: two map-side-combined per-doc aggregations; nothing
+    leaves the document's rows except the final per-doc scalars."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tok_stats = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) < 2 THEN array()"
+        " ELSE transform(sequence(1, size(split(text, ' ')) - 1),"
+        "  i -> concat(element_at(split(text, ' '), i), ' ',"
+        "              element_at(split(text, ' '), i + 1))) END"
+    )
+    bg_top = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_bigrams")
+        )
+    )
+    return (
+        tok_stats.join(bg_top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+                "distinct_ratio"
+            ),
+            F.coalesce(
+                F.col("top_cnt").cast("double") / F.col("n_bigrams"), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+ORACLE_REPETITION_RATIO = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tok_stats AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct
+  FROM toks WHERE token <> '' GROUP BY 1
+),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+          unnest(range(1, len(string_split(text, ' ')))) AS i
+        FROM documents WHERE len(string_split(text, ' ')) >= 2)
+),
+bg_top AS (
+  SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS n_bigrams
+  FROM (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT t.doc_id, t.n_tokens,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+       COALESCE(CAST(top_cnt AS DOUBLE) / n_bigrams, 0.0) AS top_bigram_frac
+FROM tok_stats t LEFT JOIN bg_top USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-means over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """(vec_id, cluster): nearest centroid by squared L2, ties to the
+    smallest cluster id. Centroids are driver-held literals (K·d
+    doubles) broadcast into the plan — the canonical Lloyd layout: the
+    corpus never shuffles, each iteration is one embarrassingly
+    parallel scan."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(v)) for v in vec]),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    return emb.select(
+        "vec_id", F.array_min(dists).getField("cid").alias("cluster")
+    )
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embeddings table (K = KMEANS_K, init =
+    the K smallest vec_ids, one centroid update, two assignment
+    rounds) — the training step behind the IVF ANN index's inverted
+    lists. Output: final (vec_id, cluster) assignments.
+
+    Distance and mean arithmetic are spelled identically in both
+    engines (index-ordered fold, double math); the integer-valued
+    output makes the comparison robust to end-of-float-sum noise.
+
+    100 TB shape: centroids (K·d doubles) live on the driver and are
+    broadcast as plan literals; each Lloyd iteration is one scan +
+    one map-side-combined per-(cluster, dim) average — the classic
+    distributed k-means layout. The corpus is never shuffled by
+    cluster; only K·d partial sums move."""
+    emb = load(spark, sf_dir, "embeddings")
+    init = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    init.sort()
+    a1 = _assign(emb, init)
+    upd = (
+        a1.join(emb, "vec_id")
+        .select("cluster", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("v"))
+        .collect()
+    )
+    cents: dict[int, dict[int, float]] = {}
+    for r in upd:
+        cents.setdefault(int(r["cluster"]), {})[int(r["dim"])] = float(r["v"])
+    c1 = [
+        (cid, [dims[i] for i in sorted(dims)]) for cid, dims in sorted(cents.items())
+    ]
+    return _assign(emb, c1)
+
+
+ORACLE_KMEANS = f"""
+WITH c0 AS (
+  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+d1 AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(list_zip(e.embedding, c.c),
+           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+              * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d
+  FROM embeddings e CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+cent AS (
+  SELECT a1.cluster, t.i, avg(CAST(e.embedding[t.i] AS DOUBLE)) AS v
+  FROM a1 JOIN embeddings e USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, len(c) + 1)) AS i
+              FROM (SELECT c FROM c0 LIMIT 1)) t
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cluster AS cid, list(v ORDER BY i) AS c FROM cent GROUP BY 1),
+d2 AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(list_zip(e.embedding, c.c),
+           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+              * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d
+  FROM embeddings e CROSS JOIN c1 c
+)
+SELECT vec_id, cid AS cluster FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM d2
+) WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "q_dup_clusters": q_dup_clusters,
+    "q_pack_sequences": q_pack_sequences,
+    "q_contamination": q_contamination,
+    "q_repetition_ratio": q_repetition_ratio,
+    "q_kmeans": q_kmeans,
+}
+
+ORACLES = {
+    "q_dup_clusters": ORACLE_DUP_CLUSTERS,
+    "q_pack_sequences": ORACLE_PACK_SEQUENCES,
+    "q_contamination": ORACLE_CONTAMINATION,
+    "q_repetition_ratio": ORACLE_REPETITION_RATIO,
+    "q_kmeans": ORACLE_KMEANS,
+}

@@ -23,6 +23,7 @@ def _modules():
         louvain,
         metrics,
         multimodal,
+        pipeline,
         relational,
         streaming,
         textprep,
@@ -46,6 +47,7 @@ def _modules():
         funcs,
         graph,
         textprep,
+        pipeline,
     ]
 
 
