@@ -64,6 +64,10 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("dst"),
             F.lit(1.0).alias("weight"),
         )
+        # the dup-pair graph is minuscule next to the corpus; pin it so
+        # the CC loop's vertex scan and supersteps don't re-run the
+        # inverted-index join per consumer
+        .localCheckpoint(eager=True)
     )
     comp = connected_components(spark, edges).select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster")
