@@ -529,6 +529,144 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def core_numbers(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """k-core decomposition by distributed peeling (Batagelj–Zaveršnik
+    order, synchronized): for k = 1, 2, … repeatedly delete all nodes
+    of remaining degree < k; a node deleted while peeling at level k
+    has core number k−1. Output: (id, core).
+
+    100 TB shape: each peel is one map-side-combined degree aggregate
+    + one broadcast anti-join of the (small) victim set against the
+    remaining edge list, with localCheckpoint lineage truncation per
+    peel; the surviving graph only shrinks, so late iterations are
+    cheap. O(Σ per-level peels) rounds — the same superstep budget as
+    the Pregel formulations of this algorithm."""
+    sym = symmetrize(edges).filter(F.col("src") != F.col("dst"))
+    alive = sym.localCheckpoint(eager=True)
+    assigned: list[DataFrame] = []
+    k = 1
+    while True:
+        if alive.isEmpty():
+            break
+        while True:
+            deg = alive.groupBy("src").agg(F.count("*").alias("deg"))
+            victims = deg.filter(F.col("deg") < k).select("src")
+            if victims.isEmpty():
+                break
+            assigned.append(
+                victims.select(
+                    F.col("src").alias("id"), F.lit(k - 1).alias("core")
+                ).localCheckpoint(eager=True)
+            )
+            v = F.broadcast(victims)
+            alive = (
+                alive.join(v, "src", "left_anti")
+                .join(v.withColumnRenamed("src", "dst"), "dst", "left_anti")
+                .select("src", "dst", "weight")
+                .localCheckpoint(eager=True)
+            )
+        survivors = alive.select(F.col("src").alias("id")).distinct()
+        if survivors.isEmpty():
+            break
+        assigned.append(
+            survivors.select("id", F.lit(k).alias("core")).localCheckpoint(
+                eager=True
+            )
+        )
+        k += 1
+    if not assigned:
+        return vertices_of(edges).select("id", F.lit(0).alias("core"))
+    out = assigned[0]
+    for extra in assigned[1:]:
+        out = out.unionByName(extra)
+    # a node is re-assigned at every k it survives; its core number is
+    # the max level reached
+    return out.groupBy("id").agg(F.max("core").alias("core"))
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core numbers of the karate fixture (rows-only: iterative
+    peeling has no SQL twin; golden-checked against networkx
+    core_number in tests/test_coverage.py::test_kcore_golden)."""
+    return core_numbers(spark, karate_edges(spark))
+
+
+def jaccard_node_pairs(edges: DataFrame, max_deg: int = 1000) -> DataFrame:
+    """Neighborhood Jaccard similarity for node pairs sharing ≥1
+    neighbor — the graph twin of n-gram document Jaccard, via the same
+    inverted-index join: index nodes by neighbor, self-join the index.
+
+    Skew bound (same policy as ngram_jaccard_pairs): a hub with d
+    incident nodes fans out d² candidate pairs through the index, so
+    neighbors with degree > ``max_deg`` are dropped from the *index*
+    (pairs whose only common neighbor is an ultra-hub are not
+    similar); union sizes keep FULL degrees, so surviving pairs stay
+    exact."""
+    sym = symmetrize(edges).filter(F.col("src") != F.col("dst"))
+    nbrs = sym.select(F.col("src").alias("id"), F.col("dst").alias("nbr")).distinct()
+    sizes = nbrs.groupBy("id").agg(F.count("*").alias("n_nbr"))
+    hot = (
+        nbrs.groupBy("nbr")
+        .agg(F.count("*").alias("d"))
+        .filter(F.col("d") > max_deg)
+        .select("nbr")
+    )
+    cold = nbrs.join(F.broadcast(hot), "nbr", "left_anti")
+    common = (
+        cold.select(F.col("id").alias("id_a"), "nbr")
+        .join(cold.select(F.col("id").alias("id_b"), "nbr"), "nbr")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_nbr").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_nbr").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_jaccard_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard over the karate fixture (link prediction /
+    role similarity)."""
+    return jaccard_node_pairs(karate_edges(spark))
+
+
+ORACLE_JACCARD_NODES = f"""
+WITH e AS ({_KARATE_SQL}),
+sym AS (
+  SELECT src, dst FROM e WHERE src <> dst
+  UNION SELECT dst, src FROM e WHERE src <> dst
+),
+nbrs AS (SELECT DISTINCT src AS id, dst AS nbr FROM sym),
+sizes AS (SELECT id, COUNT(*) AS n_nbr FROM nbrs GROUP BY 1),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM nbrs a JOIN nbrs b ON a.nbr = b.nbr AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n_nbr + sb.n_nbr - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+"""
+
+
 QUERIES = {
     "q_edges_from_relational": q_edges_from_relational,
     "q_read_edgelist": q_read_edgelist,
@@ -545,6 +683,8 @@ QUERIES = {
     "q_membership_rollup": q_membership_rollup,
     "q_triangle_count": q_triangle_count,
     "q_pagerank": q_pagerank,
+    "q_kcore": q_kcore,
+    "q_jaccard_nodes": q_jaccard_nodes,
 }
 
 ORACLES = {
@@ -560,7 +700,9 @@ ORACLES = {
     "q_coarsen_edges": ORACLE_COARSEN_EDGES,
     "q_membership_rollup": ORACLE_MEMBERSHIP_ROLLUP,
     "q_triangle_count": _oracle_triangle_count(),
+    "q_jaccard_nodes": ORACLE_JACCARD_NODES,
     # rows-only: q_write_edgelist (sink round-trip), q_adjacency_pivot
     # (dynamic pivot columns), q_pagerank (iterative; networkx golden
-    # in tests)
+    # in tests), q_kcore (iterative peeling; networkx core_number
+    # golden in tests)
 }

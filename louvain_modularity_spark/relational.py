@@ -860,6 +860,83 @@ FROM customer c FULL OUTER JOIN upd u USING (c_custkey)
 """
 
 
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the shuffle-free big-join layout this
+    engine's own docstrings promise at 100 TB (see copurchase_edges):
+    write lineitem and orders bucketed 8-ways on the order key, then
+    join through the catalog so Spark matches bucket layouts and skips
+    BOTH shuffle exchanges (plan-asserted in
+    tests/test_coverage.py::test_bucketed_join_no_shuffle).
+
+    Output: per-priority lineitem count + total quantity off the
+    bucketed join (quantities are integer-valued, so SUM is exact).
+
+    100 TB shape: bucketing is THE pre-shuffle amortization — pay the
+    layout shuffle once at ingest, then every orderkey join (the
+    engine's biggest) runs exchange-free; bucket counts must match or
+    divide each other for Spark to co-locate."""
+    import hashlib
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    t_li, t_o = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    for t, df, key in ((t_li, li, "l_orderkey"), (t_o, o, "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"/root/repo/.tmp/{t}")
+            .mode("overwrite")
+            .saveAsTable(t)
+        )
+    j = spark.table(t_li).join(
+        spark.table(t_o), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum("l_quantity").cast("bigint").alias("total_qty"),
+    )
+
+
+ORACLE_JOIN_BUCKETED = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct sketches (Apache DataSketches,
+    built into Spark 4): per-event-type distinct-user estimates plus
+    the UNION of the per-type sketches as the '__all__' row — the
+    re-aggregatable distinct-count pattern (store sketch bytes per
+    partition/day, merge on query) that exact COUNT(DISTINCT) cannot
+    provide at 100 TB without a full reshuffle.
+
+    rows-only oracle: sketch estimates are engine-specific (DuckDB's
+    HLL differs); accuracy (±2% vs exact) and union-consistency are
+    asserted in tests/test_coverage.py::test_hll_sketch_accuracy.
+
+    100 TB shape: sketches are fixed-size (2^lgK registers) regardless
+    of cardinality; the groupBy moves only sketch bytes with map-side
+    combine, and the global row merges K sketches, never raw ids."""
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    per = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    per_type = per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+    )
+    total = per.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+    )
+    return per_type.unionByName(total)
+
+
 QUERIES = {
     "q_scan_parquet": q_scan_parquet,
     "q_subquery_scalar": q_subquery_scalar,
@@ -890,6 +967,8 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_latest_per_key": q_latest_per_key,
     "q_merge_upsert": q_merge_upsert,
+    "q_join_bucketed": q_join_bucketed,
+    "q_hll_sketch": q_hll_sketch,
 }
 
 ORACLES = {
@@ -921,5 +1000,7 @@ ORACLES = {
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_latest_per_key": ORACLE_LATEST_PER_KEY,
     "q_merge_upsert": ORACLE_MERGE_UPSERT,
+    "q_join_bucketed": ORACLE_JOIN_BUCKETED,
     # q_approx_cd: rows-only (approximate, engine-specific estimates)
+    # q_hll_sketch: rows-only (sketch estimates are engine-specific)
 }

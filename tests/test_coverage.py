@@ -102,3 +102,87 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP TABLE IF EXISTS li_b_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS o_b_{suffix}")
+
+
+def test_bucketed_join_query_plan(spark):
+    """q_join_bucketed must actually exercise the bucketed path: with
+    broadcast off, its join of the two catalog tables reads Bucketed
+    scans and has no exchange on the join keys."""
+    from louvain_modularity_spark.relational import q_join_bucketed
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = q_join_bucketed(spark, "/root/testdata/sf0.001")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_kcore_golden(spark):
+    """Distributed peeling must reproduce networkx core_number on the
+    karate fixture (the stand-in reference implementation)."""
+    import networkx as nx
+
+    from louvain_modularity_spark.graph import core_numbers
+    from louvain_modularity_spark.sources import karate_edges
+
+    g = nx.Graph()
+    g.add_edges_from(
+        (r["src"], r["dst"]) for r in karate_edges(spark).collect()
+    )
+    want = nx.core_number(g)
+    got = {
+        r["id"]: r["core"]
+        for r in core_numbers(spark, karate_edges(spark)).collect()
+    }
+    assert got == want
+
+
+def test_kcore_handles_path_and_clique(spark):
+    """Peeling edge shapes: a path graph is all 1-core; a 5-clique is
+    all 4-core; a clique with a pendant vertex splits 4/1."""
+    from louvain_modularity_spark.graph import core_numbers
+
+    path = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(5)], "src LONG, dst LONG, weight DOUBLE"
+    )
+    got = {r["id"]: r["core"] for r in core_numbers(spark, path).collect()}
+    assert got == {i: 1 for i in range(6)}
+
+    clique = spark.createDataFrame(
+        [(i, j, 1.0) for i in range(5) for j in range(i + 1, 5)] + [(0, 99, 1.0)],
+        "src LONG, dst LONG, weight DOUBLE",
+    )
+    got = {r["id"]: r["core"] for r in core_numbers(spark, clique).collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 99: 1}
+
+
+def test_hll_sketch_accuracy(spark):
+    """HLL estimates must sit within 2% of exact per-type distinct
+    user counts, and the '__all__' union row within 2% of the global
+    distinct count (sketches at lgK=12 are far tighter than that)."""
+    import pyspark.sql.functions as FF
+
+    from louvain_modularity_spark.relational import q_hll_sketch
+    from louvain_modularity_spark.sources import load
+
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in q_hll_sketch(spark, "/root/testdata/sf0.001").collect()
+    }
+    e = load(spark, "/root/testdata/sf0.001", "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(FF.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = e.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, want in exact.items():
+        assert abs(got[k] - want) <= max(1, 0.02 * want), (k, got[k], want)
