@@ -415,12 +415,51 @@ SELECT vec_id, cid AS cluster FROM (
 """
 
 
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 table function): tokenize each
+    document via a lateral-joined UDTF emitting (doc_id, pos, token)
+    rows — the §2.10 table-function analogue of q_udf_pandas.
+
+    Like q_udf_pandas this exists to exercise and cross-check the UDF
+    surface, not as the hot path: every production tokenizer here uses
+    builtins (split/explode stay in whole-stage codegen; a per-row
+    Python generator does not). The oracle pins the UDTF's semantics
+    to the same unnest-with-ordinality SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id BIGINT, pos INT, token STRING")
+    class SplitTokens:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                if tok:
+                    yield doc_id, i, tok
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT s.doc_id, s.pos, s.token "
+        "FROM docs_for_udtf, LATERAL split_tokens(doc_id, text) s"
+    )
+
+
+ORACLE_UDTF_TOKENS = """
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+        unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+      FROM documents)
+WHERE toks[i] <> ''
+"""
+
+
 QUERIES = {
     "q_dup_clusters": q_dup_clusters,
     "q_pack_sequences": q_pack_sequences,
     "q_contamination": q_contamination,
     "q_repetition_ratio": q_repetition_ratio,
     "q_kmeans": q_kmeans,
+    "q_udtf_tokens": q_udtf_tokens,
 }
 
 ORACLES = {
@@ -429,4 +468,5 @@ ORACLES = {
     "q_contamination": ORACLE_CONTAMINATION,
     "q_repetition_ratio": ORACLE_REPETITION_RATIO,
     "q_kmeans": ORACLE_KMEANS,
+    "q_udtf_tokens": ORACLE_UDTF_TOKENS,
 }

@@ -937,6 +937,147 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionByName(total)
 
 
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — quartile bucketing (ntile),
+    percent_rank, cume_dist per nation over customer balances, with a
+    total order (balance DESC, custkey) so peer groups are single rows
+    and both engines agree bitwise. One shuffle on the partition key."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+ORACLE_WINDOW_NTILE = """
+SELECT c_custkey, c_nationkey,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+FUZZY_MOD = 97
+FUZZY_MAX_DIST = 6
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join — entity resolution's core primitive: match
+    every part name against a small probe set (parts with
+    p_partkey % FUZZY_MOD == 0) within Levenshtein distance
+    FUZZY_MAX_DIST.
+
+    100 TB shape: the probe side of a fuzzy join is small by nature
+    (query names, canonical entities), so it BROADCASTS and the big
+    side streams through a nested-loop filter — no shuffle of the
+    corpus. For probe sets too big to broadcast, the scale path is
+    q-gram blocking (index both sides by character n-grams, same
+    inverted-index shape as ngram_jaccard_pairs) before the exact
+    distance check."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    probes = p.filter(F.col("p_partkey") % FUZZY_MOD == 0).select(
+        F.col("p_partkey").alias("probe_key"), F.col("p_name").alias("probe_name")
+    )
+    return (
+        p.crossJoin(F.broadcast(probes))
+        .filter(F.col("p_partkey") != F.col("probe_key"))
+        .select(
+            "probe_key",
+            "p_partkey",
+            F.levenshtein("p_name", "probe_name").alias("dist"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+
+
+ORACLE_FUZZY_JOIN = f"""
+SELECT q.p_partkey AS probe_key, p.p_partkey,
+       CAST(levenshtein(p.p_name, q.p_name) AS INTEGER) AS dist
+FROM part p
+CROSS JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey % {FUZZY_MOD} = 0) q
+WHERE p.p_partkey <> q.p_partkey
+  AND levenshtein(p.p_name, q.p_name) <= {FUZZY_MAX_DIST}
+"""
+
+DAY_US = 86_400_000_000
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with carry-forward — the resampling step
+    of metric pipelines: per user, take the last event value of each
+    day, generate the full day grid between the user's first and last
+    day, and forward-fill missing days from the most recent observed
+    value.
+
+    Output: (user_id, day, value) — one row per user per day in span.
+
+    100 TB shape: the daily downsample is one map-side-combinable
+    reduction; the grid explode is bounded by span length; the fill is
+    one per-user ordered window (users are independent — perfectly
+    parallel). No driver-side loops, no cross-user state."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("ts") / F.lit(1000)).cast("long").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    daily = (
+        e.withColumn("day", (F.col("ts_us") / F.lit(DAY_US)).cast("long"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "day").orderBy(
+                    F.desc("ts_us"), F.desc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    fill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("value", ignorenulls=True).over(fill).alias("value"),
+    )
+
+
+ORACLE_GAP_FILL = f"""
+WITH daily AS (
+  SELECT user_id, day, value FROM (
+    SELECT user_id,
+           CAST(epoch_us(ts) // {DAY_US} AS BIGINT) AS day, value,
+           row_number() OVER (PARTITION BY user_id,
+                              CAST(epoch_us(ts) // {DAY_US} AS BIGINT)
+                              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span)
+SELECT g.user_id, g.day,
+       last_value(d.value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.day
+               ROWS UNBOUNDED PRECEDING) AS value
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+"""
+
+
 QUERIES = {
     "q_scan_parquet": q_scan_parquet,
     "q_subquery_scalar": q_subquery_scalar,
@@ -969,6 +1110,9 @@ QUERIES = {
     "q_merge_upsert": q_merge_upsert,
     "q_join_bucketed": q_join_bucketed,
     "q_hll_sketch": q_hll_sketch,
+    "q_window_ntile": q_window_ntile,
+    "q_fuzzy_join": q_fuzzy_join,
+    "q_gap_fill": q_gap_fill,
 }
 
 ORACLES = {
@@ -1001,6 +1145,9 @@ ORACLES = {
     "q_latest_per_key": ORACLE_LATEST_PER_KEY,
     "q_merge_upsert": ORACLE_MERGE_UPSERT,
     "q_join_bucketed": ORACLE_JOIN_BUCKETED,
+    "q_window_ntile": ORACLE_WINDOW_NTILE,
+    "q_fuzzy_join": ORACLE_FUZZY_JOIN,
+    "q_gap_fill": ORACLE_GAP_FILL,
     # q_approx_cd: rows-only (approximate, engine-specific estimates)
     # q_hll_sketch: rows-only (sketch estimates are engine-specific)
 }
