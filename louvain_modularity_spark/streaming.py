@@ -359,6 +359,65 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(spark, agg, "append")
 
 
+def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet file sink with exactly-once checkpointing —
+    the lakehouse landing path: stream the purchase events through a
+    stateless filter+projection into an append-mode parquet sink, read
+    the sink back with the batch reader, and aggregate per user. The
+    oracle recomputes the same aggregate straight from the source
+    table, so the sink round trip must be lossless.
+
+    (Stateless ops only: an aggregate→file-sink needs watermark-closed
+    windows, which a single availableNow batch never emits — the
+    aggregate sinks here use memory/complete instead, q_stream_*.)
+
+    100 TB shape: file sinks scale by partitioned append with
+    per-batch transactional commit logs (the checkpoint); the filter
+    and projection are pushed into the stream, so only the purchase
+    slice ever lands."""
+    import hashlib
+    import shutil
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join("/root/repo/.tmp", f"stream_sink_{tag}")
+    ckpt = os.path.join("/root/repo/.tmp", f"stream_sink_ckpt_{tag}")
+    for d in (out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    ev = stream_events(spark, sf_dir)
+    proj = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts_us", "user_id", "value"
+    )
+    q = (
+        proj.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+ORACLE_STREAM_FILE_SINK = """
+SELECT user_id, COUNT(*) AS n_purchases,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value,
+       MIN(event_id) AS first_event,
+       MAX(event_id) AS last_event
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_sliding": q_stream_sliding,
@@ -368,6 +427,7 @@ QUERIES = {
     "q_stream_static_join": q_stream_static_join,
     "q_stream_stream_join": q_stream_stream_join,
     "q_stream_watermark": q_stream_watermark,
+    "q_stream_file_sink": q_stream_file_sink,
 }
 
 ORACLES = {
@@ -378,6 +438,7 @@ ORACLES = {
     "q_stream_stateful_count": ORACLE_STREAM_STATEFUL_COUNT,
     "q_stream_static_join": ORACLE_STREAM_STATIC_JOIN,
     "q_stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
+    "q_stream_file_sink": ORACLE_STREAM_FILE_SINK,
     # rows-only: q_stream_watermark (append-mode emission depends on
     # final-batch watermark advancement; semantics pinned in tests)
 }
