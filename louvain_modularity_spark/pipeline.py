@@ -54,7 +54,10 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation over the PAIR graph only — near-dup graphs are tiny
     relative to the corpus (most docs are singletons and never enter
     the iteration); the final join back to the corpus is a broadcast
-    of the clustered minority."""
+    of the clustered minority. Like Louvain's hybrid tail, a pair
+    graph under ``inline_threshold`` is collected and union-found in
+    the driver (identical min-id components, none of the superstep
+    fixed costs); above it the distributed min-propagation runs."""
     d = load(spark, sf_dir, "documents")
     edges = (
         ngram_jaccard_pairs(d)
@@ -65,13 +68,34 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0).alias("weight"),
         )
         # the dup-pair graph is minuscule next to the corpus; pin it so
-        # the CC loop's vertex scan and supersteps don't re-run the
-        # inverted-index join per consumer
+        # downstream consumers don't re-run the inverted-index join
         .localCheckpoint(eager=True)
     )
-    comp = connected_components(spark, edges).select(
-        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
-    )
+    inline_threshold = 1_000_000
+    n_pairs = edges.count()
+    if n_pairs <= inline_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in edges.select("src", "dst").collect():
+            ra, rb = find(int(r["src"])), find(int(r["dst"]))
+            if ra != rb:
+                # union by min id so the root IS the component label
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in list(parent)]
+        comp = spark.createDataFrame(
+            rows or [(None, None)], "doc_id LONG, cluster LONG"
+        ).filter(F.col("doc_id").isNotNull())
+    else:
+        comp = connected_components(spark, edges).select(
+            F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+        )
     return d.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster", "doc_id").alias("cluster"),

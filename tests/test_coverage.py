@@ -186,3 +186,36 @@ def test_hll_sketch_accuracy(spark):
     assert set(got) == set(exact)
     for k, want in exact.items():
         assert abs(got[k] - want) <= max(1, 0.02 * want), (k, got[k], want)
+
+
+def test_dup_clusters_inline_matches_distributed(spark):
+    """The union-find inline tail of q_dup_clusters must produce the
+    same min-id components as the distributed CC path on the same
+    dup-pair graph."""
+    import pyspark.sql.functions as FF
+
+    from louvain_modularity_spark.llm_ops import ngram_jaccard_pairs
+    from louvain_modularity_spark.louvain import connected_components
+    from louvain_modularity_spark.pipeline import DUP_JACCARD, q_dup_clusters
+    from louvain_modularity_spark.sources import load
+
+    got = {
+        r["doc_id"]: (r["cluster"], r["keep"])
+        for r in q_dup_clusters(spark, "/root/testdata/sf0.001").collect()
+    }
+    edges = (
+        ngram_jaccard_pairs(load(spark, "/root/testdata/sf0.001", "documents"))
+        .filter(FF.col("jaccard") >= DUP_JACCARD)
+        .select(
+            FF.col("doc_a").alias("src"),
+            FF.col("doc_b").alias("dst"),
+            FF.lit(1.0).alias("weight"),
+        )
+    )
+    cc = {
+        r["id"]: r["component"]
+        for r in connected_components(spark, edges).collect()
+    }
+    assert any(c != d for d, (c, _) in got.items())  # clusters exist
+    for doc, comp in cc.items():
+        assert got[doc] == (comp, comp == doc), (doc, got[doc], comp)
