@@ -1028,18 +1028,16 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
     )
+    # last-event-of-day via max_by: a map-side-combinable aggregate,
+    # not a row_number window (no per-(user,day) sort; same row wins —
+    # (ts_us, event_id) is unique). The oracle spells it as row_number;
+    # value passes through unchanged so the results are bit-identical.
     daily = (
         e.withColumn("day", (F.col("ts_us") / F.lit(DAY_US)).cast("long"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("user_id", "day").orderBy(
-                    F.desc("ts_us"), F.desc("event_id")
-                )
-            ),
+        .groupBy("user_id", "day")
+        .agg(
+            F.max_by("value", F.struct("ts_us", "event_id")).alias("value")
         )
-        .filter(F.col("rn") == 1)
-        .select("user_id", "day", "value")
     )
     grid = (
         daily.groupBy("user_id")
