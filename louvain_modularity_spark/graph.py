@@ -646,6 +646,66 @@ def q_jaccard_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_node_pairs(karate_edges(spark))
 
 
+def bfs_hops(spark: SparkSession, edges: DataFrame, source: int = 0) -> DataFrame:
+    """Unweighted single-source shortest hops by frontier expansion —
+    the canonical Pregel superstep rendered as DataFrame rounds: each
+    round joins the current frontier against the cached adjacency and
+    labels previously-unseen neighbors with hop+1. Output: (id, hops)
+    for reachable nodes.
+
+    100 TB shape: per round, only the FRONTIER (not the full vertex
+    set) drives the join; visited state is the small (id, hops) table,
+    checkpointed per round. O(diameter) rounds — small-world graphs
+    finish in single digits."""
+    sym = symmetrize(edges).filter(F.col("src") != F.col("dst")).persist()
+    state = spark.createDataFrame(
+        [(source, 0)], "id LONG, hops INT"
+    ).localCheckpoint(eager=True)
+    frontier = state
+    h = 0
+    while True:
+        h += 1
+        reached = (
+            sym.join(
+                frontier.select(F.col("id").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        newly = reached.join(state, "id", "left_anti").select(
+            "id", F.lit(h).cast("int").alias("hops")
+        ).localCheckpoint(eager=True)
+        if newly.isEmpty():
+            break
+        state = state.unionByName(newly).localCheckpoint(eager=True)
+        frontier = newly
+    sym.unpersist()
+    return state
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest hop counts from node 0 on the karate fixture."""
+    return bfs_hops(spark, karate_edges(spark), source=0)
+
+
+def _oracle_bfs_hops() -> str:
+    return f"""
+WITH RECURSIVE e AS ({_KARATE_SQL}),
+sym AS (
+  SELECT src, dst FROM e WHERE src <> dst
+  UNION SELECT dst, src FROM e WHERE src <> dst
+),
+walk(id, d) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT sym.dst, walk.d + 1
+  FROM walk JOIN sym ON sym.src = walk.id
+  WHERE walk.d < 40
+)
+SELECT id, CAST(MIN(d) AS INTEGER) AS hops FROM walk GROUP BY id
+"""
+
+
 ORACLE_JACCARD_NODES = f"""
 WITH e AS ({_KARATE_SQL}),
 sym AS (
@@ -685,6 +745,7 @@ QUERIES = {
     "q_pagerank": q_pagerank,
     "q_kcore": q_kcore,
     "q_jaccard_nodes": q_jaccard_nodes,
+    "q_bfs_hops": q_bfs_hops,
 }
 
 ORACLES = {
@@ -701,6 +762,7 @@ ORACLES = {
     "q_membership_rollup": ORACLE_MEMBERSHIP_ROLLUP,
     "q_triangle_count": _oracle_triangle_count(),
     "q_jaccard_nodes": ORACLE_JACCARD_NODES,
+    "q_bfs_hops": _oracle_bfs_hops(),
     # rows-only: q_write_edgelist (sink round-trip), q_adjacency_pivot
     # (dynamic pivot columns), q_pagerank (iterative; networkx golden
     # in tests), q_kcore (iterative peeling; networkx core_number
