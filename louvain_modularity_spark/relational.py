@@ -1076,6 +1076,33 @@ FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
 """
 
 
+def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (approx_top_k): the 20 most frequent
+    document tokens with estimated counts — the sketch-family member
+    for heavy hitters, next to HLL (distinct) and approx_percentile
+    (quantiles).
+
+    rows-only oracle: the top-k BOUNDARY is tie-ordered
+    engine-internally, so a SQL twin can flake; instead the estimates
+    are cross-checked against exact token counts in
+    tests/test_coverage.py::test_approx_topk_matches_exact (with
+    maxItemsTracked ≫ vocabulary size the sketch is exact).
+
+    100 TB shape: the sketch is a bounded map merged associatively —
+    one map-side-combined aggregate, no full token shuffle; at real
+    cardinalities the tracked-item bound caps memory where an exact
+    groupBy+sort would not."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    toks.createOrReplaceTempView("toks_for_topk")
+    return spark.sql(
+        "SELECT t.item AS token, t.count AS cnt FROM (SELECT"
+        " explode(approx_top_k(token, 20, 100000)) AS t FROM toks_for_topk)"
+    )
+
+
 QUERIES = {
     "q_scan_parquet": q_scan_parquet,
     "q_subquery_scalar": q_subquery_scalar,
@@ -1111,6 +1138,7 @@ QUERIES = {
     "q_window_ntile": q_window_ntile,
     "q_fuzzy_join": q_fuzzy_join,
     "q_gap_fill": q_gap_fill,
+    "q_approx_topk": q_approx_topk,
 }
 
 ORACLES = {
@@ -1148,4 +1176,6 @@ ORACLES = {
     "q_gap_fill": ORACLE_GAP_FILL,
     # q_approx_cd: rows-only (approximate, engine-specific estimates)
     # q_hll_sketch: rows-only (sketch estimates are engine-specific)
+    # q_approx_topk: rows-only (boundary tie order is engine-internal;
+    # exact cross-check in tests)
 }

@@ -219,3 +219,34 @@ def test_dup_clusters_inline_matches_distributed(spark):
     assert any(c != d for d, (c, _) in got.items())  # clusters exist
     for doc, comp in cc.items():
         assert got[doc] == (comp, comp == doc), (doc, got[doc], comp)
+
+
+def test_approx_topk_matches_exact(spark):
+    """With maxItemsTracked far above the vocabulary size the top-k
+    sketch is exact: every reported count must equal the exact token
+    count, and the reported set must be a valid top-20 (no missing
+    token with a strictly higher count)."""
+    import pyspark.sql.functions as FF
+
+    from louvain_modularity_spark.relational import q_approx_topk
+    from louvain_modularity_spark.sources import load
+
+    got = {
+        r["token"]: r["cnt"]
+        for r in q_approx_topk(spark, "/root/testdata/sf0.001").collect()
+    }
+    exact = {
+        r["token"]: r["n"]
+        for r in load(spark, "/root/testdata/sf0.001", "documents")
+        .select(FF.explode(FF.split("text", " ")).alias("token"))
+        .filter(FF.col("token") != "")
+        .groupBy("token")
+        .agg(FF.count("*").alias("n"))
+        .collect()
+    }
+    assert len(got) == 20
+    for tok, cnt in got.items():
+        assert exact[tok] == cnt, (tok, cnt, exact[tok])
+    floor = min(got.values())
+    missing_higher = [t for t, n in exact.items() if n > floor and t not in got]
+    assert not missing_higher, missing_higher
