@@ -1,0 +1,631 @@
+"""Statistical / source-format / graph-metric analytics (SURVEY.md
+§2.16, round-2 pack, second batch): moment aggregates, FILTER-clause
+aggregation, ordered string aggregation, time-hierarchy ROLLUP, an
+explicitly salted skew join, JSON and ORC source round trips, local
+clustering coefficients, Adamic–Adar link prediction, degree
+distributions, degree assortativity, BM25 ranking, unigram
+cross-entropy scoring, and z-score outlier flagging.
+
+Scale notes: every operator is a single map-side-combined aggregation,
+a broadcast-joined scalar, or a bounded wedge join on a small graph
+fixture; the salted join demonstrates the manual hot-key remedy whose
+output is provably identical to the unsalted plan (same oracle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .graph import _KARATE_SQL, degree_weighted, symmetrize, vertices_of
+from .llm_ops import tokens_of
+from .sources import COPURCHASE_EDGES_SQL, copurchase_edges, karate_edges, load
+
+#: BM25 free parameters (Robertson–Spärck Jones defaults)
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: fixed keyword query for the BM25 ranking demo (synthetic-corpus vocab)
+BM25_TERMS = ("spark", "join", "filter")
+#: salt fan-out for the skewed-key join demo
+SALTS = 8
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregates
+# ---------------------------------------------------------------------------
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregate family per return flag: Pearson
+    correlation, population/sample covariance, population/sample
+    standard deviation of (quantity, extendedprice). All are single
+    map-side-combinable aggregates (Spark's central-moment partial
+    state merges associatively — the 100 TB shape). Rounded for
+    cross-engine accumulation-order stability."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_pop_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_samp_qp"),
+        F.round(F.stddev_pop("l_quantity"), 4).alias("stddev_pop_q"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("stddev_samp_q"),
+    )
+
+
+ORACLE_STATS_AGG = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(corr(l_quantity, l_extendedprice), 6)       AS corr_qp,
+       ROUND(covar_pop(l_quantity, l_extendedprice), 2)  AS covar_pop_qp,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_samp_qp,
+       ROUND(stddev_pop(l_quantity), 4)                  AS stddev_pop_q,
+       ROUND(stddev_samp(l_quantity), 4)                 AS stddev_samp_q
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregation: conditional counts/sums without
+    a self-join or CASE pyramid — one pass, partial+final aggregate.
+    (l_quantity is integer-valued, so double sums are exact.)"""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_fa")
+    return spark.sql(
+        """
+        SELECT l_linestatus,
+               COUNT(*)                                              AS n_rows,
+               COUNT(*)    FILTER (WHERE l_quantity > 25)            AS n_bulk,
+               SUM(l_quantity) FILTER (WHERE l_discount > 0.05)      AS qty_discounted,
+               COUNT(*)    FILTER (WHERE l_tax = 0.0)                AS n_taxfree
+        FROM lineitem_fa
+        GROUP BY l_linestatus
+        """
+    )
+
+
+ORACLE_FILTERED_AGG = """
+SELECT l_linestatus,
+       COUNT(*)                                              AS n_rows,
+       COUNT(*)    FILTER (WHERE l_quantity > 25)            AS n_bulk,
+       SUM(l_quantity) FILTER (WHERE l_discount > 0.05)      AS qty_discounted,
+       COUNT(*)    FILTER (WHERE l_tax = 0.0)                AS n_taxfree
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per nation: the distinct market
+    segments of its customers as one sorted delimited string (the
+    collect_set is bounded by the segment domain, not the row count —
+    safe at scale)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias(
+                "segments"
+            ),
+        )
+    )
+
+
+ORACLE_STRING_AGG = """
+SELECT n_name,
+       COUNT(*) AS n_customers,
+       string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy ROLLUP (year → month → grand total) over orders
+    — the standard reporting cube along the natural date drill path.
+    Money summed as DECIMAL(18,2): exact, order-independent."""
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    return o.rollup("o_year", "o_month").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("price").alias("sum_price"),
+    )
+
+
+ORACLE_ROLLUP_TIME = """
+SELECT year(o_orderdate)  AS o_year,
+       month(o_orderdate) AS o_month,
+       COUNT(*)           AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+"""
+
+
+# ---------------------------------------------------------------------------
+# salted skew join
+# ---------------------------------------------------------------------------
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted hot-key join: events' 5-value event_type is
+    the canonical skew shape (every row of a key lands on one shuffle
+    partition). The dimension side is replicated across SALTS salt
+    values and the fact side picks a deterministic salt, so each hot
+    key fans out over SALTS reducers; the post-join aggregate ignores
+    the salt, making the result provably identical to the unsalted
+    join — the oracle IS the unsalted join. AQE's skew handling only
+    rewrites sort-merge plans after a stage materializes; manual
+    salting is the source-side fix that also covers hash joins.
+    """
+    e = load(spark, sf_dir, "events")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .select("event_type", F.length("event_type").alias("type_weight"))
+    )
+    dim_salted = dim.crossJoin(
+        spark.range(SALTS).select(F.col("id").cast("int").alias("salt"))
+    )
+    fact = e.select(
+        "event_type",
+        "value",
+        F.pmod(F.xxhash64("event_id"), F.lit(SALTS)).cast("int").alias("salt"),
+    )
+    return (
+        fact.join(F.broadcast(dim_salted), ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("type_weight")), 2).alias(
+                "weighted_value"
+            ),
+        )
+    )
+
+
+ORACLE_SALTED_JOIN = """
+WITH dim AS (SELECT DISTINCT event_type, strlen(event_type) AS type_weight FROM events)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value * d.type_weight), 2) AS weighted_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# source-format round trips
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join("/root/repo/.tmp", f"{fmt}_sink_{tag}")
+
+
+def q_read_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round trip: export events to JSONL, read back
+    with an explicit schema (no inference pass), aggregate. The oracle
+    recomputes from the parquet source, so the trip must be lossless —
+    doubles survive via Jackson's shortest-round-trip repr, int64 via
+    exact decimal text. At 100 TB: JSONL splits by newline across
+    executors; the explicit schema avoids a full inference scan."""
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value", "ts_us")
+    out = _roundtrip_dir(sf_dir, "json")
+    e.write.mode("overwrite").json(out)
+    back = spark.read.json(
+        out, schema="event_id LONG, event_type STRING, value DOUBLE, ts_us LONG"
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("ts_us").alias("max_ts_us"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_READ_JSON = """
+SELECT event_type,
+       COUNT(*)               AS n_events,
+       MIN(event_id)          AS min_event_id,
+       MAX(CAST(epoch_us(ts) AS BIGINT)) AS max_ts_us,
+       ROUND(SUM(value), 2)   AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_read_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round trip (the second columnar format Spark ships
+    a vectorized reader for): write lineitem's projection to ORC, read
+    it back, aggregate. Oracle recomputes from parquet — the binary
+    round trip is exact. Column pruning and predicate pushdown work on
+    ORC scans exactly as on parquet."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    out = _roundtrip_dir(sf_dir, "orc")
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.filter(F.col("l_quantity") >= 30)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        )
+    )
+
+
+ORACLE_READ_ORC = """
+SELECT l_linestatus,
+       COUNT(*)        AS n_rows,
+       SUM(l_quantity) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+FROM lineitem
+WHERE l_quantity >= 30
+GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph metrics
+# ---------------------------------------------------------------------------
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (karate): the fraction of
+    a node's neighbor pairs that are themselves connected —
+    lcc(u) = 2·tri(u) / (deg(u)·(deg(u)−1)). Wedge join bounded by
+    Σ deg², the same rank-oriented shape as q_triangle_count. The
+    division is a single IEEE op over exact integers → bit-identical
+    across engines, no rounding needed."""
+    edges = karate_edges(spark).select("src", "dst")
+    sym = symmetrize(edges.withColumn("weight", F.lit(1.0))).select("src", "dst")
+    canon = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+    wedges = (
+        sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(
+            sym.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+            "u",
+        )
+        .filter(F.col("v") < F.col("w"))
+    )
+    tri = (
+        wedges.join(
+            canon,
+            (F.col("v") == F.col("a")) & (F.col("w") == F.col("b")),
+        )
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1.0)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
+ORACLE_CLUSTERING_COEFF = f"""
+WITH e AS (SELECT src, dst FROM ({_KARATE_SQL})),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src),
+tri AS (
+  SELECT s1.src AS id, COUNT(*) AS triangles
+  FROM sym s1 JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+  JOIN canon c ON s1.dst = c.a AND s2.dst = c.b
+  GROUP BY s1.src
+)
+SELECT deg.id, deg.degree,
+       COALESCE(tri.triangles, 0) AS triangles,
+       CASE WHEN deg.degree >= 2
+            THEN 2.0 * COALESCE(tri.triangles, 0) / (deg.degree * (deg.degree - 1.0))
+            ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN tri ON deg.id = tri.id
+"""
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on karate: for every non-adjacent
+    node pair sharing ≥1 common neighbor, score = Σ_z 1/ln(deg(z))
+    over common neighbors z. Inverted-index join on the shared
+    neighbor (only co-neighbor pairs materialize — never all pairs);
+    common neighbors have deg ≥ 2 so ln never vanishes. Score rounded
+    6 dp (summation order differs across engines)."""
+    edges = karate_edges(spark).select("src", "dst")
+    sym = symmetrize(edges.withColumn("weight", F.lit(1.0))).select("src", "dst")
+    deg = sym.groupBy(F.col("src").alias("z")).agg(F.count("*").alias("deg_z"))
+    canon = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    pairs = (
+        sym.select(F.col("dst").alias("z"), F.col("src").alias("a"))
+        .join(sym.select(F.col("dst").alias("z"), F.col("src").alias("b")), "z")
+        .filter(F.col("a") < F.col("b"))
+        .join(canon, ["a", "b"], "left_anti")
+        .join(deg, "z")
+    )
+    return pairs.groupBy("a", "b").agg(
+        F.count("*").alias("n_common"),
+        F.round(F.sum(1.0 / F.log(F.col("deg_z").cast("double"))), 6).alias("aa_score"),
+    )
+
+
+ORACLE_ADAMIC_ADAR = f"""
+WITH e AS (SELECT src, dst FROM ({_KARATE_SQL})),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT src AS z, COUNT(*) AS deg_z FROM sym GROUP BY src),
+canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+cand AS (
+  SELECT s1.src AS a, s2.src AS b, s1.dst AS z
+  FROM sym s1 JOIN sym s2 ON s1.dst = s2.dst AND s1.src < s2.src
+  WHERE NOT EXISTS (SELECT 1 FROM canon c WHERE c.a = s1.src AND c.b = s2.src)
+)
+SELECT a, b, COUNT(*) AS n_common,
+       ROUND(SUM(1.0 / ln(CAST(deg_z AS DOUBLE))), 6) AS aa_score
+FROM cand JOIN deg USING (z)
+GROUP BY a, b
+"""
+
+
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: how many vertices
+    have each (unweighted) degree — the first diagnostic of skew (a
+    power-law tail here means hub salting is needed). Two map-side-
+    combined aggregates, both on already-small domains."""
+    edges = copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_vertices"))
+
+
+ORACLE_DEGREE_DIST = f"""
+WITH e AS ({COPURCHASE_EDGES_SQL}),
+deg AS (
+  SELECT id, COUNT(*) AS degree
+  FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+  GROUP BY id
+)
+SELECT degree, COUNT(*) AS n_vertices FROM deg GROUP BY degree
+"""
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: Pearson
+    correlation of endpoint degrees over the symmetrized edge list
+    (negative for hub-and-spoke bipartite graphs like this one). One
+    degree aggregate + two broadcast-sized joins + one moment
+    aggregate."""
+    edges = copurchase_edges(spark, sf_dir)
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+    both = (
+        sym.join(deg.select(F.col("id").alias("src"), F.col("degree").alias("deg_src")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("degree").alias("deg_dst")), "dst")
+    )
+    return both.agg(
+        F.count("*").alias("n_edge_ends"),
+        F.round(F.corr("deg_src", "deg_dst"), 6).alias("assortativity"),
+    )
+
+
+ORACLE_ASSORTATIVITY = f"""
+WITH e AS ({COPURCHASE_EDGES_SQL}),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src)
+SELECT COUNT(*) AS n_edge_ends,
+       ROUND(corr(ds.degree, dd.degree), 6) AS assortativity
+FROM sym JOIN deg ds ON sym.src = ds.id JOIN deg dd ON sym.dst = dd.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text ranking / scoring
+# ---------------------------------------------------------------------------
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword ranking (k1=1.2, b=0.75) of documents against a
+    fixed term query — the classic retrieval scorer and the lexical
+    half of hybrid (BM25 + embedding) search. Corpus stats (N, avgdl,
+    per-term df) are broadcast-sized; the per-doc score is one
+    aggregate over ≤|query| rows per doc. Rounded 6 dp (cross-engine
+    term-sum order)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_of(d).filter(F.col("token").isin(*BM25_TERMS))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = d.agg(F.count("*").alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms_hit"),
+        F.round(F.sum("term_score"), 6).alias("bm25"),
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+ORACLE_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token
+),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT AVG(dl) FROM dl) AS avgdl
+),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({BM25_K1!r} + 1.0))
+           / (tf.tf + {BM25_K1!r} * (1.0 - {BM25_B!r} + {BM25_B!r} * dl.dl / stats.avgdl))
+           AS term_score
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+)
+SELECT doc_id, COUNT(*) AS n_terms_hit, ROUND(SUM(term_score), 6) AS bm25
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy per document (bits/token): −mean log₂ of
+    the corpus-frequency probability of each token — the classic
+    cheap 'perplexity' quality signal for training-data filtering
+    (low = repetitive boilerplate, high = rare-token noise). Corpus LM
+    is a broadcast-sized token table; per-doc score is one aggregate.
+    Rounded 6 dp."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_of(d).filter(F.col("token") != "")
+    lm = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("total"))
+    probs = lm.crossJoin(F.broadcast(total)).select(
+        "token", (F.col("cnt") / F.col("total")).alias("p")
+    )
+    return (
+        toks.join(F.broadcast(probs), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.avg(F.log("p")) / F.log(F.lit(2.0)), 6).alias("bits_per_token"),
+        )
+    )
+
+
+ORACLE_UNIGRAM_SURPRISE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+lm AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+probs AS (SELECT token, cnt / (SELECT SUM(cnt) FROM lm) AS p FROM lm)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(-AVG(ln(p)) / ln(2.0), 6) AS bits_per_token
+FROM t JOIN probs USING (token)
+GROUP BY doc_id
+"""
+
+
+def q_zscore_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flagging of event values — the
+    standard streaming-adjacent anomaly screen, expressed as one stats
+    aggregate broadcast back over the fact table (no window sort over
+    the full stream). The flag derives from the ROUNDED z so the
+    boundary decision is identical in both engines."""
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            z.alias("zscore"),
+            (F.abs(z) > 2.0).alias("is_outlier"),
+        )
+    )
+
+
+ORACLE_ZSCORE_OUTLIER = """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, stddev_pop(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       ROUND((value - mu) / sigma, 4) AS zscore,
+       abs(ROUND((value - mu) / sigma, 4)) > 2.0 AS is_outlier
+FROM events e JOIN stats USING (event_type)
+"""
+
+
+QUERIES = {
+    "q_stats_agg": q_stats_agg,
+    "q_filtered_agg": q_filtered_agg,
+    "q_string_agg": q_string_agg,
+    "q_rollup_time": q_rollup_time,
+    "q_salted_join": q_salted_join,
+    "q_read_json": q_read_json,
+    "q_read_orc": q_read_orc,
+    "q_clustering_coeff": q_clustering_coeff,
+    "q_adamic_adar": q_adamic_adar,
+    "q_degree_dist": q_degree_dist,
+    "q_assortativity": q_assortativity,
+    "q_bm25": q_bm25,
+    "q_unigram_surprise": q_unigram_surprise,
+    "q_zscore_outlier": q_zscore_outlier,
+}
+
+ORACLES = {
+    "q_stats_agg": ORACLE_STATS_AGG,
+    "q_filtered_agg": ORACLE_FILTERED_AGG,
+    "q_string_agg": ORACLE_STRING_AGG,
+    "q_rollup_time": ORACLE_ROLLUP_TIME,
+    "q_salted_join": ORACLE_SALTED_JOIN,
+    "q_read_json": ORACLE_READ_JSON,
+    "q_read_orc": ORACLE_READ_ORC,
+    "q_clustering_coeff": ORACLE_CLUSTERING_COEFF,
+    "q_adamic_adar": ORACLE_ADAMIC_ADAR,
+    "q_degree_dist": ORACLE_DEGREE_DIST,
+    "q_assortativity": ORACLE_ASSORTATIVITY,
+    "q_bm25": ORACLE_BM25,
+    "q_unigram_surprise": ORACLE_UNIGRAM_SURPRISE,
+    "q_zscore_outlier": ORACLE_ZSCORE_OUTLIER,
+}

@@ -17,6 +17,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def _modules():
     from . import (
+        analytics,
         funcs,
         graph,
         llm_ops,
@@ -48,6 +49,7 @@ def _modules():
         graph,
         textprep,
         pipeline,
+        analytics,
     ]
 
 
