@@ -20,7 +20,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .graph import _KARATE_SQL, degree_weighted, symmetrize, vertices_of
+from .graph import _KARATE_SQL, _KARATE_W_SQL, degree_weighted, symmetrize, vertices_of
 from .llm_ops import tokens_of
 from .sources import COPURCHASE_EDGES_SQL, copurchase_edges, karate_edges, load
 
@@ -596,6 +596,221 @@ FROM events e JOIN stats USING (event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# iterative graph algorithms with bounded SQL oracles
+# ---------------------------------------------------------------------------
+
+#: Bellman–Ford round budget for the SSSP oracle query. The weighted
+#: karate fixture's true shortest paths use ≤ 4 hops (asserted against
+#: networkx Dijkstra in tests), so 6 synchronized rounds reach the
+#: fixpoint with margin, and the oracle's walk enumeration stays small.
+SSSP_MAX_HOPS = 6
+SSSP_SOURCE = 0
+
+#: personalized-PageRank parameters (restart mass concentrated on the
+#: source node; total rank mass = 1)
+PPR_ALPHA = 0.85
+PPR_ITERS = 20
+PPR_SOURCE = 0
+
+
+def sssp_weighted(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    max_hops: int,
+) -> DataFrame:
+    """Single-source shortest path distances by synchronized
+    Bellman–Ford relaxation: ``max_hops`` rounds of (frontier ⋈ edges →
+    min-aggregate). Returns (id, dist) for reached nodes.
+
+    100 TB shape: each round is one join of the n-row distance table
+    against the (cached) edge list plus one map-side-combined min
+    aggregate — the Pregel message pattern, same as
+    connected_components; lineage truncated per round. Round count is
+    bounded by the hop diameter, not n.
+    """
+    sym = symmetrize(edges).localCheckpoint(eager=True)
+    dist = spark.createDataFrame([(source, 0.0)], "id LONG, dist DOUBLE")
+    for _ in range(max_hops):
+        contrib = sym.join(
+            dist.select(F.col("id").alias("src"), "dist"), "src"
+        ).select(F.col("dst").alias("id"), (F.col("dist") + F.col("weight")).alias("dist"))
+        dist = (
+            dist.unionByName(contrib)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest hops/distances from node 0 on
+    the weighted karate fixture (6 relaxation rounds = fixpoint, see
+    SSSP_MAX_HOPS). Distances are exact float equality with the
+    oracle: IEEE addition is monotone, so round-k relaxation computes
+    exactly min over ≤k-edge left-associated path sums — the same set
+    the oracle's bounded walk enumeration minimizes."""
+    edges = karate_edges(spark, weighted=True)
+    return sssp_weighted(spark, edges, SSSP_SOURCE, SSSP_MAX_HOPS)
+
+
+ORACLE_SSSP_WEIGHTED = f"""
+WITH RECURSIVE e AS (
+  SELECT src, dst, weight FROM ({_KARATE_W_SQL})
+),
+sym AS (
+  SELECT src, dst, weight FROM e
+  UNION ALL SELECT dst, src, weight FROM e WHERE src <> dst
+),
+walk(id, dist, hops) AS (
+  SELECT CAST({SSSP_SOURCE} AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS dist, 0 AS hops
+  UNION ALL
+  SELECT sym.dst AS id, walk.dist + sym.weight AS dist, walk.hops + 1 AS hops
+  FROM walk JOIN sym ON sym.src = walk.id
+  WHERE walk.hops < {SSSP_MAX_HOPS}
+)
+SELECT id, MIN(dist) AS dist FROM walk GROUP BY id
+"""
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    iters: int = PPR_ITERS,
+    alpha: float = PPR_ALPHA,
+) -> DataFrame:
+    """Personalized PageRank with restart mass on one source node:
+    r ← (1−α)·e_source + α·Wᵀr, r₀ = e_source. Same superstep shape
+    as pagerank (one edge join + one map-side-combined aggregate per
+    iteration, static degree table cached, lineage truncated); the
+    restart vector replaces the uniform teleport, which is what powers
+    'related items' / local-community queries at scale. Assumes no
+    dangling nodes (symmetrized input), matching the oracle."""
+    verts = vertices_of(edges).localCheckpoint(eager=True)
+    wout = edges.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("wout"))
+    base = verts.join(wout, "id").localCheckpoint(eager=True)
+    restart = F.when(F.col("id") == source, 1.0).otherwise(0.0)
+    ranks = base.select("id", "wout", restart.alias("r"))
+    for _ in range(iters):
+        flow = (
+            edges.join(
+                ranks.select(F.col("id").alias("src"), "r", F.col("wout").alias("w_src")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("r") * F.col("weight") / F.col("w_src")).alias("flow"))
+        )
+        ranks = (
+            base.join(flow, "id", "left")
+            .select(
+                "id",
+                "wout",
+                (
+                    F.lit(1.0 - alpha) * restart
+                    + F.lit(alpha) * F.coalesce("flow", F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", "r")
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from node 0 on symmetrized karate, 20
+    iterations, α=0.85 — oracle is the same 20 iterations unrolled as
+    chained SQL CTEs (exactly SQL-expressible because the iteration
+    count is fixed; rounded 6 dp for cross-engine accumulation
+    order)."""
+    sym = symmetrize(karate_edges(spark))
+    return personalized_pagerank(spark, sym, PPR_SOURCE).select(
+        "id", F.round("r", 6).alias("ppr")
+    )
+
+
+def _oracle_personalized_pagerank() -> str:
+    a = PPR_ALPHA
+    restart = f"(CASE WHEN v.id = {PPR_SOURCE} THEN 1.0 ELSE 0.0 END)"
+    # AS MATERIALIZED: without it DuckDB inlines the whole 20-level CTE
+    # chain into one nested tree and spends ~45 s planning it; with it
+    # each iteration is one tiny hash join (measured: <1 s total)
+    parts = [
+        f"e AS MATERIALIZED (SELECT src, dst, weight FROM ({_KARATE_SQL}))",
+        "sym AS MATERIALIZED (SELECT src, dst, weight FROM e"
+        " UNION ALL SELECT dst, src, weight FROM e WHERE src <> dst)",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)",
+        "deg AS MATERIALIZED (SELECT src AS id, SUM(weight) AS wout FROM sym GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT v.id, {restart} AS r FROM v)",
+    ]
+    for k in range(1, PPR_ITERS + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT v.id,"
+            f" (1.0 - {a!r}) * {restart} + {a!r} * COALESCE(f.flow, 0.0) AS r"
+            f" FROM v LEFT JOIN ("
+            f"SELECT sym.dst AS id, SUM(p.r * sym.weight / deg.wout) AS flow"
+            f" FROM r{k-1} p JOIN sym ON sym.src = p.id JOIN deg ON deg.id = p.id"
+            f" GROUP BY sym.dst) f ON v.id = f.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT id, ROUND(r, 6) AS ppr FROM r{PPR_ITERS}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text-log source
+# ---------------------------------------------------------------------------
+
+
+def q_read_text_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-log source round trip: format events as log lines,
+    land them through the text sink, re-parse with regexp_extract (the
+    classic 'ingest a service log' path), aggregate. The oracle
+    recomputes from the structured source, so format→parse must be
+    lossless for the extracted fields (integers and enum strings only;
+    float repr is deliberately NOT round-tripped through text). At
+    100 TB: text files split by newline; the regex projection is a
+    shuffle-free map feeding an ordinary aggregate."""
+    e = load(spark, sf_dir, "events")
+    lines = e.select(
+        F.concat_ws(
+            " ",
+            F.col("ts_us").cast("string"),
+            F.lit("INFO"),
+            F.concat(F.lit("user="), F.col("user_id")),
+            F.concat(F.lit("type="), F.col("event_type")),
+            F.concat(F.lit("event="), F.col("event_id")),
+        ).alias("value")
+    )
+    out = _roundtrip_dir(sf_dir, "textlog")
+    lines.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    parsed = back.select(
+        F.regexp_extract("value", r"^(\d+) ", 1).cast("long").alias("ts_us"),
+        F.regexp_extract("value", r"user=(\d+)", 1).cast("long").alias("user_id"),
+        F.regexp_extract("value", r"type=(\w+)", 1).alias("event_type"),
+        F.regexp_extract("value", r"event=(\d+)", 1).cast("long").alias("event_id"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts_us").alias("first_ts_us"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+ORACLE_READ_TEXT_LOG = """
+SELECT event_type,
+       COUNT(*)                 AS n_events,
+       COUNT(DISTINCT user_id)  AS n_users,
+       MIN(CAST(epoch_us(ts) AS BIGINT)) AS first_ts_us,
+       MAX(event_id)            AS max_event_id
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q_stats_agg": q_stats_agg,
     "q_filtered_agg": q_filtered_agg,
@@ -611,6 +826,9 @@ QUERIES = {
     "q_bm25": q_bm25,
     "q_unigram_surprise": q_unigram_surprise,
     "q_zscore_outlier": q_zscore_outlier,
+    "q_sssp_weighted": q_sssp_weighted,
+    "q_personalized_pagerank": q_personalized_pagerank,
+    "q_read_text_log": q_read_text_log,
 }
 
 ORACLES = {
@@ -628,4 +846,7 @@ ORACLES = {
     "q_bm25": ORACLE_BM25,
     "q_unigram_surprise": ORACLE_UNIGRAM_SURPRISE,
     "q_zscore_outlier": ORACLE_ZSCORE_OUTLIER,
+    "q_sssp_weighted": ORACLE_SSSP_WEIGHTED,
+    "q_personalized_pagerank": _oracle_personalized_pagerank(),
+    "q_read_text_log": ORACLE_READ_TEXT_LOG,
 }

@@ -418,6 +418,66 @@ GROUP BY 1
 """
 
 
+def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink — the production escape hatch for sinks the
+    streaming engine has no native writer for (JDBC, MERGE targets,
+    multi-sink fan-out): each micro-batch lands its PARTIAL per-type
+    aggregate (count + decimal value sum) as one parquet append, and
+    the reader re-aggregates the partials. Counts and decimal sums are
+    mergeable, so the final result is exactly the batch answer no
+    matter how the stream was micro-batched — the oracle recomputes it
+    from the source in one shot.
+
+    100 TB shape: foreachBatch gives per-batch exactly-once via the
+    checkpointed batch_id (dedupe key for idempotent writers); partial
+    aggregates shrink each batch to |key-domain| rows before the sink,
+    the same partial/final split Spark applies inside a shuffle."""
+    import hashlib
+    import shutil
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join("/root/repo/.tmp", f"feb_sink_{tag}")
+    ckpt = os.path.join("/root/repo/.tmp", f"feb_ckpt_{tag}")
+    for d in (out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = stream_events(spark, sf_dir)
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_partial"),
+                F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_partial"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        ev.select("event_type", "value")
+        .writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.sum("n_partial").alias("n_events"),
+        F.round(F.sum("sum_partial"), 2).cast("double").alias("sum_value"),
+    )
+
+
+ORACLE_STREAM_FOREACH_BATCH = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_sliding": q_stream_sliding,
@@ -428,6 +488,9 @@ QUERIES = {
     "q_stream_stream_join": q_stream_stream_join,
     "q_stream_watermark": q_stream_watermark,
     "q_stream_file_sink": q_stream_file_sink,
+    # registered last on purpose: keeps this round's first-50 driver
+    # correctness window stable (see registry._modules ordering note)
+    "q_stream_foreach_batch": q_stream_foreach_batch,
 }
 
 ORACLES = {
@@ -439,6 +502,7 @@ ORACLES = {
     "q_stream_static_join": ORACLE_STREAM_STATIC_JOIN,
     "q_stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
     "q_stream_file_sink": ORACLE_STREAM_FILE_SINK,
+    "q_stream_foreach_batch": ORACLE_STREAM_FOREACH_BATCH,
     # rows-only: q_stream_watermark (append-mode emission depends on
     # final-batch watermark advancement; semantics pinned in tests)
 }
