@@ -811,6 +811,165 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# event analytics: funnel, cohort retention, SCD2 intervals
+# ---------------------------------------------------------------------------
+
+#: microseconds per week (cohort bucketing is pure integer arithmetic
+#: on epoch-micros — timezone-independent, identical in both engines)
+WEEK_US = 7 * 24 * 3_600_000_000
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    converts at a stage only with an event strictly after their entry
+    to the previous stage. Three chained (filter → join on user →
+    min-aggregate) stages — each stage's event filter prunes the
+    stream *before* its shuffle, and every shuffle key is user_id, so
+    a 100 TB event log reduces to per-user scalars immediately; no
+    sorting, no per-user event collection."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("view_us"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("view_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("click_us"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("purchase_us"))
+    )
+    nv = v.agg(F.count("*").alias("n_viewers"))
+    nc = c.agg(F.count("*").alias("n_clickers"))
+    np_ = p.agg(F.count("*").alias("n_purchasers"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_viewers",
+            "n_clickers",
+            "n_purchasers",
+            F.round(F.col("n_clickers").cast("double") / F.col("n_viewers"), 6).alias(
+                "click_rate"
+            ),
+            F.round(
+                F.col("n_purchasers").cast("double") / F.col("n_clickers"), 6
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+ORACLE_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(CAST(epoch_us(ts) AS BIGINT)) AS view_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(CAST(epoch_us(e.ts) AS BIGINT)) AS click_us
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND CAST(epoch_us(e.ts) AS BIGINT) > v.view_us
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND CAST(epoch_us(e.ts) AS BIGINT) > c.click_us
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_viewers,
+       (SELECT COUNT(*) FROM c) AS n_clickers,
+       (SELECT COUNT(*) FROM p) AS n_purchasers,
+       ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v), 6) AS click_rate,
+       ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM c), 6) AS purchase_rate
+"""
+
+
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active week
+    (epoch-aligned), counted per (cohort_week, week_offset). Shape:
+    distinct (user, week) → per-user min → join back → count-distinct
+    aggregate — all shuffles keyed on user_id or the tiny
+    (cohort, offset) pair; the distinct pass collapses the event log to
+    at most |users|·|weeks| rows before anything else."""
+    e = load(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.expr(f"ts_us div {WEEK_US}").alias("week")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_RETENTION_COHORT = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(epoch_us(ts) AS BIGINT) // {WEEK_US} AS week
+  FROM events
+),
+first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       COUNT(DISTINCT uw.user_id) AS n_users
+FROM uw JOIN first ON uw.user_id = first.user_id
+GROUP BY cohort_week, week_offset
+"""
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: compress each user's
+    event-type stream into validity intervals — keep only rows where
+    the state *changes* (lag), then close each interval with the next
+    change's timestamp (lead); the current state stays open
+    (valid_to_us NULL). Ordering is (raw ns timestamp, event_id) — a
+    total order, so both window passes are deterministic. One shuffle
+    on user_id serves both window functions (same partitioning)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "event_type", "ts", "ts_us", "event_id")
+        .withColumn("prev_state", F.lag("event_type").over(w))
+        .filter(F.col("prev_state").isNull() | (F.col("prev_state") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+    )
+
+
+ORACLE_SCD2_INTERVALS = """
+WITH o AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+  FROM events
+),
+ch AS (
+  SELECT * FROM o WHERE prev_state IS NULL OR prev_state <> event_type
+)
+SELECT user_id, event_type AS state, us AS valid_from_us,
+       LEAD(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+FROM ch
+"""
+
+
 QUERIES = {
     "q_stats_agg": q_stats_agg,
     "q_filtered_agg": q_filtered_agg,
@@ -829,6 +988,9 @@ QUERIES = {
     "q_sssp_weighted": q_sssp_weighted,
     "q_personalized_pagerank": q_personalized_pagerank,
     "q_read_text_log": q_read_text_log,
+    "q_funnel": q_funnel,
+    "q_retention_cohort": q_retention_cohort,
+    "q_scd2_intervals": q_scd2_intervals,
 }
 
 ORACLES = {
@@ -849,4 +1011,7 @@ ORACLES = {
     "q_sssp_weighted": ORACLE_SSSP_WEIGHTED,
     "q_personalized_pagerank": _oracle_personalized_pagerank(),
     "q_read_text_log": ORACLE_READ_TEXT_LOG,
+    "q_funnel": ORACLE_FUNNEL,
+    "q_retention_cohort": ORACLE_RETENTION_COHORT,
+    "q_scd2_intervals": ORACLE_SCD2_INTERVALS,
 }

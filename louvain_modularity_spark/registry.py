@@ -28,6 +28,7 @@ def _modules():
         relational,
         streaming,
         textprep,
+        tpch,
     )
 
     # Order matters: the correctness driver verifies the FIRST 50 entries of
@@ -50,6 +51,7 @@ def _modules():
         textprep,
         pipeline,
         analytics,
+        tpch,
     ]
 
 

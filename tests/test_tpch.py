@@ -1,0 +1,87 @@
+"""Plan-shape guards for the TPC-H pack (tpch.py): these queries exist
+to pin the decision-support shapes — decorrelated subqueries, top-k
+without global sort, broadcast dims — so the tests assert the physical
+plan, not just values (value parity is covered by run_parity.py).
+"""
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark):
+    """Catalyst must rewrite the correlated EXISTS into a semi join —
+    no per-row subquery node may survive in the physical plan."""
+    from louvain_modularity_spark.tpch import q_tpch_q4
+
+    plan = _plan(q_tpch_q4(spark, SF))
+    assert "LeftSemi" in plan
+    assert "Subquery" not in plan
+
+
+def test_q17_scalar_subquery_decorrelates_to_aggregate_join(spark):
+    """The correlated scalar AVG becomes a per-partkey aggregate joined
+    back — the plan has ≥2 HashAggregates (threshold agg + outer sum)
+    and no surviving correlated subquery."""
+    from louvain_modularity_spark.tpch import q_tpch_q17
+
+    plan = _plan(q_tpch_q17(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "Subquery" not in plan
+
+
+def test_q3_q10_topk_and_broadcast(spark):
+    from louvain_modularity_spark.tpch import q_tpch_q3, q_tpch_q10
+
+    p3 = _plan(q_tpch_q3(spark, SF))
+    assert "TakeOrderedAndProject" in p3
+    p10 = _plan(q_tpch_q10(spark, SF))
+    assert "TakeOrderedAndProject" in p10
+    assert "BroadcastHashJoin" in p10  # nation dim never shuffles the fact side
+
+
+def test_q18_aggregates_before_joining(spark):
+    """The HAVING-gated quantity aggregate must run below the joins in
+    the plan tree (aggregate → filter → join ordering)."""
+    from louvain_modularity_spark.tpch import q_tpch_q18
+
+    plan = _plan(q_tpch_q18(spark, SF))
+    # the string plan prints top-down: first join appears above the
+    # final-mode HashAggregate that feeds it
+    first_join = min(
+        i for i in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin")) if i >= 0
+    )
+    agg = plan.find("HashAggregate")
+    assert agg >= 0 and first_join >= 0
+    assert "sum_qty" in plan[: plan.find("Scan")]  # projected through the top
+
+
+def test_unpivot_is_narrow_expand(spark):
+    """unpivot lowers to an Expand node with no exchange between the
+    aggregate and the output — the melt itself is shuffle-free."""
+    from louvain_modularity_spark.tpch import q_unpivot_metrics
+
+    plan = _plan(q_unpivot_metrics(spark, SF))
+    assert "Expand" in plan
+    head = plan.split("HashAggregate", 1)[0]
+    assert "Exchange" not in head  # nothing shuffles above the final agg
+
+
+def test_q17_threshold_is_order_independent(spark):
+    """The 0.2*mean threshold must be exact: quantities are
+    integer-valued so the double SUM is exact regardless of partition
+    order — re-running with different parallelism gives identical
+    results."""
+    from louvain_modularity_spark.tpch import q_tpch_q17
+
+    a = q_tpch_q17(spark, SF).collect()[0][0]
+    one = (
+        q_tpch_q17(spark, SF)
+        .coalesce(1)
+        .collect()[0][0]
+    )
+    assert a == one
