@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis): the Spark operators must agree
+with networkx — the canonical public implementation of the algorithms
+this repo re-expresses — on arbitrary small graphs, not just the
+packaged fixtures. Each example round-trips through a real Spark plan,
+so examples are few and graphs small; the point is randomized
+*semantic* coverage (self-loops, isolated components, duplicate-weight
+ties, partitions of every shape), not volume.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+nx = pytest.importorskip("networkx")
+
+N_MAX = 9  # nodes 0..8; small keeps each Spark round-trip ~100 ms
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(0, N_MAX - 1),
+        st.integers(0, N_MAX - 1),
+        st.integers(1, 5),  # integer weights: exact in double, no fp ambiguity
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+# partition of 0..N_MAX-1 as a community label per node
+labels_strategy = st.lists(
+    st.integers(0, 3), min_size=N_MAX, max_size=N_MAX
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _spark_graph(spark, raw_edges):
+    """Canonical undirected simple graph from a raw (src, dst, w) list:
+    symmetrize-agg the way the engine's normalization does, and build
+    the matching networkx graph (parallel edges collapse by summing —
+    the same semantics as q_edge_agg_parallel)."""
+    import pyspark.sql.functions as F
+
+    from louvain_modularity_spark.graph import aggregate_parallel_edges
+
+    df = spark.createDataFrame(
+        [(int(s), int(d), float(w)) for s, d, w in raw_edges],
+        "src LONG, dst LONG, weight DOUBLE",
+    )
+    # canonicalize direction first: (a,b) and (b,a) are the same
+    # undirected edge and must collapse into one stored row
+    canon = aggregate_parallel_edges(
+        df.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+    )
+    g = nx.Graph()
+    for s, d, w in raw_edges:
+        if g.has_edge(s, d):
+            g[s][d]["weight"] += w
+        else:
+            g.add_edge(s, d, weight=float(w))
+    return canon, g
+
+
+@_SETTINGS
+@given(raw=edges_strategy, labels=labels_strategy)
+def test_modularity_matches_networkx(spark, raw, labels):
+    """Q(assignment) computed by the distributed aggregates equals
+    networkx.community.modularity to float tolerance, for arbitrary
+    graphs (self-loops included) and arbitrary partitions."""
+    from louvain_modularity_spark.metrics import modularity
+
+    canon, g = _spark_graph(spark, raw)
+    nodes = sorted(g.nodes())
+    assignment = spark.createDataFrame(
+        [(int(n), int(labels[n])) for n in nodes], "id LONG, community LONG"
+    )
+    communities = {}
+    for n in nodes:
+        communities.setdefault(labels[n], set()).add(n)
+    expected = nx.community.modularity(g, communities.values(), weight="weight")
+    got = modularity(canon, assignment)
+    assert got == pytest.approx(expected, abs=1e-9)
+
+
+@_SETTINGS
+@given(raw=edges_strategy)
+def test_louvain_partition_is_valid_and_improves(spark, raw):
+    """louvain_communities returns a true partition of the vertex set
+    whose Q is at least the singleton partition's Q (the algorithm
+    only ever applies strictly-improving moves)."""
+    import pyspark.sql.functions as F
+
+    from louvain_modularity_spark import api
+    from louvain_modularity_spark.metrics import modularity, validate_partition
+
+    canon, g = _spark_graph(spark, raw)
+    assignment = api.louvain_communities(spark, canon, weight="weight", seed=1)
+    validate_partition(canon, assignment)  # raises NotAPartition on any gap
+    verts = canon.selectExpr("src AS id").union(canon.selectExpr("dst AS id")).distinct()
+    singleton = verts.select("id", F.col("id").alias("community"))
+    assert modularity(canon, assignment) >= modularity(canon, singleton) - 1e-12
+
+
+@_SETTINGS
+@given(raw=edges_strategy)
+def test_degrees_match_networkx(spark, raw):
+    """Weighted degrees (self-loops counting twice, the Q convention)
+    match networkx.degree exactly — integer weights, so equality is
+    exact, not approximate."""
+    from louvain_modularity_spark.graph import degree_weighted
+
+    canon, g = _spark_graph(spark, raw)
+    got = {
+        r["id"]: r["degree"] for r in degree_weighted(canon).collect()
+    }
+    expected = dict(g.degree(weight="weight"))
+    assert got == expected
