@@ -727,6 +727,219 @@ JOIN sizes sb ON sb.id = id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# directed SCC (coloring algorithm) and all-pairs closeness
+# ---------------------------------------------------------------------------
+
+#: deterministic directed karate variant: every stored edge keeps its
+#: src→dst orientation, and edges with (src+dst) % 3 == 0 also get the
+#: reverse arc — yields SCC sizes [15, 13, 1×6], a nontrivial fixture
+KARATE_DIRECTED_SQL_MOD = 3
+
+_KARATE_DIRECTED_SQL = f"""
+WITH ke AS ({_KARATE_SQL})
+SELECT src, dst FROM ke
+UNION ALL
+SELECT dst AS src, src AS dst FROM ke WHERE (src + dst) % {KARATE_DIRECTED_SQL_MOD} = 0
+"""
+
+
+def karate_directed(spark: SparkSession) -> DataFrame:
+    """Directed karate fixture matching _KARATE_DIRECTED_SQL."""
+    e = karate_edges(spark).select("src", "dst")
+    back = e.filter(
+        (F.col("src") + F.col("dst")) % KARATE_DIRECTED_SQL_MOD == 0
+    ).select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return e.unionByName(back)
+
+
+def strongly_connected_components(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Strongly connected components of a directed graph by the
+    coloring algorithm (Orzan 2004; the standard distributed SCC):
+    repeat until no vertices remain —
+
+    1. *Color*: propagate max vertex id FORWARD to fixpoint; color[v] =
+       max id that can reach v within the remaining subgraph.
+    2. *Collect*: each color class has exactly one root (id == color,
+       proof: reachers-of-v ⊇ reachers-of-u for any u→…→v). Grow the
+       root's SCC BACKWARD along edges whose both endpoints share the
+       color — exactly the vertices that reach the root and are reached
+       by it.
+    3. Remove the found SCCs and repeat on the remainder.
+
+    Returns (id, scc) with scc = min member id (canonical labeling).
+
+    100 TB shape: both fixpoints are the Pregel message pattern (edge
+    join + max/exists aggregate, lineage truncated per round); each
+    outer round removes every color root's SCC at once, so round count
+    is small for the power-law graphs this runs on (worst case — a
+    directed path — degrades to O(n), the algorithm's known bound).
+    Convergence checks are 1-row counts, constant bytes to the driver.
+    """
+    E = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    remaining = vertices_of(E).localCheckpoint(eager=True)
+    done: DataFrame | None = None
+    while not remaining.isEmpty():
+        ids = remaining.select("id")
+        er = (
+            E.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        # 1. forward max-color fixpoint
+        color = remaining.select("id", F.col("id").alias("color"))
+        while True:
+            msgs = er.join(
+                color.select(F.col("id").alias("src"), "color"), "src"
+            ).select(F.col("dst").alias("id"), "color")
+            new = (
+                color.unionByName(msgs)
+                .groupBy("id")
+                .agg(F.max("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.join(color.withColumnRenamed("color", "old"), "id")
+                .filter(F.col("color") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            color = new
+            if changed == 0:
+                break
+        # 2. backward growth from roots within equal color
+        marked = color.filter(F.col("id") == F.col("color")).localCheckpoint(
+            eager=True
+        )
+        n_marked = marked.count()
+        while True:
+            msgs = er.join(
+                marked.select(F.col("id").alias("dst"), F.col("color").alias("mcolor")),
+                "dst",
+            ).select(F.col("src").alias("id"), "mcolor")
+            grow = (
+                msgs.join(color, "id")
+                .filter(F.col("color") == F.col("mcolor"))
+                .select("id", "color")
+            )
+            new_marked = (
+                marked.unionByName(grow).distinct().localCheckpoint(eager=True)
+            )
+            n_new = new_marked.count()
+            if n_new == n_marked:
+                break
+            marked, n_marked = new_marked, n_new
+        comp = marked.select("id", F.col("color").alias("scc"))
+        done = comp if done is None else done.unionByName(comp)
+        done = done.localCheckpoint(eager=True)
+        remaining = remaining.join(marked.select("id"), "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+    # canonical labels: scc = min member id
+    relabel = done.groupBy("scc").agg(F.min("id").alias("scc_min"))
+    return done.join(relabel, "scc").select("id", F.col("scc_min").alias("scc"))
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCCs of the directed karate fixture (8 components, sizes 15/13
+    and 6 singletons). Oracle: mutual-reachability transitive closure
+    via recursive CTE — exact ground truth at fixture scale; the
+    engine ships the coloring algorithm, which never materializes the
+    closure."""
+    return strongly_connected_components(spark, karate_directed(spark))
+
+
+# NOTE: ke is a sibling CTE (not nested inside e) — DuckDB's RECURSIVE
+# binder does not resolve a WITH nested inside another CTE body here
+ORACLE_SCC = f"""
+WITH RECURSIVE ke AS ({_KARATE_SQL}),
+e AS (
+  SELECT src, dst FROM ke
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM ke
+  WHERE (src + dst) % {KARATE_DIRECTED_SQL_MOD} = 0
+),
+v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+r(a, b) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b
+)
+SELECT r1.a AS id, MIN(r1.b) AS scc
+FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
+GROUP BY r1.a
+"""
+
+
+#: BFS round budget for all-pairs hop distances on the karate fixture
+#: (diameter 5; asserted against networkx eccentricity in tests)
+CLOSENESS_MAX_HOPS = 6
+
+
+def all_pairs_hops(spark: SparkSession, edges: DataFrame, max_hops: int) -> DataFrame:
+    """All-pairs shortest hop counts by MULTI-source BFS: the state is
+    (source, id, dist) and every source's frontier advances in the same
+    superstep — one edge join + one min-aggregate per round for ALL
+    sources, instead of |V| sequential BFS runs. Rounds = diameter.
+
+    100 TB shape: exact all-pairs state is O(V²) and is only for
+    bounded vertex sets (the closeness query runs on the fixture); the
+    scale path is the same operator seeded with a sampled source set —
+    state O(samples·V), the standard approximation. The per-round plan
+    (join on src, min-agg on (source, id)) is identical either way."""
+    sym = (
+        symmetrize(edges)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    verts = vertices_of(edges)
+    dist = verts.select(
+        F.col("id").alias("source"), "id", F.lit(0).cast("int").alias("dist")
+    )
+    for _ in range(max_hops):
+        contrib = dist.join(
+            sym.withColumnRenamed("src", "id"), "id"
+        ).select("source", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionByName(contrib)
+            .groupBy("source", "id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality (n−1)/Σd per node on the karate fixture via
+    multi-source BFS (6 rounds ≥ diameter 5 — true distances, golden
+    vs networkx closeness_centrality in tests)."""
+    d = all_pairs_hops(spark, karate_edges(spark), CLOSENESS_MAX_HOPS)
+    return d.groupBy("source").agg(
+        F.round((F.count("*") - F.lit(1)) / F.sum("dist"), 6).alias("closeness")
+    )
+
+
+ORACLE_CLOSENESS = f"""
+WITH RECURSIVE e AS ({_KARATE_SQL}),
+sym AS (
+  SELECT src, dst FROM e WHERE src <> dst
+  UNION SELECT dst, src FROM e WHERE src <> dst
+),
+v AS (SELECT DISTINCT src AS id FROM sym),
+walk(source, id, d) AS (
+  SELECT id, id, 0 FROM v
+  UNION
+  SELECT walk.source, sym.dst, walk.d + 1
+  FROM walk JOIN sym ON sym.src = walk.id
+  WHERE walk.d < {CLOSENESS_MAX_HOPS}
+),
+dist AS (SELECT source, id, MIN(d) AS d FROM walk GROUP BY source, id)
+SELECT source, ROUND((COUNT(*) - 1.0) / SUM(d), 6) AS closeness
+FROM dist GROUP BY source
+"""
+
+
 QUERIES = {
     "q_edges_from_relational": q_edges_from_relational,
     "q_read_edgelist": q_read_edgelist,
@@ -746,6 +959,8 @@ QUERIES = {
     "q_kcore": q_kcore,
     "q_jaccard_nodes": q_jaccard_nodes,
     "q_bfs_hops": q_bfs_hops,
+    "q_scc": q_scc,
+    "q_closeness": q_closeness,
 }
 
 ORACLES = {
@@ -763,6 +978,8 @@ ORACLES = {
     "q_triangle_count": _oracle_triangle_count(),
     "q_jaccard_nodes": ORACLE_JACCARD_NODES,
     "q_bfs_hops": _oracle_bfs_hops(),
+    "q_scc": ORACLE_SCC,
+    "q_closeness": ORACLE_CLOSENESS,
     # rows-only: q_write_edgelist (sink round-trip), q_adjacency_pivot
     # (dynamic pivot columns), q_pagerank (iterative; networkx golden
     # in tests), q_kcore (iterative peeling; networkx core_number

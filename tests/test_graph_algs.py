@@ -1,0 +1,47 @@
+"""Golden tests for the directed SCC (coloring algorithm) and
+multi-source-BFS closeness against networkx ground truth."""
+
+import pytest
+
+nx = pytest.importorskip("networkx")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _nx_directed_karate():
+    from louvain_modularity_spark.graph import KARATE_DIRECTED_SQL_MOD
+
+    g = nx.karate_club_graph()
+    d = nx.DiGraph()
+    for u, v in g.edges():
+        s, t = min(u, v), max(u, v)
+        d.add_edge(s, t)
+        if (s + t) % KARATE_DIRECTED_SQL_MOD == 0:
+            d.add_edge(t, s)
+    return d
+
+
+def test_scc_matches_networkx(spark):
+    from louvain_modularity_spark.graph import q_scc
+
+    got = {r["id"]: r["scc"] for r in q_scc(spark, SF).collect()}
+    d = _nx_directed_karate()
+    expected = {n: min(c) for c in nx.strongly_connected_components(d) for n in c}
+    assert got == expected
+    sizes = sorted(
+        [sum(1 for v in got.values() if v == s) for s in set(got.values())],
+        reverse=True,
+    )
+    assert sizes == [15, 13, 1, 1, 1, 1, 1, 1]  # the fixture's documented shape
+
+
+def test_closeness_matches_networkx(spark):
+    from louvain_modularity_spark.graph import CLOSENESS_MAX_HOPS, q_closeness
+
+    g = nx.karate_club_graph()
+    assert nx.diameter(g) <= CLOSENESS_MAX_HOPS  # round budget reaches fixpoint
+    got = {r["source"]: r["closeness"] for r in q_closeness(spark, SF).collect()}
+    expected = nx.closeness_centrality(g)
+    assert set(got) == set(expected)
+    for n, c in expected.items():
+        assert got[n] == pytest.approx(c, abs=1e-6)
