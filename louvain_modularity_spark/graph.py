@@ -940,6 +940,162 @@ FROM dist GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# betweenness centrality (Brandes)
+# ---------------------------------------------------------------------------
+
+
+def betweenness(spark: SparkSession, edges: DataFrame, max_hops: int) -> DataFrame:
+    """Exact betweenness centrality by Brandes' algorithm (Brandes
+    2001), all sources advanced simultaneously:
+
+    Forward: level-synchronous multi-source BFS carrying σ (number of
+    shortest paths): a node first reached at level h gets
+    σ = Σ σ(predecessors at level h−1). One edge join + one sum
+    aggregate per level, for every source at once.
+
+    Backward: dependency accumulation δ(v) = Σ_{w: d(w)=d(v)+1}
+    σ(v)/σ(w) · (1+δ(w)), processed one level at a time from the
+    deepest frontier inward — again one edge join + one aggregate per
+    level. B(v) = Σ_sources δ(source, v) / 2 (undirected halving).
+
+    100 TB shape: exact all-sources state is O(V²) (fixture-bounded
+    here); the scale path seeds the same operator with a sampled
+    source set (Brandes–Pich approximation) — state O(samples·V), cost
+    O(samples·E) per level, identical per-level plans. No stage ever
+    materializes paths; σ and δ are the only state."""
+    sym = (
+        symmetrize(edges)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    verts = vertices_of(edges)
+    # forward: dist + sigma, level by level
+    state = verts.select(
+        F.col("id").alias("source"),
+        "id",
+        F.lit(0).cast("int").alias("dist"),
+        F.lit(1.0).alias("sigma"),
+    ).localCheckpoint(eager=True)
+    frontier = state
+    for h in range(1, max_hops + 1):
+        msgs = frontier.join(sym.withColumnRenamed("src", "id"), "id").select(
+            "source", F.col("dst").alias("id"), "sigma"
+        )
+        newly = (
+            msgs.join(state.select("source", "id"), ["source", "id"], "left_anti")
+            .groupBy("source", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("source", "id", F.lit(h).cast("int").alias("dist"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if newly.isEmpty():
+            break
+        state = state.unionByName(newly).localCheckpoint(eager=True)
+        frontier = newly
+    max_level = state.agg(F.max("dist")).collect()[0][0]
+    # backward: per-level dependency accumulation
+    delta = state.select(
+        "source", "id", "dist", "sigma", F.lit(0.0).alias("delta")
+    ).localCheckpoint(eager=True)
+    for level in range(max_level, 0, -1):
+        deeper = delta.filter(F.col("dist") == level).select(
+            F.col("id").alias("dst"),
+            F.col("source").alias("w_source"),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        contrib = (
+            sym.join(deeper, "dst")
+            .select(
+                F.col("src").alias("id"),
+                F.col("w_source").alias("source"),
+                "sigma_w",
+                "delta_w",
+            )
+            .join(
+                delta.filter(F.col("dist") == level - 1).select(
+                    "source", "id", F.col("sigma").alias("sigma_v")
+                ),
+                ["source", "id"],
+            )
+            .groupBy("source", "id")
+            .agg(
+                F.sum(
+                    F.col("sigma_v") / F.col("sigma_w") * (1.0 + F.col("delta_w"))
+                ).alias("d_new")
+            )
+        )
+        delta = (
+            delta.join(contrib, ["source", "id"], "left")
+            .select(
+                "source",
+                "id",
+                "dist",
+                "sigma",
+                F.coalesce(
+                    F.when(F.col("dist") == level - 1, F.col("d_new")), F.col("delta")
+                ).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        delta.filter(F.col("source") != F.col("id"))
+        .groupBy("id")
+        .agg(F.round(F.sum("delta") / 2.0, 6).alias("betweenness"))
+    )
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact betweenness on the karate fixture (Brandes forward σ +
+    backward δ passes). The oracle is an INDEPENDENT formulation — the
+    pair-dependency identity B(v) = Σ_{s<t} σ(s,v)·σ(v,t)/σ(s,t) over
+    [d(s,v)+d(v,t)=d(s,t)], with σ taken as shortest-walk counts from
+    a bounded UNION ALL walk enumeration — so engine and oracle share
+    no algorithmic structure; networkx golden in tests as a third
+    witness."""
+    return betweenness(spark, karate_edges(spark), CLOSENESS_MAX_HOPS)
+
+
+ORACLE_BETWEENNESS = f"""
+WITH RECURSIVE e AS ({_KARATE_SQL}),
+sym AS (
+  SELECT src, dst FROM e WHERE src <> dst
+  UNION SELECT dst, src FROM e WHERE src <> dst
+),
+v AS (SELECT DISTINCT src AS id FROM sym),
+walk(source, id, d) AS (
+  SELECT id, id, 0 FROM v
+  UNION ALL
+  SELECT walk.source, sym.dst, walk.d + 1
+  FROM walk JOIN sym ON sym.src = walk.id
+  WHERE walk.d < {CLOSENESS_MAX_HOPS}
+),
+-- σ(s,t): number of shortest walks (shortest walks are simple paths)
+sp AS (
+  SELECT source, id, MIN(d) AS dist FROM walk GROUP BY source, id
+),
+sigma AS (
+  SELECT w.source, w.id, sp.dist, CAST(COUNT(*) AS DOUBLE) AS sigma
+  FROM walk w JOIN sp ON sp.source = w.source AND sp.id = w.id AND sp.dist = w.d
+  GROUP BY w.source, w.id, sp.dist
+),
+pair_dep AS (
+  SELECT sv.id AS v,
+         SUM(sv.sigma * vt.sigma / st.sigma) AS dep
+  FROM sigma sv
+  JOIN sigma vt ON vt.source = sv.id
+  JOIN sigma st ON st.source = sv.source AND st.id = vt.id
+  WHERE sv.source <> sv.id AND vt.id <> sv.id AND st.source <> st.id
+    AND sv.dist + vt.dist = st.dist
+  GROUP BY sv.id
+)
+SELECT v.id, ROUND(COALESCE(dep, 0.0) / 2.0, 6) AS betweenness
+FROM v LEFT JOIN pair_dep ON pair_dep.v = v.id
+"""
+
+
 QUERIES = {
     "q_edges_from_relational": q_edges_from_relational,
     "q_read_edgelist": q_read_edgelist,
@@ -961,6 +1117,7 @@ QUERIES = {
     "q_bfs_hops": q_bfs_hops,
     "q_scc": q_scc,
     "q_closeness": q_closeness,
+    "q_betweenness": q_betweenness,
 }
 
 ORACLES = {
@@ -980,6 +1137,7 @@ ORACLES = {
     "q_bfs_hops": _oracle_bfs_hops(),
     "q_scc": ORACLE_SCC,
     "q_closeness": ORACLE_CLOSENESS,
+    "q_betweenness": ORACLE_BETWEENNESS,
     # rows-only: q_write_edgelist (sink round-trip), q_adjacency_pivot
     # (dynamic pivot columns), q_pagerank (iterative; networkx golden
     # in tests), q_kcore (iterative peeling; networkx core_number

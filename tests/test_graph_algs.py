@@ -35,6 +35,18 @@ def test_scc_matches_networkx(spark):
     assert sizes == [15, 13, 1, 1, 1, 1, 1, 1]  # the fixture's documented shape
 
 
+def test_betweenness_matches_networkx(spark):
+    """Brandes engine vs networkx exact unnormalized betweenness —
+    third witness alongside the independent pair-dependency oracle."""
+    from louvain_modularity_spark.graph import q_betweenness
+
+    got = {r["id"]: r["betweenness"] for r in q_betweenness(spark, SF).collect()}
+    expected = nx.betweenness_centrality(nx.karate_club_graph(), normalized=False)
+    assert set(got) == set(expected)
+    for n, b in expected.items():
+        assert got[n] == pytest.approx(b, abs=1e-6)
+
+
 def test_closeness_matches_networkx(spark):
     from louvain_modularity_spark.graph import CLOSENESS_MAX_HOPS, q_closeness
 
