@@ -1096,6 +1096,83 @@ FROM v LEFT JOIN pair_dep ON pair_dep.v = v.id
 """
 
 
+# ---------------------------------------------------------------------------
+# eigenvector centrality
+# ---------------------------------------------------------------------------
+
+#: power-iteration budget: (λ2/λ1)^60 ≈ 1.4e-8 on karate — converged
+#: far below the 6-dp emission rounding
+EIGEN_ITERS = 60
+
+
+def eigenvector_centrality(
+    spark: SparkSession, edges: DataFrame, iters: int = EIGEN_ITERS
+) -> DataFrame:
+    """Eigenvector centrality by UNNORMALIZED power iteration
+    r ← A·r from the all-ones vector, normalized to unit L2 once at
+    the end. Skipping per-step normalization keeps each superstep one
+    edge join + one map-side-combined aggregate (no per-iteration
+    scalar collect) and makes the recurrence exactly SQL-unrollable
+    for the oracle; double range absorbs the λ₁^iters growth
+    (λ₁≈6.7 on karate ⇒ ~1e49 at 60 iters, squared still ≪ 1e308).
+
+    Scale shape: identical to pagerank/personalized_pagerank — cached
+    static adjacency, per-round lineage truncation, state is one row
+    per vertex."""
+    sym = symmetrize(edges).localCheckpoint(eager=True)
+    verts = vertices_of(edges)
+    r = verts.select("id", F.lit(1.0).alias("r"))
+    for i in range(iters):
+        r = (
+            sym.join(r.select(F.col("id").alias("src"), "r"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("r") * F.col("weight")).alias("r"))
+        )
+        # truncate lineage only every few supersteps: an eager
+        # checkpoint is a full job, and per-iteration checkpointing
+        # makes the wall-clock all scheduling floor; a 6-deep
+        # join/agg lineage is still far below planner limits
+        if (i + 1) % 6 == 0 or i == iters - 1:
+            r = r.localCheckpoint(eager=True)
+    norm = r.agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm"))
+    return r.crossJoin(norm).select("id", (F.col("r") / F.col("nrm")).alias("ev"))
+
+
+def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality on karate, 60 power iterations, unit-L2
+    normalized, 6 dp (oracle: the same recurrence unrolled as
+    MATERIALIZED CTEs; networkx eigenvector_centrality golden in
+    tests)."""
+    return eigenvector_centrality(spark, karate_edges(spark)).select(
+        "id", F.round("ev", 6).alias("ev")
+    )
+
+
+def _oracle_eigenvector() -> str:
+    # DOUBLE casts everywhere: DuckDB infers 1.0 literals as DECIMAL and
+    # 60 chained multiplications overflow the max DECIMAL scale
+    parts = [
+        f"e AS MATERIALIZED ({_KARATE_SQL})",
+        "sym AS MATERIALIZED (SELECT src, dst, CAST(weight AS DOUBLE) AS weight FROM e"
+        " UNION ALL SELECT dst, src, CAST(weight AS DOUBLE) AS weight FROM e"
+        " WHERE src <> dst)",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)",
+        "r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM v)",
+    ]
+    for k in range(1, EIGEN_ITERS + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT sym.dst AS id,"
+            f" SUM(p.r * sym.weight) AS r"
+            f" FROM r{k-1} p JOIN sym ON sym.src = p.id GROUP BY sym.dst)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, ROUND(r / (SELECT SQRT(SUM(r*r)) FROM r{EIGEN_ITERS}), 6)"
+        f" AS ev FROM r{EIGEN_ITERS}"
+    )
+
+
 QUERIES = {
     "q_edges_from_relational": q_edges_from_relational,
     "q_read_edgelist": q_read_edgelist,
@@ -1118,6 +1195,7 @@ QUERIES = {
     "q_scc": q_scc,
     "q_closeness": q_closeness,
     "q_betweenness": q_betweenness,
+    "q_eigenvector": q_eigenvector,
 }
 
 ORACLES = {
@@ -1138,6 +1216,7 @@ ORACLES = {
     "q_scc": ORACLE_SCC,
     "q_closeness": ORACLE_CLOSENESS,
     "q_betweenness": ORACLE_BETWEENNESS,
+    "q_eigenvector": _oracle_eigenvector(),
     # rows-only: q_write_edgelist (sink round-trip), q_adjacency_pivot
     # (dynamic pivot columns), q_pagerank (iterative; networkx golden
     # in tests), q_kcore (iterative peeling; networkx core_number

@@ -47,6 +47,19 @@ def test_betweenness_matches_networkx(spark):
         assert got[n] == pytest.approx(b, abs=1e-6)
 
 
+def test_eigenvector_matches_networkx(spark):
+    """60 unnormalized power iterations + final L2 normalization vs
+    networkx eigenvector_centrality ((λ2/λ1)^60 ≈ 1.4e-8 residual, so
+    2e-6 tolerance dominated by the 6-dp emission rounding)."""
+    from louvain_modularity_spark.graph import q_eigenvector
+
+    got = {r["id"]: r["ev"] for r in q_eigenvector(spark, SF).collect()}
+    expected = nx.eigenvector_centrality(nx.karate_club_graph(), max_iter=1000, tol=1e-10)
+    assert set(got) == set(expected)
+    for n, e in expected.items():
+        assert got[n] == pytest.approx(e, abs=2e-6)
+
+
 def test_closeness_matches_networkx(spark):
     from louvain_modularity_spark.graph import CLOSENESS_MAX_HOPS, q_closeness
 
