@@ -234,6 +234,58 @@ FROM events
 """
 
 
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT round trip: build a nested JSON document per
+    lineitem row (scalar + array + nested object), ``parse_json`` it
+    into a VARIANT, then extract typed values back out with
+    ``variant_get`` path expressions and aggregate. The oracle
+    recomputes from the source columns directly, so the whole
+    construct→parse→extract loop must be lossless.
+
+    Scale note: VARIANT is Spark's shredded semi-structured type — at
+    100 TB the parse happens once at ingest and ``variant_get`` reads
+    binary-encoded paths without re-parsing JSON text per row; the
+    extraction is plain whole-stage-codegen projection."""
+    li = load(spark, sf_dir, "lineitem")
+    doc = li.select(
+        F.to_json(
+            F.struct(
+                F.col("l_orderkey").alias("ok"),
+                F.col("l_linenumber").alias("ln"),
+                F.array("l_partkey", "l_suppkey").alias("keys"),
+                F.struct(F.col("l_returnflag").alias("f")).alias("nest"),
+            )
+        ).alias("j")
+    )
+    v = doc.select(F.parse_json("j").alias("v"))
+    extracted = v.select(
+        F.expr("variant_get(v, '$.ok', 'bigint')").alias("orderkey"),
+        F.expr("variant_get(v, '$.ln', 'int')").alias("linenumber"),
+        F.expr("variant_get(v, '$.keys[0]', 'bigint')").alias("partkey"),
+        F.expr("variant_get(v, '$.keys[1]', 'bigint')").alias("suppkey"),
+        F.expr("variant_get(v, '$.nest.f', 'string')").alias("flag"),
+    )
+    return extracted.groupBy("flag").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("orderkey").alias("sum_orderkey"),
+        F.sum("partkey").alias("sum_partkey"),
+        F.sum("suppkey").alias("sum_suppkey"),
+        F.sum("linenumber").alias("sum_linenumber"),
+    )
+
+
+ORACLE_FN_VARIANT = """
+SELECT l_returnflag                       AS flag,
+       COUNT(*)                           AS n_lines,
+       CAST(SUM(l_orderkey) AS BIGINT)    AS sum_orderkey,
+       CAST(SUM(l_partkey) AS BIGINT)     AS sum_partkey,
+       CAST(SUM(l_suppkey) AS BIGINT)     AS sum_suppkey,
+       CAST(SUM(l_linenumber) AS BIGINT)  AS sum_linenumber
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q_fn_string": q_fn_string,
     "q_fn_date": q_fn_date,
@@ -242,6 +294,7 @@ QUERIES = {
     "q_fn_array": q_fn_array,
     "q_fn_map": q_fn_map,
     "q_fn_json": q_fn_json,
+    "q_fn_variant": q_fn_variant,
 }
 
 ORACLES = {
@@ -252,4 +305,5 @@ ORACLES = {
     "q_fn_array": ORACLE_FN_ARRAY,
     "q_fn_map": ORACLE_FN_MAP,
     "q_fn_json": ORACLE_FN_JSON,
+    "q_fn_variant": ORACLE_FN_VARIANT,
 }
