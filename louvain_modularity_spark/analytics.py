@@ -130,7 +130,9 @@ GROUP BY n_name
 def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-hierarchy ROLLUP (year → month → grand total) over orders
     — the standard reporting cube along the natural date drill path.
-    Money summed as DECIMAL(18,2): exact, order-independent."""
+    Money summed as DECIMAL(18,2) — exact, order-independent — then the
+    final total cast to DOUBLE so both engines emit the same column type
+    (the driver's value-hash is type-sensitive)."""
     o = load(spark, sf_dir, "orders").select(
         F.year("o_orderdate").alias("o_year"),
         F.month("o_orderdate").alias("o_month"),
@@ -138,7 +140,7 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.rollup("o_year", "o_month").agg(
         F.count("*").alias("n_orders"),
-        F.sum("price").alias("sum_price"),
+        F.sum("price").cast("double").alias("sum_price"),
     )
 
 
@@ -146,7 +148,7 @@ ORACLE_ROLLUP_TIME = """
 SELECT year(o_orderdate)  AS o_year,
        month(o_orderdate) AS o_month,
        COUNT(*)           AS n_orders,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM orders
 GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
 """
@@ -264,7 +266,9 @@ def q_read_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_rows"),
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
         )
     )
 
@@ -273,7 +277,7 @@ ORACLE_READ_ORC = """
 SELECT l_linestatus,
        COUNT(*)        AS n_rows,
        SUM(l_quantity) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM lineitem
 WHERE l_quantity >= 30
 GROUP BY l_linestatus

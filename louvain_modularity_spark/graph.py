@@ -232,7 +232,8 @@ def q_edge_agg_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EDGE_AGG_PARALLEL = f"""
 WITH multi AS (
-  SELECT o_custkey AS src, l_suppkey + {SUPPLIER_OFFSET} AS dst, 1.0 AS weight
+  SELECT o_custkey AS src, l_suppkey + {SUPPLIER_OFFSET} AS dst,
+         CAST(1.0 AS DOUBLE) AS weight
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 )
 SELECT src, dst, SUM(weight) AS weight FROM multi GROUP BY src, dst

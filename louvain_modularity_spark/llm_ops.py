@@ -245,7 +245,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DOC_FINGERPRINT = """
 SELECT doc_id,
-       SUM(ord * (ascii(token) * 256 + length(token))) % 2147483647 AS fingerprint
+       CAST(SUM(ord * (ascii(token) * 256 + length(token))) % 2147483647
+            AS BIGINT) AS fingerprint
 FROM (
   SELECT doc_id,
          unnest(string_split(text, ' ')) AS token,

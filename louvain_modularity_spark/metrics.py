@@ -288,7 +288,8 @@ def _oracle_resolution_sweep() -> str:
 
     parts = _KARATE_GOLDEN_PARTS_SQL.format(karate=_KARATE_SQL, case=_KARATE_GOLDEN_CASE)
     selects = [
-        f"SELECT {g!r} AS gamma, intra / m - {g!r} * sumk2 / (4.0 * m * m) AS q FROM p"
+        f"SELECT CAST({g!r} AS DOUBLE) AS gamma,"
+        f" intra / m - {g!r} * sumk2 / (4.0 * m * m) AS q FROM p"
         for g in (0.5, 1.0, 2.0)
     ]
     return f"WITH p AS ({parts})\n" + "\nUNION ALL\n".join(selects)

@@ -185,8 +185,9 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, lang, n_tokens,
-       SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                           ROWS UNBOUNDED PRECEDING) - n_tokens AS stream_offset,
+       CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tokens
+            AS BIGINT) AS stream_offset,
        CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                                        ROWS UNBOUNDED PRECEDING) - n_tokens)
                   / {PACK_TOKENS}) AS BIGINT) AS bin_id

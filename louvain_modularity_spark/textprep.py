@@ -194,8 +194,9 @@ WITH marked AS (
 ),
 sess AS (
   SELECT user_id, ts_us,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,

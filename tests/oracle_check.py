@@ -79,9 +79,26 @@ def compare(spark, query_fn, oracle_sql: str, sf_dir: str, name: str = "?"):
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_con(sf_dir)
-    res = con.execute(oracle_sql)
-    d_cols = [c[0] for c in res.description]
-    d_rows = res.fetchall()
+    rel = con.sql(oracle_sql)
+    d_cols = list(rel.columns)
+    # The driver's value-hash is type-sensitive where this local normalizer
+    # is not: DuckDB returns HUGEINT for SUM(INTEGER) and DECIMAL for some
+    # arithmetic, and a HUGEINT/DECIMAL column hash-mismatches Spark's
+    # BIGINT/DOUBLE even when every value is equal (round-2
+    # q_doc_fingerprint failure). Fail loudly here so local parity catches
+    # what the driver would.
+    bad = [
+        f"{c} ({t})"
+        for c, t in zip(d_cols, (str(t) for t in rel.types))
+        if "HUGEINT" in t.upper() or "DECIMAL" in t.upper()
+    ]
+    if bad:
+        con.close()
+        return False, (
+            f"{name}: oracle returns driver-hash-unsafe column types {bad}; "
+            "CAST to BIGINT/DOUBLE in the oracle SQL"
+        )
+    d_rows = rel.fetchall()
     con.close()
 
     if sorted(s_cols) != sorted(d_cols):
