@@ -20,7 +20,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .graph import _KARATE_SQL, _KARATE_W_SQL, degree_weighted, symmetrize, vertices_of
+from .graph import _KARATE_SQL, _KARATE_W_SQL, symmetrize, vertices_of
 from .llm_ops import tokens_of
 from .sources import COPURCHASE_EDGES_SQL, copurchase_edges, karate_edges, load
 

@@ -478,8 +478,11 @@ def pagerank(
 
     Scale: per iteration one shuffle of E contributions (map-side
     combined) + one of n ranks; static out-degree table cached;
-    lineage truncated per iteration. Returns (id, rank) with
-    Σ rank = n (networkx-convention × n)."""
+    lineage truncated per iteration. The dangling-node mass is a
+    1-row aggregate folded into the rank update as a broadcast
+    crossJoin — no per-superstep driver collect, so each superstep
+    is one job. Returns (id, rank) with Σ rank = n
+    (networkx-convention × n)."""
     verts = vertices_of(edges).localCheckpoint(eager=True)
     n = verts.count()
     if n == 0:
@@ -501,18 +504,20 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("weight") / F.col("w_src")).alias("flow"))
         )
         dangling = ranks.filter(F.col("wout").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            (F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n))).alias(
+                "dm_per_node"
+            )
         )
-        dm = dangling.collect()[0]["dm"]
         ranks = (
             base.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
                 "wout",
                 (
                     F.lit(1.0 - damping)
                     + F.lit(damping)
-                    * (F.coalesce("flow", F.lit(0.0)) + F.lit(dm / n))
+                    * (F.coalesce("flow", F.lit(0.0)) + F.col("dm_per_node"))
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
@@ -877,17 +882,23 @@ GROUP BY r1.a
 CLOSENESS_MAX_HOPS = 6
 
 
-def all_pairs_hops(spark: SparkSession, edges: DataFrame, max_hops: int) -> DataFrame:
-    """All-pairs shortest hop counts by MULTI-source BFS: the state is
+def all_pairs_hops(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_hops: int,
+    sources: list | None = None,
+) -> DataFrame:
+    """Shortest hop counts by MULTI-source BFS: the state is
     (source, id, dist) and every source's frontier advances in the same
     superstep — one edge join + one min-aggregate per round for ALL
-    sources, instead of |V| sequential BFS runs. Rounds = diameter.
+    sources, instead of |sources| sequential BFS runs. Rounds = diameter.
 
-    100 TB shape: exact all-pairs state is O(V²) and is only for
-    bounded vertex sets (the closeness query runs on the fixture); the
-    scale path is the same operator seeded with a sampled source set —
-    state O(samples·V), the standard approximation. The per-round plan
-    (join on src, min-agg on (source, id)) is identical either way."""
+    ``sources=None`` runs exact all-pairs — state O(V²), only for
+    bounded vertex sets (the closeness fixture query). The 100 TB path
+    passes a sampled source list: state O(samples·V), cost
+    O(samples·E) per round — the standard approximation. The per-round
+    plan (join on src, min-agg on (source, id)) is identical either
+    way."""
     sym = (
         symmetrize(edges)
         .filter(F.col("src") != F.col("dst"))
@@ -895,7 +906,12 @@ def all_pairs_hops(spark: SparkSession, edges: DataFrame, max_hops: int) -> Data
         .localCheckpoint(eager=True)
     )
     verts = vertices_of(edges)
-    dist = verts.select(
+    seeds = (
+        verts
+        if sources is None
+        else verts.filter(F.col("id").isin([int(s) for s in sources]))
+    )
+    dist = seeds.select(
         F.col("id").alias("source"), "id", F.lit(0).cast("int").alias("dist")
     )
     for _ in range(max_hops):
@@ -911,14 +927,38 @@ def all_pairs_hops(spark: SparkSession, edges: DataFrame, max_hops: int) -> Data
     return dist
 
 
+def closeness(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_hops: int,
+    sources: list | None = None,
+) -> DataFrame:
+    """Closeness centrality. ``sources=None``: exact (n−1)/Σd per node
+    from all-pairs BFS — O(V²) state, fixture-bounded. With a sampled
+    source list: the Eppstein–Wang (2001) estimator
+    ĉ(v) = k·(n−1) / (n·Σ_{s∈S} d(s,v)) for EVERY node v (distances
+    from sampled sources, symmetric graph) — state O(samples·V), the
+    100 TB path. Output: (source, closeness) exact / (id, closeness)
+    sampled."""
+    d = all_pairs_hops(spark, edges, max_hops, sources=sources)
+    if sources is None:
+        return d.groupBy("source").agg(
+            F.round((F.count("*") - F.lit(1)) / F.sum("dist"), 6).alias("closeness")
+        )
+    n = vertices_of(edges).count()
+    k = float(len(sources))
+    return d.groupBy("id").agg(
+        F.round(
+            F.lit(k * (n - 1)) / (F.lit(float(n)) * F.sum("dist")), 6
+        ).alias("closeness")
+    )
+
+
 def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closeness centrality (n−1)/Σd per node on the karate fixture via
     multi-source BFS (6 rounds ≥ diameter 5 — true distances, golden
     vs networkx closeness_centrality in tests)."""
-    d = all_pairs_hops(spark, karate_edges(spark), CLOSENESS_MAX_HOPS)
-    return d.groupBy("source").agg(
-        F.round((F.count("*") - F.lit(1)) / F.sum("dist"), 6).alias("closeness")
-    )
+    return closeness(spark, karate_edges(spark), CLOSENESS_MAX_HOPS)
 
 
 ORACLE_CLOSENESS = f"""
@@ -946,9 +986,17 @@ FROM dist GROUP BY source
 # ---------------------------------------------------------------------------
 
 
-def betweenness(spark: SparkSession, edges: DataFrame, max_hops: int) -> DataFrame:
-    """Exact betweenness centrality by Brandes' algorithm (Brandes
-    2001), all sources advanced simultaneously:
+def betweenness(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_hops: int,
+    sources: list | None = None,
+) -> DataFrame:
+    """Betweenness centrality by Brandes' algorithm (Brandes 2001),
+    all sources advanced simultaneously. ``sources=None`` is exact
+    (every vertex a source); a sampled source list gives the
+    Brandes–Pich (2007) estimator B̂(v) = (n/k)·Σ_{s∈S} δ_s(v)/2 —
+    state O(samples·V) instead of O(V²), identical per-level plans.
 
     Forward: level-synchronous multi-source BFS carrying σ (number of
     shortest paths): a node first reached at level h gets
@@ -960,11 +1008,7 @@ def betweenness(spark: SparkSession, edges: DataFrame, max_hops: int) -> DataFra
     deepest frontier inward — again one edge join + one aggregate per
     level. B(v) = Σ_sources δ(source, v) / 2 (undirected halving).
 
-    100 TB shape: exact all-sources state is O(V²) (fixture-bounded
-    here); the scale path seeds the same operator with a sampled
-    source set (Brandes–Pich approximation) — state O(samples·V), cost
-    O(samples·E) per level, identical per-level plans. No stage ever
-    materializes paths; σ and δ are the only state."""
+    No stage ever materializes paths; σ and δ are the only state."""
     sym = (
         symmetrize(edges)
         .filter(F.col("src") != F.col("dst"))
@@ -972,8 +1016,13 @@ def betweenness(spark: SparkSession, edges: DataFrame, max_hops: int) -> DataFra
         .localCheckpoint(eager=True)
     )
     verts = vertices_of(edges)
+    seeds = (
+        verts
+        if sources is None
+        else verts.filter(F.col("id").isin([int(s) for s in sources]))
+    )
     # forward: dist + sigma, level by level
-    state = verts.select(
+    state = seeds.select(
         F.col("id").alias("source"),
         "id",
         F.lit(0).cast("int").alias("dist"),
@@ -1041,10 +1090,12 @@ def betweenness(spark: SparkSession, edges: DataFrame, max_hops: int) -> DataFra
             )
             .localCheckpoint(eager=True)
         )
+    # Brandes–Pich extrapolation: sampled sums estimate k/n of the total
+    scale = 1.0 if sources is None else verts.count() / float(len(sources))
     return (
         delta.filter(F.col("source") != F.col("id"))
         .groupBy("id")
-        .agg(F.round(F.sum("delta") / 2.0, 6).alias("betweenness"))
+        .agg(F.round(F.sum("delta") * scale / 2.0, 6).alias("betweenness"))
     )
 
 

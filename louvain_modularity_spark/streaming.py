@@ -428,10 +428,14 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter how the stream was micro-batched — the oracle recomputes it
     from the source in one shot.
 
-    100 TB shape: foreachBatch gives per-batch exactly-once via the
-    checkpointed batch_id (dedupe key for idempotent writers); partial
-    aggregates shrink each batch to |key-domain| rows before the sink,
-    the same partial/final split Spark applies inside a shuffle."""
+    100 TB shape: the append sink alone is at-least-once — a batch
+    retried after a committed write but before the checkpoint commit
+    would land its partials twice. The reader restores exactly-once by
+    deduplicating on the checkpointed batch_id (one row per
+    (batch_id, event_type); retried appends carry identical values)
+    before re-aggregating. Partial aggregates shrink each batch to
+    |key-domain| rows before the sink, the same partial/final split
+    Spark applies inside a shuffle."""
     import hashlib
     import shutil
 
@@ -464,7 +468,13 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     back = spark.read.parquet(out)
-    return back.groupBy("event_type").agg(
+    # exactly-once repair: a retried micro-batch re-appends the same
+    # (batch_id, event_type) partials, so keep one row per key pair
+    deduped = back.groupBy("batch_id", "event_type").agg(
+        F.max("n_partial").alias("n_partial"),
+        F.max("sum_partial").alias("sum_partial"),
+    )
+    return deduped.groupBy("event_type").agg(
         F.sum("n_partial").alias("n_events"),
         F.round(F.sum("sum_partial"), 2).cast("double").alias("sum_value"),
     )

@@ -70,3 +70,73 @@ def test_closeness_matches_networkx(spark):
     assert set(got) == set(expected)
     for n, c in expected.items():
         assert got[n] == pytest.approx(c, abs=1e-6)
+
+
+def test_sampled_betweenness_rank_correlates(spark):
+    """Brandes–Pich sampled-source betweenness on a ~200-node small-world
+    graph: k=40 sources must rank-correlate with exact networkx, and the
+    BFS state must be O(samples·V), not O(V²)."""
+    import random
+
+    from louvain_modularity_spark.graph import all_pairs_hops, betweenness
+
+    g = nx.connected_watts_strogatz_graph(200, 8, 0.3, seed=7)
+    edges = spark.createDataFrame(
+        [(int(u), int(v), 1.0) for u, v in g.edges()],
+        "src LONG, dst LONG, weight DOUBLE",
+    )
+    k = 40
+    sources = random.Random(0).sample(sorted(g.nodes()), k)
+
+    # state bound: sampled BFS state is exactly k rows per vertex
+    d = all_pairs_hops(spark, edges, 12, sources=sources)
+    assert d.count() == k * g.number_of_nodes()
+
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness(spark, edges, 12, sources=sources).collect()
+    }
+    exact = nx.betweenness_centrality(g, normalized=False)
+    common = sorted(set(got) & set(exact))
+    assert len(common) == g.number_of_nodes()
+
+    def ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        r = [0.0] * len(vals)
+        for pos, i in enumerate(order):
+            r[i] = float(pos)
+        return r
+
+    import numpy as np
+
+    ra = ranks([got[n] for n in common])
+    rb = ranks([exact[n] for n in common])
+    rho = float(np.corrcoef(ra, rb)[0, 1])
+    assert rho > 0.8, f"Spearman rho {rho}"
+
+    # the estimator is unbiased in expectation: totals within 25%
+    assert sum(got.values()) == pytest.approx(sum(exact.values()), rel=0.25)
+
+
+def test_sampled_closeness_approximates_exact(spark):
+    """Eppstein–Wang sampled closeness estimates every node's closeness
+    from k sources; mean absolute relative error stays small."""
+    import random
+
+    from louvain_modularity_spark.graph import closeness
+
+    g = nx.connected_watts_strogatz_graph(200, 8, 0.3, seed=11)
+    edges = spark.createDataFrame(
+        [(int(u), int(v), 1.0) for u, v in g.edges()],
+        "src LONG, dst LONG, weight DOUBLE",
+    )
+    sources = random.Random(1).sample(sorted(g.nodes()), 40)
+    got = {
+        r["id"]: r["closeness"]
+        for r in closeness(spark, edges, 12, sources=sources).collect()
+    }
+    # networkx wf_improved=False == classic (n-1)/sum(d) on a connected graph
+    exact = nx.closeness_centrality(g, wf_improved=False)
+    assert set(got) == set(exact)
+    rel_errs = [abs(got[n] - exact[n]) / exact[n] for n in exact]
+    assert sum(rel_errs) / len(rel_errs) < 0.10

@@ -57,6 +57,9 @@ def test_q18_aggregates_before_joining(spark):
     )
     agg = plan.find("HashAggregate")
     assert agg >= 0 and first_join >= 0
+    # top-down plan print: the feeding HashAggregate must appear
+    # below/after the first join, i.e. the aggregate runs first
+    assert agg > first_join
     assert "sum_qty" in plan[: plan.find("Scan")]  # projected through the top
 
 
