@@ -25,7 +25,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
+#: the set benched in rounds 1-2 — kept intact so round-over-round
+#: totals stay comparable; reported separately as shared_r02_total_sec
+SHARED_R02 = [
     "q_agg_groupby",
     "q_join_broadcast",
     "q_window_rank",
@@ -39,6 +41,14 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_sim_topk",
     "q_stream_tumbling",
+]
+
+#: round-3 additions: one headline per previously-untimed pack
+#: (tpch, pipeline/dedup end-to-end, graph centrality)
+HEADLINE = SHARED_R02 + [
+    "q_tpch_q3",
+    "q_dup_clusters",
+    "q_betweenness",
 ]
 
 
@@ -94,6 +104,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "shared_r02_total_sec": round(
+                    sum(timings[n] for n in SHARED_R02), 3
+                ),
                 "sf": sf,
             }
         )

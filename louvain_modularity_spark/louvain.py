@@ -195,14 +195,26 @@ def best_move(
 ) -> DataFrame:
     """Per node: the strictly-positive-gain argmax move, ties broken by
     lowest community id (reference: `gain > best_mod` with best_mod
-    initialized 0, louvain.py:313-315,321-329)."""
+    initialized 0, louvain.py:313-315,321-329).
+
+    The argmax is a max-of-struct hash aggregate — map-side combinable,
+    one row per node leaves each partition — NOT a row_number window,
+    which would shuffle and SORT the full candidate set (same plan rule
+    as the internal one_level rounds; guarded in tests)."""
     dq = delta_q(edges, assignment, gamma)
-    w = Window.partitionBy("id").orderBy(F.desc("delta"), F.asc("community"))
-    return (
+    best = (
         dq.filter(F.col("delta") > 0)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", F.col("community").alias("new_community"), "delta")
+        .groupBy("id")
+        .agg(
+            F.max(
+                F.struct(F.col("delta"), (-F.col("community")).alias("nc"))
+            ).alias("best")
+        )
+    )
+    return best.select(
+        "id",
+        (-F.col("best.nc")).alias("new_community"),
+        F.col("best.delta").alias("delta"),
     )
 
 

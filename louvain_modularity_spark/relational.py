@@ -797,16 +797,31 @@ GROUP BY o_orderpriority
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style 'latest row per key': the newest event per
     (user_id, event_type), ties broken by event_id — the standard
-    changelog-compaction shape. One shuffle on the key; the window's
-    sort is per-partition."""
+    changelog-compaction shape.
+
+    The winning row is picked by max_by over the (ts_us, event_id)
+    order struct: a map-side-combinable hash aggregate — each input
+    partition emits one candidate per key before the single shuffle,
+    and nothing is ever sorted. A row_number window (the oracle's
+    spelling) would sort every group even with Spark's
+    WindowGroupLimit partial top-k. Plan-guarded in
+    tests/test_coverage.py."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.desc("ts_us"), F.desc("event_id")
-    )
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts_us", "value")
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "ts_us", "value"),
+                F.struct("ts_us", "event_id"),
+            ).alias("r")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("r.event_id").alias("event_id"),
+            F.col("r.ts_us").alias("ts_us"),
+            F.col("r.value").alias("value"),
+        )
     )
 
 

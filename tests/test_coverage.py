@@ -25,6 +25,37 @@ def test_every_oracle_has_query():
     assert not (set(o) - set(q)), "orphan oracles"
 
 
+def test_documented_counts_match_registry():
+    """README and SURVEY state the registry size; fail on drift so the
+    documented inventory can never silently diverge from the code."""
+    nq, no = len(all_queries()), len(all_oracles())
+    readme = open("/root/repo/README.md").read()
+    m = re.search(r"(\d+) declared queries; (\d+) verified value-exact", readme)
+    assert m, "README count sentence missing"
+    assert (int(m.group(1)), int(m.group(2))) == (nq, no), (
+        f"README says {m.group(1)}/{m.group(2)}, registry has {nq}/{no}"
+    )
+    survey = open("/root/repo/SURVEY.md").read()
+    m = re.search(r"\*\*(\d+) queries, (\d+) SQL✓ oracles\*\*", survey)
+    assert m, "SURVEY count sentence missing"
+    assert (int(m.group(1)), int(m.group(2))) == (nq, no), (
+        f"SURVEY says {m.group(1)}/{m.group(2)}, registry has {nq}/{no}"
+    )
+
+
+def test_r03_window_is_oracle_backed():
+    """The driver checks the first 50 registry entries; every one must
+    be oracle-backed (a rows-only query would burn a verification slot)
+    and the pinned window must actually lead the iteration order."""
+    from louvain_modularity_spark.registry import _WINDOW_R03
+
+    q, o = all_queries(), all_oracles()
+    assert list(q)[: len(_WINDOW_R03)] == _WINDOW_R03
+    assert len(_WINDOW_R03) == 50
+    not_backed = [n for n in _WINDOW_R03 if n not in o]
+    assert not not_backed, f"rows-only queries in driver window: {not_backed}"
+
+
 def test_scan_pushdown(spark):
     """Predicate + projection must reach the parquet scan."""
     from louvain_modularity_spark.relational import q_scan_parquet
@@ -250,3 +281,35 @@ def test_approx_topk_matches_exact(spark):
     floor = min(got.values())
     missing_higher = [t for t, n in exact.items() if n > floor and t not in got]
     assert not missing_higher, missing_higher
+
+
+def test_best_move_is_max_aggregate_not_window(spark):
+    """The exported round argmax must stay a map-side-combinable
+    max-of-struct hash aggregate; a row_number window would shuffle and
+    sort the full ~E-row candidate set (the plan rule the internal
+    one_level rounds follow)."""
+    from louvain_modularity_spark.louvain import q_best_move
+
+    plan = (
+        q_best_move(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_latest_per_key_is_max_by_not_window(spark):
+    """Last-event-per-key must lower to a max_by aggregate (partial
+    rows collapse map-side), not a rank window over the full table."""
+    from louvain_modularity_spark.relational import q_latest_per_key
+
+    plan = (
+        q_latest_per_key(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+    assert "max_by" in plan, plan
