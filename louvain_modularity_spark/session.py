@@ -11,11 +11,18 @@ import os
 
 from pyspark.sql import SparkSession
 
-# events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark 4
-# cannot map to a Catalyst type; with this legacy conf the column reads
-# as LONG (nanoseconds since epoch) and we convert arithmetically.
+# - nanosAsLong: earlier harness vintages stored events.ts as parquet
+#   TIMESTAMP(NANOS), which Spark 4 cannot map to a Catalyst type; with
+#   this legacy conf such a column reads as LONG (nanoseconds since
+#   epoch) and sources.ts_us_expr converts arithmetically. Harmless for
+#   the current TIMESTAMP(MICROS) encoding.
+# - session.timeZone=UTC: engine convention — naive (NTZ) timestamps
+#   are UTC wall clocks, so NTZ→LTZ casts are identity instants and
+#   every date/epoch function agrees with the DuckDB oracle, which
+#   evaluates naive timestamps the same way.
 _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
 }
 
 

@@ -1,11 +1,16 @@
 """Table and graph sources (SURVEY.md §1.3, §2.1, FIXTURES.md §1-2).
 
 All harness tables load from ``{sf_dir}/{name}.parquet``. The
-``events`` table's ``ts`` column is parquet TIMESTAMP(NANOS); it is
-read as LONG nanos (see session.ensure_conf) and exposed additionally
-as ``ts_us`` = integer epoch microseconds. All event-time logic in the
-engine works on ``ts_us`` so results are timezone-independent and
-exactly match DuckDB's nanos→micros truncation.
+``events`` table's ``ts`` column is a naive (no-zone) parquet
+timestamp; it is exposed additionally as ``ts_us`` = integer epoch
+microseconds of the wall-clock value interpreted as UTC (the session
+time zone is pinned to UTC by session.ensure_conf, so the NTZ→LTZ cast
+is the identity instant). Both physical encodings the harness has
+shipped are supported: TIMESTAMP(NANOS) — read as LONG nanos under the
+legacy conf — and TIMESTAMP(MICROS) — read as TIMESTAMP_NTZ. All
+event-time logic in the engine works on ``ts_us`` so results are
+timezone-independent and exactly match DuckDB's ``epoch_us(ts)`` on
+the same naive timestamps.
 """
 
 from __future__ import annotations
@@ -37,13 +42,26 @@ KARATE_EDGELIST = os.path.join(_DATA_DIR, "karate.edgelist")
 KARATE_WEIGHTED_EDGELIST = os.path.join(_DATA_DIR, "karate_weighted.edgelist")
 
 
+def ts_us_expr(df: DataFrame):
+    """Epoch-microseconds expression for the events ``ts`` column,
+    robust to both physical encodings (module docstring)."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # legacy nanos-as-long: integer division = exact micros,
+        # matches DuckDB's nanos→micros truncation
+        return F.expr("ts div 1000")
+    # naive timestamp: UTC session tz (ensure_conf) makes the cast the
+    # identity instant, so this equals DuckDB's epoch_us(ts)
+    return F.unix_micros(F.col("ts").cast("timestamp"))
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one harness table; events gets the ts_us convenience column."""
     ensure_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # integer division: exact micros, matches DuckDB's truncation
-        df = df.withColumn("ts_us", F.expr("ts div 1000"))
+        df = df.withColumn("ts_us", ts_us_expr(df))
     return df
 
 

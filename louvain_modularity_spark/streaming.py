@@ -5,10 +5,11 @@ Verification trick (SURVEY.md §2.11): each streaming query runs with
 reads — the streaming result must equal the batch-SQL result, so the
 DuckDB hash-match still applies.
 
-Event time: ``ts`` is LONG nanoseconds (see sources.py); windows are
-computed on ``timestamp_micros(ts div 1000)`` — epoch-aligned, so
-window starts are timezone-independent and expressible as pure integer
-arithmetic in the oracle (``ts_us - ts_us % width``).
+Event time: ``ts_us`` = epoch microseconds (see sources.ts_us_expr —
+robust to both physical ``ts`` encodings the harness has shipped);
+windows are computed on ``timestamp_micros(ts_us)`` — epoch-aligned,
+so window starts are timezone-independent and expressible as pure
+integer arithmetic in the oracle (``ts_us - ts_us % width``).
 
 Scale notes: all stateful ops below keep state bounded by watermark;
 at 100 TB the source is Kafka/file streams partitioned by key, state
@@ -25,11 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .session import ensure_conf
-
-EVENTS_SCHEMA = (
-    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE,"
-    " props STRING"
-)
+from .sources import ts_us_expr
 
 HOUR_US = 3_600_000_000
 QUARTER_US = 900_000_000
@@ -58,13 +55,14 @@ def _staged_events_dir(sf_dir: str) -> str:
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded stream (file source, explicit schema —
-    streaming reads cannot infer)."""
+    streaming reads cannot infer; the schema is taken from a metadata
+    read of the staged file so both ``ts`` encodings work)."""
     ensure_conf(spark)
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(_staged_events_dir(sf_dir))
-        .withColumn("ts_us", F.expr("ts div 1000"))
-        .withColumn("ts_ltz", F.timestamp_micros(F.expr("ts div 1000")))
+    staged = _staged_events_dir(sf_dir)
+    batch = spark.read.parquet(staged)
+    stream = spark.readStream.schema(batch.schema).parquet(staged)
+    return stream.withColumn("ts_us", ts_us_expr(stream)).withColumn(
+        "ts_ltz", F.timestamp_micros(ts_us_expr(stream))
     )
 
 
