@@ -938,19 +938,21 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-type stream into validity intervals — keep only rows where
     the state *changes* (lag), then close each interval with the next
     change's timestamp (lead); the current state stays open
-    (valid_to_us NULL). Ordering is (raw ns timestamp, event_id) — a
-    total order, so both window passes are deterministic. One shuffle
-    on user_id serves both window functions (same partitioning)."""
+    (valid_to_us NULL). Ordering is (ts_us, event_id) — a total order
+    (the harness ships micro-precision timestamps, so ts_us is
+    tie-free up to event_id), so both window passes are deterministic.
+    One shuffle on user_id serves both window functions (same
+    partitioning)."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     changes = (
-        e.select("user_id", "event_type", "ts", "ts_us", "event_id")
+        e.select("user_id", "event_type", "ts_us", "event_id")
         .withColumn("prev_state", F.lag("event_type").over(w))
         .filter(F.col("prev_state").isNull() | (F.col("prev_state") != F.col("event_type")))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     return changes.select(
         "user_id",
         F.col("event_type").alias("state"),

@@ -1037,12 +1037,9 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction; the grid explode is bounded by span length; the fill is
     one per-user ordered window (users are independent — perfectly
     parallel). No driver-side loops, no cross-user state."""
-    e = load(spark, sf_dir, "events").select(
-        "user_id",
-        (F.col("ts") / F.lit(1000)).cast("long").alias("ts_us"),
-        "event_id",
-        "value",
-    )
+    # ts_us is the encoding-robust epoch-micros column load() attaches
+    # (sources.ts_us_expr) — never do raw arithmetic on the physical ts.
+    e = load(spark, sf_dir, "events").select("user_id", "ts_us", "event_id", "value")
     # last-event-of-day via max_by: a map-side-combinable aggregate,
     # not a row_number window (no per-(user,day) sort; same row wins —
     # (ts_us, event_id) is unique). The oracle spells it as row_number;

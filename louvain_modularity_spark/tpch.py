@@ -328,20 +328,326 @@ SELECT nationkey, 'max_bal'     AS metric, max_bal     AS value FROM wide
 """
 
 
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary report: the canonical wide scan-aggregate
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: full-fact-scan pricing summary per
+    (returnflag, linestatus) — sums, averages and row counts over every
+    line shipped before a cutoff. The 100 TB benchmark workhorse: one
+    parquet scan with the date predicate pushed down, partial+final
+    hash aggregate over 6 groups, zero joins. Money math in the DECIMAL
+    domain; averages computed as exact-decimal-sum / count, rounded in
+    one place so both engines divide identical numerators."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-06-01")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice") * (1 - _dec("l_discount")) * (1 + _dec("l_tax"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 6).alias(
+                "avg_qty"
+            ),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 6).alias(
+                "avg_price"
+            ),
+            F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 6).alias(
+                "avg_disc"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume: 6-table snowflake join
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the ordering customer
+    and the line's supplier share the nation, restricted to one region
+    and one order year. The deepest join tree in the pack: two fact
+    tables plus four dimensions. 100 TB shape: region→nation→
+    customer/supplier are broadcast tiers (25 + 5 rows and the pruned
+    customer/supplier columns); the only big shuffle is
+    lineitem⋈orders on orderkey; the c_nationkey = s_nationkey
+    equality runs as a join-side filter, never a cross product."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+ORACLE_TPCH_Q5 = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecast revenue change: pure pushdown filter-aggregate
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue from discounted small-quantity lines in
+    one ship year — a single filter-aggregate with zero joins and zero
+    groups. The pushdown probe: all three predicates (date range,
+    discount band, quantity cap) must reach the parquet scan, and the
+    aggregate is one partial+final sum of a two-column projection —
+    the minimal possible plan over a 100 TB fact table."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_TPCH_Q6 = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 — priority-class line counts: conditional aggregation over a join
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per shipping class, how many lines belong to
+    high- vs low-priority orders, over one ship year. The testdata has
+    no l_shipmode column, so l_linestatus stands in as the class key —
+    the shape (fact⋈fact join feeding CASE-split conditional sums) is
+    the published one. 100 TB: the date filter prunes lineitem at the
+    scan; the join shuffles on orderkey; the conditional sums collapse
+    map-side to |classes| rows."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_TPCH_Q12 = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect: conditional share of revenue
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of one ship-year's revenue from
+    promo-type parts. One fact⋈dim join (part is the small side —
+    broadcast) feeding a ratio of two conditional decimal sums; the
+    division happens once, in the double domain, identically in both
+    engines."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = load(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(24,4)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(zero))
+                .cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+ORACLE_TPCH_Q14 = """
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                        * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                                   ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+             6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue: disjunctive multi-bracket predicate
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from lines matching any of three
+    brand/size/quantity brackets — the classic OR-of-ANDs predicate
+    (no p_container column exists; brand+size+quantity carry the
+    shape). The optimizer test: the common p_partkey join key must be
+    extracted so the join runs once with the disjunction as a post-join
+    filter (Catalyst factors the join predicate; part is broadcast),
+    and the shared p_size/l_quantity lower bounds push to the scans."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(bracket).agg(
+        F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_TPCH_Q19 = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 QUERIES = {
+    "q_tpch_q1": q_tpch_q1,
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q4": q_tpch_q4,
+    "q_tpch_q5": q_tpch_q5,
+    "q_tpch_q6": q_tpch_q6,
     "q_tpch_q10": q_tpch_q10,
+    "q_tpch_q12": q_tpch_q12,
+    "q_tpch_q14": q_tpch_q14,
     "q_tpch_q17": q_tpch_q17,
     "q_tpch_q18": q_tpch_q18,
+    "q_tpch_q19": q_tpch_q19,
     "q_unpivot_metrics": q_unpivot_metrics,
 }
 
 ORACLES = {
+    "q_tpch_q1": ORACLE_TPCH_Q1,
     "q_tpch_q3": ORACLE_TPCH_Q3,
     "q_tpch_q4": ORACLE_TPCH_Q4,
+    "q_tpch_q5": ORACLE_TPCH_Q5,
+    "q_tpch_q6": ORACLE_TPCH_Q6,
     "q_tpch_q10": ORACLE_TPCH_Q10,
+    "q_tpch_q12": ORACLE_TPCH_Q12,
+    "q_tpch_q14": ORACLE_TPCH_Q14,
     "q_tpch_q17": ORACLE_TPCH_Q17,
     "q_tpch_q18": ORACLE_TPCH_Q18,
+    "q_tpch_q19": ORACLE_TPCH_Q19,
     "q_unpivot_metrics": ORACLE_UNPIVOT_METRICS,
 }

@@ -8,6 +8,10 @@ hashes one partition a straggler) and times one distributed Louvain
 level with salt_hubs=0 vs salt_hubs=8, at two skew levels. Results are
 recorded in SCALE.md §3.
 
+Run STANDALONE (fresh python process): the spark.driver.memory builder
+conf only takes effect when this process launches the JVM — calling
+into an already-running session would silently keep its smaller heap.
+
 Run: PYTHONPATH=/root/repo python scripts/stress_salt.py
 """
 
@@ -60,6 +64,7 @@ def main():
         .appName("stress_salt")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", "24g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

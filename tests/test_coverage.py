@@ -56,6 +56,28 @@ def test_r03_window_is_oracle_backed():
     assert not not_backed, f"rows-only queries in driver window: {not_backed}"
 
 
+def test_no_raw_ts_arithmetic():
+    """Encoding-drift guard (the q_gap_fill bug class, round 3): the
+    physical ``ts`` column of events has shipped as both LONG-nanos and
+    TIMESTAMP_NTZ-micros; every engine module must therefore work on the
+    ``ts_us`` column ``sources.load`` attaches and never touch raw
+    ``ts``. sources.py (the single adapter) is the only allowed site."""
+    import glob
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "louvain_modularity_spark")
+    offenders = []
+    for path in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
+        if os.path.basename(path) == "sources.py":
+            continue
+        for i, line in enumerate(open(path), 1):
+            if re.search(r"""['"]ts['"]""", line):
+                offenders.append(f"{os.path.basename(path)}:{i}: {line.strip()}")
+    assert not offenders, "raw events.ts reference outside sources.py:\n" + "\n".join(
+        offenders
+    )
+
+
 def test_scan_pushdown(spark):
     """Predicate + projection must reach the parquet scan."""
     from louvain_modularity_spark.relational import q_scan_parquet
