@@ -44,12 +44,22 @@ SHARED_R02 = [
 ]
 
 #: round-3 additions: one headline per previously-untimed pack
-#: (tpch, pipeline/dedup end-to-end, graph centrality)
+#: (tpch, pipeline/dedup end-to-end, graph centrality); round 4 switches
+#: the centrality headline from exact-on-34-node-fixture q_betweenness
+#: (which timed job-launch overhead) to the sampled-source estimator on
+#: the ~16k-vertex co-purchase graph — the plan a 100 TB run executes —
+#: and adds the TPC-H Q1 full-scan aggregate
 HEADLINE = SHARED_R02 + [
     "q_tpch_q3",
+    "q_tpch_q1",
     "q_dup_clusters",
-    "q_betweenness",
+    "q_betweenness_sampled",
 ]
+
+#: noisiest entries under this VM's CPU-steal (±30% swings on unchanged
+#: code, SCALE.md §7): widen to min-of-3 so round-over-round deltas
+#: track code, not the hypervisor
+MIN_OF_3 = {"q_stream_tumbling", "q_dedup_minhash"}
 
 
 def main() -> None:
@@ -88,7 +98,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3 if name in MIN_OF_3 else 2):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()

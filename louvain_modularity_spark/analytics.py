@@ -976,6 +976,106 @@ FROM ch
 """
 
 
+DAY_US = 86_400_000_000
+
+
+def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window activity features: per (user, active day), the
+    event count and exact-decimal value sum over that user's trailing
+    7 days — the RANGE-frame window shape (frame bounded by the DAY
+    VALUE, not by row offsets, so gaps in activity shrink the window)
+    that powers rate limits and recency features in training-data
+    pipelines.
+
+    100 TB shape: the pre-aggregate collapses events to one row per
+    (user, day) map-side before the single user-partitioned window
+    sort; the window state is ≤7 rows per user at a time. Users are
+    independent — perfectly parallel."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.withColumn("day", (F.col("ts_us") / F.lit(DAY_US)).cast("long"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_day"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("v_day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.sum("n_day").over(w).alias("n_7d"),
+        F.round(F.sum("v_day").over(w), 2).cast("double").alias("value_7d"),
+    )
+
+
+ORACLE_ROLLING_7D = f"""
+WITH daily AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // {DAY_US} AS BIGINT) AS day,
+         COUNT(*) AS n_day,
+         SUM(CAST(value AS DECIMAL(12,2))) AS v_day
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day,
+       CAST(SUM(n_day) OVER w AS BIGINT) AS n_7d,
+       CAST(ROUND(SUM(v_day) OVER w, 2) AS DOUBLE) AS value_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's event value — the correct
+    mean for irregularly sampled series (a value 'holds' until the next
+    observation, so each sample is weighted by its holding duration).
+    TWA = Σ value·Δt / Σ Δt over consecutive-event gaps; users with one
+    event have no gaps and are excluded (SQL and Spark agree by
+    construction: the lead() is NULL).
+
+    100 TB shape: one user-partitioned window for lead(), then a
+    map-side-combined aggregate — two shuffles on the same key (AQE
+    reuses the partitioning). Weights and values stay in the double
+    domain with one terminal round; Δt is exact integer micros."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = e.select(
+        "user_id",
+        "value",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(
+            F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+        ).alias("twa_value"),
+    )
+
+
+ORACLE_TIME_WEIGHTED_AVG = """
+WITH gaps AS (
+  SELECT user_id, value,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id)
+           - epoch_us(ts) AS dt_us
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_gaps,
+       ROUND(SUM(value * dt_us) / SUM(dt_us), 6) AS twa_value
+FROM gaps WHERE dt_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q_stats_agg": q_stats_agg,
     "q_filtered_agg": q_filtered_agg,
@@ -997,6 +1097,8 @@ QUERIES = {
     "q_funnel": q_funnel,
     "q_retention_cohort": q_retention_cohort,
     "q_scd2_intervals": q_scd2_intervals,
+    "q_rolling_7d": q_rolling_7d,
+    "q_time_weighted_avg": q_time_weighted_avg,
 }
 
 ORACLES = {
@@ -1020,4 +1122,6 @@ ORACLES = {
     "q_funnel": ORACLE_FUNNEL,
     "q_retention_cohort": ORACLE_RETENTION_COHORT,
     "q_scd2_intervals": ORACLE_SCD2_INTERVALS,
+    "q_rolling_7d": ORACLE_ROLLING_7D,
+    "q_time_weighted_avg": ORACLE_TIME_WEIGHTED_AVG,
 }

@@ -1225,6 +1225,158 @@ def _oracle_eigenvector() -> str:
     )
 
 
+#: sampled-source budget for the co-purchase betweenness estimator
+BETWEENNESS_SAMPLE_K = 8
+#: BFS round budget on the co-purchase graph (bipartite, small diameter)
+COPURCHASE_MAX_HOPS = 8
+
+
+def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes–Pich sampled-source betweenness on the ~16k-vertex
+    co-purchase graph — the SCALE path of q_betweenness (which stays
+    exact on the 34-node fixture for the oracle): k=8 deterministic
+    sources (smallest vertex ids), state O(k·V) instead of O(V²),
+    estimator B̂(v) = (n/k)·Σ_s δ_s(v)/2. Estimator quality is pinned
+    by the rank-correlation test on a known graph
+    (tests/test_graph_algs.py::test_sampled_betweenness_rank_correlates);
+    this query exists so the BENCH headline times the plan a 100 TB
+    run would execute, not 34-node job-launch overhead."""
+    edges = copurchase_edges(spark, sf_dir)
+    srcs = [
+        r["id"]
+        for r in vertices_of(edges)
+        .orderBy("id")
+        .limit(BETWEENNESS_SAMPLE_K)
+        .collect()
+    ]
+    return betweenness(spark, edges, COPURCHASE_MAX_HOPS, sources=srcs)
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_hops: int,
+    sources: list | None = None,
+) -> DataFrame:
+    """Harmonic centrality H(v) = Σ_{u≠v} 1/d(u,v) — closeness'
+    disconnection-robust sibling (unreachable pairs contribute 0
+    instead of poisoning the sum, so it needs no connectivity
+    assumption). Exact from all-pairs BFS, or the sampled-source
+    estimator Ĥ(v) = (n−1)/(k) · mean over sampled sources — the same
+    O(samples·V) state bound as closeness/betweenness sampling."""
+    d = all_pairs_hops(spark, edges, max_hops, sources=sources).filter(
+        F.col("source") != F.col("id")
+    )
+    if sources is None:
+        return d.groupBy("source").agg(
+            F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("harmonic")
+        )
+    n = vertices_of(edges).count()
+    k = float(len(sources))
+    # Ĥ(v) = (n/k)·Σ_{s∈S, s≠v} 1/d(s,v): sampled sum extrapolated to
+    # the full vertex set (same Eppstein–Wang scaling as closeness)
+    return d.groupBy("id").agg(
+        F.round(F.sum(F.lit(1.0) / F.col("dist")) * F.lit(n / k), 6).alias("harmonic")
+    )
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact harmonic centrality on the karate fixture (multi-source
+    BFS, 6 rounds ≥ diameter). Oracle: recursive-CTE BFS with
+    SUM(1/d) — same walk pattern as ORACLE_CLOSENESS."""
+    return harmonic_centrality(spark, karate_edges(spark), CLOSENESS_MAX_HOPS)
+
+
+ORACLE_HARMONIC = f"""
+WITH RECURSIVE e AS ({_KARATE_SQL}),
+sym AS (
+  SELECT src, dst FROM e WHERE src <> dst
+  UNION SELECT dst, src FROM e WHERE src <> dst
+),
+v AS (SELECT DISTINCT src AS id FROM sym),
+walk(source, id, d) AS (
+  SELECT id, id, 0 FROM v
+  UNION
+  SELECT walk.source, sym.dst, walk.d + 1
+  FROM walk JOIN sym ON sym.src = walk.id
+  WHERE walk.d < {CLOSENESS_MAX_HOPS}
+),
+dist AS (SELECT source, id, MIN(d) AS d FROM walk GROUP BY source, id)
+SELECT source, ROUND(SUM(1.0 / d), 6) AS harmonic
+FROM dist WHERE source <> id GROUP BY source
+"""
+
+
+def q_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the customer–supplier co-purchase graph
+    onto its SMALL side: supplier pairs weighted by shared-customer
+    count and Jaccard over customer sets — the 'related vendors'
+    (or co-citation / shared-audience) derivation.
+
+    100 TB shape: projecting the small side keeps the wedge join
+    bounded — pairs explode per CUSTOMER as deg², and customer degree
+    is capped by the small side's size (|suppliers|), never by corpus
+    size. The self-join shuffles once on custkey; pair counts and
+    degrees are map-side-combined aggregates; degrees broadcast back.
+    Projecting the LARGE side instead would need the hot-key capping
+    q_pmi_cooccur / minhash max_df use."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg = cs.groupBy("supp").agg(F.count("*").alias("deg"))
+    a = cs.select("cust", F.col("supp").alias("supp_a"))
+    b = cs.select("cust", F.col("supp").alias("supp_b"))
+    shared = (
+        a.join(b, "cust")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(deg.select(F.col("supp").alias("supp_a"), F.col("deg").alias("deg_a"))),
+            "supp_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("supp").alias("supp_b"), F.col("deg").alias("deg_b"))),
+            "supp_b",
+        )
+        .select(
+            "supp_a",
+            "supp_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_BIPARTITE_PROJECT = """
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+deg AS (SELECT supp, COUNT(*) AS deg FROM cs GROUP BY supp),
+shared AS (
+  SELECT a.supp AS supp_a, b.supp AS supp_b, COUNT(*) AS n_shared
+  FROM cs a JOIN cs b ON a.cust = b.cust AND a.supp < b.supp
+  GROUP BY 1, 2
+)
+SELECT supp_a, supp_b, CAST(n_shared AS BIGINT) AS n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / (da.deg + db.deg - n_shared), 6) AS jaccard
+FROM shared
+JOIN deg da ON da.supp = supp_a
+JOIN deg db ON db.supp = supp_b
+"""
+
+
 QUERIES = {
     "q_edges_from_relational": q_edges_from_relational,
     "q_read_edgelist": q_read_edgelist,
@@ -1248,6 +1400,9 @@ QUERIES = {
     "q_closeness": q_closeness,
     "q_betweenness": q_betweenness,
     "q_eigenvector": q_eigenvector,
+    "q_harmonic_centrality": q_harmonic_centrality,
+    "q_bipartite_project": q_bipartite_project,
+    "q_betweenness_sampled": q_betweenness_sampled,
 }
 
 ORACLES = {
@@ -1269,8 +1424,12 @@ ORACLES = {
     "q_closeness": ORACLE_CLOSENESS,
     "q_betweenness": ORACLE_BETWEENNESS,
     "q_eigenvector": _oracle_eigenvector(),
+    "q_harmonic_centrality": ORACLE_HARMONIC,
+    "q_bipartite_project": ORACLE_BIPARTITE_PROJECT,
     # rows-only: q_write_edgelist (sink round-trip), q_adjacency_pivot
     # (dynamic pivot columns), q_pagerank (iterative; networkx golden
     # in tests), q_kcore (iterative peeling; networkx core_number
-    # golden in tests)
+    # golden in tests), q_betweenness_sampled (estimator; rank-
+    # correlation + state-bound asserted in tests, exact twin is
+    # oracle-checked)
 }

@@ -48,76 +48,83 @@ def _modules():
 
 
 # Order matters: the correctness driver verifies the FIRST 50 entries of
-# all_queries(). Rounds 1+2 produced green rows for the relational/funcs/
-# graph-source packs and the louvain/metrics/llm_ops/multimodal/streaming
-# packs. This round-3 window is pinned as an explicit name list so that
-# queries added later in the round cannot displace the verification targets:
-# q_doc_fingerprint first (re-verifies the round-2 HUGEINT-oracle fix), then
-# the 49 oracle-backed queries that have never been inside a driver window
-# (tpch, analytics, pipeline, textprep, and the round-2 graph algorithms —
-# including q_sessionize / q_pack_sequences, which carry the same HUGEINT
-# cast fix). Nine structurally-simple never-checked queries (plain agg /
-# reader / window shapes identical to already-green ones) are held for the
-# round-4 window: q_fn_variant q_stats_agg q_filtered_agg q_string_agg
-# q_window_ntile q_latest_per_key q_read_json q_read_orc q_read_text_log.
-_WINDOW_R03 = [
-    "q_doc_fingerprint",
-    # tpch pack
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q10",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_unpivot_metrics",
-    # pipeline pack
-    "q_dup_clusters",
-    "q_pack_sequences",
-    "q_contamination",
-    "q_repetition_ratio",
-    "q_kmeans",
-    "q_udtf_tokens",
-    # textprep pack
-    "q_chunk_sliding",
-    "q_ngram_counts",
-    "q_token_vocab",
-    "q_stopword_remove",
-    "q_sessionize",
-    "q_length_filter",
-    "q_pii_scrub",
-    "q_embedding_normalize",
-    "q_embedding_centroid",
-    "q_write_partitioned",
-    # graph algorithms (rounds 1-2 additions)
-    "q_triangle_count",
-    "q_jaccard_nodes",
-    "q_bfs_hops",
-    "q_scc",
-    "q_closeness",
-    "q_betweenness",
-    "q_eigenvector",
-    "q_clustering_coeff",
-    "q_adamic_adar",
-    "q_degree_dist",
-    "q_assortativity",
-    "q_sssp_weighted",
-    "q_personalized_pagerank",
-    # analytics pack
-    "q_rollup_time",
-    "q_salted_join",
-    "q_bm25",
-    "q_unigram_surprise",
-    "q_zscore_outlier",
-    "q_funnel",
-    "q_retention_cohort",
-    "q_scd2_intervals",
-    # relational round-2 additions
-    "q_merge_upsert",
-    "q_join_bucketed",
-    "q_fuzzy_join",
+# all_queries(). Cumulative state after r03: 128 driver-green; every
+# oracle-backed query has passed a driver window EXCEPT the nine held in r03
+# and q_gap_fill (the r03 failure, fixed this round). This round-4 window:
+# q_gap_fill first (re-verify the ts-encoding fix), the nine held queries,
+# the thirteen round-4 additions, then RE-verification of every r01/r02
+# event-time green earned under the old LONG-nanos ts encoding (the harness
+# now ships TIMESTAMP_MICROS; q_gap_fill proved encoding drift can break a
+# formerly-green query), four rows-only queries that have never appeared in
+# any window (the driver records no_oracle + spark_rows > 0 — evidence they
+# execute under the driver's environment), and the oldest r01 relational
+# greens with the remaining slots.
+#
+# Rows-only entries deliberately inside this window (all four never
+# driver-windowed before): q_hll_sketch q_approx_topk q_pagerank q_kcore.
+_WINDOW_ROWS_ONLY = [
+    "q_hll_sketch",
+    "q_approx_topk",
+    "q_pagerank",
+    "q_kcore",
+]
+_WINDOW_R04 = [
+    # the round-3 failure, re-verified first
     "q_gap_fill",
-    # streaming sinks
-    "q_stream_file_sink",
-    "q_stream_foreach_batch",
+    # the nine oracle-backed queries held out of the r03 window
+    "q_fn_variant",
+    "q_stats_agg",
+    "q_filtered_agg",
+    "q_string_agg",
+    "q_window_ntile",
+    "q_latest_per_key",
+    "q_read_json",
+    "q_read_orc",
+    "q_read_text_log",
+    # round-4 additions: TPC-H second batch
+    "q_tpch_q1",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q12",
+    "q_tpch_q14",
+    "q_tpch_q19",
+    # round-4 additions: event-time analytics
+    "q_rolling_7d",
+    "q_time_weighted_avg",
+    # round-4 additions: text quality
+    "q_entropy_tokens",
+    "q_pmi_cooccur",
+    "q_robust_scale",
+    # round-4 additions: graph
+    "q_harmonic_centrality",
+    "q_bipartite_project",
+    # event-time re-verification under the TIMESTAMP_MICROS encoding
+    "q_fn_date",
+    "q_fn_map",
+    "q_fn_json",
+    "q_join_asof",
+    "q_join_theta_range",
+    "q_window_laglead",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_stateful_count",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    # rows-only, never yet inside a driver window
+    *_WINDOW_ROWS_ONLY,
+    # oldest r01 greens, re-earned
+    "q_scan_parquet",
+    "q_filter_pred",
+    "q_agg_groupby",
+    "q_agg_distinct",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_window_rank",
+    "q_dedup_exact",
+    "q_sort_limit",
+    "q_set_ops",
 ]
 
 
@@ -128,10 +135,10 @@ def all_queries() -> dict[str, QueryFn]:
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         merged.update(mod.QUERIES)
-    missing = [n for n in _WINDOW_R03 if n not in merged]
+    missing = [n for n in _WINDOW_R04 if n not in merged]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R03}
+    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R04}
     out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
 

@@ -348,6 +348,192 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q_entropy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (bits) — the
+    repetitiveness signal complementary to q_repetition_ratio: H = 0
+    for a one-token doc, log₂(n_distinct) for a uniform one. Computed
+    as log₂(N) − Σc·log₂(c)/N from per-(doc, token) counts — one
+    explode→groupBy then a per-doc aggregate, both map-side
+    combinable; no window, no driver state. Rounded 6 dp."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        tokens_of(d)
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    ln2 = F.log(F.lit(2.0))
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c")) / ln2
+            - F.sum(F.col("c") * F.log("c")) / F.sum("c") / ln2,
+            6,
+        ).alias("entropy_bits"),
+    )
+
+
+ORACLE_ENTROPY_TOKENS = """
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> '' GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       ROUND(ln(SUM(c)) / ln(2.0)
+             - SUM(c * ln(c)) / SUM(c) / ln(2.0), 6) AS entropy_bits
+FROM tf GROUP BY doc_id
+"""
+
+
+#: PMI vocabulary gate: a token must appear in ≥ this many documents
+#: to enter the pair explosion (bounds the per-doc pair fan-out)
+PMI_MIN_DF = 50
+#: and a pair must co-occur in ≥ this many docs to be reported
+PMI_MIN_PAIR = 10
+
+
+def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in a
+    document — the classic collocation / phrase-mining statistic:
+    PMI(a,b) = log₂( p(a,b) / (p(a)·p(b)) ) over document-level
+    presence probabilities.
+
+    100 TB shape: presence sets are deduped per doc FIRST, then gated
+    to tokens with df ≥ PMI_MIN_DF via a broadcast semi-join before
+    the within-doc self-join — the pair explosion is bounded by the
+    (small) frequent vocabulary, the same hot-list capping as
+    minhash's max_df. The self-join shuffles once on doc_id; the pair
+    count is map-side combinable; df stats are broadcast back."""
+    d = load(spark, sf_dir, "documents")
+    presence = (
+        tokens_of(d)
+        .filter(F.col("token") != "")
+        .select("doc_id", "token")
+        .distinct()
+    )
+    n_docs = d.count()
+    df_ = (
+        presence.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= PMI_MIN_DF)
+    )
+    freq = presence.join(F.broadcast(df_.select("token")), "token")
+    a = freq.select("doc_id", F.col("token").alias("tok_a"))
+    b = freq.select("doc_id", F.col("token").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_PAIR)
+    )
+    return (
+        pairs.join(
+            F.broadcast(df_.select(F.col("token").alias("tok_a"), F.col("df").alias("df_a"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(df_.select(F.col("token").alias("tok_b"), F.col("df").alias("df_b"))),
+            "tok_b",
+        )
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.lit(float(n_docs))
+                    / (F.col("df_a").cast("double") * F.col("df_b"))
+                )
+                / F.log(F.lit(2.0)),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+ORACLE_PMI_COOCCUR = f"""
+WITH presence AS (
+  SELECT DISTINCT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+),
+df AS (
+  SELECT token, COUNT(*) AS df FROM presence GROUP BY token
+  HAVING COUNT(*) >= {PMI_MIN_DF}
+),
+freq AS (SELECT p.doc_id, p.token FROM presence p JOIN df USING (token)),
+pairs AS (
+  SELECT a.token AS tok_a, b.token AS tok_b, COUNT(*) AS n_ab
+  FROM freq a JOIN freq b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {PMI_MIN_PAIR}
+)
+SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+       ROUND(ln(CAST(n_ab AS DOUBLE) * (SELECT COUNT(*) FROM documents)
+                / (CAST(da.df AS DOUBLE) * db.df)) / ln(2.0), 6) AS pmi
+FROM pairs
+JOIN df da ON da.token = tok_a
+JOIN df db ON db.token = tok_b
+"""
+
+
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust scaling of document lengths within each source:
+    (n_chars − median) / IQR — the outlier-insensitive normalization
+    for length-based quality features (z-scores break under the
+    heavy-tailed lengths real corpora have). Exact interpolated
+    percentiles per source (both engines use the same linear
+    interpolation); IQR = 0 groups emit NULL rather than ±inf.
+
+    100 TB shape: exact percentiles need one shuffle of (source,
+    n_chars) — at extreme scale swap `percentile` for
+    `approx_percentile` (same plan shape, sketch-mergeable); the
+    per-source stats (4 doubles each) broadcast back over the
+    documents scan."""
+    d = load(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med"),
+        F.expr("percentile(n_chars, 0.25)").alias("q1"),
+        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    )
+    return (
+        d.join(F.broadcast(stats), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(
+                F.when(
+                    F.col("q3") != F.col("q1"),
+                    (F.col("n_chars") - F.col("med")) / (F.col("q3") - F.col("q1")),
+                ),
+                6,
+            ).alias("scaled_len"),
+        )
+    )
+
+
+ORACLE_ROBUST_SCALE = """
+WITH stats AS (
+  SELECT source,
+         quantile_cont(n_chars, 0.5)  AS med,
+         quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents GROUP BY source
+)
+SELECT doc_id, d.source, n_chars,
+       ROUND(CASE WHEN q3 <> q1
+                  THEN (n_chars - med) / (q3 - q1) END, 6) AS scaled_len
+FROM documents d JOIN stats USING (source)
+"""
+
+
 QUERIES = {
     "q_chunk_sliding": q_chunk_sliding,
     "q_ngram_counts": q_ngram_counts,
@@ -359,6 +545,9 @@ QUERIES = {
     "q_embedding_normalize": q_embedding_normalize,
     "q_embedding_centroid": q_embedding_centroid,
     "q_write_partitioned": q_write_partitioned,
+    "q_entropy_tokens": q_entropy_tokens,
+    "q_pmi_cooccur": q_pmi_cooccur,
+    "q_robust_scale": q_robust_scale,
 }
 
 ORACLES = {
@@ -372,4 +561,7 @@ ORACLES = {
     "q_embedding_normalize": ORACLE_EMBEDDING_NORMALIZE,
     "q_embedding_centroid": ORACLE_EMBEDDING_CENTROID,
     "q_write_partitioned": ORACLE_WRITE_PARTITIONED,
+    "q_entropy_tokens": ORACLE_ENTROPY_TOKENS,
+    "q_pmi_cooccur": ORACLE_PMI_COOCCUR,
+    "q_robust_scale": ORACLE_ROBUST_SCALE,
 }

@@ -72,6 +72,42 @@ def test_closeness_matches_networkx(spark):
         assert got[n] == pytest.approx(c, abs=1e-6)
 
 
+def test_harmonic_matches_networkx(spark):
+    from louvain_modularity_spark.graph import q_harmonic_centrality
+
+    got = {
+        r["source"]: r["harmonic"]
+        for r in q_harmonic_centrality(spark, SF).collect()
+    }
+    expected = nx.harmonic_centrality(nx.karate_club_graph())
+    assert set(got) == set(expected)
+    for n, h in expected.items():
+        assert got[n] == pytest.approx(h, abs=1e-6)
+
+
+def test_sampled_harmonic_approximates_exact(spark):
+    """(n/k)-scaled sampled harmonic estimates every node from k
+    sources; mean absolute relative error stays small."""
+    import random
+
+    from louvain_modularity_spark.graph import harmonic_centrality
+
+    g = nx.connected_watts_strogatz_graph(200, 8, 0.3, seed=13)
+    edges = spark.createDataFrame(
+        [(int(u), int(v), 1.0) for u, v in g.edges()],
+        "src LONG, dst LONG, weight DOUBLE",
+    )
+    sources = random.Random(2).sample(sorted(g.nodes()), 40)
+    got = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_centrality(spark, edges, 12, sources=sources).collect()
+    }
+    exact = nx.harmonic_centrality(g)
+    assert set(got) == set(exact)
+    rel_errs = [abs(got[n] - exact[n]) / exact[n] for n in exact]
+    assert sum(rel_errs) / len(rel_errs) < 0.10
+
+
 def test_sampled_betweenness_rank_correlates(spark):
     """Brandes–Pich sampled-source betweenness on a ~200-node small-world
     graph: k=40 sources must rank-correlate with exact networkx, and the
