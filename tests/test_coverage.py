@@ -326,6 +326,47 @@ def test_best_move_is_max_aggregate_not_window(spark):
     assert "HashAggregate" in plan, plan
 
 
+def test_tpch_q6_full_pushdown(spark):
+    """Q6 is the pushdown probe: all three predicates must reach the
+    parquet scan and the projection must shrink to the needed columns
+    (a scan reading all 11 lineitem columns for a 2-column aggregate
+    would be wrong at any scale)."""
+    from louvain_modularity_spark.tpch import q_tpch_q6
+
+    plan = (
+        q_tpch_q6(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # toString truncates the PushedFilters list; the IsNotNull triple
+    # leads it, so its presence proves all three columns reached the scan
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+        "IsNotNull(l_quantity)" in plan
+    ), plan
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp" in plan
+    ), plan
+    assert "l_returnflag" not in plan  # unused column pruned
+
+
+def test_bipartite_project_no_cartesian(spark):
+    """The wedge self-join must stay a hash join on custkey — never a
+    cartesian/broadcast-NLJ pair explosion."""
+    from louvain_modularity_spark.graph import q_bipartite_project
+
+    plan = (
+        q_bipartite_project(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_latest_per_key_is_max_by_not_window(spark):
     """Last-event-per-key must lower to a max_by aggregate (partial
     rows collapse map-side), not a rank window over the full table."""
