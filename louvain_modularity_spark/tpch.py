@@ -766,11 +766,13 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     INCLUDING zero-order customers — the left-outer-join-then-
     re-aggregate pattern (count(o_orderkey) counts non-null matches
     only, so unmatched customers land in the 0 bucket). The order-side
-    filter (non-priority orders stand in for the absent comment
-    column) applies BEFORE the join, preserving outer-join zeros."""
+    filter (urgent orders stand in for the absent comment column;
+    chosen so the 0 bucket is non-empty at every test scale — the
+    bucket the outer join exists to produce) applies BEFORE the join,
+    preserving outer-join zeros."""
     c = load(spark, sf_dir, "customer").select("c_custkey")
     o = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") != "1-URGENT"
+        F.col("o_orderpriority") == "1-URGENT"
     ).select("o_orderkey", "o_custkey")
     per_cust = (
         c.join(o, c.c_custkey == o.o_custkey, "left")
@@ -785,7 +787,7 @@ SELECT c_count, COUNT(*) AS custdist
 FROM (
   SELECT c_custkey, COUNT(o_orderkey) AS c_count
   FROM customer LEFT JOIN (
-    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT'
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
   ) o ON c_custkey = o_custkey
   GROUP BY c_custkey
 )

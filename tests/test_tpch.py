@@ -74,6 +74,40 @@ def test_unpivot_is_narrow_expand(spark):
     assert "Exchange" not in head  # nothing shuffles above the final agg
 
 
+def test_q6_zero_join_single_aggregate(spark):
+    """Q6 must be scan→filter→partial/final agg: no join operator of
+    any kind in the plan."""
+    from louvain_modularity_spark.tpch import q_tpch_q6
+
+    plan = _plan(q_tpch_q6(spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_q7_q8_snowflake_is_broadcast_plus_one_shuffle(spark):
+    """The deep snowflake joins must broadcast every dimension tier and
+    shuffle only lineitem⋈orders on the orderkey — one hash exchange
+    pair feeding the join, no sort-merge fallback."""
+    from louvain_modularity_spark.tpch import q_tpch_q7, q_tpch_q8
+
+    for q in (q_tpch_q7, q_tpch_q8):
+        plan = _plan(q(spark, SF))
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("BroadcastHashJoin") >= 5, plan
+
+
+def test_q13_left_join_preserves_zero_order_customers(spark):
+    """The outer join must keep customers with no qualifying orders:
+    the 0 bucket exists and the bucket counts sum to |customer|."""
+    from louvain_modularity_spark.tpch import q_tpch_q13
+
+    rows = {r["c_count"]: r["custdist"] for r in q_tpch_q13(spark, SF).collect()}
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert sum(rows.values()) == n_cust
+    assert 0 in rows and rows[0] > 0
+
+
 def test_q17_threshold_is_order_independent(spark):
     """The 0.2*mean threshold must be exact: quantities are
     integer-valued so the double SUM is exact regardless of partition
