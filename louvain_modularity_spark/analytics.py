@@ -248,6 +248,43 @@ GROUP BY event_type
 """
 
 
+def q_read_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round trip with full quoting: export documents
+    (free text with embedded commas/quotes) to headered CSV, read back
+    with an explicit schema — no inference pass, no malformed-row
+    tolerance (FAILFAST surfaces quoting bugs instead of nulling them).
+    The per-group aggregate includes Σ len(text), so any mis-quoted
+    split corrupts the checksum and the oracle (which recomputes from
+    parquet) catches it. At 100 TB: CSV splits by newline; multiLine
+    stays off (quoted newlines would serialize the split, and the
+    corpus has none)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source", "n_chars")
+    out = _roundtrip_dir(sf_dir, "csv")
+    d.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.csv(
+        out,
+        header=True,
+        schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+        mode="FAILFAST",
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+ORACLE_READ_CSV = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len,
+       MIN(doc_id) AS min_doc_id
+FROM documents
+GROUP BY lang, source
+"""
+
+
 def q_read_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source round trip (the second columnar format Spark ships
     a vectorized reader for): write lineitem's projection to ORC, read
@@ -1083,6 +1120,7 @@ QUERIES = {
     "q_rollup_time": q_rollup_time,
     "q_salted_join": q_salted_join,
     "q_read_json": q_read_json,
+    "q_read_csv": q_read_csv,
     "q_read_orc": q_read_orc,
     "q_clustering_coeff": q_clustering_coeff,
     "q_adamic_adar": q_adamic_adar,
@@ -1108,6 +1146,7 @@ ORACLES = {
     "q_rollup_time": ORACLE_ROLLUP_TIME,
     "q_salted_join": ORACLE_SALTED_JOIN,
     "q_read_json": ORACLE_READ_JSON,
+    "q_read_csv": ORACLE_READ_CSV,
     "q_read_orc": ORACLE_READ_ORC,
     "q_clustering_coeff": ORACLE_CLUSTERING_COEFF,
     "q_adamic_adar": ORACLE_ADAMIC_ADAR,
