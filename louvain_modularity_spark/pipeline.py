@@ -19,7 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .llm_ops import ngram_jaccard_pairs, shingles_of
+from .llm_ops import _DOT_SQL, ngram_jaccard_pairs, shingles_of
 from .louvain import connected_components
 from .sources import load
 
@@ -478,12 +478,120 @@ WHERE toks[i] <> ''
 """
 
 
+#: SemDeDup cosine threshold — calibrated to the synthetic corpus
+#: (max within-cluster cosine ≈ 0.49; 0.35 marks the ~0.5% most
+#: similar pairs as duplicates). Real corpora use ~0.95+.
+SEMDEDUP_TAU = 0.35
+#: SemDeDup cluster count (init = the K smallest vec_ids, as q_kmeans)
+SEMDEDUP_K = 8
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings and dropping near-identical vectors WITHIN
+    each cluster — the technique's point is that clustering bounds the
+    pairwise comparison to cluster-sized blocks instead of the corpus.
+    Keep rule is the deterministic greedy: drop v iff some kept-order
+    earlier vector u (u.vec_id < v.vec_id) in the same cluster has
+    cos(u, v) ≥ SEMDEDUP_TAU.
+
+    100 TB shape: centroids are K·d broadcast literals (here the K
+    smallest vec_ids, the q_kmeans init convention — a trained
+    codebook at scale); assignment is one broadcast argmax pass over
+    the corpus; the within-cluster self-join shuffles once on the
+    cluster id, and the per-pair work is bounded by the largest
+    cluster (balance the codebook, or sub-split hot clusters, exactly
+    as IVF does). No corpus-sized all-pairs product exists; the
+    EXISTS collapses to a semi-join feeding an anti-join.
+
+    Output: (vec_id, cluster, keep) for every vector."""
+    from .llm_ops import _dot
+
+    emb = load(spark, sf_dir, "embeddings")
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select("vec_id", "embedding", norm.alias("n2"))
+    cents = base.orderBy("vec_id").limit(SEMDEDUP_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("n2").alias("c_n2"),
+    )
+    cos_c = _dot(F.col("c_emb"), F.col("embedding")) / F.sqrt(
+        F.col("c_n2") * F.col("n2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", cos_c)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "n2", F.col("cent_id").alias("cluster"))
+    )
+    a = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("u_id"),
+        F.col("embedding").alias("u_emb"),
+        F.col("n2").alias("u_n2"),
+    )
+    cos_p = _dot(F.col("u_emb"), F.col("embedding")) / F.sqrt(
+        F.col("u_n2") * F.col("n2")
+    )
+    dup_of_earlier = (
+        assigned.join(a, "cluster")
+        .filter(F.col("u_id") < F.col("vec_id"))
+        .withColumn("cos_p", cos_p)
+        .filter(F.col("cos_p") >= SEMDEDUP_TAU)
+        .select("vec_id")
+        .distinct()
+    )
+    return assigned.join(
+        dup_of_earlier.withColumn("dup", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cluster",
+        F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
+    )
+
+
+ORACLE_SEMDEDUP = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         {_DOT_SQL.format(a='embedding', b='embedding')} AS n2
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
+  FROM base ORDER BY vec_id LIMIT {SEMDEDUP_K}
+),
+assigned AS (
+  SELECT vec_id, embedding, n2, cent_id AS cluster FROM (
+    SELECT b.vec_id, b.embedding, b.n2, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {_DOT_SQL.format(a='c.c_emb', b='b.embedding')}
+                      / SQRT(c.c_n2 * b.n2) DESC,
+                      c.cent_id ASC
+           ) AS rn
+    FROM base b CROSS JOIN cents c
+  ) t WHERE rn = 1
+)
+SELECT v.vec_id, v.cluster,
+       NOT EXISTS (
+         SELECT 1 FROM assigned u
+         WHERE u.cluster = v.cluster AND u.vec_id < v.vec_id
+           AND {_DOT_SQL.format(a='u.embedding', b='v.embedding')}
+               / SQRT(u.n2 * v.n2) >= {SEMDEDUP_TAU}
+       ) AS keep
+FROM assigned v
+"""
+
+
 QUERIES = {
     "q_dup_clusters": q_dup_clusters,
     "q_pack_sequences": q_pack_sequences,
     "q_contamination": q_contamination,
     "q_repetition_ratio": q_repetition_ratio,
     "q_kmeans": q_kmeans,
+    "q_semdedup": q_semdedup,
     "q_udtf_tokens": q_udtf_tokens,
 }
 
@@ -493,5 +601,6 @@ ORACLES = {
     "q_contamination": ORACLE_CONTAMINATION,
     "q_repetition_ratio": ORACLE_REPETITION_RATIO,
     "q_kmeans": ORACLE_KMEANS,
+    "q_semdedup": ORACLE_SEMDEDUP,
     "q_udtf_tokens": ORACLE_UDTF_TOKENS,
 }
