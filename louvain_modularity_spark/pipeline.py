@@ -525,6 +525,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "n2", F.col("cent_id").alias("cluster"))
+        # assigned feeds three plan branches (both self-join sides and
+        # the final keep join); pin it so the broadcast-argmax corpus
+        # pass runs once, not three times
+        .localCheckpoint(eager=True)
     )
     a = assigned.select(
         F.col("cluster"),

@@ -367,6 +367,23 @@ def test_bipartite_project_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_semdedup_single_assignment_pass(spark):
+    """The broadcast-argmax assignment is checkpointed, so the final
+    plan must contain NO nested-loop/cartesian operator (the K-centroid
+    crossJoin ran once, before the checkpoint) and the within-cluster
+    pair join must be an equi-join on the cluster id."""
+    from louvain_modularity_spark.pipeline import q_semdedup
+
+    plan = (
+        q_semdedup(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_latest_per_key_is_max_by_not_window(spark):
     """Last-event-per-key must lower to a max_by aggregate (partial
     rows collapse map-side), not a rank window over the full table."""
