@@ -348,6 +348,59 @@ FROM documents GROUP BY 1, 2
 """
 
 
+#: shard fan-out / file-size cap for the training-shard layout writer
+SHARD_N = 8
+SHARD_MAX_RECORDS = 100
+
+
+def q_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard layout writer — the step that turns a cleaned
+    corpus into the contiguous, size-capped files a sequential trainer
+    reads: range-partition by doc_id into SHARD_N contiguous shards,
+    sort within each shard, and write parquet with maxRecordsPerFile
+    so no file exceeds the loader's chunk size. The returned aggregate
+    re-reads the sharded output, so the round trip must be lossless
+    (the oracle recomputes from the source table); the LAYOUT contract
+    — files are doc_id-sorted and range-disjoint — is asserted
+    per-file in tests/test_coverage.py.
+
+    100 TB shape: repartitionByRange samples the key distribution and
+    gives equal-sized contiguous shards regardless of skew;
+    sortWithinPartitions is a per-shard spillable sort (no global
+    sort); maxRecordsPerFile rolls files without extra shuffles."""
+    import hashlib
+    import os
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join("/root/repo/.tmp", f"shards_{tag}")
+    (
+        d.repartitionByRange(SHARD_N, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", SHARD_MAX_RECORDS)
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+    )
+
+
+ORACLE_WRITE_SHARDS = """
+SELECT COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len
+FROM documents
+"""
+
+
 def q_entropy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token-distribution Shannon entropy (bits) — the
     repetitiveness signal complementary to q_repetition_ratio: H = 0
@@ -415,7 +468,9 @@ def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token")
         .distinct()
     )
-    n_docs = d.count()
+    # corpus size enters the plan as a broadcast 1-row scalar (no
+    # separate driver-side count job per call)
+    n_docs = F.broadcast(d.agg(F.count("*").alias("n_docs")))
     df_ = (
         presence.groupBy("token")
         .agg(F.count("*").alias("df"))
@@ -440,6 +495,7 @@ def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(df_.select(F.col("token").alias("tok_b"), F.col("df").alias("df_b"))),
             "tok_b",
         )
+        .crossJoin(n_docs)
         .select(
             "tok_a",
             "tok_b",
@@ -447,7 +503,7 @@ def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.log(
                     F.col("n_ab").cast("double")
-                    * F.lit(float(n_docs))
+                    * F.col("n_docs").cast("double")
                     / (F.col("df_a").cast("double") * F.col("df_b"))
                 )
                 / F.log(F.lit(2.0)),
@@ -548,6 +604,7 @@ QUERIES = {
     "q_entropy_tokens": q_entropy_tokens,
     "q_pmi_cooccur": q_pmi_cooccur,
     "q_robust_scale": q_robust_scale,
+    "q_write_shards": q_write_shards,
 }
 
 ORACLES = {
@@ -564,4 +621,5 @@ ORACLES = {
     "q_entropy_tokens": ORACLE_ENTROPY_TOKENS,
     "q_pmi_cooccur": ORACLE_PMI_COOCCUR,
     "q_robust_scale": ORACLE_ROBUST_SCALE,
+    "q_write_shards": ORACLE_WRITE_SHARDS,
 }

@@ -367,6 +367,39 @@ def test_bipartite_project_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_write_shards_layout_contract(spark):
+    """The sharded output must honor the layout a sequential trainer
+    relies on: every file internally doc_id-sorted, no file above the
+    record cap, and file key-ranges pairwise disjoint (contiguous
+    range sharding)."""
+    import glob
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from louvain_modularity_spark.textprep import (
+        SHARD_MAX_RECORDS,
+        q_write_shards,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    q_write_shards(spark, sf_dir).collect()
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join("/root/repo/.tmp", f"shards_{tag}")
+    ranges = []
+    for path in sorted(glob.glob(os.path.join(out, "*.parquet"))):
+        ids = pq.read_table(path, columns=["doc_id"])["doc_id"].to_pylist()
+        assert len(ids) <= SHARD_MAX_RECORDS, path
+        assert ids == sorted(ids), f"unsorted file {path}"
+        if ids:
+            ranges.append((ids[0], ids[-1]))
+    ranges.sort()
+    assert ranges, "no shard files written"
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo, f"overlapping shard ranges {ranges}"
+
+
 def test_semdedup_single_assignment_pass(spark):
     """The broadcast-argmax assignment is checkpointed, so the final
     plan must contain NO nested-loop/cartesian operator (the K-centroid
