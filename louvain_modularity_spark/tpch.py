@@ -1,15 +1,27 @@
-"""Classic TPC-H-shape OLAP queries (SURVEY.md §2.13 round-2 pack).
+"""Classic TPC-H-shape OLAP queries — all 22 published query shapes
+(SURVEY.md §2.13/§2.17).
 
 These exercise the decision-support shapes the relational core (§2.7)
-doesn't yet pin down: multi-way fact joins feeding a top-k
-(Q3/Q10), correlated EXISTS (Q4) and a correlated scalar aggregate
-subquery (Q17) — both routed through ``spark.sql`` so Catalyst's
-subquery *decorrelation* is what runs (EXISTS → left-semi hash join,
-per-group scalar agg → aggregate + join; verified by plan guards in
-tests/test_tpch.py) — a group-HAVING gate (Q18), and a relational
-UNPIVOT. Predicate constants are adapted to the driver testdata's
-column set and date range (1995–2001; no comment/shipmode/shippriority
-columns exist); the query *shapes* are the published TPC-H ones.
+doesn't pin down: full-scan wide aggregates (Q1/Q6), multi-way fact
+joins feeding a top-k (Q3/Q10), snowflake joins with broadcast dim
+tiers (Q5/Q7/Q8/Q9), correlated EXISTS / NOT EXISTS (Q4/Q21/Q22),
+correlated scalar aggregates (Q2/Q17/Q20), global-share scalar gates
+(Q11), conditional aggregation (Q12/Q14/Q19), outer-join re-aggregation
+(Q13), CTE reuse with a scalar MAX (Q15), blacklist anti-joins (Q16), a
+group-HAVING gate (Q18), and a relational UNPIVOT. Subquery-bearing
+queries route through ``spark.sql`` so Catalyst's *decorrelation* is
+what runs (EXISTS → left-semi hash join, per-group scalar agg →
+aggregate + join; verified by plan guards in tests/test_tpch.py).
+
+Adaptations to the driver testdata's column set (documented per query;
+the SHAPES are the published ones): no partsupp table — the DISTINCT
+(l_partkey, l_suppkey) pairs from lineitem stand in (Q2/Q16/Q20); no
+supplycost/availqty — supplier balance / retail price / shipped
+quantity stand in (Q2/Q9/Q20); no commit/receipt dates — shipdate >
+orderdate + 60 days is the lateness predicate (Q4/Q21); no
+shipmode/container/phone/comment — linestatus, brand/size brackets,
+nation keys, and priority filters stand in (Q12/Q19/Q22/Q13); date
+constants sit inside the data's 1995–2001 range.
 
 Hash-stability follows relational.py's rules: money math in the
 DECIMAL domain, ROUND before casting back to DOUBLE, dates emitted as
@@ -845,40 +857,424 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q2 — min-cost supplier: correlated MIN with join-back (partsupp stands
+# in as the DISTINCT (l_partkey, l_suppkey) pairs from lineitem; supplier
+# account balance stands in for supply cost)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape via spark.sql: for each part of one size, the
+    supplier(s) with the MINIMUM account balance among suppliers who
+    have shipped it — the correlated-scalar-MIN + join-back pattern.
+    Catalyst decorrelates the per-part MIN into an aggregate joined
+    back on partkey; equality on the un-arithmetic double s_acctbal is
+    engine-exact. Top-k has a full (balance, partkey, suppkey)
+    tiebreak."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(
+        """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM tpch_lineitem)
+        SELECT s_acctbal, s_name, p_partkey, p_type
+        FROM tpch_part
+        JOIN ps ON p_partkey = l_partkey
+        JOIN tpch_supplier ON s_suppkey = l_suppkey
+        WHERE p_size = 25
+          AND s_acctbal = (
+            SELECT MIN(s2.s_acctbal)
+            FROM ps ps2 JOIN tpch_supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+            WHERE ps2.l_partkey = p_partkey
+          )
+        ORDER BY s_acctbal DESC, p_partkey, s_name
+        LIMIT 100
+        """
+    )
+
+
+ORACLE_TPCH_Q2 = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT s_acctbal, s_name, p_partkey, p_type
+FROM part
+JOIN ps ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size = 25
+  AND s_acctbal = (
+    SELECT MIN(s2.s_acctbal)
+    FROM ps ps2 JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+    WHERE ps2.l_partkey = p_partkey
+  )
+ORDER BY s_acctbal DESC, p_partkey, s_name
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year (retail price stands in
+# for supply cost)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) for a
+    part-type segment, profit = revenue − cost, cost stood in by
+    p_retailprice·quantity/2 (no supplycost column). All dims
+    broadcast; lineitem⋈orders is the one big shuffle; year extraction
+    groups into |nations|·|years| rows via map-side combine."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type").startswith("STANDARD"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem")
+    profit = _dec("l_extendedprice") * (1 - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity") * F.lit("0.5").cast("decimal(3,2)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    )
+
+
+ORACLE_TPCH_Q9 = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                      - CAST(p_retailprice AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(0.5 AS DECIMAL(3,2))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_type LIKE 'STANDARD%'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important parts: aggregate gated by a global-share scalar
+# subquery (lineitem revenue stands in for partsupp stock value)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape via spark.sql: parts whose revenue exceeds a
+    fixed fraction of GLOBAL revenue — a grouped aggregate filtered
+    against a scalar aggregate subquery over the same fact. Both sums
+    stay exact DECIMAL so the share comparison cannot flip between
+    engines; the scalar is a 1-row broadcast at scale."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_partkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)
+                    AS DOUBLE) AS part_value
+        FROM tpch_lineitem
+        GROUP BY l_partkey
+        HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2))))
+             > (SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                FROM tpch_lineitem)
+               * (1.3 / (SELECT COUNT(DISTINCT l_partkey) FROM tpch_lineitem))
+        """
+    )
+
+
+ORACLE_TPCH_Q11 = """
+SELECT l_partkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)
+            AS DOUBLE) AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(12,2))))
+     > (SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2))))
+        FROM lineitem)
+       * (1.3 / (SELECT COUNT(DISTINCT l_partkey) FROM lineitem))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier counts per part segment with a blacklist anti-join
+# (lineitem pairs stand in for partsupp; negative balance stands in
+# for the complaints blacklist)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, size)
+    excluding one brand and a supplier blacklist. The NOT-IN lowers to
+    a broadcast anti-join (blacklist is dimension-sized); the count is
+    COUNT(DISTINCT) after a distinct pair projection."""
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#11")
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_TPCH_Q16 = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#11'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — dominant suppliers: nested IN chain over a correlated-share
+# aggregate (shipped quantity stands in for available stock)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape via spark.sql: suppliers who shipped more than
+    half of some part's total year volume — a supplier semi-join into
+    a grouped HAVING whose threshold is a correlated scalar aggregate.
+    Quantities are integer-valued doubles: both sums are exact, the
+    0.5 factor is a power of two, so the comparison is engine-exact.
+    Catalyst decorrelates the inner SUM to a per-part aggregate joined
+    on partkey; the outer IN becomes a left-semi join."""
+    _views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM tpch_supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey
+          FROM tpch_lineitem l1
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY l_partkey, l_suppkey
+          HAVING SUM(l_quantity) > 0.5 * (
+            SELECT SUM(l2.l_quantity) FROM tpch_lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+              AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l2.l_shipdate <  TIMESTAMP '1998-01-01'
+          )
+        )
+        """
+    )
+
+
+ORACLE_TPCH_Q20 = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem l1
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+  HAVING SUM(l_quantity) > 0.5 * (
+    SELECT SUM(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey
+      AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l2.l_shipdate <  TIMESTAMP '1998-01-01'
+  )
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — waiting suppliers: EXISTS + NOT EXISTS double correlation
+# (shipdate > orderdate + 60 days stands in for the missing
+# commit/receipt dates)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape via spark.sql: suppliers who were the ONLY late
+    supplier on a finished multi-supplier order — the double-correlated
+    EXISTS (another supplier participated) + NOT EXISTS (no other
+    supplier was late) pattern. Catalyst turns the pair into a
+    left-semi and a left-anti join on orderkey; no per-row subquery
+    survives in the physical plan."""
+    _views(spark, sf_dir, "lineitem", "orders", "supplier")
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM tpch_supplier
+        JOIN tpch_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN tpch_orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+          AND EXISTS (
+            SELECT 1 FROM tpch_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM tpch_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL '60' DAY
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+        """
+    )
+
+
+ORACLE_TPCH_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity: anti-join + scalar-average gate
+# (nation key stands in for the phone country code; 'no urgent orders'
+# stands in for 'no orders' so the anti-join side is non-empty)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape via spark.sql: per country-group, count and
+    total balance of above-average-balance customers who have placed
+    no urgent order — scalar AVG subquery gate + NOT EXISTS anti-join.
+    The average threshold is computed as exact-decimal-sum / count
+    (one double divide) so the strict inequality cannot flip between
+    engines; the anti-join runs on the orders key."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_nationkey AS cntrycode,
+               COUNT(*) AS numcust,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS totacctbal
+        FROM tpch_customer c
+        WHERE c_nationkey IN (1, 2, 3, 4, 5)
+          AND c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM tpch_customer c2
+            WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (1, 2, 3, 4, 5)
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM tpch_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+          )
+        GROUP BY c_nationkey
+        """
+    )
+
+
+ORACLE_TPCH_Q22 = """
+SELECT c_nationkey AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS totacctbal
+FROM customer c
+WHERE c_nationkey IN (1, 2, 3, 4, 5)
+  AND c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+           / COUNT(*)
+    FROM customer c2
+    WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (1, 2, 3, 4, 5)
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q_tpch_q1": q_tpch_q1,
+    "q_tpch_q2": q_tpch_q2,
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q4": q_tpch_q4,
     "q_tpch_q5": q_tpch_q5,
     "q_tpch_q6": q_tpch_q6,
     "q_tpch_q7": q_tpch_q7,
     "q_tpch_q8": q_tpch_q8,
+    "q_tpch_q9": q_tpch_q9,
+    "q_tpch_q11": q_tpch_q11,
     "q_tpch_q10": q_tpch_q10,
     "q_tpch_q12": q_tpch_q12,
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q14": q_tpch_q14,
     "q_tpch_q15": q_tpch_q15,
+    "q_tpch_q16": q_tpch_q16,
     "q_tpch_q17": q_tpch_q17,
     "q_tpch_q18": q_tpch_q18,
     "q_tpch_q19": q_tpch_q19,
+    "q_tpch_q20": q_tpch_q20,
+    "q_tpch_q21": q_tpch_q21,
+    "q_tpch_q22": q_tpch_q22,
     "q_unpivot_metrics": q_unpivot_metrics,
 }
 
 ORACLES = {
     "q_tpch_q1": ORACLE_TPCH_Q1,
+    "q_tpch_q2": ORACLE_TPCH_Q2,
     "q_tpch_q3": ORACLE_TPCH_Q3,
     "q_tpch_q4": ORACLE_TPCH_Q4,
     "q_tpch_q5": ORACLE_TPCH_Q5,
     "q_tpch_q6": ORACLE_TPCH_Q6,
     "q_tpch_q7": ORACLE_TPCH_Q7,
     "q_tpch_q8": ORACLE_TPCH_Q8,
+    "q_tpch_q9": ORACLE_TPCH_Q9,
+    "q_tpch_q11": ORACLE_TPCH_Q11,
     "q_tpch_q10": ORACLE_TPCH_Q10,
     "q_tpch_q12": ORACLE_TPCH_Q12,
     "q_tpch_q13": ORACLE_TPCH_Q13,
     "q_tpch_q14": ORACLE_TPCH_Q14,
     "q_tpch_q15": ORACLE_TPCH_Q15,
+    "q_tpch_q16": ORACLE_TPCH_Q16,
     "q_tpch_q17": ORACLE_TPCH_Q17,
     "q_tpch_q18": ORACLE_TPCH_Q18,
     "q_tpch_q19": ORACLE_TPCH_Q19,
+    "q_tpch_q20": ORACLE_TPCH_Q20,
+    "q_tpch_q21": ORACLE_TPCH_Q21,
+    "q_tpch_q22": ORACLE_TPCH_Q22,
     "q_unpivot_metrics": ORACLE_UNPIVOT_METRICS,
 }
