@@ -57,8 +57,12 @@ def _modules():
 # now ships TIMESTAMP_MICROS; q_gap_fill proved encoding drift can break a
 # formerly-green query), four rows-only queries that have never appeared in
 # any window (the driver records no_oracle + spark_rows > 0 — evidence they
-# execute under the driver's environment), and the oldest r01 relational
-# greens with the remaining slots.
+# execute under the driver's environment), and the remaining slots on the
+# late-round-4 additions (first-time driver verification beats re-checking
+# non-temporal r01 greens, which carry no encoding risk and are re-validated
+# by the local suite every run). Held for the round-5 window, all local
+# DuckDB-parity green at sf0.001+sf0.01: q_tpch_q9 q_tpch_q11 q_tpch_q16
+# q_tpch_q20.
 #
 # Rows-only entries deliberately inside this window (all four never
 # driver-windowed before): q_hll_sketch q_approx_topk q_pagerank q_kcore.
@@ -114,17 +118,17 @@ _WINDOW_R04 = [
     "q_stream_stream_join",
     # rows-only, never yet inside a driver window
     *_WINDOW_ROWS_ONLY,
-    # oldest r01 greens, re-earned
-    "q_scan_parquet",
-    "q_filter_pred",
-    "q_agg_groupby",
-    "q_agg_distinct",
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_window_rank",
-    "q_dedup_exact",
-    "q_sort_limit",
-    "q_set_ops",
+    # late round-4 additions: TPC-H completion + pipeline ops
+    "q_tpch_q2",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_semdedup",
+    "q_write_shards",
+    "q_read_csv",
 ]
 
 

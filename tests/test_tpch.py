@@ -108,6 +108,18 @@ def test_q13_left_join_preserves_zero_order_customers(spark):
     assert 0 in rows and rows[0] > 0
 
 
+def test_q20_q21_decorrelate_fully(spark):
+    """The nested-IN (Q20) and EXISTS/NOT-EXISTS pair (Q21) must lower
+    to join operators — no per-row subquery node may survive in the
+    physical plan."""
+    from louvain_modularity_spark.tpch import q_tpch_q20, q_tpch_q21
+
+    for q in (q_tpch_q20, q_tpch_q21):
+        plan = _plan(q(spark, SF))
+        assert "Subquery" not in plan, plan
+        assert "LeftSemi" in plan or "LeftAnti" in plan, plan
+
+
 def test_q17_threshold_is_order_independent(spark):
     """The 0.2*mean threshold must be exact: quantities are
     integer-valued so the double SUM is exact regardless of partition
