@@ -526,12 +526,51 @@ def pagerank(
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank on symmetrized karate, 50 iterations (rows-only:
-    iterative; golden-checked against networkx power iteration in
-    tests)."""
+    """PageRank on symmetrized karate, PAGERANK_ITERS iterations
+    (oracle: the recurrence unrolled as MATERIALIZED CTEs —
+    _oracle_pagerank; networkx power-iteration golden in tests)."""
     sym = symmetrize(karate_edges(spark))
-    return pagerank(spark, sym, iters=50).select(
+    return pagerank(spark, sym, iters=PAGERANK_ITERS).select(
         "id", F.round("rank", 6).alias("rank")
+    )
+
+
+#: q_pagerank's fixed budget — the oracle unrolls exactly this many steps
+PAGERANK_ITERS = 50
+PAGERANK_DAMPING = 0.85
+
+
+def _oracle_pagerank() -> str:
+    """Unrolled-CTE PageRank oracle (the eigenvector-oracle pattern):
+    symmetrized karate has no dangling vertices, so the recurrence is
+    r ← (1−d) + d·Σ_in r·w/wout with no dangling term. The (1−d)
+    constant is emitted with PYTHON float repr — Spark computes
+    ``F.lit(1.0 - 0.85)`` = 0.15000000000000002, one ulp off the SQL
+    literal 0.15, which would drift over 50 iterations."""
+    base = 1.0 - PAGERANK_DAMPING
+    parts = [
+        f"e AS MATERIALIZED ({_KARATE_SQL})",
+        "sym AS MATERIALIZED (SELECT src, dst, CAST(weight AS DOUBLE) AS weight FROM e"
+        " WHERE src <> dst"
+        " UNION ALL SELECT dst, src, CAST(weight AS DOUBLE) AS weight FROM e"
+        " WHERE src <> dst)",
+        "wo AS MATERIALIZED (SELECT src AS id, SUM(weight) AS wout FROM sym GROUP BY 1)",
+        "r0 AS MATERIALIZED (SELECT id, wout, CAST(1.0 AS DOUBLE) AS rank FROM wo)",
+    ]
+    for k in range(1, PAGERANK_ITERS + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED ("
+            f"SELECT w.id, w.wout, {base!r} + {PAGERANK_DAMPING!r} *"
+            f" COALESCE(f.flow, CAST(0.0 AS DOUBLE)) AS rank"
+            f" FROM wo w LEFT JOIN ("
+            f"SELECT sym.dst AS id, SUM(p.rank * sym.weight / p.wout) AS flow"
+            f" FROM r{k-1} p JOIN sym ON sym.src = p.id GROUP BY sym.dst"
+            f") f ON f.id = w.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{PAGERANK_ITERS}"
     )
 
 
@@ -1426,10 +1465,11 @@ ORACLES = {
     "q_eigenvector": _oracle_eigenvector(),
     "q_harmonic_centrality": ORACLE_HARMONIC,
     "q_bipartite_project": ORACLE_BIPARTITE_PROJECT,
+    "q_pagerank": _oracle_pagerank(),
     # rows-only: q_write_edgelist (sink round-trip), q_adjacency_pivot
-    # (dynamic pivot columns), q_pagerank (iterative; networkx golden
-    # in tests), q_kcore (iterative peeling; networkx core_number
-    # golden in tests), q_betweenness_sampled (estimator; rank-
-    # correlation + state-bound asserted in tests, exact twin is
+    # (dynamic pivot columns), q_kcore (peeling runs until a data-
+    # dependent fixpoint — not fixed-step unrollable; networkx
+    # core_number golden in tests), q_betweenness_sampled (estimator;
+    # rank-correlation + state-bound asserted in tests, exact twin is
     # oracle-checked)
 }

@@ -69,7 +69,6 @@ def _modules():
 _WINDOW_ROWS_ONLY = [
     "q_hll_sketch",
     "q_approx_topk",
-    "q_pagerank",
     "q_kcore",
 ]
 _WINDOW_R04 = [
@@ -116,6 +115,9 @@ _WINDOW_R04 = [
     "q_stream_stateful_count",
     "q_stream_static_join",
     "q_stream_stream_join",
+    # upgraded from rows-only this round (unrolled-CTE oracle), never
+    # yet inside a driver window
+    "q_pagerank",
     # rows-only, never yet inside a driver window
     *_WINDOW_ROWS_ONLY,
     # late round-4 additions: TPC-H completion + pipeline ops
