@@ -170,9 +170,12 @@ WHERE src NOT LIKE '#%'
 
 
 def q_write_edgelist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edge-list sink + round-trip (rows-only oracle): write the derived
-    G1 edges as csv and parquet, read both back, report counts and
-    total weight so the round-trip is self-verifying."""
+    """Edge-list sink + round-trip: write the derived G1 edges as csv,
+    json and parquet, read each back, report counts and total weight.
+    The oracle recomputes both numbers straight from the relational
+    source per format row, so every round trip must be lossless
+    (weights are integer-valued doubles — text formats round-trip them
+    exactly)."""
     edges = copurchase_edges(spark, sf_dir)
     out_root = os.path.join("/root/repo/.tmp", f"edgelist_{uuid.uuid4().hex[:8]}")
     results = []
@@ -1466,6 +1469,15 @@ ORACLES = {
     "q_harmonic_centrality": ORACLE_HARMONIC,
     "q_bipartite_project": ORACLE_BIPARTITE_PROJECT,
     "q_pagerank": _oracle_pagerank(),
+    "q_write_edgelist": f"""
+WITH agg AS (
+  SELECT COUNT(*) AS n_edges, SUM(weight) AS total_weight
+  FROM ({COPURCHASE_EDGES_SQL})
+)
+SELECT 'csv' AS format, n_edges, total_weight FROM agg
+UNION ALL SELECT 'parquet', n_edges, total_weight FROM agg
+UNION ALL SELECT 'json', n_edges, total_weight FROM agg
+""",
     # rows-only: q_write_edgelist (sink round-trip), q_adjacency_pivot
     # (dynamic pivot columns), q_kcore (peeling runs until a data-
     # dependent fixpoint — not fixed-step unrollable; networkx
