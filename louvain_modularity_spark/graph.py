@@ -205,9 +205,11 @@ def q_adjacency_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge list → dense adjacency matrix via pivot, 0-filled
     (reference: to_pandas_adjacency, NX/convert_matrix.py:46).
 
-    Deliberately small-n only (rows-only oracle): a dense n×n pivot is
-    the canonical 100 TB anti-pattern — at scale keep the edge list
-    sparse; this operator exists for small-graph export parity."""
+    Deliberately small-n only: a dense n×n pivot is the canonical
+    100 TB anti-pattern — at scale keep the edge list sparse; this
+    operator exists for small-graph export parity. The fixture's fixed
+    node ids make the dynamic pivot oracle-able as 34 generated
+    conditional sums (_oracle_adjacency_pivot)."""
     edges = symmetrize(karate_edges(spark))
     node_ids = [str(i) for i in range(34)]
     return (
@@ -217,6 +219,27 @@ def q_adjacency_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0.0)
         .orderBy("src")
     )
+
+
+def _oracle_adjacency_pivot() -> str:
+    """The fixed 34-node fixture turns Spark's dynamic pivot into a
+    static column list: one 0-filled conditional SUM per node id,
+    matching pivot(dst, values).sum(weight).na.fill(0)."""
+    cols = ",\n       ".join(
+        f'SUM(CASE WHEN dst = {j} THEN weight ELSE 0.0 END) AS "{j}"'
+        for j in range(34)
+    )
+    return f"""
+WITH e AS ({_KARATE_SQL}),
+sym AS (
+  SELECT src, dst, CAST(weight AS DOUBLE) AS weight FROM e
+  UNION ALL
+  SELECT dst, src, CAST(weight AS DOUBLE) AS weight FROM e WHERE src <> dst
+)
+SELECT src,
+       {cols}
+FROM sym GROUP BY src
+"""
 
 
 def q_edge_agg_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1478,6 +1501,7 @@ SELECT 'csv' AS format, n_edges, total_weight FROM agg
 UNION ALL SELECT 'parquet', n_edges, total_weight FROM agg
 UNION ALL SELECT 'json', n_edges, total_weight FROM agg
 """,
+    "q_adjacency_pivot": _oracle_adjacency_pivot(),
     # rows-only: q_write_edgelist (sink round-trip), q_adjacency_pivot
     # (dynamic pivot columns), q_kcore (peeling runs until a data-
     # dependent fixpoint — not fixed-step unrollable; networkx
