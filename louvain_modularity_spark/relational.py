@@ -771,6 +771,43 @@ WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
 """
 
 
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: for every nation, its top-3
+    customers by balance — the 'top-k rows per dimension row' shape
+    written the declarative way (a lateral derived table with its own
+    ORDER BY/LIMIT, not a window over the whole fact). Catalyst
+    rewrites the lateral into a partitioned rank under the hood, so
+    at scale this is one customer shuffle on nationkey — no per-nation
+    query execution survives. Tie-safe: (c_acctbal DESC, c_custkey)
+    is a total order."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT n_name, c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal
+        FROM v_nation, LATERAL (
+          SELECT c_custkey, c_name, c_acctbal
+          FROM v_customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 3
+        ) c
+        """
+    )
+
+
+ORACLE_LATERAL_TOPK = """
+SELECT n_name, c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal
+FROM nation, LATERAL (
+  SELECT c_custkey, c_name, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 3
+) c
+"""
+
+
 def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with a fixed value list: order counts per priority ×
     status (explicit values keep the output schema static)."""
@@ -1118,6 +1155,7 @@ def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_scan_parquet": q_scan_parquet,
     "q_subquery_scalar": q_subquery_scalar,
+    "q_lateral_topk": q_lateral_topk,
     "q_pivot_status": q_pivot_status,
     "q_quantiles": q_quantiles,
     "q_approx_quantile": q_approx_quantile,
@@ -1156,6 +1194,7 @@ QUERIES = {
 ORACLES = {
     "q_scan_parquet": ORACLE_SCAN_PARQUET,
     "q_subquery_scalar": ORACLE_SUBQUERY_SCALAR,
+    "q_lateral_topk": ORACLE_LATERAL_TOPK,
     "q_pivot_status": ORACLE_PIVOT_STATUS,
     "q_quantiles": ORACLE_QUANTILES,
     "q_histogram": ORACLE_HISTOGRAM,
