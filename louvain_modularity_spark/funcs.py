@@ -188,6 +188,58 @@ FROM documents
 """
 
 
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct (nested record) surface: build structs, use one as an
+    aggregation KEY (group by a composite value, not columns), compare
+    structs ordinally (max_by over a (balance, custkey) struct gives
+    the per-group argmax with a total-order tiebreak), and project
+    fields back out flat — the pattern every 'latest/top row per key'
+    plan uses. Output is flattened so the cross-engine hash sees only
+    scalars."""
+    c = load(spark, sf_dir, "customer")
+    key = F.struct(
+        F.col("c_nationkey").cast("int").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    best = F.max_by(
+        F.struct(F.col("c_acctbal").alias("bal"), F.col("c_custkey").alias("ck")),
+        F.struct(F.col("c_acctbal"), F.col("c_custkey")),
+    )
+    return (
+        c.groupBy(key.alias("key"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            best.alias("best"),
+        )
+        .select(
+            F.col("key.nk").alias("nationkey"),
+            F.col("key.seg").alias("segment"),
+            "n_cust",
+            F.col("best.ck").alias("top_custkey"),
+            F.round(F.col("best.bal"), 2).alias("top_acctbal"),
+        )
+    )
+
+
+# DuckDB max_by has no struct-ordering overload; the row_number twin
+# spells the same lexicographic (balance, custkey) argmax
+ORACLE_FN_STRUCT = """
+WITH ranked AS (
+  SELECT c_nationkey, c_mktsegment, c_acctbal, c_custkey,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey, c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n_cust
+  FROM customer
+)
+SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+       c_mktsegment AS segment,
+       CAST(n_cust AS BIGINT) AS n_cust,
+       c_custkey AS top_custkey,
+       ROUND(c_acctbal, 2) AS top_acctbal
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map construction/access over parsed event props. The oracle
     reproduces the same scalar values straight from the JSON."""
@@ -292,6 +344,7 @@ QUERIES = {
     "q_fn_math": q_fn_math,
     "q_fn_cond": q_fn_cond,
     "q_fn_array": q_fn_array,
+    "q_fn_struct": q_fn_struct,
     "q_fn_map": q_fn_map,
     "q_fn_json": q_fn_json,
     "q_fn_variant": q_fn_variant,
@@ -303,6 +356,7 @@ ORACLES = {
     "q_fn_math": ORACLE_FN_MATH,
     "q_fn_cond": ORACLE_FN_COND,
     "q_fn_array": ORACLE_FN_ARRAY,
+    "q_fn_struct": ORACLE_FN_STRUCT,
     "q_fn_map": ORACLE_FN_MAP,
     "q_fn_json": ORACLE_FN_JSON,
     "q_fn_variant": ORACLE_FN_VARIANT,

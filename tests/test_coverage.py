@@ -400,6 +400,25 @@ def test_write_shards_layout_contract(spark):
         assert hi < lo, f"overlapping shard ranges {ranges}"
 
 
+def test_partitioned_write_enables_partition_pruning(spark):
+    """Reading q_write_partitioned's lang-partitioned output with a
+    lang filter must prune at the PARTITION level (PartitionFilters in
+    the scan, not a post-scan filter) — the layout's entire point."""
+    import hashlib
+    import os
+
+    from louvain_modularity_spark.textprep import q_write_partitioned
+
+    sf_dir = "/root/testdata/sf0.001"
+    q_write_partitioned(spark, sf_dir).collect()  # materialize the sink
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join("/root/repo/.tmp", f"part_sink_{tag}")
+    df = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
+    assert df.count() > 0
+
+
 def test_semdedup_single_assignment_pass(spark):
     """The broadcast-argmax assignment is checkpointed, so the final
     plan must contain NO nested-loop/cartesian operator (the K-centroid
