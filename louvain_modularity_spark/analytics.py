@@ -285,6 +285,144 @@ GROUP BY lang, source
 """
 
 
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an 'old' extract (2 columns) unioned
+    with a 'new' extract that gained a column — ``unionByName(
+    allowMissingColumns=True)`` aligns by NAME and null-fills the
+    missing column, the lakehouse append pattern when producers
+    upgrade schemas at different times. The aggregate separates old
+    rows (NULL priority → '(pre-schema)') from new, so a positional
+    union or wrong fill breaks the hash."""
+    o = load(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < "1997-01-01").select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderdate") >= "1997-01-01").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    u = old.unionByName(new, allowMissingColumns=True)
+    return u.groupBy(
+        F.coalesce("o_orderpriority", F.lit("(pre-schema)")).alias("priority")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+ORACLE_UNION_BY_NAME = """
+WITH u AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+)
+SELECT COALESCE(o_orderpriority, '(pre-schema)') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+         AS total_price
+FROM u GROUP BY 1
+"""
+
+
+def q_read_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution on READ: two batches written with
+    different schemas (the second gained event_type) merged into one
+    unified scan via ``mergeSchema`` — the reader-side half of the
+    lakehouse evolution story (q_union_by_name is the writer-side
+    half). Old-batch rows surface NULL for the new column; the oracle
+    recomputes the same split from the source, so a mis-merge or
+    wrong fill breaks the hash. At 100 TB mergeSchema is a
+    footer-only operation (schemas union across files; data is not
+    rewritten)."""
+    import hashlib
+    import os
+
+    e = load(spark, sf_dir, "events")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join("/root/repo/.tmp", f"evolve_{tag}")
+    old_half = e.filter(F.col("event_id") % 2 == 0).select("event_id", "value")
+    new_half = e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "value", "event_type"
+    )
+    old_half.write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
+    new_half.write.mode("overwrite").parquet(os.path.join(out, "batch=2"))
+    back = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(out, "batch=1"), os.path.join(out, "batch=2")
+    )
+    return back.groupBy(
+        F.coalesce("event_type", F.lit("(pre-schema)")).alias("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+ORACLE_READ_MERGE_SCHEMA = """
+SELECT CASE WHEN event_id % 2 = 1 THEN event_type
+            ELSE '(pre-schema)' END AS event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics parity surface: three-valued logic pinned
+    value-exactly across engines — null-safe equality (``<=>`` / IS
+    NOT DISTINCT FROM), COUNT(*) vs COUNT(col), null-skipping
+    aggregates, and coalesce fills, over a derived column that is NULL
+    for sub-threshold values. This is where engines silently diverge;
+    the oracle spells each construct in DuckDB's dialect."""
+    e = load(spark, sf_dir, "events")
+    v = F.when(F.col("value") >= 50.0, F.col("value"))
+    return (
+        e.select("event_type", v.alias("v"), F.col("value").alias("raw"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("v").alias("n_nonnull"),
+            F.sum(F.col("v").eqNullSafe(F.lit(None).cast("double")).cast("long")).alias(
+                "n_null_safe_eq_null"
+            ),
+            F.round(F.sum(F.coalesce(F.col("v"), F.lit(0.0)).cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_filled"),
+            # exact-decimal sum / nonnull count: both engines divide the
+            # SAME double numerator (decimal-avg internals round 6ths
+            # differently across engines)
+            F.round(
+                F.sum(F.col("v").cast("decimal(12,2)")).cast("double")
+                / F.count("v"),
+                6,
+            ).alias("avg_nonnull"),
+        )
+    )
+
+
+ORACLE_NULL_SEMANTICS = """
+WITH t AS (
+  SELECT event_type,
+         CASE WHEN value >= 50.0 THEN value END AS v
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(v) AS n_nonnull,
+       CAST(SUM(CASE WHEN v IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_safe_eq_null,
+       CAST(ROUND(SUM(CAST(COALESCE(v, 0.0) AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS sum_filled,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(12,2))) AS DOUBLE) / COUNT(v), 6)
+         AS avg_nonnull
+FROM t GROUP BY event_type
+"""
+
+
 def q_read_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source round trip (the second columnar format Spark ships
     a vectorized reader for): write lineitem's projection to ORC, read
@@ -1121,6 +1259,9 @@ QUERIES = {
     "q_salted_join": q_salted_join,
     "q_read_json": q_read_json,
     "q_read_csv": q_read_csv,
+    "q_union_by_name": q_union_by_name,
+    "q_read_merge_schema": q_read_merge_schema,
+    "q_null_semantics": q_null_semantics,
     "q_read_orc": q_read_orc,
     "q_clustering_coeff": q_clustering_coeff,
     "q_adamic_adar": q_adamic_adar,
@@ -1147,6 +1288,9 @@ ORACLES = {
     "q_salted_join": ORACLE_SALTED_JOIN,
     "q_read_json": ORACLE_READ_JSON,
     "q_read_csv": ORACLE_READ_CSV,
+    "q_union_by_name": ORACLE_UNION_BY_NAME,
+    "q_read_merge_schema": ORACLE_READ_MERGE_SCHEMA,
+    "q_null_semantics": ORACLE_NULL_SEMANTICS,
     "q_read_orc": ORACLE_READ_ORC,
     "q_clustering_coeff": ORACLE_CLUSTERING_COEFF,
     "q_adamic_adar": ORACLE_ADAMIC_ADAR,
