@@ -62,7 +62,9 @@ def _modules():
 # non-temporal r01 greens, which carry no encoding risk and are re-validated
 # by the local suite every run). Held for the round-5 window, all local
 # DuckDB-parity green at sf0.001+sf0.01: q_tpch_q9 q_tpch_q11 q_tpch_q16
-# q_tpch_q20.
+# q_tpch_q20 q_lateral_topk q_fn_struct q_union_by_name
+# q_read_merge_schema q_null_semantics, plus the oracle upgrades of the
+# already-green q_write_edgelist and q_adjacency_pivot.
 #
 # Rows-only entries deliberately inside this window (all four never
 # driver-windowed before): q_hll_sketch q_approx_topk q_pagerank q_kcore.
