@@ -1345,6 +1345,58 @@ def harmonic_centrality(
     )
 
 
+def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node eccentricity (max BFS distance) plus the graph's
+    radius and diameter as an appended summary row (id = −1) — the
+    connectivity profile built from the same all-pairs multi-source
+    BFS state as closeness/harmonic. 100 TB shape: exact all-pairs is
+    fixture-bounded; at scale run the same plan from sampled sources
+    (eccentricity lower bounds, the iFUB seed step)."""
+    d = all_pairs_hops(spark, karate_edges(spark), CLOSENESS_MAX_HOPS)
+    ecc = d.groupBy("source").agg(F.max("dist").alias("ecc"))
+    summary = ecc.agg(
+        F.lit(-1).cast("long").alias("source"),
+        F.min("ecc").alias("radius"),
+        F.max("ecc").alias("diameter"),
+    )
+    return ecc.select(
+        "source", "ecc", F.lit(None).cast("int").alias("radius"),
+        F.lit(None).cast("int").alias("diameter"),
+    ).unionByName(
+        summary.select(
+            "source",
+            F.lit(None).cast("int").alias("ecc"),
+            "radius",
+            "diameter",
+        )
+    )
+
+
+ORACLE_ECCENTRICITY = f"""
+WITH RECURSIVE e AS ({_KARATE_SQL}),
+sym AS (
+  SELECT src, dst FROM e WHERE src <> dst
+  UNION SELECT dst, src FROM e WHERE src <> dst
+),
+v AS (SELECT DISTINCT src AS id FROM sym),
+walk(source, id, d) AS (
+  SELECT id, id, 0 FROM v
+  UNION
+  SELECT walk.source, sym.dst, walk.d + 1
+  FROM walk JOIN sym ON sym.src = walk.id
+  WHERE walk.d < {CLOSENESS_MAX_HOPS}
+),
+dist AS (SELECT source, id, MIN(d) AS d FROM walk GROUP BY source, id),
+ecc AS (SELECT source, CAST(MAX(d) AS INTEGER) AS ecc FROM dist GROUP BY source)
+SELECT source, ecc, CAST(NULL AS INTEGER) AS radius, CAST(NULL AS INTEGER) AS diameter
+FROM ecc
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(NULL AS INTEGER),
+       CAST(MIN(ecc) AS INTEGER), CAST(MAX(ecc) AS INTEGER)
+FROM ecc
+"""
+
+
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact harmonic centrality on the karate fixture (multi-source
     BFS, 6 rounds ≥ diameter). Oracle: recursive-CTE BFS with
@@ -1468,6 +1520,7 @@ QUERIES = {
     "q_harmonic_centrality": q_harmonic_centrality,
     "q_bipartite_project": q_bipartite_project,
     "q_betweenness_sampled": q_betweenness_sampled,
+    "q_eccentricity": q_eccentricity,
 }
 
 ORACLES = {
@@ -1502,6 +1555,7 @@ UNION ALL SELECT 'parquet', n_edges, total_weight FROM agg
 UNION ALL SELECT 'json', n_edges, total_weight FROM agg
 """,
     "q_adjacency_pivot": _oracle_adjacency_pivot(),
+    "q_eccentricity": ORACLE_ECCENTRICITY,
     # rows-only: q_write_edgelist (sink round-trip), q_adjacency_pivot
     # (dynamic pivot columns), q_kcore (peeling runs until a data-
     # dependent fixpoint — not fixed-step unrollable; networkx

@@ -72,6 +72,19 @@ def test_closeness_matches_networkx(spark):
         assert got[n] == pytest.approx(c, abs=1e-6)
 
 
+def test_eccentricity_matches_networkx(spark):
+    from louvain_modularity_spark.graph import q_eccentricity
+
+    rows = q_eccentricity(spark, SF).collect()
+    got = {r["source"]: r["ecc"] for r in rows if r["source"] >= 0}
+    summary = next(r for r in rows if r["source"] == -1)
+    g = nx.karate_club_graph()
+    expected = nx.eccentricity(g)
+    assert got == expected
+    assert summary["radius"] == nx.radius(g)
+    assert summary["diameter"] == nx.diameter(g)
+
+
 def test_harmonic_matches_networkx(spark):
     from louvain_modularity_spark.graph import q_harmonic_centrality
 
