@@ -363,8 +363,8 @@ def q_read_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_READ_MERGE_SCHEMA = """
-SELECT CASE WHEN event_id % 2 = 1 THEN event_type
-            ELSE '(pre-schema)' END AS event_type,
+SELECT COALESCE(CASE WHEN event_id % 2 = 1 THEN event_type END,
+                '(pre-schema)') AS event_type,
        COUNT(*) AS n_events,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1
@@ -1217,8 +1217,9 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: one user-partitioned window for lead(), then a
     map-side-combined aggregate — two shuffles on the same key (AQE
-    reuses the partitioning). Weights and values stay in the double
-    domain with one terminal round; Δt is exact integer micros."""
+    reuses the partitioning). The numerator Σ value·Δt is summed in
+    exact DECIMAL (value is 2-dp, Δt integer micros — same hash-
+    stability convention as q_tpch_q1) and divided once in double."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
@@ -1231,7 +1232,10 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy("user_id").agg(
         F.count("*").alias("n_gaps"),
         F.round(
-            F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+            F.sum(F.col("value").cast("decimal(12,2)") * F.col("dt_us"))
+            .cast("double")
+            / F.sum("dt_us"),
+            6,
         ).alias("twa_value"),
     )
 
@@ -1245,7 +1249,8 @@ WITH gaps AS (
   FROM events
 )
 SELECT user_id, COUNT(*) AS n_gaps,
-       ROUND(SUM(value * dt_us) / SUM(dt_us), 6) AS twa_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2)) * dt_us) AS DOUBLE)
+             / SUM(dt_us), 6) AS twa_value
 FROM gaps WHERE dt_us IS NOT NULL
 GROUP BY user_id
 """

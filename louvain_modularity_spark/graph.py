@@ -1327,8 +1327,9 @@ def harmonic_centrality(
     disconnection-robust sibling (unreachable pairs contribute 0
     instead of poisoning the sum, so it needs no connectivity
     assumption). Exact from all-pairs BFS, or the sampled-source
-    estimator Ĥ(v) = (n−1)/(k) · mean over sampled sources — the same
-    O(samples·V) state bound as closeness/betweenness sampling."""
+    estimator Ĥ(v) = (n/k)·Σ_{s∈S} 1/d(s,v) (Eppstein–Wang scaling,
+    matching the code below) — the same O(samples·V) state bound as
+    closeness/betweenness sampling."""
     d = all_pairs_hops(spark, edges, max_hops, sources=sources).filter(
         F.col("source") != F.col("id")
     )

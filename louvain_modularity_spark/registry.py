@@ -48,91 +48,86 @@ def _modules():
 
 
 # Order matters: the correctness driver verifies the FIRST 50 entries of
-# all_queries(). Cumulative state after r03: 128 driver-green; every
-# oracle-backed query has passed a driver window EXCEPT the nine held in r03
-# and q_gap_fill (the r03 failure, fixed this round). This round-4 window:
-# q_gap_fill first (re-verify the ts-encoding fix), the nine held queries,
-# the thirteen round-4 additions, then RE-verification of every r01/r02
-# event-time green earned under the old LONG-nanos ts encoding (the harness
-# now ships TIMESTAMP_MICROS; q_gap_fill proved encoding drift can break a
-# formerly-green query), four rows-only queries that have never appeared in
-# any window (the driver records no_oracle + spark_rows > 0 — evidence they
-# execute under the driver's environment), and the remaining slots on the
-# late-round-4 additions (first-time driver verification beats re-checking
-# non-temporal r01 greens, which carry no encoding risk and are re-validated
-# by the local suite every run). Held for the round-5 window, all local
-# DuckDB-parity green at sf0.001+sf0.01: q_tpch_q9 q_tpch_q11 q_tpch_q16
-# q_tpch_q20 q_lateral_topk q_fn_struct q_union_by_name
-# q_read_merge_schema q_null_semantics, plus the oracle upgrades of the
-# already-green q_write_edgelist and q_adjacency_pivot.
+# all_queries(). Cumulative state after r04: 162 driver-green, 0 broken;
+# the ONLY queries without a green driver row are the 12 oracle-backed
+# ones below (held out of the r04 window, all local DuckDB-parity green at
+# sf0.001+sf0.01) and q_betweenness_sampled (rows-only, never windowed).
+# This round-5 window leads with those 13 first-timers — landing them
+# makes every oracle-backed query in the registry driver-green and every
+# registered query windowed at least once — then spends the remaining 37
+# slots re-verifying the OLDEST r01 greens (the §2.7 relational core,
+# §2.8 scalar-function families, the §2.1-2.5 graph scan/normalize/degree
+# pack, and the §2.13 r01 additions) so no green row is more than two
+# rounds stale. Round-4 greens are fresh and stay out.
 #
-# Rows-only entries deliberately inside this window (all four never
-# driver-windowed before): q_hll_sketch q_approx_topk q_pagerank q_kcore.
+# Rows-only entries deliberately inside this window: q_betweenness_sampled
+# (first window ever; estimator pinned by the rank-correlation pytest) and
+# q_approx_cd (an r01 rows-only green re-verified on the same staleness
+# rotation as its §2.7 neighbors).
 _WINDOW_ROWS_ONLY = [
-    "q_hll_sketch",
-    "q_approx_topk",
-    "q_kcore",
+    "q_betweenness_sampled",
+    "q_approx_cd",
 ]
-_WINDOW_R04 = [
-    # the round-3 failure, re-verified first
-    "q_gap_fill",
-    # the nine oracle-backed queries held out of the r03 window
-    "q_fn_variant",
-    "q_stats_agg",
-    "q_filtered_agg",
-    "q_string_agg",
-    "q_window_ntile",
-    "q_latest_per_key",
-    "q_read_json",
-    "q_read_orc",
-    "q_read_text_log",
-    # round-4 additions: TPC-H second batch
-    "q_tpch_q1",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q12",
-    "q_tpch_q14",
-    "q_tpch_q19",
-    # round-4 additions: event-time analytics
-    "q_rolling_7d",
-    "q_time_weighted_avg",
-    # round-4 additions: text quality
-    "q_entropy_tokens",
-    "q_pmi_cooccur",
-    "q_robust_scale",
-    # round-4 additions: graph
-    "q_harmonic_centrality",
-    "q_bipartite_project",
-    # event-time re-verification under the TIMESTAMP_MICROS encoding
-    "q_fn_date",
-    "q_fn_map",
-    "q_fn_json",
-    "q_join_asof",
-    "q_join_theta_range",
-    "q_window_laglead",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_dedup",
-    "q_stream_stateful_count",
-    "q_stream_static_join",
-    "q_stream_stream_join",
-    # upgraded from rows-only this round (unrolled-CTE oracle), never
-    # yet inside a driver window
-    "q_pagerank",
-    # rows-only, never yet inside a driver window
-    *_WINDOW_ROWS_ONLY,
-    # late round-4 additions: TPC-H completion + pipeline ops
-    "q_tpch_q2",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_semdedup",
-    "q_write_shards",
-    "q_read_csv",
+_WINDOW_R05 = [
+    # first-timers: the 12 oracle-backed queries still lacking a green
+    # driver row (incl. the oracle upgrades of q_write_edgelist and
+    # q_adjacency_pivot, green as rows-only in r01)
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_lateral_topk",
+    "q_fn_struct",
+    "q_union_by_name",
+    "q_read_merge_schema",
+    "q_null_semantics",
+    "q_eccentricity",
+    "q_write_edgelist",
+    "q_adjacency_pivot",
+    # first-timer, rows-only by contract
+    "q_betweenness_sampled",
+    # staleness rotation: §2.7 relational core (r01 greens)
+    "q_scan_parquet",
+    "q_filter_pred",
+    "q_agg_groupby",
+    "q_agg_distinct",
+    "q_approx_cd",
+    "q_grouping_sets",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_outer",
+    "q_join_semi_anti",
+    "q_cross_small",
+    "q_window_rank",
+    "q_window_frame",
+    "q_sort_limit",
+    "q_set_ops",
+    "q_dedup_exact",
+    # staleness rotation: §2.8 scalar-function families (r01 greens;
+    # the date/map/json families are r04-fresh and stay out)
+    "q_fn_string",
+    "q_fn_math",
+    "q_fn_cond",
+    "q_fn_array",
+    # staleness rotation: §2.1-2.5 graph scan/normalize/degree/coarsen
+    "q_edges_from_relational",
+    "q_read_edgelist",
+    "q_edge_agg_parallel",
+    "q_symmetrize",
+    "q_selfloop_filter",
+    "q_default_weight",
+    "q_degree_weighted",
+    "q_degree_inout",
+    "q_graph_size_m",
+    "q_coarsen_edges",
+    "q_membership_rollup",
+    # staleness rotation: §2.13 r01 additions
+    "q_join_full_outer",
+    "q_cube",
+    "q_grouping_sets_explicit",
+    "q_subquery_scalar",
+    "q_pivot_status",
+    "q_quantiles",
 ]
 
 
@@ -143,10 +138,10 @@ def all_queries() -> dict[str, QueryFn]:
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         merged.update(mod.QUERIES)
-    missing = [n for n in _WINDOW_R04 if n not in merged]
+    missing = [n for n in _WINDOW_R05 if n not in merged]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R04}
+    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R05}
     out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
 

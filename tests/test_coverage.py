@@ -43,17 +43,17 @@ def test_documented_counts_match_registry():
     )
 
 
-def test_r04_window_leads_registry():
+def test_r05_window_leads_registry():
     """The driver checks the first 50 registry entries; the pinned
     window must lead the iteration order, and every entry must be
-    oracle-backed EXCEPT the four never-windowed rows-only queries
-    deliberately spent on executes-under-driver evidence this round."""
-    from louvain_modularity_spark.registry import _WINDOW_R04, _WINDOW_ROWS_ONLY
+    oracle-backed EXCEPT the two rows-only queries deliberately spent
+    on executes-under-driver evidence this round."""
+    from louvain_modularity_spark.registry import _WINDOW_R05, _WINDOW_ROWS_ONLY
 
     q, o = all_queries(), all_oracles()
-    assert list(q)[: len(_WINDOW_R04)] == _WINDOW_R04
-    assert len(_WINDOW_R04) == 50
-    not_backed = [n for n in _WINDOW_R04 if n not in o]
+    assert list(q)[: len(_WINDOW_R05)] == _WINDOW_R05
+    assert len(_WINDOW_R05) == 50
+    not_backed = [n for n in _WINDOW_R05 if n not in o]
     assert not_backed == _WINDOW_ROWS_ONLY, (
         f"unplanned rows-only queries in driver window: "
         f"{sorted(set(not_backed) - set(_WINDOW_ROWS_ONLY))}"
@@ -65,7 +65,15 @@ def test_no_raw_ts_arithmetic():
     physical ``ts`` column of events has shipped as both LONG-nanos and
     TIMESTAMP_NTZ-micros; every engine module must therefore work on the
     ``ts_us`` column ``sources.load`` attaches and never touch raw
-    ``ts``. sources.py (the single adapter) is the only allowed site."""
+    ``ts``. sources.py (the single adapter) is the only allowed site.
+
+    Two scans: (1) quoted ``'ts'`` anywhere in Python source (catches
+    F.col("ts") and friends); (2) AST walk of every string argument to a
+    ``.sql(...)`` call — Spark-side SQL strings routed through
+    ``spark.sql`` must reference ``ts_us``, never bare ``ts``. DuckDB
+    oracle constants (epoch_us(ts) sites) are out of scope by
+    construction: they are never passed to ``.sql``."""
+    import ast
     import glob
     import os
 
@@ -74,9 +82,28 @@ def test_no_raw_ts_arithmetic():
     for path in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
         if os.path.basename(path) == "sources.py":
             continue
-        for i, line in enumerate(open(path), 1):
+        src = open(path).read()
+        for i, line in enumerate(src.splitlines(), 1):
             if re.search(r"""['"]ts['"]""", line):
                 offenders.append(f"{os.path.basename(path)}:{i}: {line.strip()}")
+        for node in ast.walk(ast.parse(src)):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "sql"
+            ):
+                continue
+            for arg in node.args:
+                parts = (
+                    arg.values if isinstance(arg, ast.JoinedStr) else [arg]
+                )
+                for p in parts:
+                    if isinstance(p, ast.Constant) and isinstance(p.value, str):
+                        if re.search(r"\bts\b", p.value):
+                            offenders.append(
+                                f"{os.path.basename(path)}:{p.lineno}: "
+                                f"bare ts inside a .sql(...) string"
+                            )
     assert not offenders, "raw events.ts reference outside sources.py:\n" + "\n".join(
         offenders
     )
