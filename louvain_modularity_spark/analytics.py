@@ -18,7 +18,7 @@ import hashlib
 import os
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from .graph import _KARATE_SQL, _KARATE_W_SQL, symmetrize, vertices_of
 from .llm_ops import tokens_of
@@ -1256,6 +1256,101 @@ GROUP BY user_id
 """
 
 
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the textbook case where the
+    naive plan (COUNT(DISTINCT) over an expanding window, or a
+    collect_set accumulator) holds O(users) state per row and dies at
+    scale. Distributed-safe identity: a user enters the cumulative
+    count on exactly one day (their first), so first-seen day per user
+    (one map-side-combined min aggregate) → new users per day → one
+    running sum over the tiny day domain. Two shuffles total, state
+    O(days)."""
+    e = load(spark, sf_dir, "events")
+    first = (
+        e.select("user_id", (F.col("ts_us") / F.lit(DAY_US)).cast("long").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+    )
+    daily = first.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+ORACLE_RUNNING_DISTINCT = f"""
+WITH fs AS (
+  SELECT user_id, MIN(CAST(epoch_us(ts) // {DAY_US} AS BIGINT)) AS day
+  FROM events GROUP BY user_id
+),
+d AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY day)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM d
+"""
+
+
+#: interval span opened by each event for the sweep-line demo (15 min)
+SESSION_SPAN_US = 900_000_000
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type: each event opens a 15-minute
+    interval; how many overlap at the worst moment? The naive plan is
+    an O(n²) self-range-join; the sweep-line identity turns it into ±1
+    deltas and ONE running sum per type — one shuffle on the partition
+    key, state O(1) per row. Delta order is pinned (time, then closes
+    before opens, then event_id) so both engines walk the identical
+    sequence; end-exclusive interval semantics."""
+    e = load(spark, sf_dir, "events")
+    opens = e.select(
+        "event_type",
+        F.col("ts_us").alias("t"),
+        F.lit(1).alias("d"),
+        "event_id",
+    )
+    closes = e.select(
+        "event_type",
+        (F.col("ts_us") + F.lit(SESSION_SPAN_US)).alias("t"),
+        F.lit(-1).alias("d"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = opens.unionByName(closes).withColumn("concurrent", F.sum("d").over(w))
+    return run.groupBy("event_type").agg(
+        F.max("concurrent").alias("max_concurrent"),
+        (F.count("*") / 2).cast("long").alias("n_events"),
+    )
+
+
+ORACLE_INTERVAL_OVERLAP = f"""
+WITH deltas AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS t, 1 AS d, event_id
+  FROM events
+  UNION ALL
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) + {SESSION_SPAN_US}, -1, event_id
+  FROM events
+),
+run AS (
+  SELECT event_type,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS concurrent
+  FROM deltas
+)
+SELECT event_type,
+       CAST(MAX(concurrent) AS BIGINT) AS max_concurrent,
+       CAST(COUNT(*) / 2 AS BIGINT)    AS n_events
+FROM run GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q_stats_agg": q_stats_agg,
     "q_filtered_agg": q_filtered_agg,
@@ -1283,6 +1378,8 @@ QUERIES = {
     "q_scd2_intervals": q_scd2_intervals,
     "q_rolling_7d": q_rolling_7d,
     "q_time_weighted_avg": q_time_weighted_avg,
+    "q_running_distinct": q_running_distinct,
+    "q_interval_overlap": q_interval_overlap,
 }
 
 ORACLES = {
@@ -1312,4 +1409,6 @@ ORACLES = {
     "q_scd2_intervals": ORACLE_SCD2_INTERVALS,
     "q_rolling_7d": ORACLE_ROLLING_7D,
     "q_time_weighted_avg": ORACLE_TIME_WEIGHTED_AVG,
+    "q_running_distinct": ORACLE_RUNNING_DISTINCT,
+    "q_interval_overlap": ORACLE_INTERVAL_OVERLAP,
 }

@@ -1495,6 +1495,156 @@ JOIN deg db ON db.supp = supp_b
 """
 
 
+#: fixed walk length for the deterministic node2vec-style sampler
+WALK_STEPS = 4
+#: modulus of the pure-arithmetic pseudo-random neighbor choice
+_WALK_MOD = 101
+
+
+def q_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random walks from every vertex — the
+    sampling primitive behind DeepWalk/node2vec graph-embedding
+    training data (Perozzi 2014; Grover & Leskovec 2016). The
+    'random' choice is a pure hash of (current node, neighbor, step),
+    so Spark and the SQL oracle replay identical walks:
+    next(v, i) = argmin over neighbors u of
+    (((v·31 + u·17 + i·7) mod 101)·100 + u).
+
+    Spark-first shape: a FIXED-length walk is not a driver loop — it
+    is WALK_STEPS declarative equi-joins against a precomputed
+    next-step table (one map-side-combined ``min_by`` aggregate over
+    the symmetrized edges per step id; Catalyst sees the whole chain).
+    At 100 TB the next table is hash-partitioned by node, every hop is
+    a co-partitioned join, and walk state is one row per
+    (start, step) — neighbor lists are never materialized per walker."""
+    sym = symmetrize(karate_edges(spark)).filter(F.col("src") != F.col("dst"))
+    steps = spark.range(1, WALK_STEPS + 1).select(F.col("id").alias("step"))
+    choice_key = (
+        (F.col("src") * 31 + F.col("dst") * 17 + F.col("step") * 7) % _WALK_MOD
+    ) * 100 + F.col("dst")
+    nxt = (
+        sym.crossJoin(F.broadcast(steps))
+        .groupBy(F.col("src").alias("node"), "step")
+        .agg(F.min_by("dst", choice_key).alias("next_node"))
+    )
+    cur = vertices_of(sym).select(
+        F.col("id").alias("start"),
+        F.lit(0).cast("long").alias("step"),
+        F.col("id").alias("node"),
+    )
+    out = cur
+    for i in range(1, WALK_STEPS + 1):
+        cur = cur.join(
+            nxt.filter(F.col("step") == i).select("node", "next_node"), "node"
+        ).select(
+            "start",
+            F.lit(i).cast("long").alias("step"),
+            F.col("next_node").alias("node"),
+        )
+        out = out.unionByName(cur)
+    return out
+
+
+def _oracle_random_walk() -> str:
+    hops = "\n".join(
+        f"UNION ALL SELECT w.start, CAST({i} AS BIGINT) AS step, n.next_node AS node"
+        f" FROM w{i - 1} w JOIN nxt n ON n.node = w.node AND n.step = {i}"
+        for i in range(1, WALK_STEPS + 1)
+    )
+    # unrolled fixed-depth chain: w{i} = one hop from w{i-1}
+    parts = [f"WITH e AS ({_KARATE_SQL}),"]
+    parts.append(
+        "sym AS (SELECT src, dst FROM e WHERE src <> dst"
+        " UNION SELECT dst, src FROM e WHERE src <> dst),"
+    )
+    parts.append(
+        f"steps AS (SELECT CAST(unnest(range(1, {WALK_STEPS + 1})) AS BIGINT) AS step),"
+    )
+    parts.append(
+        "nxt AS (SELECT src AS node, step,"
+        f" arg_min(dst, ((src*31 + dst*17 + step*7) % {_WALK_MOD}) * 100 + dst)"
+        " AS next_node FROM sym CROSS JOIN steps GROUP BY src, step),"
+    )
+    parts.append(
+        "w0 AS (SELECT DISTINCT src AS start, CAST(0 AS BIGINT) AS step,"
+        " src AS node FROM sym)"
+    )
+    for i in range(1, WALK_STEPS + 1):
+        parts.append(
+            f", w{i} AS (SELECT w.start, CAST({i} AS BIGINT) AS step,"
+            f" n.next_node AS node FROM w{i - 1} w"
+            f" JOIN nxt n ON n.node = w.node AND n.step = {i})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM w{i}" for i in range(WALK_STEPS + 1)
+    )
+    return "\n".join(parts) + "\n" + union
+
+
+#: truss order for the karate-fixture k-truss query
+KTRUSS_K = 4
+
+
+def k_truss(spark: SparkSession, edges: DataFrame, k: int) -> DataFrame:
+    """k-truss subgraph: iteratively delete edges supported by fewer
+    than k−2 triangles until fixpoint (Cohen 2008) — the
+    community-core primitive one notch stronger than k-core. Each peel
+    round is the standard edge-iterator triangle join (two hash joins
+    on the canonical a<b edge set), a map-side-combined support count,
+    and a filter; rounds are O(peel depth) with lineage truncated per
+    round and a 1-row count collect deciding convergence. At 100 TB
+    the edge set is hash-partitioned on `a` and the same plan holds;
+    triangle enumeration cost is the usual O(m^1.5) bound."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = und.count()
+    while n > 0:
+        tri = (
+            und.alias("e1")
+            .join(und.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+            .filter(F.col("e2.b") > F.col("e1.b"))
+            .join(
+                und.alias("e3"),
+                (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")),
+            )
+            .select(
+                F.col("e1.a").alias("x"),
+                F.col("e1.b").alias("y"),
+                F.col("e2.b").alias("z"),
+            )
+        )
+        support = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+            .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("support"))
+        )
+        kept = (
+            und.join(support, ["a", "b"], "left")
+            .filter(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_kept = kept.count()
+        if n_kept == n:
+            break
+        und, n = kept, n_kept
+    return und
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the karate graph (rows-only: the peel runs to a
+    data-dependent fixpoint, not fixed-step unrollable in SQL;
+    networkx ``k_truss`` golden pins the exact edge set in
+    tests/test_graph_algs.py)."""
+    return k_truss(spark, karate_edges(spark), KTRUSS_K).orderBy("a", "b")
+
+
 QUERIES = {
     "q_edges_from_relational": q_edges_from_relational,
     "q_read_edgelist": q_read_edgelist,
@@ -1522,6 +1672,8 @@ QUERIES = {
     "q_bipartite_project": q_bipartite_project,
     "q_betweenness_sampled": q_betweenness_sampled,
     "q_eccentricity": q_eccentricity,
+    "q_random_walk": q_random_walk,
+    "q_ktruss": q_ktruss,
 }
 
 ORACLES = {
@@ -1557,7 +1709,9 @@ UNION ALL SELECT 'json', n_edges, total_weight FROM agg
 """,
     "q_adjacency_pivot": _oracle_adjacency_pivot(),
     "q_eccentricity": ORACLE_ECCENTRICITY,
-    # rows-only: q_write_edgelist (sink round-trip), q_adjacency_pivot
+    "q_random_walk": _oracle_random_walk(),
+    # rows-only: q_ktruss (data-dependent peel fixpoint; networkx
+    # k_truss golden), q_write_edgelist (sink round-trip), q_adjacency_pivot
     # (dynamic pivot columns), q_kcore (peeling runs until a data-
     # dependent fixpoint — not fixed-step unrollable; networkx
     # core_number golden in tests), q_betweenness_sampled (estimator;

@@ -60,6 +60,12 @@ def _modules():
 # pack, and the §2.13 r01 additions) so no green row is more than two
 # rounds stale. Round-4 greens are fresh and stay out.
 #
+# Held for the round-6 window (added this round, outside the pinned 50):
+# the seven §2.18 round-5 additions — q_window_cume q_skyline
+# q_running_distinct q_interval_overlap q_ccnet_bucket q_random_walk
+# (all six oracle-backed, local DuckDB-parity green at sf0.001+sf0.01)
+# and q_ktruss (rows-only; networkx golden).
+#
 # Rows-only entries deliberately inside this window: q_betweenness_sampled
 # (first window ever; estimator pinned by the rank-correlation pytest) and
 # q_approx_cd (an r01 rows-only green re-verified on the same staleness

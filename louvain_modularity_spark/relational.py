@@ -1152,6 +1152,88 @@ def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-to-quantile window family: percent_rank and cume_dist of
+    each customer's account balance within its market segment —
+    completing the ranking surface next to rank/dense_rank
+    (q_window_rank) and ntile (q_window_ntile). Both functions are
+    tie-aware (equal balances share a value), so the result is
+    deterministic without a unique tiebreak; one shuffle on the
+    partition key, frame-free rank functions stream within sorted
+    partitions at any scale."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+ORACLE_WINDOW_CUME = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6)    AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+"""
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: minimize retail price,
+    maximize size (Börzsönyi et al., "The Skyline Operator", ICDE
+    2001). Distributed-safe shape: the naive formulation is a pairwise
+    dominance self-join (O(n²)); instead collapse to the distinct
+    (price, size) PAIR DOMAIN with counts (one map-side-combined
+    aggregate), keep the max size per price, then a single running-max
+    window over the ordered price domain keeps exactly the strictly
+    improving staircase. The window input is the price domain, not the
+    row count; at extreme scale the staircase merges range-partitioned
+    (per-range frontier + prefix max of range maxima)."""
+    p = load(spark, sf_dir, "part")
+    pairs = (
+        p.select(
+            F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+            F.col("p_size").alias("size"),
+        )
+        .groupBy("price", "size")
+        .agg(F.count("*").alias("n_parts"))
+    )
+    best = pairs.groupBy("price").agg(
+        F.max("size").alias("size"), F.max_by("n_parts", "size").alias("n_parts")
+    )
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        best.withColumn("prev_max", F.max("size").over(w))
+        .filter(F.col("prev_max").isNull() | (F.col("size") > F.col("prev_max")))
+        .select(F.col("price").cast("double").alias("price"), "size", "n_parts")
+    )
+
+
+ORACLE_SKYLINE = """
+WITH pairs AS (
+  SELECT CAST(p_retailprice AS DECIMAL(12,2)) AS price, p_size AS size,
+         COUNT(*) AS n_parts
+  FROM part GROUP BY 1, 2
+),
+best AS (
+  SELECT price, MAX(size) AS size, arg_max(n_parts, size) AS n_parts
+  FROM pairs GROUP BY price
+),
+fr AS (
+  SELECT price, size, n_parts,
+         MAX(size) OVER (ORDER BY price
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM best
+)
+SELECT CAST(price AS DOUBLE) AS price, size, n_parts
+FROM fr WHERE prev_max IS NULL OR size > prev_max
+"""
+
+
 QUERIES = {
     "q_scan_parquet": q_scan_parquet,
     "q_subquery_scalar": q_subquery_scalar,
@@ -1189,6 +1271,8 @@ QUERIES = {
     "q_fuzzy_join": q_fuzzy_join,
     "q_gap_fill": q_gap_fill,
     "q_approx_topk": q_approx_topk,
+    "q_window_cume": q_window_cume,
+    "q_skyline": q_skyline,
 }
 
 ORACLES = {
@@ -1225,6 +1309,8 @@ ORACLES = {
     "q_window_ntile": ORACLE_WINDOW_NTILE,
     "q_fuzzy_join": ORACLE_FUZZY_JOIN,
     "q_gap_fill": ORACLE_GAP_FILL,
+    "q_window_cume": ORACLE_WINDOW_CUME,
+    "q_skyline": ORACLE_SKYLINE,
     # q_approx_cd: rows-only (approximate, engine-specific estimates)
     # q_hll_sketch: rows-only (sketch estimates are engine-specific)
     # q_approx_topk: rows-only (boundary tie order is engine-internal;

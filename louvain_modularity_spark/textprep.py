@@ -590,6 +590,66 @@ FROM documents d JOIN stats USING (source)
 """
 
 
+#: bucket labels for the per-language quality terciles
+_BUCKET_LABELS = ("head", "middle", "tail")
+
+
+def q_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    score each document with a cheap quality proxy (mean token length
+    here, standing in for the LM-perplexity score), then split EACH
+    language's corpus into head/middle/tail terciles — the curation
+    quota mechanism used to sample pretraining mixes per language.
+
+    ntile(3) over (lang; score desc, doc_id) is deterministic (unique
+    tiebreak) and partitions by language, so there is no global sort;
+    per-bucket rollups are exact integers / order statistics — no
+    accumulation-order-sensitive float aggregates. At 100 TB the
+    per-language window swaps to approx_percentile cut points
+    broadcast back (sketch-mergeable, same output contract)."""
+    d = load(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " "))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        n_toks.alias("n_tokens"),
+        F.round((F.length("text") - n_toks + 1) / n_toks, 6).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), "doc_id")
+    labels = F.array(*[F.lit(x) for x in _BUCKET_LABELS])
+    b = scored.withColumn(
+        "bucket", F.element_at(labels, F.ntile(len(_BUCKET_LABELS)).over(w))
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
+
+
+ORACLE_CCNET_BUCKET = """
+WITH s AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         ROUND((length(text) - len(string_split(text, ' ')) + 1)
+               / len(string_split(text, ' ')), 6) AS score
+  FROM documents
+),
+b AS (
+  SELECT lang, n_tokens, score,
+         ['head', 'middle', 'tail'][
+           ntile(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)
+         ] AS bucket
+  FROM s
+)
+SELECT lang, bucket, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(score) AS min_score, MAX(score) AS max_score
+FROM b GROUP BY lang, bucket
+"""
+
+
 QUERIES = {
     "q_chunk_sliding": q_chunk_sliding,
     "q_ngram_counts": q_ngram_counts,
@@ -605,6 +665,7 @@ QUERIES = {
     "q_pmi_cooccur": q_pmi_cooccur,
     "q_robust_scale": q_robust_scale,
     "q_write_shards": q_write_shards,
+    "q_ccnet_bucket": q_ccnet_bucket,
 }
 
 ORACLES = {
@@ -622,4 +683,5 @@ ORACLES = {
     "q_pmi_cooccur": ORACLE_PMI_COOCCUR,
     "q_robust_scale": ORACLE_ROBUST_SCALE,
     "q_write_shards": ORACLE_WRITE_SHARDS,
+    "q_ccnet_bucket": ORACLE_CCNET_BUCKET,
 }

@@ -479,3 +479,26 @@ def test_latest_per_key_is_max_by_not_window(spark):
     )
     assert "Window" not in plan, plan
     assert "max_by" in plan, plan
+
+
+def test_round5_scale_shapes(spark):
+    """The §2.18 queries' whole point is avoiding the naive O(n²) /
+    O(users)-state formulations — pin the plan shapes."""
+    from louvain_modularity_spark.analytics import (
+        q_interval_overlap,
+        q_running_distinct,
+    )
+    from louvain_modularity_spark.relational import q_skyline
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (q_skyline, q_interval_overlap, q_running_distinct):
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+    # running distinct must be the two-aggregate identity, not a
+    # distinct-over-window: no expanding collect_set state
+    plan = (
+        q_running_distinct(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "collect_set" not in plan
+    assert "HashAggregate" in plan

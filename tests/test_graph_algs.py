@@ -189,3 +189,45 @@ def test_sampled_closeness_approximates_exact(spark):
     assert set(got) == set(exact)
     rel_errs = [abs(got[n] - exact[n]) / exact[n] for n in exact]
     assert sum(rel_errs) / len(rel_errs) < 0.10
+
+
+def test_ktruss_matches_networkx(spark):
+    """Peel-loop 4-truss vs networkx k_truss on karate — exact edge-set
+    equality, plus a random graph at k=3 to exercise a multi-round
+    peel."""
+    from louvain_modularity_spark.graph import KTRUSS_K, k_truss, q_ktruss
+
+    got = {(r["a"], r["b"]) for r in q_ktruss(spark, SF).collect()}
+    want = {
+        (min(u, v), max(u, v))
+        for u, v in nx.k_truss(nx.karate_club_graph(), KTRUSS_K).edges()
+    }
+    assert got == want
+
+    g = nx.gnm_random_graph(60, 220, seed=7)
+    edges = spark.createDataFrame(
+        [(int(u), int(v), 1.0) for u, v in g.edges()],
+        "src LONG, dst LONG, weight DOUBLE",
+    )
+    got3 = {(r["a"], r["b"]) for r in k_truss(spark, edges, 4).collect()}
+    want3 = {(min(u, v), max(u, v)) for u, v in nx.k_truss(g, 4).edges()}
+    assert got3 == want3
+
+
+def test_random_walk_structure(spark):
+    """Every walk step must traverse a real edge and walks are exactly
+    WALK_STEPS long from every vertex — structural invariants beyond
+    the value-exact SQL oracle."""
+    from louvain_modularity_spark.graph import WALK_STEPS, q_random_walk
+
+    rows = q_random_walk(spark, SF).collect()
+    g = nx.karate_club_graph()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["start"], {})[r["step"]] = r["node"]
+    assert set(walks) == set(g.nodes())
+    for start, path in walks.items():
+        assert sorted(path) == list(range(WALK_STEPS + 1))
+        assert path[0] == start
+        for i in range(1, WALK_STEPS + 1):
+            assert g.has_edge(path[i - 1], path[i])
