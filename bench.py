@@ -59,6 +59,7 @@ HEADLINE = SHARED_R02 + [
     "q_tpch_q8",
     "q_dup_clusters",
     "q_semdedup",
+    "q_pmi_cooccur",
     "q_betweenness_sampled",
 ]
 
