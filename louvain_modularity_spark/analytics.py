@@ -1351,6 +1351,116 @@ FROM run GROUP BY event_type
 """
 
 
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-streak detection per user (the gaps-and-islands
+    pattern): collapse events to distinct active days, then
+    consecutive days share ``day − row_number()`` — one keyed window
+    turns streak detection into a plain groupBy, no self-join over the
+    calendar. Output: per user the streak count, the longest streak,
+    and when it started (argmax with a pinned earliest-start
+    tiebreak). State is O(active days per user)."""
+    e = load(spark, sf_dir, "events")
+    days = (
+        e.select("user_id", (F.col("ts_us") / F.lit(DAY_US)).cast("long").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = (
+        days.withColumn("island", F.col("day") - F.row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(F.count("*").alias("len_days"), F.min("day").alias("start_day"))
+    )
+    key = F.col("len_days") * 1_000_000 - F.col("start_day")
+    return islands.groupBy("user_id").agg(
+        F.count("*").alias("n_streaks"),
+        F.max("len_days").alias("max_streak_days"),
+        F.max_by("start_day", key).alias("max_streak_start_day"),
+    )
+
+
+ORACLE_GAPS_ISLANDS = f"""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(epoch_us(ts) // {DAY_US} AS BIGINT) AS day
+  FROM events
+),
+islands AS (
+  SELECT user_id,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island,
+         day
+  FROM days
+),
+agg AS (
+  SELECT user_id, island, COUNT(*) AS len_days, MIN(day) AS start_day
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, COUNT(*) AS n_streaks,
+       MAX(len_days) AS max_streak_days,
+       arg_max(start_day, len_days * 1000000 - start_day)
+         AS max_streak_start_day
+FROM agg GROUP BY user_id
+"""
+
+
+#: MAD outlier gate: |v − median| > MAD_K · 1.4826 · MAD
+MAD_K = 3.0
+
+
+def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counting per event type via the median absolute
+    deviation — the heavy-tail-safe alternative to q_zscore_outlier's
+    mean/stddev gate (one extreme value corrupts a z-score's own
+    baseline; it cannot move a median). Two grouped exact-percentile
+    aggregates (median, then median of absolute deviations) broadcast
+    back over the scan; swap `percentile` for `approx_percentile` at
+    extreme scale (same plan shape, mergeable sketch)."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .select("event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    gate = F.col("adev") > F.lit(MAD_K * 1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(gate.cast("long")).alias("n_outliers"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+ORACLE_MAD_OUTLIER = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       ROUND(MAX(d.med), 6) AS med,
+       ROUND(MAX(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.adev > {MAD_K * 1.4826} * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n_rows
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 QUERIES = {
     "q_stats_agg": q_stats_agg,
     "q_filtered_agg": q_filtered_agg,
@@ -1380,6 +1490,8 @@ QUERIES = {
     "q_time_weighted_avg": q_time_weighted_avg,
     "q_running_distinct": q_running_distinct,
     "q_interval_overlap": q_interval_overlap,
+    "q_gaps_islands": q_gaps_islands,
+    "q_mad_outlier": q_mad_outlier,
 }
 
 ORACLES = {
@@ -1411,4 +1523,6 @@ ORACLES = {
     "q_time_weighted_avg": ORACLE_TIME_WEIGHTED_AVG,
     "q_running_distinct": ORACLE_RUNNING_DISTINCT,
     "q_interval_overlap": ORACLE_INTERVAL_OVERLAP,
+    "q_gaps_islands": ORACLE_GAPS_ISLANDS,
+    "q_mad_outlier": ORACLE_MAD_OUTLIER,
 }

@@ -1581,6 +1581,75 @@ def _oracle_random_walk() -> str:
     return "\n".join(parts) + "\n" + union
 
 
+def graph_coloring(
+    spark: SparkSession, edges: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Distributed greedy vertex coloring, Jones–Plassmann style
+    (Jones & Plassmann 1993): each round, every uncolored vertex whose
+    hash priority beats all its uncolored neighbors' takes the
+    smallest color absent among its already-colored neighbors. The
+    priority is ``xxhash64(id)`` — deterministic, yet free of the
+    sequential dependency chains an id-order priority would build, so
+    rounds are O(log n) expected. Per round: one join of the cached
+    symmetrized edges against the small uncolored state + one
+    grouped aggregate; colored vertices leave the frontier, lineage is
+    checkpointed per round. Colors used ≤ Δ+1."""
+    sym = (
+        symmetrize(edges)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    prio = F.xxhash64(F.col("id"))
+    state = vertices_of(sym).select(
+        "id", F.lit(None).cast("int").alias("color")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        if state.filter(F.col("color").isNull()).limit(1).count() == 0:
+            break
+        nbr2 = sym.join(
+            state.select(F.col("id").alias("dst"), F.col("color").alias("nbr_color")),
+            "dst",
+        ).select(
+            F.col("src").alias("id"),
+            "nbr_color",
+            F.xxhash64(F.col("dst")).alias("nbr_prio"),
+        )
+        info = nbr2.groupBy("id").agg(
+            F.max(F.when(F.col("nbr_color").isNull(), F.col("nbr_prio"))).alias(
+                "max_uncolored_nbr_prio"
+            ),
+            F.collect_set("nbr_color").alias("used"),
+        )
+        smallest_absent = F.expr(
+            "array_min(filter(sequence(0, size(used)), x -> NOT array_contains(used, x)))"
+        )
+        state = (
+            state.join(info, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("color").isNotNull(), F.col("color"))
+                .when(
+                    F.col("max_uncolored_nbr_prio").isNull()
+                    | (prio > F.col("max_uncolored_nbr_prio")),
+                    smallest_absent,
+                )
+                .alias("color"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return state
+
+
+def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy coloring of karate (rows-only: round count is
+    data-dependent; properness + determinism + Δ+1 bound asserted in
+    tests/test_graph_algs.py)."""
+    return graph_coloring(spark, karate_edges(spark)).orderBy("id")
+
+
 #: truss order for the karate-fixture k-truss query
 KTRUSS_K = 4
 
@@ -1674,6 +1743,7 @@ QUERIES = {
     "q_eccentricity": q_eccentricity,
     "q_random_walk": q_random_walk,
     "q_ktruss": q_ktruss,
+    "q_graph_coloring": q_graph_coloring,
 }
 
 ORACLES = {

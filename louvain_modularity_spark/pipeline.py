@@ -589,6 +589,121 @@ FROM assigned v
 """
 
 
+#: exact-substring dedup parameters (Lee et al. 2021, "Deduplicating
+#: Training Data Makes Language Models Better"): shingle width, the
+#: minimum duplicated run reported, and the hot-shingle document-
+#: frequency cap bounding join fan-out
+SUBSTR_SHINGLE = 8
+SUBSTR_MIN_RUN = 16
+SUBSTR_MAX_DF = 50
+
+
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication detection across documents (Lee et
+    al. 2021): report document pairs sharing a verbatim token run of ≥
+    SUBSTR_MIN_RUN tokens, with the longest shared run. The suffix-
+    array formulation of the paper is replaced by a fully distributed
+    identity: a shared w-token run of length L appears as L−w+1
+    matching w-shingles at a CONSTANT position offset, so
+
+      shingles (array slice, shuffle-free projection)
+      → hot-shingle df gate (broadcast anti-join, same capping as
+        minhash max_df — join fan-out bounded by df²)
+      → pair join inside shingle buckets (never all-pairs)
+      → per (pair, offset) gaps-and-islands over match positions
+        (one window; consecutive positions share pa − row_number())
+      → max island + SUBSTR_SHINGLE − 1 = longest duplicated run.
+
+    Every step is a bounded inverted-index join or a keyed window; no
+    corpus-sized state, no suffix array to build or hold."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= SUBSTR_SHINGLE
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' ')) - {SUBSTR_SHINGLE - 1}),"
+                f" i -> struct(i AS pos,"
+                f" array_join(slice(split(text, ' '), i, {SUBSTR_SHINGLE}), ' ')"
+                f" AS shingle))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.shingle")
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > SUBSTR_MAX_DF)
+        .select("shingle")
+    )
+    gated = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = gated.alias("a"), gated.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            (F.col("b.pos") - F.col("a.pos")).alias("delta"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("pa")
+    runs = pairs.withColumn("island", F.col("pa") - F.row_number().over(w))
+    islands = runs.groupBy("doc_a", "doc_b", "delta", "island").agg(
+        (F.count("*") + SUBSTR_SHINGLE - 1).alias("run_tokens")
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b")
+        .agg(F.max("run_tokens").alias("max_run_tokens"))
+        .filter(F.col("max_run_tokens") >= SUBSTR_MIN_RUN)
+    )
+
+
+ORACLE_SUBSTRING_DUP = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, pos, string_agg(token, ' ' ORDER BY pos2) AS shingle
+  FROM (
+    SELECT t1.doc_id, t1.pos, t2.pos AS pos2, t2.token
+    FROM toks t1 JOIN toks t2
+      ON t2.doc_id = t1.doc_id
+     AND t2.pos BETWEEN t1.pos AND t1.pos + {SUBSTR_SHINGLE - 1}
+  )
+  GROUP BY doc_id, pos HAVING COUNT(*) = {SUBSTR_SHINGLE}
+),
+hot AS (
+  SELECT shingle FROM (
+    SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY shingle
+  ) WHERE df > {SUBSTR_MAX_DF}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+         b.pos - a.pos AS delta
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle NOT IN (SELECT shingle FROM hot)
+),
+runs AS (
+  SELECT doc_a, doc_b, delta,
+         pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, delta
+                                 ORDER BY pa) AS island
+  FROM pairs
+),
+islands AS (
+  SELECT doc_a, doc_b,
+         CAST(COUNT(*) + {SUBSTR_SHINGLE - 1} AS BIGINT) AS run_tokens
+  FROM runs GROUP BY doc_a, doc_b, delta, island
+)
+SELECT doc_a, doc_b, MAX(run_tokens) AS max_run_tokens
+FROM islands GROUP BY doc_a, doc_b
+HAVING MAX(run_tokens) >= {SUBSTR_MIN_RUN}
+"""
+
+
 QUERIES = {
     "q_dup_clusters": q_dup_clusters,
     "q_pack_sequences": q_pack_sequences,
@@ -597,6 +712,7 @@ QUERIES = {
     "q_kmeans": q_kmeans,
     "q_semdedup": q_semdedup,
     "q_udtf_tokens": q_udtf_tokens,
+    "q_substring_dup": q_substring_dup,
 }
 
 ORACLES = {
@@ -607,4 +723,5 @@ ORACLES = {
     "q_kmeans": ORACLE_KMEANS,
     "q_semdedup": ORACLE_SEMDEDUP,
     "q_udtf_tokens": ORACLE_UDTF_TOKENS,
+    "q_substring_dup": ORACLE_SUBSTRING_DUP,
 }

@@ -61,10 +61,12 @@ def _modules():
 # rounds stale. Round-4 greens are fresh and stay out.
 #
 # Held for the round-6 window (added this round, outside the pinned 50):
-# the seven §2.18 round-5 additions — q_window_cume q_skyline
+# the thirteen §2.18 round-5 additions — oracle-backed, local
+# DuckDB-parity green at sf0.001+sf0.01: q_window_cume q_skyline
 # q_running_distinct q_interval_overlap q_ccnet_bucket q_random_walk
-# (all six oracle-backed, local DuckDB-parity green at sf0.001+sf0.01)
-# and q_ktruss (rows-only; networkx golden).
+# q_substring_dup q_mode_agg q_equi_depth_hist q_gaps_islands
+# q_mad_outlier; rows-only with golden/invariant pytest: q_ktruss
+# (networkx k_truss), q_graph_coloring (properness/determinism).
 #
 # Rows-only entries deliberately inside this window: q_betweenness_sampled
 # (first window ever; estimator pinned by the rank-correlation pytest) and

@@ -1234,6 +1234,93 @@ FROM fr WHERE prev_max IS NULL OR size > prev_max
 """
 
 
+def q_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value) per group — built-in
+    ``mode()`` leaves ties engine-internal, so the hash-stable
+    formulation is count-then-argmax with a pinned tiebreak (highest
+    count, then smallest value): two map-side-combined aggregates, no
+    window, no sort. The composite numeric argmax key keeps the whole
+    thing a plain ``max_by``/``arg_max`` both engines agree on."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = (
+        li.select("l_returnflag", F.col("l_quantity").cast("long").alias("qty"))
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count("*").alias("cnt"))
+    )
+    key = F.col("cnt") * 1_000_000 - F.col("qty")
+    return counts.groupBy("l_returnflag").agg(
+        F.max_by("qty", key).alias("mode_qty"),
+        F.max("cnt").alias("mode_cnt"),
+    )
+
+
+ORACLE_MODE_AGG = """
+WITH c AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       arg_max(qty, cnt * 1000000 - qty) AS mode_qty,
+       MAX(cnt) AS mode_cnt
+FROM c GROUP BY l_returnflag
+"""
+
+
+def q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of extended prices —
+    the optimizer-statistics shape, complementing the equi-width
+    q_histogram and the raw q_quantiles. NOT an ntile global sort:
+    the decile boundaries are ONE grouped exact-percentile aggregate
+    (swap to approx_percentile's mergeable sketch at extreme scale),
+    broadcast back as plan literals, and bucket assignment is a pure
+    comparison scan — the data is never globally sorted."""
+    li = load(spark, sf_dir, "lineitem")
+    bounds = [i / 10.0 for i in range(1, 10)]
+    qs = li.agg(
+        F.expr(
+            f"percentile(l_extendedprice, array({', '.join(str(b) for b in bounds)}))"
+        ).alias("qs")
+    )
+    bucket = sum(
+        (F.col("l_extendedprice") > F.col("q")[i]).cast("int") for i in range(9)
+    )
+    return (
+        li.crossJoin(F.broadcast(qs.select(F.col("qs").alias("q"))))
+        .select(bucket.alias("bucket"), "l_extendedprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+
+ORACLE_EQUI_DEPTH_HIST = """
+WITH qs AS (
+  SELECT [quantile_cont(l_extendedprice, 0.1), quantile_cont(l_extendedprice, 0.2),
+          quantile_cont(l_extendedprice, 0.3), quantile_cont(l_extendedprice, 0.4),
+          quantile_cont(l_extendedprice, 0.5), quantile_cont(l_extendedprice, 0.6),
+          quantile_cont(l_extendedprice, 0.7), quantile_cont(l_extendedprice, 0.8),
+          quantile_cont(l_extendedprice, 0.9)] AS q
+  FROM lineitem
+),
+b AS (
+  SELECT CAST(
+           CAST(l_extendedprice > q[1] AS INTEGER) + CAST(l_extendedprice > q[2] AS INTEGER)
+         + CAST(l_extendedprice > q[3] AS INTEGER) + CAST(l_extendedprice > q[4] AS INTEGER)
+         + CAST(l_extendedprice > q[5] AS INTEGER) + CAST(l_extendedprice > q[6] AS INTEGER)
+         + CAST(l_extendedprice > q[7] AS INTEGER) + CAST(l_extendedprice > q[8] AS INTEGER)
+         + CAST(l_extendedprice > q[9] AS INTEGER) AS INTEGER) AS bucket,
+         l_extendedprice
+  FROM lineitem CROSS JOIN qs
+)
+SELECT bucket, COUNT(*) AS n_rows,
+       MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+FROM b GROUP BY bucket
+"""
+
+
 QUERIES = {
     "q_scan_parquet": q_scan_parquet,
     "q_subquery_scalar": q_subquery_scalar,
@@ -1273,6 +1360,8 @@ QUERIES = {
     "q_approx_topk": q_approx_topk,
     "q_window_cume": q_window_cume,
     "q_skyline": q_skyline,
+    "q_mode_agg": q_mode_agg,
+    "q_equi_depth_hist": q_equi_depth_hist,
 }
 
 ORACLES = {
@@ -1311,6 +1400,8 @@ ORACLES = {
     "q_gap_fill": ORACLE_GAP_FILL,
     "q_window_cume": ORACLE_WINDOW_CUME,
     "q_skyline": ORACLE_SKYLINE,
+    "q_mode_agg": ORACLE_MODE_AGG,
+    "q_equi_depth_hist": ORACLE_EQUI_DEPTH_HIST,
     # q_approx_cd: rows-only (approximate, engine-specific estimates)
     # q_hll_sketch: rows-only (sketch estimates are engine-specific)
     # q_approx_topk: rows-only (boundary tie order is engine-internal;

@@ -231,3 +231,24 @@ def test_random_walk_structure(spark):
         assert path[0] == start
         for i in range(1, WALK_STEPS + 1):
             assert g.has_edge(path[i - 1], path[i])
+
+
+def test_graph_coloring_proper_and_deterministic(spark):
+    """Jones–Plassmann coloring invariants: every vertex colored, no
+    edge monochromatic, ≤ Δ+1 colors, and two runs agree exactly
+    (hash priorities are deterministic)."""
+    from louvain_modularity_spark.graph import q_graph_coloring
+
+    g = nx.karate_club_graph()
+    runs = []
+    for _ in range(2):
+        colors = {r["id"]: r["color"] for r in q_graph_coloring(spark, SF).collect()}
+        runs.append(colors)
+    assert runs[0] == runs[1]
+    colors = runs[0]
+    assert set(colors) == set(g.nodes())
+    assert all(c is not None and c >= 0 for c in colors.values())
+    for u, v in g.edges():
+        assert colors[u] != colors[v], (u, v)
+    max_deg = max(d for _, d in g.degree())
+    assert len(set(colors.values())) <= max_deg + 1
