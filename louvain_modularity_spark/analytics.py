@@ -1461,6 +1461,246 @@ GROUP BY d.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# round-5 second batch (SURVEY §2.19): sequence / seasonality / encoding /
+# market-basket analytics
+# ---------------------------------------------------------------------------
+
+#: hour in microseconds (seasonal bucketing)
+HOUR_US = 3_600_000_000
+#: smoothing pseudo-count for target encoding (larger → shrink to global mean)
+ENCODE_M = 100.0
+#: minimum pair support (fraction of baskets) for frequent-pair mining
+PAIR_MIN_SUPPORT = 0.01
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: one keyed ``lead`` window (state O(1) per user stream,
+    orderable within each user partition at any scale) emits
+    (from_type → to_type) bigrams; counts and row-normalized
+    probabilities come from two map-side-combined aggregates with the
+    per-from totals broadcast back. The classic clickstream /
+    session-model building block — no self-join over the event table,
+    no driver state. Ties in event time break on event_id so the
+    sequence (and thus the matrix) is deterministic."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = (
+        e.select("user_id", "event_id", "ts_us", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    trans = (
+        seq.groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n_trans").alias("tot"))
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(F.col("n_trans") / F.col("tot"), 6).alias("p"),
+    )
+
+
+ORACLE_MARKOV_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, COUNT(*) AS n_trans
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_trans,
+       ROUND(n_trans / SUM(n_trans) OVER (PARTITION BY from_type), 6) AS p
+FROM trans
+"""
+
+
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) baseline + residual anomaly count per
+    event type — the degenerate-but-distributed core of STL-style
+    seasonal decomposition: the baseline is a (type, hour) mean/stddev
+    from ONE exact map-side-combined aggregate (2-dp values summed in
+    DECIMAL so the stats are bit-stable), broadcast back over the scan
+    for the residual gate |v − μ| > 2σ. Two passes over events, zero
+    windows, zero shuffles beyond the 24×|types| stats rollup."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        ((F.col("ts_us") / F.lit(HOUR_US)).cast("long") % 24).alias("hod"),
+        "value",
+    )
+    dec = F.col("value").cast("decimal(12,2)")
+    stats = base.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.greatest(
+        F.col("ss").cast("double") / F.col("n") - mean * mean, F.lit(0.0)
+    )
+    enriched = stats.select(
+        "event_type", "hod", "n", mean.alias("mean"), F.sqrt(var).alias("std")
+    )
+    gate = F.abs(F.col("value") - F.col("mean")) > 2.0 * F.col("std")
+    return (
+        base.join(F.broadcast(enriched), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("mean"), 6).alias("mean"),
+            F.round(F.max("std"), 6).alias("std"),
+            F.sum(gate.cast("long")).alias("n_anom"),
+        )
+    )
+
+
+ORACLE_SEASONAL_BASELINE = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // {HOUR_US} AS BIGINT) % 24 AS hod,
+         value
+  FROM events
+),
+stats AS (
+  SELECT event_type, hod, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(12,2))) AS s,
+         SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS ss
+  FROM base GROUP BY event_type, hod
+),
+enriched AS (
+  SELECT event_type, hod, n,
+         CAST(s AS DOUBLE) / n AS mean,
+         SQRT(GREATEST(CAST(ss AS DOUBLE) / n
+                       - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                       0.0)) AS std
+  FROM stats
+)
+SELECT b.event_type, b.hod, MAX(e.n) AS n,
+       ROUND(MAX(e.mean), 6) AS mean,
+       ROUND(MAX(e.std), 6) AS std,
+       CAST(SUM(CASE WHEN ABS(b.value - e.mean) > 2.0 * e.std
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+FROM base b JOIN enriched e USING (event_type, hod)
+GROUP BY b.event_type, b.hod
+"""
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical — the
+    leakage-light ML feature-engineering staple: encoded(k) =
+    (Σ_k y + M·ȳ)/(n_k + M) shrinks rare categories toward the global
+    mean (M = 100 pseudo-observations). One exact DECIMAL
+    aggregate per category plus one global scalar broadcast via a
+    1-row crossJoin — nothing about this changes at 100 TB; the
+    category table is the only shuffle and it is tiny."""
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    per_key = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum(dec).alias("s")
+    )
+    glob = o.agg(
+        F.sum(dec).alias("gs"), F.count("*").alias("gn")
+    )
+    gmean = F.col("gs").cast("double") / F.col("gn")
+    raw = F.col("s").cast("double") / F.col("n")
+    enc = (F.col("s").cast("double") + F.lit(ENCODE_M) * gmean) / (
+        F.col("n") + F.lit(ENCODE_M)
+    )
+    return per_key.crossJoin(F.broadcast(glob)).select(
+        "o_orderpriority",
+        "n",
+        F.round(raw, 6).alias("raw_mean"),
+        F.round(enc, 6).alias("encoded"),
+    )
+
+
+ORACLE_TARGET_ENCODE = f"""
+WITH per_key AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders GROUP BY o_orderpriority
+),
+corpus AS (
+  SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS gs, COUNT(*) AS gn
+  FROM orders
+)
+SELECT o_orderpriority, n,
+       ROUND(CAST(s AS DOUBLE) / n, 6) AS raw_mean,
+       ROUND((CAST(s AS DOUBLE) + {ENCODE_M} * (CAST(gs AS DOUBLE) / gn))
+             / (n + {ENCODE_M}), 6) AS encoded
+FROM per_key CROSS JOIN corpus
+"""
+
+
+def q_freq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-pair mining (A-priori level 2, Agrawal–Srikant 1994)
+    over order baskets at brand granularity: collapse line items to
+    DISTINCT (order, brand) first — the step that bounds the pair
+    self-join by basket size, not line-item count — then join the
+    basket table to itself on the order key with an ordered-pair
+    predicate and keep pairs above 1% basket support.
+    The brand dimension rides in on a broadcast join; the only big
+    shuffle is the basket self-join, co-partitioned on the order key
+    (both sides hash the same key, one exchange each)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    ob = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    pairs = (
+        ob.alias("x")
+        .join(
+            ob.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.p_brand") < F.col("y.p_brand")),
+        )
+        .groupBy(
+            F.col("x.p_brand").alias("brand_a"),
+            F.col("y.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    n_orders = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .withColumn("support", F.round(F.col("n_both") / F.col("n_orders"), 6))
+        .filter(F.col("n_both") >= F.lit(PAIR_MIN_SUPPORT) * F.col("n_orders"))
+        .select("brand_a", "brand_b", "n_both", "support")
+    )
+
+
+ORACLE_FREQ_PAIRS = f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+pairs AS (
+  SELECT x.p_brand AS brand_a, y.p_brand AS brand_b, COUNT(*) AS n_both
+  FROM ob x JOIN ob y
+    ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+  GROUP BY x.p_brand, y.p_brand
+),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob)
+SELECT brand_a, brand_b, n_both,
+       ROUND(n_both / CAST(n_orders AS DOUBLE), 6) AS support
+FROM pairs CROSS JOIN tot
+WHERE n_both >= {PAIR_MIN_SUPPORT} * n_orders
+"""
+
+
 QUERIES = {
     "q_stats_agg": q_stats_agg,
     "q_filtered_agg": q_filtered_agg,
@@ -1492,6 +1732,10 @@ QUERIES = {
     "q_interval_overlap": q_interval_overlap,
     "q_gaps_islands": q_gaps_islands,
     "q_mad_outlier": q_mad_outlier,
+    "q_markov_transitions": q_markov_transitions,
+    "q_seasonal_baseline": q_seasonal_baseline,
+    "q_target_encode": q_target_encode,
+    "q_freq_pairs": q_freq_pairs,
 }
 
 ORACLES = {
@@ -1525,4 +1769,8 @@ ORACLES = {
     "q_interval_overlap": ORACLE_INTERVAL_OVERLAP,
     "q_gaps_islands": ORACLE_GAPS_ISLANDS,
     "q_mad_outlier": ORACLE_MAD_OUTLIER,
+    "q_markov_transitions": ORACLE_MARKOV_TRANSITIONS,
+    "q_seasonal_baseline": ORACLE_SEASONAL_BASELINE,
+    "q_target_encode": ORACLE_TARGET_ENCODE,
+    "q_freq_pairs": ORACLE_FREQ_PAIRS,
 }

@@ -650,6 +650,189 @@ FROM b GROUP BY lang, bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# round-5 second batch (SURVEY §2.19): rule-based quality gating and
+# importance resampling
+# ---------------------------------------------------------------------------
+
+#: Gopher-rule bounds (Rae et al. 2021 §A1.1, adapted to the synthetic
+#: lowercase corpus): token-count window, mean-token-length window,
+#: minimum stopword hits, minimum lexical diversity, minimum
+#: alphabetic-token fraction
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_TOKLEN = 3.0
+GOPHER_MAX_TOKLEN = 10.0
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MIN_DISTINCT = 0.2
+GOPHER_MIN_ALPHA = 0.8
+
+_STOPLIST_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021): the
+    five classic document filters — token-count window, mean token
+    length window, stopword evidence, lexical diversity, alphabetic
+    fraction — each computed as a JVM-side higher-order-function fold
+    over the split token array (``filter``/``aggregate``; no explode,
+    no shuffle, no Python). One narrow projection over the corpus
+    emits per-doc measures, per-rule booleans, and the conjunction
+    keep flag — the shape that curates 100 TB in a single pass."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = sum_len.cast("double") / n
+    n_dist = F.size(F.array_distinct(toks))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+    distinct_ratio = n_dist.cast("double") / n
+    alpha_frac = n_alpha.cast("double") / n
+    ok_len = (n >= GOPHER_MIN_TOKENS) & (n <= GOPHER_MAX_TOKENS)
+    ok_tok = (mean_len >= GOPHER_MIN_TOKLEN) & (mean_len <= GOPHER_MAX_TOKLEN)
+    ok_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    ok_dist = distinct_ratio >= GOPHER_MIN_DISTINCT
+    ok_alpha = alpha_frac >= GOPHER_MIN_ALPHA
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_tok_len"),
+        stop_hits.alias("stop_hits"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        ok_len.alias("ok_len"),
+        ok_tok.alias("ok_tok"),
+        ok_stop.alias("ok_stop"),
+        ok_dist.alias("ok_dist"),
+        ok_alpha.alias("ok_alpha"),
+        (ok_len & ok_tok & ok_stop & ok_dist & ok_alpha).alias("keep"),
+    )
+
+
+ORACLE_GOPHER_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           / len(toks) AS mean_tok_len,
+         len(list_filter(toks, x -> x IN ({_STOPLIST_SQL}))) AS stop_hits,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           AS distinct_ratio,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+              AS DOUBLE) / len(toks) AS alpha_frac
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       ROUND(mean_tok_len, 6) AS mean_tok_len,
+       CAST(stop_hits AS INTEGER) AS stop_hits,
+       ROUND(distinct_ratio, 6) AS distinct_ratio,
+       ROUND(alpha_frac, 6) AS alpha_frac,
+       n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS} AS ok_len,
+       mean_tok_len BETWEEN {GOPHER_MIN_TOKLEN} AND {GOPHER_MAX_TOKLEN}
+         AS ok_tok,
+       stop_hits >= {GOPHER_MIN_STOP_HITS} AS ok_stop,
+       distinct_ratio >= {GOPHER_MIN_DISTINCT} AS ok_dist,
+       alpha_frac >= {GOPHER_MIN_ALPHA} AS ok_alpha,
+       (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+         AND (mean_tok_len BETWEEN {GOPHER_MIN_TOKLEN} AND {GOPHER_MAX_TOKLEN})
+         AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+         AND distinct_ratio >= {GOPHER_MIN_DISTINCT}
+         AND alpha_frac >= {GOPHER_MIN_ALPHA} AS keep
+FROM m
+"""
+
+
+#: DSIR target slice: documents whose language tag is this value
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): score every
+    document by the average log-likelihood ratio of an add-1-smoothed
+    target-slice unigram LM (docs tagged ``en``) against the corpus
+    LM — the data-selection signal used to resample a web-scale crawl
+    toward a target domain. Two map-side-combined token aggregates
+    build both LMs; the vocabulary-sized ratio table (with the four
+    corpus scalars folded in via a 1-row crossJoin) broadcasts back
+    onto the exploded token stream; one per-doc aggregate emits the
+    weight. Corpus-sized shuffles: exactly one (the token explode
+    groupBys); the vocabulary is orders of magnitude smaller."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    cc = t.groupBy("token").agg(F.count("*").alias("cc"))
+    ct = (
+        t.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("token")
+        .agg(F.count("*").alias("ct"))
+    )
+    scalars = cc.agg(
+        F.count("*").alias("v"), F.sum("cc").alias("nc")
+    ).crossJoin(
+        t.filter(F.col("lang") == DSIR_TARGET_LANG).agg(
+            F.count("*").alias("nt")
+        )
+    )
+    lm = (
+        cc.join(ct, "token", "left")
+        .fillna(0, subset=["ct"])
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "token",
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("nt") + F.col("v")))
+                - F.log((F.col("cc") + 1.0) / (F.col("nc") + F.col("v")))
+            ).alias("llr"),
+        )
+    )
+    return (
+        t.join(F.broadcast(lm), "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("llr") / F.count("*"), 6).alias("avg_llr"),
+        )
+    )
+
+
+ORACLE_DSIR_WEIGHTS = f"""
+WITH t AS (
+  SELECT doc_id, lang, x.token
+  FROM documents,
+       LATERAL (SELECT UNNEST(list_filter(string_split(text, ' '),
+                                          s -> s <> '')) AS token) x
+),
+cc AS (SELECT token, COUNT(*) AS cc FROM t GROUP BY token),
+ct AS (SELECT token, COUNT(*) AS ct FROM t
+       WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY token),
+scalars AS (
+  SELECT (SELECT COUNT(*) FROM cc) AS v,
+         (SELECT SUM(cc) FROM cc) AS nc,
+         (SELECT COUNT(*) FROM t WHERE lang = '{DSIR_TARGET_LANG}') AS nt
+),
+lm AS (
+  SELECT cc.token,
+         LN((COALESCE(ct.ct, 0) + 1.0) / (s.nt + s.v))
+           - LN((cc.cc + 1.0) / (s.nc + s.v)) AS llr
+  FROM cc LEFT JOIN ct USING (token) CROSS JOIN scalars s
+)
+SELECT t.doc_id, t.lang, COUNT(*) AS n_tokens,
+       ROUND(SUM(lm.llr) / COUNT(*), 6) AS avg_llr
+FROM t JOIN lm USING (token)
+GROUP BY t.doc_id, t.lang
+"""
+
+
 QUERIES = {
     "q_chunk_sliding": q_chunk_sliding,
     "q_ngram_counts": q_ngram_counts,
@@ -666,6 +849,8 @@ QUERIES = {
     "q_robust_scale": q_robust_scale,
     "q_write_shards": q_write_shards,
     "q_ccnet_bucket": q_ccnet_bucket,
+    "q_gopher_quality": q_gopher_quality,
+    "q_dsir_weights": q_dsir_weights,
 }
 
 ORACLES = {
@@ -684,4 +869,6 @@ ORACLES = {
     "q_robust_scale": ORACLE_ROBUST_SCALE,
     "q_write_shards": ORACLE_WRITE_SHARDS,
     "q_ccnet_bucket": ORACLE_CCNET_BUCKET,
+    "q_gopher_quality": ORACLE_GOPHER_QUALITY,
+    "q_dsir_weights": ORACLE_DSIR_WEIGHTS,
 }
