@@ -1714,6 +1714,356 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(spark, karate_edges(spark), KTRUSS_K).orderBy("a", "b")
 
 
+# ---------------------------------------------------------------------------
+# round-5 second batch (SURVEY §2.19): community-quality, partition
+# agreement, and minimum spanning forest
+# ---------------------------------------------------------------------------
+
+
+def _nation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, com): every co-purchase vertex labeled by its nation key
+    — a deterministic attribute partition shared by customers and
+    suppliers (both sides of the bipartite graph carry a nationkey in
+    the same 0–24 id space)."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node"), F.col("c_nationkey").alias("com")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + SUPPLIER_OFFSET).alias("node"),
+        F.col("s_nationkey").alias("com"),
+    )
+    return cust.unionByName(supp)
+
+
+_NATION_COM_SQL = f"""
+SELECT c_custkey AS node, c_nationkey AS com FROM customer
+UNION ALL
+SELECT s_suppkey + {SUPPLIER_OFFSET} AS node, s_nationkey AS com FROM supplier
+"""
+
+
+def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance φ(S) = cut(S)/min(vol(S), 2m−vol(S))
+    of the nation partition over the co-purchase graph — the standard
+    community-quality score complementary to modularity (low φ = few
+    escaping edges relative to internal volume). Two dimension joins
+    label edge endpoints, then volume and cut are ONE
+    map-side-combined aggregate each over the (community, weight)
+    pairs; 2m rides in as a broadcast 1-row scalar. Weights are
+    integral co-purchase counts summed as LONG, so every number is
+    exact; only the final ratio is double. Nothing here is
+    quadratic — at 100 TB this is two shuffles on the community key."""
+    edges = copurchase_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    nodecom = _nation_communities(spark, sf_dir)
+    e2 = (
+        edges.select("src", "dst", F.col("weight").cast("long").alias("w"))
+        .join(
+            nodecom.select(
+                F.col("node").alias("src"), F.col("com").alias("com_src")
+            ),
+            "src",
+        )
+        .join(
+            nodecom.select(
+                F.col("node").alias("dst"), F.col("com").alias("com_dst")
+            ),
+            "dst",
+        )
+    )
+    both_ends = e2.select(F.col("com_src").alias("com"), "w").unionByName(
+        e2.select(F.col("com_dst").alias("com"), "w")
+    )
+    vol = both_ends.groupBy("com").agg(F.sum("w").alias("vol"))
+    cut_ends = e2.filter(F.col("com_src") != F.col("com_dst"))
+    cut = (
+        cut_ends.select(F.col("com_src").alias("com"), "w")
+        .unionByName(cut_ends.select(F.col("com_dst").alias("com"), "w"))
+        .groupBy("com")
+        .agg(F.sum("w").alias("cut_w"))
+    )
+    two_m = e2.agg((F.lit(2) * F.sum("w")).alias("two_m"))
+    nodes = nodecom.groupBy("com").agg(F.count("*").alias("n_nodes"))
+    denom = F.least(F.col("vol"), F.col("two_m") - F.col("vol"))
+    phi = F.when(denom <= 0, F.lit(0.0)).otherwise(
+        F.col("cut_w") / denom.cast("double")
+    )
+    return (
+        nodes.join(vol, "com", "left")
+        .join(cut, "com", "left")
+        .crossJoin(F.broadcast(two_m))
+        .select(
+            F.col("com").alias("community"),
+            "n_nodes",
+            F.coalesce("vol", F.lit(0)).alias("vol"),
+            F.coalesce("cut_w", F.lit(0)).alias("cut_w"),
+            F.round(
+                F.coalesce(phi, F.lit(0.0)), 6
+            ).alias("phi"),
+        )
+    )
+
+
+ORACLE_CONDUCTANCE = f"""
+WITH e AS ({COPURCHASE_EDGES_SQL}),
+nodecom AS ({_NATION_COM_SQL}),
+e2 AS (
+  SELECT e.src, e.dst, CAST(e.weight AS BIGINT) AS w,
+         cs.com AS com_src, cd.com AS com_dst
+  FROM e
+  JOIN nodecom cs ON e.src = cs.node
+  JOIN nodecom cd ON e.dst = cd.node
+  WHERE e.src <> e.dst
+),
+vol AS (
+  SELECT com, SUM(w) AS vol FROM (
+    SELECT com_src AS com, w FROM e2
+    UNION ALL SELECT com_dst AS com, w FROM e2
+  ) GROUP BY com
+),
+cut AS (
+  SELECT com, SUM(w) AS cut_w FROM (
+    SELECT com_src AS com, w FROM e2 WHERE com_src <> com_dst
+    UNION ALL SELECT com_dst AS com, w FROM e2 WHERE com_src <> com_dst
+  ) GROUP BY com
+),
+m2 AS (SELECT 2 * SUM(w) AS two_m FROM e2),
+nodes AS (SELECT com, COUNT(*) AS n_nodes FROM nodecom GROUP BY com)
+SELECT n.com AS community, n.n_nodes,
+       CAST(COALESCE(v.vol, 0) AS BIGINT) AS vol,
+       CAST(COALESCE(c.cut_w, 0) AS BIGINT) AS cut_w,
+       ROUND(COALESCE(CASE WHEN LEAST(v.vol, m2.two_m - v.vol) <= 0 THEN 0.0
+                           ELSE c.cut_w / CAST(LEAST(v.vol, m2.two_m - v.vol)
+                                               AS DOUBLE) END, 0.0), 6) AS phi
+FROM nodes n
+LEFT JOIN vol v ON n.com = v.com
+LEFT JOIN cut c ON n.com = c.com
+CROSS JOIN m2
+"""
+
+
+def q_partition_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-agreement scores between two labelings of the same
+    node set (customers by nation vs by market segment): normalized
+    mutual information and adjusted Rand index — the standard yardsticks
+    for comparing a computed community structure against ground truth.
+    The contingency table is ONE groupBy over the node set; marginals
+    and entropies are vocabulary-sized rollups broadcast into a single
+    scalar row. Pair counts use exact LONG binomials; only the final
+    normalizations are double. Scale: the node scan is the only big
+    input; everything after is |P1|×|P2| rows."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("pa"), F.col("c_mktsegment").alias("pb")
+    )
+    nij = c.groupBy("pa", "pb").agg(F.count("*").alias("n"))
+    ai = nij.groupBy("pa").agg(F.sum("n").alias("a"))
+    bj = nij.groupBy("pb").agg(F.sum("n").alias("b"))
+    tot = c.agg(F.count("*").alias("nt"))
+    pairs2 = lambda col: (F.col(col) * (F.col(col) - 1) / 2).cast("long")  # noqa: E731
+    joined = (
+        nij.join(F.broadcast(ai), "pa")
+        .join(F.broadcast(bj), "pb")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_term = (F.col("n") / F.col("nt")) * F.log(
+        (F.col("nt") * F.col("n")) / (F.col("a") * F.col("b"))
+    )
+    cell = joined.agg(
+        F.sum(mi_term).alias("mi"),
+        F.sum(pairs2("n")).alias("sij"),
+    )
+    ha = (
+        ai.crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum((F.col("a") / F.col("nt")) * F.log(F.col("a") / F.col("nt")))).alias("ha"),
+            F.sum(pairs2("a")).alias("sa"),
+            F.count("*").alias("n_parts_a"),
+        )
+    )
+    hb = (
+        bj.crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum((F.col("b") / F.col("nt")) * F.log(F.col("b") / F.col("nt")))).alias("hb"),
+            F.sum(pairs2("b")).alias("sb"),
+            F.count("*").alias("n_parts_b"),
+        )
+    )
+    tp = (F.col("nt") * (F.col("nt") - 1) / 2).cast("long")
+    exp = F.col("sa").cast("double") * F.col("sb") / tp
+    mx = (F.col("sa") + F.col("sb")) / 2.0
+    return (
+        cell.crossJoin(ha)
+        .crossJoin(hb)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nt").alias("n_nodes"),
+            "n_parts_a",
+            "n_parts_b",
+            F.round("mi", 6).alias("mi"),
+            F.round(F.col("mi") / F.sqrt(F.col("ha") * F.col("hb")), 6).alias("nmi"),
+            F.round((F.col("sij") - exp) / (mx - exp), 6).alias("ari"),
+        )
+    )
+
+
+ORACLE_PARTITION_NMI = """
+WITH c AS (
+  SELECT c_nationkey AS pa, c_mktsegment AS pb FROM customer
+),
+nij AS (SELECT pa, pb, COUNT(*) AS n FROM c GROUP BY pa, pb),
+ai AS (SELECT pa, SUM(n) AS a FROM nij GROUP BY pa),
+bj AS (SELECT pb, SUM(n) AS b FROM nij GROUP BY pb),
+tot AS (SELECT COUNT(*) AS nt FROM c),
+cell AS (
+  SELECT SUM((n / CAST(nt AS DOUBLE)) * LN((nt * n) / CAST(a * b AS DOUBLE)))
+           AS mi,
+         SUM(CAST(n * (n - 1) / 2 AS BIGINT)) AS sij
+  FROM nij JOIN ai USING (pa) JOIN bj USING (pb) CROSS JOIN tot
+),
+ha AS (
+  SELECT -SUM((a / CAST(nt AS DOUBLE)) * LN(a / CAST(nt AS DOUBLE))) AS ha,
+         SUM(CAST(a * (a - 1) / 2 AS BIGINT)) AS sa,
+         COUNT(*) AS n_parts_a
+  FROM ai CROSS JOIN tot
+),
+hb AS (
+  SELECT -SUM((b / CAST(nt AS DOUBLE)) * LN(b / CAST(nt AS DOUBLE))) AS hb,
+         SUM(CAST(b * (b - 1) / 2 AS BIGINT)) AS sb,
+         COUNT(*) AS n_parts_b
+  FROM bj CROSS JOIN tot
+)
+SELECT nt AS n_nodes, n_parts_a, n_parts_b,
+       ROUND(mi, 6) AS mi,
+       ROUND(mi / SQRT(ha * hb), 6) AS nmi,
+       ROUND((sij - CAST(sa AS DOUBLE) * sb / CAST(nt * (nt - 1) / 2 AS BIGINT))
+             / ((sa + sb) / 2.0
+                - CAST(sa AS DOUBLE) * sb / CAST(nt * (nt - 1) / 2 AS BIGINT)),
+             6) AS ari
+FROM cell CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot
+"""
+
+
+#: Borůvka round cap — components at least halve per round, so 20
+#: rounds covers graphs up to 2^20 ≈ 1M components; a backstop, not a
+#: tuning knob
+MST_MAX_ROUNDS = 20
+
+
+def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the weighted co-purchase graph by
+    distributed Borůvka (the MapReduce-friendly MST: Borůvka 1926;
+    Lattanzi et al. 2011 filtering variant): each round every
+    component picks its lightest outgoing edge under the total order
+    (w, u, v) — ONE ``min_by`` aggregate per endpoint orientation, no
+    sort — then touching components merge via min-label propagation
+    on the component-level graph (pseudo-forest ⇒ converges in a few
+    hops). Components at least halve per round ⇒ O(log n) rounds of
+    join+aggregate; per-round state is the (node → component) map.
+    The unique total order makes the forest deterministic; with all
+    weight ties broken lexicographically it is THE minimum forest
+    (total weight equals any MSF's — pinned against networkx in
+    tests/test_graph_algs.py). Rows-only by contract: the fixpoint is
+    data-dependent, not fixed-step unrollable in SQL."""
+    edges = copurchase_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            F.col("weight").cast("long").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    chosen_all = e.limit(0)
+    for _ in range(MST_MAX_ROUNDS):
+        cu = comp.select(F.col("id").alias("u"), F.col("comp").alias("cu"))
+        cv = comp.select(F.col("id").alias("v"), F.col("comp").alias("cv"))
+        ec = e.join(cu, "u").join(cv, "v").filter(F.col("cu") != F.col("cv"))
+        if ec.isEmpty():
+            break
+        cand = ec.select(F.col("cu").alias("c"), "u", "v", "w").unionByName(
+            ec.select(F.col("cv").alias("c"), "u", "v", "w")
+        )
+        best = (
+            cand.groupBy("c")
+            .agg(
+                F.min_by(
+                    F.struct("u", "v", "w"), F.struct("w", "u", "v")
+                ).alias("e")
+            )
+            .select("e.u", "e.v", "e.w")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        chosen_all = (
+            chosen_all.unionByName(best).distinct().localCheckpoint(eager=True)
+        )
+        # merge touching components: min-label propagation over the
+        # chosen component edges (a pseudo-forest: ≤1 chosen edge per
+        # component, so this closes in O(log chain) tiny rounds)
+        ce = (
+            best.join(cu, "u")
+            .join(cv, "v")
+            .select(F.col("cu").alias("a"), F.col("cv").alias("b"))
+        )
+        ce = (
+            ce.unionByName(ce.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        lbl = (
+            ce.select(F.col("a").alias("c"))
+            .distinct()
+            .select("c", F.col("c").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        while True:
+            nb = (
+                ce.join(
+                    lbl.select(F.col("c").alias("b"), F.col("lbl").alias("nlbl")),
+                    "b",
+                )
+                .groupBy(F.col("a").alias("c"))
+                .agg(F.min("nlbl").alias("mn"))
+            )
+            new_lbl = (
+                lbl.join(nb, "c", "left")
+                .select(
+                    "c",
+                    F.least(
+                        F.col("lbl"), F.coalesce("mn", F.col("lbl"))
+                    ).alias("lbl"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            moved = (
+                new_lbl.select("c", F.col("lbl").alias("nl"))
+                .join(lbl, "c")
+                .filter(F.col("nl") != F.col("lbl"))
+            )
+            done = moved.isEmpty()
+            lbl = new_lbl
+            if done:
+                break
+        comp = (
+            comp.join(
+                lbl.select(F.col("c").alias("comp"), F.col("lbl").alias("newc")),
+                "comp",
+                "left",
+            )
+            .select("id", F.coalesce("newc", F.col("comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    return chosen_all.select("u", "v", "w")
+
+
 QUERIES = {
     "q_edges_from_relational": q_edges_from_relational,
     "q_read_edgelist": q_read_edgelist,
@@ -1744,6 +2094,9 @@ QUERIES = {
     "q_random_walk": q_random_walk,
     "q_ktruss": q_ktruss,
     "q_graph_coloring": q_graph_coloring,
+    "q_conductance": q_conductance,
+    "q_partition_nmi": q_partition_nmi,
+    "q_mst_boruvka": q_mst_boruvka,
 }
 
 ORACLES = {
@@ -1780,6 +2133,10 @@ UNION ALL SELECT 'json', n_edges, total_weight FROM agg
     "q_adjacency_pivot": _oracle_adjacency_pivot(),
     "q_eccentricity": ORACLE_ECCENTRICITY,
     "q_random_walk": _oracle_random_walk(),
+    "q_conductance": ORACLE_CONDUCTANCE,
+    "q_partition_nmi": ORACLE_PARTITION_NMI,
+    # rows-only: q_mst_boruvka (data-dependent Borůvka fixpoint;
+    # networkx minimum-spanning-forest golden in tests)
     # rows-only: q_ktruss (data-dependent peel fixpoint; networkx
     # k_truss golden), q_write_edgelist (sink round-trip), q_adjacency_pivot
     # (dynamic pivot columns), q_kcore (peeling runs until a data-

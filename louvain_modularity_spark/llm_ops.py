@@ -1068,6 +1068,98 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# round-5 second batch (SURVEY §2.19): label-noise audit
+# ---------------------------------------------------------------------------
+
+#: neighbor count and audit-sample stride for the label-noise gate
+NOISE_K = 5
+NOISE_SAMPLE_MOD = 10
+
+
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning-style label-noise audit (Northcutt et al.
+    2021, the kNN-disagreement reduction): for an audit sample (every
+    10th vector) find the 5 cosine-nearest labeled neighbors and flag
+    vectors whose neighborhood majority-disagrees with their own
+    label — the standard cheap screen for mislabeled training
+    examples. Same broadcast-probe brute-force shape as q_knn_label
+    (the exact baseline; the corpus side streams, only the audit
+    sample broadcasts). The scale path swaps the exact scan for the
+    IVF bucketed lists of q_ann_ivf without changing this plan's
+    downstream aggregate. Ties in cosine break on neighbor id, so the
+    flag set is deterministic."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = _dot(F.col("embedding"), F.col("embedding"))
+    base = emb.select("vec_id", "label", "embedding", norm.alias("n2"))
+    qs = base.filter(F.pmod("vec_id", F.lit(NOISE_SAMPLE_MOD)) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("own_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    pairs = base.crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / F.sqrt(
+        F.col("q_n2") * F.col("n2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    knn = (
+        pairs.withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NOISE_K)
+    )
+    return (
+        knn.groupBy("query_id", "own_label")
+        .agg(
+            F.sum(
+                (F.col("label") != F.col("own_label")).cast("long")
+            ).alias("n_disagree")
+        )
+        .select(
+            "query_id",
+            "own_label",
+            F.col("n_disagree").cast("int").alias("n_disagree"),
+            (F.col("n_disagree") > NOISE_K // 2).alias("noisy"),
+        )
+    )
+
+
+ORACLE_LABEL_NOISE = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding,
+         {_DOT_SQL.format(a='embedding', b='embedding')} AS n2
+  FROM embeddings
+),
+qs AS (
+  SELECT vec_id AS query_id, label AS own_label,
+         embedding AS q_emb, n2 AS q_n2
+  FROM base WHERE vec_id % {NOISE_SAMPLE_MOD} = 0
+),
+pairs AS (
+  SELECT q.query_id, q.own_label, b.vec_id, b.label,
+         {_DOT_SQL.format(a='q.q_emb', b='b.embedding')}
+           / SQRT(q.q_n2 * b.n2) AS cos
+  FROM base b CROSS JOIN qs q
+  WHERE b.vec_id <> q.query_id
+),
+knn AS (
+  SELECT query_id, own_label, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM pairs
+)
+SELECT query_id, own_label,
+       CAST(SUM(CASE WHEN label <> own_label THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_disagree,
+       SUM(CASE WHEN label <> own_label THEN 1 ELSE 0 END) > {NOISE_K // 2}
+         AS noisy
+FROM knn WHERE rnk <= {NOISE_K}
+GROUP BY query_id, own_label
+"""
+
+
 QUERIES = {
     "q_text_tokens": q_text_tokens,
     "q_token_count": q_token_count,
@@ -1089,6 +1181,7 @@ QUERIES = {
     "q_sample_hash": q_sample_hash,
     "q_data_mix": q_data_mix,
     "q_udf_pandas": q_udf_pandas,
+    "q_label_noise": q_label_noise,
 }
 
 ORACLES = {
@@ -1105,6 +1198,7 @@ ORACLES = {
     "q_knn_label": ORACLE_KNN_LABEL,
     "q_ann_ivf": ORACLE_ANN_IVF,
     "q_dup_embedding": ORACLE_DUP_EMBEDDING,
+    "q_label_noise": ORACLE_LABEL_NOISE,
     "q_sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "q_data_mix": ORACLE_DATA_MIX,
     # q_sample_hash: rows-only (xxhash64-seeded membership)

@@ -66,7 +66,13 @@ def _modules():
 # q_running_distinct q_interval_overlap q_ccnet_bucket q_random_walk
 # q_substring_dup q_mode_agg q_equi_depth_hist q_gaps_islands
 # q_mad_outlier; rows-only with golden/invariant pytest: q_ktruss
-# (networkx k_truss), q_graph_coloring (properness/determinism).
+# (networkx k_truss), q_graph_coloring (properness/determinism) —
+# plus the twelve §2.19 second-batch additions — oracle-backed, local
+# DuckDB-parity green at sf0.001+sf0.01: q_markov_transitions
+# q_seasonal_baseline q_target_encode q_freq_pairs q_gopher_quality
+# q_dsir_weights q_label_noise q_conductance q_partition_nmi
+# q_reservoir_group q_zorder_layout; rows-only with networkx MSF
+# golden: q_mst_boruvka.
 #
 # Rows-only entries deliberately inside this window: q_betweenness_sampled
 # (first window ever; estimator pinned by the rank-correlation pytest) and

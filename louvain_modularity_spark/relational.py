@@ -1321,6 +1321,139 @@ FROM b GROUP BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# round-5 second batch (SURVEY §2.19): deterministic group sampling and
+# multi-dimensional data layout
+# ---------------------------------------------------------------------------
+
+#: per-group sample size for the hash-priority reservoir
+RESERVOIR_K = 5
+#: LCG multiplier/increment (glibc constants) — pseudo-random priority
+#: computable identically in any SQL engine, no RNG state
+LCG_A = 1_103_515_245
+LCG_C = 12_345
+LCG_M = 2_147_483_648  # 2^31
+
+
+def q_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample (distributed reservoir
+    semantics): every row gets a pseudo-random priority from a pure
+    LCG hash of its id — no RNG state, so the sample is identical
+    on any engine, any partitioning, any retry — and each group keeps
+    its k lowest priorities. Here expressed as one keyed window; at
+    100 TB the same priority column feeds a per-partition partial
+    top-k (groupBy + min_by heap) before the final per-group k —
+    rank-based sampling is the pattern that makes 'give me 1000 docs
+    per language' a two-aggregate plan instead of a global sort."""
+    e = load(spark, sf_dir, "events")
+    pri = (F.col("event_id") * LCG_A + LCG_C) % LCG_M
+    w = Window.partitionBy("event_type").orderBy("pri", "event_id")
+    return (
+        e.select("event_type", "event_id", "user_id", "value", pri.alias("pri"))
+        .withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= RESERVOIR_K)
+        .select(
+            "event_type",
+            F.col("smp_rank").cast("int").alias("smp_rank"),
+            "event_id",
+            "user_id",
+            "value",
+        )
+    )
+
+
+ORACLE_RESERVOIR_GROUP = f"""
+WITH pri AS (
+  SELECT event_type, event_id, user_id, value,
+         (event_id * {LCG_A} + {LCG_C}) % {LCG_M} AS pri
+  FROM events
+)
+SELECT event_type, CAST(smp_rank AS INTEGER) AS smp_rank,
+       event_id, user_id, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY pri, event_id) AS smp_rank
+  FROM pri
+) WHERE smp_rank <= {RESERVOIR_K}
+"""
+
+
+#: Morton-code bit width per dimension and bucket fan-out
+ZORDER_BITS = 16
+ZORDER_BUCKETS_SHIFT = 26  # z < 2^32 → 64 buckets
+
+
+def _morton_spark(x, y):
+    """Interleave the low 16 bits of x (even positions) and y (odd)."""
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+    return z
+
+
+def _morton_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(({x} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({y} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout assignment — the multi-dimension
+    clustering trick behind Delta/Iceberg ``OPTIMIZE ZORDER BY``: bit-
+    interleave two scan dimensions (user and value bucket) into one
+    sort key so range-partitioned files are simultaneously tight in
+    BOTH dimensions and min/max stats prune either predicate. The
+    Morton code is a pure JVM-side bit expression (32 shift/mask
+    terms, whole-stage-codegen'd, no UDF); the report aggregates
+    per-bucket extents — the min/max manifest a writer would emit —
+    via one groupBy. At scale the same key feeds
+    ``repartitionByRange(z)`` + ``sortWithinPartitions(z)`` exactly
+    like q_write_shards does for its 1-D key."""
+    e = load(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(1 << ZORDER_BITS)).cast("long")
+    y = F.pmod(
+        F.round(F.col("value") * 100).cast("long"), F.lit(1 << ZORDER_BITS)
+    )
+    z = _morton_spark(x, y)
+    return (
+        e.select(x.alias("x"), y.alias("y"), z.alias("z"))
+        .withColumn(
+            "bucket", F.shiftright(F.col("z"), ZORDER_BUCKETS_SHIFT).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+    )
+
+
+ORACLE_ZORDER_LAYOUT = f"""
+WITH base AS (
+  SELECT user_id % {1 << ZORDER_BITS} AS x,
+         CAST(ROUND(value * 100) AS BIGINT) % {1 << ZORDER_BITS} AS y
+  FROM events
+),
+coded AS (
+  SELECT x, y, {_morton_sql('x', 'y')} AS z FROM base
+)
+SELECT CAST(z >> {ZORDER_BUCKETS_SHIFT} AS INTEGER) AS bucket,
+       COUNT(*) AS n_rows,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max,
+       MIN(z) AS z_min, MAX(z) AS z_max
+FROM coded GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_scan_parquet": q_scan_parquet,
     "q_subquery_scalar": q_subquery_scalar,
@@ -1362,6 +1495,8 @@ QUERIES = {
     "q_skyline": q_skyline,
     "q_mode_agg": q_mode_agg,
     "q_equi_depth_hist": q_equi_depth_hist,
+    "q_reservoir_group": q_reservoir_group,
+    "q_zorder_layout": q_zorder_layout,
 }
 
 ORACLES = {
@@ -1402,6 +1537,8 @@ ORACLES = {
     "q_skyline": ORACLE_SKYLINE,
     "q_mode_agg": ORACLE_MODE_AGG,
     "q_equi_depth_hist": ORACLE_EQUI_DEPTH_HIST,
+    "q_reservoir_group": ORACLE_RESERVOIR_GROUP,
+    "q_zorder_layout": ORACLE_ZORDER_LAYOUT,
     # q_approx_cd: rows-only (approximate, engine-specific estimates)
     # q_hll_sketch: rows-only (sketch estimates are engine-specific)
     # q_approx_topk: rows-only (boundary tie order is engine-internal;

@@ -252,3 +252,36 @@ def test_graph_coloring_proper_and_deterministic(spark):
         assert colors[u] != colors[v], (u, v)
     max_deg = max(d for _, d in g.degree())
     assert len(set(colors.values())) <= max_deg + 1
+
+
+def test_mst_boruvka_matches_networkx(spark):
+    """Distributed Borůvka vs networkx minimum_spanning_edges on the
+    sf0.001 co-purchase graph: total weight and edge count are unique
+    across all minimum spanning forests, so they pin correctness even
+    under weight ties; the chosen edge set must also be acyclic and
+    span exactly the graph's components."""
+    from louvain_modularity_spark.graph import q_mst_boruvka
+    from louvain_modularity_spark.sources import copurchase_edges
+
+    rows = q_mst_boruvka(spark, SF).collect()
+    got_edges = {(r["u"], r["v"]) for r in rows}
+    got_weight = sum(r["w"] for r in rows)
+
+    g = nx.Graph()
+    for r in copurchase_edges(spark, SF).collect():
+        u, v = int(r["src"]), int(r["dst"])
+        if u == v:
+            continue
+        w = int(r["weight"])
+        if not g.has_edge(u, v) or g[u][v]["weight"] > w:
+            g.add_edge(u, v, weight=w)
+    msf = list(nx.minimum_spanning_edges(g, data=True))
+    want_weight = sum(d["weight"] for _, _, d in msf)
+    assert len(got_edges) == len(msf) == g.number_of_nodes() - nx.number_connected_components(g)
+    assert got_weight == want_weight
+    # acyclic + same component structure as the input graph
+    t = nx.Graph()
+    t.add_nodes_from(g.nodes())
+    t.add_edges_from(got_edges)
+    assert all(g.has_edge(u, v) for u, v in got_edges)
+    assert nx.number_connected_components(t) == nx.number_connected_components(g)
