@@ -1701,6 +1701,127 @@ WHERE n_both >= {PAIR_MIN_SUPPORT} * n_orders
 """
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: yesterday's materialized
+    aggregate state plus today's increment must equal the full
+    recompute — the pattern that keeps a 100 TB rollup fresh by
+    processing only the new partition. Here the events table is split
+    into a 'base' batch and an 'increment' batch (even/odd event_id,
+    simulating two ingest days); each side aggregates independently
+    (map-side combinable, DECIMAL-exact so merging is associative),
+    then ONE full-outer join on the group key combines states —
+    counts add, sums add, maxima take greatest. The oracle recomputes
+    from scratch; value-equality IS the maintenance-correctness
+    proof. At scale the base state is a stored table and only the
+    increment scans new data."""
+    e = load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(12,2)")
+
+    def state(df):
+        return df.groupBy(
+            "event_type", (F.col("ts_us") / F.lit(DAY_US)).cast("long").alias("day")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(dec).alias("s"),
+            F.max("value").alias("mx"),
+        )
+
+    base = state(e.filter(F.col("event_id") % 2 == 0))
+    inc = state(e.filter(F.col("event_id") % 2 == 1))
+    b, i = base.alias("b"), inc.alias("i")
+    merged = b.join(
+        i,
+        (F.col("b.event_type") == F.col("i.event_type"))
+        & (F.col("b.day") == F.col("i.day")),
+        "full_outer",
+    ).select(
+        F.coalesce("b.event_type", "i.event_type").alias("event_type"),
+        F.coalesce("b.day", "i.day").alias("day"),
+        (
+            F.coalesce("b.n", F.lit(0)) + F.coalesce("i.n", F.lit(0))
+        ).alias("n_rows"),
+        (
+            F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(12,2)"))
+            + F.coalesce(F.col("i.s"), F.lit(0).cast("decimal(12,2)"))
+        )
+        .cast("double")
+        .alias("total_value"),
+        F.greatest(
+            F.coalesce("b.mx", F.lit(float("-inf"))),
+            F.coalesce("i.mx", F.lit(float("-inf"))),
+        ).alias("max_value"),
+    )
+    return merged
+
+
+ORACLE_INCREMENTAL_AGG = f"""
+SELECT event_type,
+       CAST(epoch_us(ts) // {DAY_US} AS BIGINT) AS day,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply with delete tombstones — the third
+    leg of the upsert family (q_merge_upsert = merge, q_latest_per_key
+    = dedup): an ordered op log per key collapses to final table
+    state in ONE ``max_by`` aggregate (no window, no sort — the
+    argmax shape this repo pins for latest-per-key at scale), then
+    tombstoned keys drop. The op column derives deterministically
+    from the fixture (every 10th event is a delete); ordering ties
+    break on event_id so replay is exact. At 100 TB this is the
+    standard lakehouse CDC-compaction plan: one shuffle on the key."""
+    e = load(spark, sf_dir, "events")
+    log = e.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 10 == 9, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    last = log.groupBy("user_id").agg(
+        F.count("*").alias("n_ops"),
+        F.max_by(
+            F.struct("op", "event_type", "value"),
+            F.struct("ts_us", "event_id"),
+        ).alias("f"),
+    )
+    return (
+        last.filter(F.col("f.op") != "D")
+        .select(
+            "user_id",
+            "n_ops",
+            F.col("f.event_type").alias("last_event_type"),
+            F.col("f.value").alias("last_value"),
+        )
+    )
+
+
+ORACLE_CDC_APPLY = """
+WITH log AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+         CASE WHEN event_id % 10 = 9 THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts_us DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM log
+)
+SELECT user_id, n_ops, event_type AS last_event_type, value AS last_value
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
 QUERIES = {
     "q_stats_agg": q_stats_agg,
     "q_filtered_agg": q_filtered_agg,
@@ -1736,6 +1857,8 @@ QUERIES = {
     "q_seasonal_baseline": q_seasonal_baseline,
     "q_target_encode": q_target_encode,
     "q_freq_pairs": q_freq_pairs,
+    "q_incremental_agg": q_incremental_agg,
+    "q_cdc_apply": q_cdc_apply,
 }
 
 ORACLES = {
@@ -1773,4 +1896,6 @@ ORACLES = {
     "q_seasonal_baseline": ORACLE_SEASONAL_BASELINE,
     "q_target_encode": ORACLE_TARGET_ENCODE,
     "q_freq_pairs": ORACLE_FREQ_PAIRS,
+    "q_incremental_agg": ORACLE_INCREMENTAL_AGG,
+    "q_cdc_apply": ORACLE_CDC_APPLY,
 }
