@@ -1478,12 +1478,15 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences: one keyed ``lead`` window (state O(1) per user stream,
     orderable within each user partition at any scale) emits
-    (from_type → to_type) bigrams; counts and row-normalized
-    probabilities come from two map-side-combined aggregates with the
-    per-from totals broadcast back. The classic clickstream /
-    session-model building block — no self-join over the event table,
-    no driver state. Ties in event time break on event_id so the
-    sequence (and thus the matrix) is deterministic."""
+    (from_type → to_type) bigrams; one map-side-combined aggregate
+    counts them, and row-normalization is a window over the already
+    |types|²-sized count table — so the event scan and its window run
+    exactly ONCE (a totals-join formulation would recompute the lead
+    subtree per branch; the plan guard pins the single scan). The
+    classic clickstream / session-model building block — no self-join
+    over the event table, no driver state. Ties in event time break
+    on event_id so the sequence (and thus the matrix) is
+    deterministic."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     seq = (
@@ -1495,12 +1498,12 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.groupBy(F.col("event_type").alias("from_type"), "to_type")
         .agg(F.count("*").alias("n_trans"))
     )
-    totals = trans.groupBy("from_type").agg(F.sum("n_trans").alias("tot"))
-    return trans.join(F.broadcast(totals), "from_type").select(
+    wt = Window.partitionBy("from_type")
+    return trans.select(
         "from_type",
         "to_type",
         "n_trans",
-        F.round(F.col("n_trans") / F.col("tot"), 6).alias("p"),
+        F.round(F.col("n_trans") / F.sum("n_trans").over(wt), 6).alias("p"),
     )
 
 

@@ -502,3 +502,79 @@ def test_round5_scale_shapes(spark):
     )
     assert "collect_set" not in plan
     assert "HashAggregate" in plan
+
+
+def _plan_of(fn, spark, sf="/root/testdata/sf0.001"):
+    return fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_gopher_quality_single_pass(spark):
+    """The rule gate must stay a narrow JVM projection: no shuffle, no
+    Python worker — the one-pass-over-100TB contract."""
+    from louvain_modularity_spark.textprep import q_gopher_quality
+
+    plan = _plan_of(q_gopher_quality, spark)
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_freq_pairs_plan_shape(spark):
+    """A-priori pairs: the brand dimension must ride a broadcast hash
+    join and the basket self-join must stay an equi-join — never a
+    cartesian pair explosion."""
+    from louvain_modularity_spark.analytics import q_freq_pairs
+
+    plan = _plan_of(q_freq_pairs, spark)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_zorder_and_reservoir_jvm_side(spark):
+    """Morton interleave and LCG priorities are pure JVM expressions —
+    no Python eval anywhere in either plan; the reservoir keeps its
+    single keyed window."""
+    from louvain_modularity_spark.relational import (
+        q_reservoir_group,
+        q_zorder_layout,
+    )
+
+    zplan = _plan_of(q_zorder_layout, spark)
+    assert "EvalPython" not in zplan, zplan
+    rplan = _plan_of(q_reservoir_group, spark)
+    assert "EvalPython" not in rplan, rplan
+    assert rplan.count("Window [") == 1, rplan
+    # Spark pushes the rank<=k filter into a partial+final
+    # WindowGroupLimit — the per-partition top-k prune that makes this
+    # a bounded-state sample at any scale; pin it
+    assert "WindowGroupLimit" in rplan and "Partial" in rplan, rplan
+
+
+def test_cdc_apply_argmax_not_window(spark):
+    """CDC collapse must be the one-shuffle max_by aggregate, not a
+    sort-the-world row_number window (the repo's pinned latest-per-key
+    shape)."""
+    from louvain_modularity_spark.analytics import q_cdc_apply
+
+    plan = _plan_of(q_cdc_apply, spark)
+    assert "Window" not in plan, plan
+    assert "max_by" in plan, plan
+
+
+def test_markov_single_window(spark):
+    """The transition matrix needs exactly ONE keyed window (the lead);
+    normalization runs over the tiny aggregated count table, so the
+    event scan (and its window sort) must appear exactly once."""
+    from louvain_modularity_spark.analytics import q_markov_transitions
+
+    plan = _plan_of(q_markov_transitions, spark)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Window [") == 2, plan  # lead + tiny normalizer
+
+
+def test_conductance_no_cartesian(spark):
+    """Endpoint labeling joins + aggregate rollups only; the single
+    1-row 2m scalar broadcast is the only non-equi join allowed."""
+    from louvain_modularity_spark.graph import q_conductance
+
+    plan = _plan_of(q_conductance, spark)
+    assert "CartesianProduct" not in plan, plan
