@@ -1942,6 +1942,123 @@ FROM cell CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot
 """
 
 
+#: HITS fixed iteration budget — the oracle unrolls exactly this many
+#: alternations (like PAGERANK_ITERS)
+HITS_ITERS = 16
+#: normalize + checkpoint cadence: raw alternations keep the lineage
+#: LINEAR (a per-step normalize would evaluate each raw table twice —
+#: once for its max, once to divide — doubling work every iteration);
+#: values grow ≤ (max_w·max_deg)^cadence between rescales, far inside
+#: double range, and the cadence divides HITS_ITERS so the output is
+#: always max-normalized
+HITS_NORM_EVERY = 4
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the DIRECTED
+    customer→supplier co-purchase graph — on a bipartite graph the
+    alternating power iteration converges to the top left/right
+    singular vectors, scoring buyers (hubs) by the authority of the
+    suppliers they reach and vice versa. Each alternation is two edge
+    join+sum aggregates (the pagerank superstep shape); every
+    HITS_NORM_EVERY steps both score tables are checkpointed and
+    rescaled by their MAX — a commutative, order-exact reduction
+    (unlike an L1 sum) computed from the checkpoint, so normalization
+    never re-runs the superstep lineage. Oracle: the identical
+    recurrence unrolled as materialized CTEs (_oracle_hits),
+    value-exact; networkx ``hits`` golden (rescaled to max=1) in
+    tests/test_graph_algs.py. State per step is one score per vertex —
+    linear, shuffle count fixed, scale-ready."""
+    edges = copurchase_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    e = edges.select(
+        "src", "dst", F.col("weight").cast("double").alias("w")
+    ).localCheckpoint(eager=True)
+    hubs = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.lit(1.0).alias("hub"))
+    )
+    auth = None
+    for k in range(1, HITS_ITERS + 1):
+        auth = (
+            e.join(hubs.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("hub") * F.col("w")).alias("auth"))
+        )
+        hubs = (
+            e.join(auth.select(F.col("id").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum(F.col("auth") * F.col("w")).alias("hub"))
+        )
+        if k % HITS_NORM_EVERY == 0:
+            auth = auth.localCheckpoint(eager=True)
+            hubs = hubs.localCheckpoint(eager=True)
+            amax = auth.agg(F.max("auth").alias("m"))
+            auth = auth.crossJoin(F.broadcast(amax)).select(
+                "id", (F.col("auth") / F.col("m")).alias("auth")
+            )
+            hmax = hubs.agg(F.max("hub").alias("m"))
+            hubs = hubs.crossJoin(F.broadcast(hmax)).select(
+                "id", (F.col("hub") / F.col("m")).alias("hub")
+            )
+    return hubs.select(
+        F.lit("hub").alias("side"), "id", F.round("hub", 6).alias("score")
+    ).unionByName(
+        auth.select(
+            F.lit("authority").alias("side"),
+            "id",
+            F.round("auth", 6).alias("score"),
+        )
+    )
+
+
+def _oracle_hits() -> str:
+    """Unrolled-CTE HITS oracle: exactly HITS_ITERS raw alternations
+    with max-rescale every HITS_NORM_EVERY steps — the same recurrence
+    the Spark plan runs, term for term."""
+    parts = [
+        f"e AS MATERIALIZED (SELECT src, dst, CAST(weight AS DOUBLE) AS w"
+        f" FROM ({COPURCHASE_EDGES_SQL}) WHERE src <> dst)",
+        "h0 AS MATERIALIZED (SELECT DISTINCT src AS id,"
+        " CAST(1.0 AS DOUBLE) AS hub FROM e)",
+    ]
+    prev_h = "h0"
+    for k in range(1, HITS_ITERS + 1):
+        parts.append(
+            f"a{k} AS MATERIALIZED ("
+            f"SELECT e.dst AS id, SUM(h.hub * e.w) AS auth"
+            f" FROM {prev_h} h JOIN e ON e.src = h.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED ("
+            f"SELECT e.src AS id, SUM(a.auth * e.w) AS hub"
+            f" FROM a{k} a JOIN e ON e.dst = a.id GROUP BY e.src)"
+        )
+        prev_h = f"h{k}"
+        if k % HITS_NORM_EVERY == 0:
+            parts.append(
+                f"an{k} AS MATERIALIZED ("
+                f"SELECT id, auth / (SELECT MAX(auth) FROM a{k}) AS auth"
+                f" FROM a{k})"
+            )
+            parts.append(
+                f"hn{k} AS MATERIALIZED ("
+                f"SELECT id, hub / (SELECT MAX(hub) FROM h{k}) AS hub"
+                f" FROM h{k})"
+            )
+            prev_h = f"hn{k}"
+    n = HITS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT 'hub' AS side, id, ROUND(hub, 6) AS score FROM hn{n}
+UNION ALL
+SELECT 'authority' AS side, id, ROUND(auth, 6) AS score FROM an{n}
+"""
+    )
+
+
 #: Borůvka round cap — components at least halve per round, so 20
 #: rounds covers graphs up to 2^20 ≈ 1M components; a backstop, not a
 #: tuning knob
@@ -2097,6 +2214,7 @@ QUERIES = {
     "q_conductance": q_conductance,
     "q_partition_nmi": q_partition_nmi,
     "q_mst_boruvka": q_mst_boruvka,
+    "q_hits": q_hits,
 }
 
 ORACLES = {
@@ -2135,6 +2253,7 @@ UNION ALL SELECT 'json', n_edges, total_weight FROM agg
     "q_random_walk": _oracle_random_walk(),
     "q_conductance": ORACLE_CONDUCTANCE,
     "q_partition_nmi": ORACLE_PARTITION_NMI,
+    "q_hits": _oracle_hits(),
     # rows-only: q_mst_boruvka (data-dependent Borůvka fixpoint;
     # networkx minimum-spanning-forest golden in tests)
     # rows-only: q_ktruss (data-dependent peel fixpoint; networkx
