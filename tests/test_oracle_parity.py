@@ -2,37 +2,101 @@
 value-exactly at sf0.001 (the driver runs the same comparison at
 sf0.01); rows-only queries must run and return ≥0 rows with a stable
 schema.
+
+All comparisons execute ONCE in a session-scoped thread pool (Spark
+schedules concurrent actions from one context FIFO across its cores,
+so ~8 in-flight latency-bound queries overlap instead of serializing
+their fixed job-scheduling floors); the parametrized tests then assert
+the memoized per-query results, keeping one pytest row per query/scale
+for reporting. Isolation: each worker thread runs its OWN
+``spark.newSession()`` — same SparkContext, separate temp-view catalog
+and SQL conf — because several queries register named temp views
+(tpch_*, v_*) that concurrent scales would otherwise clobber. DuckDB
+runs on a fresh per-call connection (thread-safe); the shared
+streaming source staging is pre-created serially because its
+first-touch hardlink is the one non-reentrant step.
 """
 
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
 import pytest
-from conftest import SF_DIR
+from conftest import SF01_DIR, SF_DIR
 from oracle_check import compare
 
 from louvain_modularity_spark.registry import all_oracles, all_queries
 
 QUERIES = all_queries()
 ORACLES = all_oracles()
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+#: in-flight comparisons; latency-bound, so well above core-count ÷ 1
+_POOL = 8
+
+
+@pytest.fixture(scope="session")
+def parity_results(spark):
+    from louvain_modularity_spark.streaming import _staged_events_dir
+
+    for sf in (SF_DIR, SF01_DIR):
+        _staged_events_dir(sf)
+
+    tls = threading.local()
+
+    def my_session():
+        s = getattr(tls, "spark", None)
+        if s is None:
+            s = spark.newSession()
+            tls.spark = s
+        return s
+
+    def one_compare(name, sf):
+        try:
+            return compare(my_session(), QUERIES[name], ORACLES[name], sf, name)
+        except Exception as e:  # surface as an assertion, not a crash
+            return False, f"{name}@{sf}: {type(e).__name__}: {e}"
+
+    def one_rows(name):
+        try:
+            df = QUERIES[name](my_session(), SF_DIR)
+            if not df.columns:
+                return False, f"{name}: no columns"
+            n = df.count()
+            return n >= 0, f"{name}: {n} rows"
+        except Exception as e:
+            return False, f"{name}: {type(e).__name__}: {e}"
+
+    results = {}
+    with ThreadPoolExecutor(max_workers=_POOL) as ex:
+        futs = {
+            (name, sf): ex.submit(one_compare, name, sf)
+            for name in sorted(ORACLES)
+            for sf in (SF_DIR, SF01_DIR)
+        }
+        futs.update(
+            {(name, "rows"): ex.submit(one_rows, name) for name in ROWS_ONLY}
+        )
+        for key, fut in futs.items():
+            results[key] = fut.result()
+    return results
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_parity(spark, name):
-    ok, msg = compare(spark, QUERIES[name], ORACLES[name], SF_DIR, name)
+def test_oracle_parity(parity_results, name):
+    ok, msg = parity_results[(name, SF_DIR)]
     assert ok, msg
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_runs(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.columns, f"{name}: no columns"
-    assert df.count() >= 0
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(parity_results, name):
+    ok, msg = parity_results[(name, "rows")]
+    assert ok, msg
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_parity_sf001(spark, name):
+def test_oracle_parity_sf001(parity_results, name):
     """Same parity at sf0.01 — the scale the driver compares at;
     catches scale-dependent divergence (bin bounds, top-k ties) that
     sf0.001 can't."""
-    from conftest import SF01_DIR
-
-    ok, msg = compare(spark, QUERIES[name], ORACLES[name], SF01_DIR, name)
+    ok, msg = parity_results[(name, SF01_DIR)]
     assert ok, msg
