@@ -1825,6 +1825,235 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality expectation suite (Schelter et al.
+    2018): uniqueness, referential integrity, value range, domain
+    membership, and completeness — evaluated as ONE pass over orders
+    (every row-level predicate folds into a single map-side-combined
+    aggregate) plus one broadcast anti-join count for the foreign key.
+    Emits one row per constraint with the observed metric and a pass
+    flag — the gate a 100 TB ingest runs before publishing a
+    partition; nothing here scales worse than the scan itself."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    stats = o.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum((F.col("o_totalprice") < 0).cast("long")).alias("n_neg_price"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("n_bad_status"),
+        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("n_null_date"),
+    )
+    orphans = o.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+        "o_custkey",
+        "left_anti",
+    ).agg(F.count("*").alias("n_orphans"))
+    row = stats.crossJoin(F.broadcast(orphans))
+    checks = F.array(
+        F.struct(
+            F.lit("orderkey_unique").alias("constraint"),
+            (F.col("n") - F.col("n_keys")).alias("violations"),
+        ),
+        F.struct(
+            F.lit("custkey_references_customer").alias("constraint"),
+            F.col("n_orphans").alias("violations"),
+        ),
+        F.struct(
+            F.lit("totalprice_non_negative").alias("constraint"),
+            F.col("n_neg_price").alias("violations"),
+        ),
+        F.struct(
+            F.lit("orderstatus_in_domain").alias("constraint"),
+            F.col("n_bad_status").alias("violations"),
+        ),
+        F.struct(
+            F.lit("orderdate_complete").alias("constraint"),
+            F.col("n_null_date").alias("violations"),
+        ),
+    )
+    return row.select(F.col("n").alias("n_rows"), F.inline(checks)).select(
+        "constraint",
+        "n_rows",
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+ORACLE_EXPECTATIONS = """
+WITH stats AS (
+  SELECT COUNT(*) AS n,
+         COUNT(DISTINCT o_orderkey) AS n_keys,
+         CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_neg_price,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_date
+  FROM orders
+),
+orphans AS (
+  SELECT COUNT(*) AS n_orphans FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+),
+j AS (SELECT * FROM stats CROSS JOIN orphans)
+SELECT 'orderkey_unique' AS "constraint", n AS n_rows,
+       n - n_keys AS violations, n - n_keys = 0 AS passed FROM j
+UNION ALL
+SELECT 'custkey_references_customer', n, n_orphans, n_orphans = 0 FROM j
+UNION ALL
+SELECT 'totalprice_non_negative', n, n_neg_price, n_neg_price = 0 FROM j
+UNION ALL
+SELECT 'orderstatus_in_domain', n, n_bad_status, n_bad_status = 0 FROM j
+UNION ALL
+SELECT 'orderdate_complete', n, n_null_date, n_null_date = 0 FROM j
+"""
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (the optimizer-statistics / data-catalog shape):
+    per column, row count, null count, distinct count, min/max (native
+    order, rendered as text), and mean rendered length — all from ONE
+    aggregate over events, unpivoted to a row per column with
+    ``inline``. The multi-countDistinct expands the scan k ways
+    map-side (Spark's Expand), still a single shuffle; swap
+    ``approx_count_distinct`` in at extreme scale for the same plan
+    minus the expand."""
+    e = load(spark, sf_dir, "events")
+    agg = e.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("event_type").isNull().cast("long")).alias("et_nulls"),
+        F.countDistinct("event_type").alias("et_distinct"),
+        F.min("event_type").alias("et_min"),
+        F.max("event_type").alias("et_max"),
+        F.avg(F.length("event_type")).alias("et_len"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("uid_nulls"),
+        F.countDistinct("user_id").alias("uid_distinct"),
+        F.min("user_id").alias("uid_min"),
+        F.max("user_id").alias("uid_max"),
+        F.avg(F.length(F.col("user_id").cast("string"))).alias("uid_len"),
+        F.sum(F.col("props").isNull().cast("long")).alias("p_nulls"),
+        F.countDistinct("props").alias("p_distinct"),
+        F.min("props").alias("p_min"),
+        F.max("props").alias("p_max"),
+        F.avg(F.length("props")).alias("p_len"),
+    )
+    cols = F.array(
+        F.struct(
+            F.lit("event_type").alias("column"),
+            F.col("et_nulls").alias("n_nulls"),
+            F.col("et_distinct").alias("n_distinct"),
+            F.col("et_min").cast("string").alias("min_repr"),
+            F.col("et_max").cast("string").alias("max_repr"),
+            F.round("et_len", 6).alias("avg_len"),
+        ),
+        F.struct(
+            F.lit("user_id").alias("column"),
+            F.col("uid_nulls").alias("n_nulls"),
+            F.col("uid_distinct").alias("n_distinct"),
+            F.col("uid_min").cast("string").alias("min_repr"),
+            F.col("uid_max").cast("string").alias("max_repr"),
+            F.round("uid_len", 6).alias("avg_len"),
+        ),
+        F.struct(
+            F.lit("props").alias("column"),
+            F.col("p_nulls").alias("n_nulls"),
+            F.col("p_distinct").alias("n_distinct"),
+            F.col("p_min").cast("string").alias("min_repr"),
+            F.col("p_max").cast("string").alias("max_repr"),
+            F.round("p_len", 6).alias("avg_len"),
+        ),
+    )
+    return agg.select(F.col("n").alias("n_rows"), F.inline(cols)).select(
+        "column", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr", "avg_len"
+    )
+
+
+ORACLE_PROFILE_COLUMNS = """
+WITH a AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS et_nulls,
+         COUNT(DISTINCT event_type) AS et_distinct,
+         MIN(event_type) AS et_min, MAX(event_type) AS et_max,
+         AVG(LENGTH(event_type)) AS et_len,
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS uid_nulls,
+         COUNT(DISTINCT user_id) AS uid_distinct,
+         MIN(user_id) AS uid_min, MAX(user_id) AS uid_max,
+         AVG(LENGTH(CAST(user_id AS VARCHAR))) AS uid_len,
+         CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+         COUNT(DISTINCT props) AS p_distinct,
+         MIN(props) AS p_min, MAX(props) AS p_max,
+         AVG(LENGTH(props)) AS p_len
+  FROM events
+)
+SELECT 'event_type' AS "column", n AS n_rows, et_nulls AS n_nulls,
+       et_distinct AS n_distinct, CAST(et_min AS VARCHAR) AS min_repr,
+       CAST(et_max AS VARCHAR) AS max_repr, ROUND(et_len, 6) AS avg_len
+FROM a
+UNION ALL
+SELECT 'user_id', n, uid_nulls, uid_distinct,
+       CAST(uid_min AS VARCHAR), CAST(uid_max AS VARCHAR), ROUND(uid_len, 6)
+FROM a
+UNION ALL
+SELECT 'props', n, p_nulls, p_distinct,
+       CAST(p_min AS VARCHAR), CAST(p_max AS VARCHAR), ROUND(p_len, 6)
+FROM a
+"""
+
+
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the measurement that decides
+    between a plain shuffle join, AQE skew splitting, and manual
+    salting (q_salted_join) BEFORE burning a 100 TB shuffle: per
+    candidate key, the per-key count distribution's size, max, top-key
+    share, and max/median ratio. One groupBy per key column, then a
+    count-table-sized exact-percentile rollup (the count table is
+    |keys| rows, tiny next to the fact table)."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def profile(col, label):
+        counts = li.groupBy(col).agg(F.count("*").alias("cnt"))
+        return counts.agg(
+            F.lit(label).alias("key"),
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_share"),
+            F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99"),
+            F.round(F.max("cnt") / F.expr("percentile(cnt, 0.5)"), 6).alias(
+                "skew_ratio"
+            ),
+        )
+    return profile("l_suppkey", "l_suppkey").unionByName(
+        profile("l_partkey", "l_partkey")
+    )
+
+
+ORACLE_SKEW_STATS = """
+WITH s AS (
+  SELECT l_suppkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+),
+p AS (
+  SELECT l_partkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+)
+SELECT 'l_suppkey' AS key, COUNT(*) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_cnt,
+       ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_share,
+       ROUND(quantile_cont(cnt, 0.5), 6) AS p50,
+       ROUND(quantile_cont(cnt, 0.99), 6) AS p99,
+       ROUND(MAX(cnt) / quantile_cont(cnt, 0.5), 6) AS skew_ratio
+FROM s
+UNION ALL
+SELECT 'l_partkey', COUNT(*), CAST(SUM(cnt) AS BIGINT), MAX(cnt),
+       ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6),
+       ROUND(quantile_cont(cnt, 0.5), 6), ROUND(quantile_cont(cnt, 0.99), 6),
+       ROUND(MAX(cnt) / quantile_cont(cnt, 0.5), 6)
+FROM p
+"""
+
+
 QUERIES = {
     "q_stats_agg": q_stats_agg,
     "q_filtered_agg": q_filtered_agg,
@@ -1862,6 +2091,9 @@ QUERIES = {
     "q_freq_pairs": q_freq_pairs,
     "q_incremental_agg": q_incremental_agg,
     "q_cdc_apply": q_cdc_apply,
+    "q_expectations": q_expectations,
+    "q_profile_columns": q_profile_columns,
+    "q_skew_stats": q_skew_stats,
 }
 
 ORACLES = {
@@ -1901,4 +2133,7 @@ ORACLES = {
     "q_freq_pairs": ORACLE_FREQ_PAIRS,
     "q_incremental_agg": ORACLE_INCREMENTAL_AGG,
     "q_cdc_apply": ORACLE_CDC_APPLY,
+    "q_expectations": ORACLE_EXPECTATIONS,
+    "q_profile_columns": ORACLE_PROFILE_COLUMNS,
+    "q_skew_stats": ORACLE_SKEW_STATS,
 }
