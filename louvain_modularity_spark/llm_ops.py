@@ -1069,6 +1069,90 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5 second batch (SURVEY §2.19): asymmetric containment dedup
+# ---------------------------------------------------------------------------
+
+#: minimum directed containment to report (quote/subset detection)
+CONTAIN_MIN = 0.5
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment C(A→B) = |A∩B|/|A| — the
+    asymmetric cousin of Jaccard that catches quotes, excerpts, and
+    supersets (a short doc fully embedded in a long one scores
+    containment 1.0 but Jaccard ≪ 1, so symmetric dedup misses it;
+    Broder 1997 distinguishes exactly these two resemblance measures).
+    Same skew-capped inverted-index join as ngram_jaccard_pairs — the
+    intersection is computed once per unordered pair, then emitted in
+    both directions against each side's own shingle-set size."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_of(d).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+    )
+    fwd = common.select(
+        F.col("doc_a").alias("src_doc"),
+        F.col("doc_b").alias("dst_doc"),
+        "n_common",
+        F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment"),
+    )
+    rev = common.select(
+        F.col("doc_b").alias("src_doc"),
+        F.col("doc_a").alias("dst_doc"),
+        "n_common",
+        F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= CONTAIN_MIN)
+
+
+ORACLE_CONTAINMENT = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             unnest(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)) AS i
+      FROM documents
+    )
+  )
+  WHERE shingle <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+both_dirs AS (
+  SELECT doc_a AS src_doc, doc_b AS dst_doc, n_common,
+         ROUND(CAST(n_common AS DOUBLE) / sa.n_sh, 6) AS containment
+  FROM common JOIN sizes sa ON sa.doc_id = doc_a
+  UNION ALL
+  SELECT doc_b, doc_a, n_common,
+         ROUND(CAST(n_common AS DOUBLE) / sb.n_sh, 6)
+  FROM common JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT * FROM both_dirs WHERE containment >= {CONTAIN_MIN}
+"""
+
+
+# ---------------------------------------------------------------------------
 # round-5 second batch (SURVEY §2.19): label-noise audit
 # ---------------------------------------------------------------------------
 
@@ -1182,6 +1266,7 @@ QUERIES = {
     "q_data_mix": q_data_mix,
     "q_udf_pandas": q_udf_pandas,
     "q_label_noise": q_label_noise,
+    "q_containment": q_containment,
 }
 
 ORACLES = {
@@ -1199,6 +1284,7 @@ ORACLES = {
     "q_ann_ivf": ORACLE_ANN_IVF,
     "q_dup_embedding": ORACLE_DUP_EMBEDDING,
     "q_label_noise": ORACLE_LABEL_NOISE,
+    "q_containment": ORACLE_CONTAINMENT,
     "q_sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "q_data_mix": ORACLE_DATA_MIX,
     # q_sample_hash: rows-only (xxhash64-seeded membership)

@@ -833,6 +833,81 @@ GROUP BY t.doc_id, t.lang
 """
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram cross-entropy (bits/bigram) under an
+    add-1-smoothed corpus bigram LM — the next rung above
+    q_unigram_surprise on the cheap-perplexity ladder (a bigram model
+    penalizes scrambled word salad that unigram statistics cannot
+    see): p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V). One keyed lead window
+    emits the bigram stream; two map-side-combined aggregates build
+    the LM; the conditional-probability table joins back on the bigram
+    key (broadcast here, plain shuffle join at corpus scale — the
+    plan is otherwise unchanged); one per-doc aggregate scores. All
+    engine-portable integer counts until the final log."""
+    d = load(spark, sf_dir, "documents")
+    t = tokens_of(d).filter(F.col("token") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        t.withColumn("nxt", F.lead("token").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", "token", "nxt")
+    )
+    c12 = bg.groupBy("token", "nxt").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("token").agg(F.count("*").alias("c1"))
+    v = t.agg(F.countDistinct("token").alias("v"))
+    lm = (
+        c12.join(c1, "token")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "token",
+            "nxt",
+            (
+                -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+                / F.log(F.lit(2.0))
+            ).alias("bits"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(lm), ["token", "nxt"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("bits") / F.count("*"), 6).alias("bits_per_bigram"),
+        )
+    )
+
+
+ORACLE_BIGRAM_LM = """
+WITH t AS (
+  SELECT doc_id, pos, token FROM (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+  ) WHERE token <> ''
+),
+bg AS (
+  SELECT doc_id, token, nxt FROM (
+    SELECT doc_id, token,
+           LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM t
+  ) WHERE nxt IS NOT NULL
+),
+c12 AS (SELECT token, nxt, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT token, COUNT(*) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT token) AS v FROM t),
+lm AS (
+  SELECT c12.token, c12.nxt,
+         -LN((c12.c12 + 1.0) / (c1.c1 + v.v)) / LN(2.0) AS bits
+  FROM c12 JOIN c1 USING (token) CROSS JOIN v
+)
+SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(SUM(lm.bits) / COUNT(*), 6) AS bits_per_bigram
+FROM bg JOIN lm ON bg.token = lm.token AND bg.nxt = lm.nxt
+GROUP BY bg.doc_id
+"""
+
+
 QUERIES = {
     "q_chunk_sliding": q_chunk_sliding,
     "q_ngram_counts": q_ngram_counts,
@@ -851,6 +926,7 @@ QUERIES = {
     "q_ccnet_bucket": q_ccnet_bucket,
     "q_gopher_quality": q_gopher_quality,
     "q_dsir_weights": q_dsir_weights,
+    "q_bigram_lm": q_bigram_lm,
 }
 
 ORACLES = {
@@ -871,4 +947,5 @@ ORACLES = {
     "q_ccnet_bucket": ORACLE_CCNET_BUCKET,
     "q_gopher_quality": ORACLE_GOPHER_QUALITY,
     "q_dsir_weights": ORACLE_DSIR_WEIGHTS,
+    "q_bigram_lm": ORACLE_BIGRAM_LM,
 }
