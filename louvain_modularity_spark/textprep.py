@@ -908,6 +908,78 @@ GROUP BY bg.doc_id
 """
 
 
+#: number of BPE merge rounds to learn
+BPE_MERGES = 8
+
+
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning (Sennrich et al. 2016):
+    learn the first BPE_MERGES merges over the corpus. The scale
+    design: the corpus collapses ONCE to a (word, count) table — BPE
+    statistics only ever depend on the weighted word VOCABULARY, which
+    is orders of magnitude smaller than 100 TB of text — and each
+    merge round is (a) one explode→groupBy counting weighted adjacent
+    symbol pairs, (b) a 1-row argmax collect (a bounded scalar, the
+    k-means-centroid convention), (c) a JVM higher-order fold applying
+    the merge left-to-right non-overlapping to every word's symbol
+    array. Ties break on (count DESC, left ASC, right ASC) so the
+    learned vocabulary is deterministic. Rows-only by contract (each
+    round's merge pair becomes a plan literal — data-dependent, not
+    SQL-expressible); a pure-Python reference implementation pins the
+    exact merge list in tests/test_textprep_extra.py."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        tokens_of(d)
+        .filter(F.col("token") != "")
+        .groupBy(F.col("token").alias("word"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = words.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "IF(size(syms) < 2, cast(array() AS array<struct<l:string,r:string>>),"
+                    " transform(sequence(1, size(syms) - 1),"
+                    "  i -> struct(element_at(syms, i) AS l,"
+                    "              element_at(syms, i + 1) AS r)))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, n = best[0]["l"], best[0]["r"], best[0]["n"]
+        merges.append((rank, l, r, l + r, n))
+        fold = (
+            "aggregate(syms, cast(array() AS array<string>), (acc, s) ->"
+            f" IF(size(acc) > 0 AND element_at(acc, -1) = '{l}' AND s = '{r}',"
+            f"    concat(slice(acc, 1, size(acc) - 1), array('{l}{r}')),"
+            "    concat(acc, array(s))))"
+        )
+        words = words.select(
+            "word", "cnt", F.expr(fold).alias("syms")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank INT, left STRING, right STRING, merged STRING, pair_count LONG"
+    )
+
+
 QUERIES = {
     "q_chunk_sliding": q_chunk_sliding,
     "q_ngram_counts": q_ngram_counts,
@@ -927,6 +999,7 @@ QUERIES = {
     "q_gopher_quality": q_gopher_quality,
     "q_dsir_weights": q_dsir_weights,
     "q_bigram_lm": q_bigram_lm,
+    "q_bpe_learn": q_bpe_learn,
 }
 
 ORACLES = {

@@ -146,3 +146,52 @@ def test_multimodal_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_payload("image")
+
+
+def test_bpe_learn_matches_reference(spark):
+    """Distributed BPE vs a pure-Python reference implementation of
+    Sennrich-style merge learning on the same word-count table — the
+    learned merge list (pairs, order, and weighted counts) must match
+    exactly under the pinned (count DESC, left ASC, right ASC)
+    tie-break."""
+    from collections import Counter
+
+    import duckdb
+
+    from louvain_modularity_spark.textprep import BPE_MERGES, q_bpe_learn
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in q_bpe_learn(spark, SF_DIR).collect()
+    ]
+
+    wc = duckdb.sql(
+        f"""
+        SELECT token, COUNT(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS token
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+        ) WHERE token <> '' GROUP BY token
+        """
+    ).fetchall()
+    vocab = {w: (list(w), c) for w, c in wc}
+    want = []
+    for rank in range(1, BPE_MERGES + 1):
+        counts = Counter()
+        for syms, c in vocab.values():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += c
+        if not counts:
+            break
+        (l, r), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rank, l, r, l + r, n))
+        for w, (syms, c) in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            vocab[w] = (out, c)
+    assert got == want
