@@ -1454,6 +1454,149 @@ FROM coded GROUP BY 1
 """
 
 
+#: Bloom filter geometry: m bits as m/32 words (shift < 32 keeps the
+#: mask positive and inside every engine's checked-shift range), k=2
+BLOOM_M = 4096
+BLOOM_NATION = 7
+
+
+def _bloom_hashes(key):
+    h1 = (key * F.lit(2_654_435_761)) % BLOOM_M
+    h2 = (key * F.lit(40_503) + F.lit(17)) % BLOOM_M
+    return h1, h2
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom-filter build + probe (Bloom 1970) — the
+    runtime-filter pattern behind semi-join pushdown: build a 4096-bit
+    filter over the dim-side keys (suppliers of one nation) as 128
+    32-bit LONG words via ONE explode→bit_or aggregate, broadcast those 128
+    rows, and pre-gate the fact scan before any shuffle would happen —
+    at 100 TB this is the difference between shuffling every lineitem
+    and shuffling ~nation's share + the false positives. Probe is two
+    broadcast word lookups + bit tests, all JVM integer arithmetic.
+    The report quantifies the gate: rows in, rows passing the filter,
+    true members, false positives, and the measured FP rate (exact —
+    the whole pipeline is integer-deterministic, so the oracle
+    reproduces the filter bit-for-bit)."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == BLOOM_NATION
+    )
+    h1, h2 = _bloom_hashes(F.col("s_suppkey"))
+    words = (
+        supp.select(F.explode(F.array(h1, h2)).alias("h"))
+        .select(
+            (F.col("h") / 32).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    p1, p2 = _bloom_hashes(F.col("l_suppkey"))
+    probe = li.select(
+        "l_suppkey",
+        (p1 / 32).cast("long").alias("w1_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT),"
+            f" CAST((l_suppkey * 2654435761) % {BLOOM_M} % 32 AS INT))"
+        ).alias("m1"),
+        (p2 / 32).cast("long").alias("w2_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT),"
+            f" CAST((l_suppkey * 40503 + 17) % {BLOOM_M} % 32 AS INT))"
+        ).alias("m2"),
+    )
+    probed = (
+        probe.join(
+            F.broadcast(words.select(F.col("word_idx").alias("w1_idx"), F.col("word").alias("w1"))),
+            "w1_idx",
+            "left",
+        )
+        .join(
+            F.broadcast(words.select(F.col("word_idx").alias("w2_idx"), F.col("word").alias("w2"))),
+            "w2_idx",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                supp.select(F.col("s_suppkey").alias("l_suppkey")).withColumn(
+                    "is_member", F.lit(True)
+                )
+            ),
+            "l_suppkey",
+            "left",
+        )
+    )
+    passes = (
+        F.col("w1").isNotNull()
+        & F.col("w2").isNotNull()
+        & (F.col("w1").bitwiseAND(F.col("m1")) != 0)
+        & (F.col("w2").bitwiseAND(F.col("m2")) != 0)
+    )
+    member = F.coalesce("is_member", F.lit(False))
+    return probed.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(passes.cast("long")).alias("n_pass"),
+        F.sum(member.cast("long")).alias("n_true"),
+        F.sum((passes & ~member).cast("long")).alias("n_fp"),
+        F.round(
+            F.sum((passes & ~member).cast("long"))
+            / F.sum((~member).cast("long")),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+ORACLE_BLOOM_PREFILTER = f"""
+WITH keys AS (
+  SELECT s_suppkey FROM supplier WHERE s_nationkey = {BLOOM_NATION}
+),
+hashes AS (
+  SELECT (s_suppkey * 2654435761) % {BLOOM_M} AS h FROM keys
+  UNION ALL
+  SELECT (s_suppkey * 40503 + 17) % {BLOOM_M} AS h FROM keys
+),
+words AS (
+  SELECT h // 32 AS word_idx,
+         bit_or(1::BIGINT << CAST(h % 32 AS INTEGER)) AS word
+  FROM hashes GROUP BY 1
+),
+probe AS (
+  SELECT l_suppkey,
+         ((l_suppkey * 2654435761) % {BLOOM_M}) // 32 AS w1_idx,
+         1::BIGINT << CAST((l_suppkey * 2654435761) % {BLOOM_M} % 32 AS INTEGER) AS m1,
+         ((l_suppkey * 40503 + 17) % {BLOOM_M}) // 32 AS w2_idx,
+         1::BIGINT << CAST((l_suppkey * 40503 + 17) % {BLOOM_M} % 32 AS INTEGER) AS m2
+  FROM lineitem
+),
+joined AS (
+  SELECT p.*, a.word AS w1, b.word AS w2,
+         k.s_suppkey IS NOT NULL AS is_member
+  FROM probe p
+  LEFT JOIN words a ON p.w1_idx = a.word_idx
+  LEFT JOIN words b ON p.w2_idx = b.word_idx
+  LEFT JOIN keys k ON p.l_suppkey = k.s_suppkey
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN w1 IS NOT NULL AND w2 IS NOT NULL
+                      AND (w1 & m1) <> 0 AND (w2 & m2) <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN w1 IS NOT NULL AND w2 IS NOT NULL
+                      AND (w1 & m1) <> 0 AND (w2 & m2) <> 0 AND NOT is_member
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+       ROUND(SUM(CASE WHEN w1 IS NOT NULL AND w2 IS NOT NULL
+                       AND (w1 & m1) <> 0 AND (w2 & m2) <> 0 AND NOT is_member
+                      THEN 1 ELSE 0 END)
+             / CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS DOUBLE),
+             6) AS fp_rate
+FROM joined
+"""
+
+
 QUERIES = {
     "q_scan_parquet": q_scan_parquet,
     "q_subquery_scalar": q_subquery_scalar,
@@ -1497,6 +1640,7 @@ QUERIES = {
     "q_equi_depth_hist": q_equi_depth_hist,
     "q_reservoir_group": q_reservoir_group,
     "q_zorder_layout": q_zorder_layout,
+    "q_bloom_prefilter": q_bloom_prefilter,
 }
 
 ORACLES = {
@@ -1539,6 +1683,7 @@ ORACLES = {
     "q_equi_depth_hist": ORACLE_EQUI_DEPTH_HIST,
     "q_reservoir_group": ORACLE_RESERVOIR_GROUP,
     "q_zorder_layout": ORACLE_ZORDER_LAYOUT,
+    "q_bloom_prefilter": ORACLE_BLOOM_PREFILTER,
     # q_approx_cd: rows-only (approximate, engine-specific estimates)
     # q_hll_sketch: rows-only (sketch estimates are engine-specific)
     # q_approx_topk: rows-only (boundary tie order is engine-internal;
