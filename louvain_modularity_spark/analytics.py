@@ -1655,28 +1655,33 @@ def q_freq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both sides hash the same key, one exchange each)."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    ob = (
-        li.join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
-            li.l_partkey == F.col("p_partkey"),
-        )
-        .select("l_orderkey", "p_brand")
-        .distinct()
+    ob = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select("l_orderkey", "p_brand")
+    # ONE shuffle on the basket key collapses each order to its sorted
+    # distinct brand set; in-basket pair enumeration is then a pure
+    # JVM array expression (a distinct + self-join formulation would
+    # shuffle the basket table twice more)
+    baskets = (
+        ob.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        # both consumers (pair counts + basket total) read this once;
+        # without the checkpoint Spark re-runs the scan+shuffle per
+        # branch (no exchange reuse across the scalar crossJoin)
+        .localCheckpoint(eager=True)
+    )
+    combos = F.expr(
+        "flatten(transform(brands, (x, i) ->"
+        " transform(slice(brands, i + 2, size(brands)),"
+        "  y -> struct(x AS brand_a, y AS brand_b))))"
     )
     pairs = (
-        ob.alias("x")
-        .join(
-            ob.alias("y"),
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.p_brand") < F.col("y.p_brand")),
-        )
-        .groupBy(
-            F.col("x.p_brand").alias("brand_a"),
-            F.col("y.p_brand").alias("brand_b"),
-        )
+        baskets.select(F.explode(combos).alias("p"))
+        .groupBy("p.brand_a", "p.brand_b")
         .agg(F.count("*").alias("n_both"))
     )
-    n_orders = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    n_orders = baskets.agg(F.count("*").alias("n_orders"))
     return (
         pairs.crossJoin(F.broadcast(n_orders))
         .withColumn("support", F.round(F.col("n_both") / F.col("n_orders"), 6))

@@ -770,23 +770,26 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
-    cc = t.groupBy("token").agg(F.count("*").alias("cc"))
-    ct = (
-        t.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("token")
-        .agg(F.count("*").alias("ct"))
-    )
-    scalars = cc.agg(
-        F.count("*").alias("v"), F.sum("cc").alias("nc")
-    ).crossJoin(
-        t.filter(F.col("lang") == DSIR_TARGET_LANG).agg(
-            F.count("*").alias("nt")
+    # ONE aggregate builds BOTH language models: the target-slice count
+    # is a conditional sum inside the corpus groupBy (a separate
+    # filtered aggregate would re-explode the corpus a second time)
+    counts = (
+        t.groupBy("token")
+        .agg(
+            F.count("*").alias("cc"),
+            F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias("ct"),
         )
+        # vocabulary-sized; checkpointed so the scalar rollup and the
+        # ratio table don't each re-run the corpus explode
+        .localCheckpoint(eager=True)
+    )
+    scalars = counts.agg(
+        F.count("*").alias("v"),
+        F.sum("cc").alias("nc"),
+        F.sum("ct").alias("nt"),
     )
     lm = (
-        cc.join(ct, "token", "left")
-        .fillna(0, subset=["ct"])
-        .crossJoin(F.broadcast(scalars))
+        counts.crossJoin(F.broadcast(scalars))
         .select(
             "token",
             (

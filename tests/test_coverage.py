@@ -519,14 +519,15 @@ def test_gopher_quality_single_pass(spark):
 
 
 def test_freq_pairs_plan_shape(spark):
-    """A-priori pairs: the brand dimension must ride a broadcast hash
-    join and the basket self-join must stay an equi-join — never a
-    cartesian pair explosion."""
+    """A-priori pairs: in-basket enumeration is a JVM array expression
+    over the checkpointed basket table — the final plan must contain
+    no cartesian operator and NO further parquet scans (each source was
+    read exactly once while materializing the baskets)."""
     from louvain_modularity_spark.analytics import q_freq_pairs
 
     plan = _plan_of(q_freq_pairs, spark)
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("FileScan parquet") == 0, plan
 
 
 def test_zorder_and_reservoir_jvm_side(spark):
