@@ -1754,7 +1754,7 @@ def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact; only the final ratio is double. Nothing here is
     quadratic — at 100 TB this is two shuffles on the community key."""
     edges = copurchase_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    nodecom = _nation_communities(spark, sf_dir)
+    nodecom = _nation_communities(spark, sf_dir).localCheckpoint(eager=True)
     e2 = (
         edges.select("src", "dst", F.col("weight").cast("long").alias("w"))
         .join(
@@ -1769,6 +1769,9 @@ def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "dst",
         )
+        # four consumers (volume, cut, 2m, and the union's second leg)
+        # — checkpoint so the co-purchase derivation joins run once
+        .localCheckpoint(eager=True)
     )
     both_ends = e2.select(F.col("com_src").alias("com"), "w").unionByName(
         e2.select(F.col("com_dst").alias("com"), "w")
@@ -1854,10 +1857,16 @@ def q_partition_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("pa"), F.col("c_mktsegment").alias("pb")
     )
-    nij = c.groupBy("pa", "pb").agg(F.count("*").alias("n"))
+    # |P1|×|P2| rows; checkpointed so the three downstream rollups
+    # (cell sums and both marginals) scan the node set exactly once
+    nij = (
+        c.groupBy("pa", "pb")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     ai = nij.groupBy("pa").agg(F.sum("n").alias("a"))
     bj = nij.groupBy("pb").agg(F.sum("n").alias("b"))
-    tot = c.agg(F.count("*").alias("nt"))
+    tot = nij.agg(F.sum("n").alias("nt"))
     pairs2 = lambda col: (F.col(col) * (F.col(col) - 1) / 2).cast("long")  # noqa: E731
     joined = (
         nij.join(F.broadcast(ai), "pa")

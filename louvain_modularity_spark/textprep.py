@@ -848,12 +848,17 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan is otherwise unchanged); one per-doc aggregate scores. All
     engine-portable integer counts until the final log."""
     d = load(spark, sf_dir, "documents")
-    t = tokens_of(d).filter(F.col("token") != "")
+    # token stream and bigram stream each feed multiple consumers
+    # (vocab scalar; LM counts + final scoring join) — checkpoint both
+    # so the explode and the lead window run exactly once (the cluster
+    # analogue is persist(DISK_ONLY) on the same two tables)
+    t = tokens_of(d).filter(F.col("token") != "").localCheckpoint(eager=True)
     w = Window.partitionBy("doc_id").orderBy("pos")
     bg = (
         t.withColumn("nxt", F.lead("token").over(w))
         .filter(F.col("nxt").isNotNull())
         .select("doc_id", "token", "nxt")
+        .localCheckpoint(eager=True)
     )
     c12 = bg.groupBy("token", "nxt").agg(F.count("*").alias("c12"))
     c1 = bg.groupBy("token").agg(F.count("*").alias("c1"))
