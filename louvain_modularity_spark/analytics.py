@@ -1608,9 +1608,12 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = F.col("o_totalprice").cast("decimal(18,2)")
     per_key = o.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), F.sum(dec).alias("s")
-    )
-    glob = o.agg(
-        F.sum(dec).alias("gs"), F.count("*").alias("gn")
+    ).localCheckpoint(eager=True)
+    # the global mean rolls up from the (tiny, checkpointed) per-key
+    # state — DECIMAL addition is associative, so this equals a direct
+    # scan without paying for one
+    glob = per_key.agg(
+        F.sum("s").alias("gs"), F.sum("n").alias("gn")
     )
     gmean = F.col("gs").cast("double") / F.col("gn")
     raw = F.col("s").cast("double") / F.col("n")
@@ -2016,23 +2019,33 @@ def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-table-sized exact-percentile rollup (the count table is
     |keys| rows, tiny next to the fact table)."""
     li = load(spark, sf_dir, "lineitem")
-
-    def profile(col, label):
-        counts = li.groupBy(col).agg(F.count("*").alias("cnt"))
-        return counts.agg(
-            F.lit(label).alias("key"),
-            F.count("*").alias("n_keys"),
-            F.sum("cnt").alias("n_rows"),
-            F.max("cnt").alias("max_cnt"),
-            F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_share"),
-            F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99"),
-            F.round(F.max("cnt") / F.expr("percentile(cnt, 0.5)"), 6).alias(
-                "skew_ratio"
-            ),
-        )
-    return profile("l_suppkey", "l_suppkey").unionByName(
-        profile("l_partkey", "l_partkey")
+    # both candidate keys profile from ONE scan: explode each row into
+    # (key-name, key-value) pairs, then a single (key, k) groupBy
+    kv = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_suppkey").alias("key"),
+                    F.col("l_suppkey").alias("k"),
+                ),
+                F.struct(
+                    F.lit("l_partkey").alias("key"),
+                    F.col("l_partkey").alias("k"),
+                ),
+            )
+        ).alias("e")
+    )
+    counts = kv.groupBy("e.key", "e.k").agg(F.count("*").alias("cnt"))
+    return counts.groupBy("key").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_share"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99"),
+        F.round(F.max("cnt") / F.expr("percentile(cnt, 0.5)"), 6).alias(
+            "skew_ratio"
+        ),
     )
 
 
