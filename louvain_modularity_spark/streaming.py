@@ -506,6 +506,57 @@ GROUP BY event_type
 """
 
 
+def q_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability (the StreamingQueryProgress surface a
+    production pipeline monitors): run the tumbling aggregation to
+    completion and report the ENGINE'S OWN telemetry — rows ingested
+    across all micro-batches and rows held in the state store — as a
+    table. Both numbers are data-determined, not timing-determined
+    (availableNow drains everything; complete-mode window state is one
+    row per live (window, type) group), so a SQL oracle can recompute
+    them from the batch table: ingested = COUNT(*), state rows =
+    COUNT(DISTINCT (hour-window, event_type)). That the engine's
+    telemetry matches first-principles SQL is exactly the check an
+    on-call engineer does when a dashboard looks wrong."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts_ltz", "10 minutes")
+        .groupBy(F.window("ts_ltz", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    input_rows = 0
+    state_rows = 0
+    for p in q.recentProgress:
+        input_rows += int(p["numInputRows"])
+        ops = p.get("stateOperators") or []
+        if ops:
+            state_rows = int(ops[0]["numRowsTotal"])
+    n_batches = sum(1 for p in q.recentProgress if int(p["numInputRows"]) > 0)
+    return spark.createDataFrame(
+        [(input_rows, state_rows, n_batches >= 1)],
+        "input_rows LONG, state_rows LONG, ingested_any BOOLEAN",
+    )
+
+
+ORACLE_STREAM_METRICS = """
+SELECT COUNT(*) AS input_rows,
+       (SELECT COUNT(*) FROM (
+          SELECT DISTINCT date_trunc('hour', ts), event_type FROM events
+        )) AS state_rows,
+       COUNT(*) > 0 AS ingested_any
+FROM events
+"""
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_sliding": q_stream_sliding,
@@ -519,6 +570,7 @@ QUERIES = {
     # registered last on purpose: keeps this round's first-50 driver
     # correctness window stable (see registry._modules ordering note)
     "q_stream_foreach_batch": q_stream_foreach_batch,
+    "q_stream_metrics": q_stream_metrics,
 }
 
 ORACLES = {
@@ -531,6 +583,7 @@ ORACLES = {
     "q_stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
     "q_stream_file_sink": ORACLE_STREAM_FILE_SINK,
     "q_stream_foreach_batch": ORACLE_STREAM_FOREACH_BATCH,
+    "q_stream_metrics": ORACLE_STREAM_METRICS,
     # rows-only: q_stream_watermark (append-mode emission depends on
     # final-batch watermark advancement; semantics pinned in tests)
 }
