@@ -1420,6 +1420,10 @@ def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = (
         e.join(F.broadcast(med), "event_type")
         .select("event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev"))
+        # consumed by the MAD aggregate AND the final gate — checkpoint
+        # so the events scan runs twice total (median pass + this),
+        # not three times (the cluster analogue is persist(DISK_ONLY))
+        .localCheckpoint(eager=True)
     )
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(adev, 0.5)").alias("mad")
