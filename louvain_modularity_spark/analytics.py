@@ -2076,6 +2076,92 @@ FROM p
 """
 
 
+#: attribution lookback window (7 days, micros)
+ATTRIB_WINDOW_US = 7 * 86_400_000_000
+#: event types that count as marketing touches
+ATTRIB_TOUCHES = ("click", "view")
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — the marketing-analytics workhorse:
+    every purchase is credited to the user's most recent prior touch
+    (click/view) within a 7-day lookback, else 'organic'. ONE keyed
+    window carries the latest touch forward as an ignore-nulls
+    ``last`` over the mixed event stream (no self-join of purchases
+    against touches — the naive range join explodes at scale; this is
+    O(1) state per user stream), then a per-channel rollup reports
+    attributed purchases, exact DECIMAL revenue, and mean
+    touch-to-purchase delay. Ties in event time break on event_id."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin(*ATTRIB_TOUCHES),
+            F.struct(
+                F.col("ts_us").alias("t_ts"), F.col("event_type").alias("t_type")
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    pur = (
+        e.select("user_id", "event_id", "ts_us", "event_type", "value")
+        .withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+    )
+    expired = F.col("touch").isNull() | (
+        F.col("ts_us") - F.col("touch.t_ts") > ATTRIB_WINDOW_US
+    )
+    channel = F.when(expired, F.lit("organic")).otherwise(F.col("touch.t_type"))
+    delay = F.when(~expired, F.col("ts_us") - F.col("touch.t_ts"))
+    return (
+        pur.select(
+            channel.alias("channel"),
+            F.col("value").cast("decimal(12,2)").alias("v"),
+            delay.alias("delay_us"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("v").cast("double").alias("revenue"),
+            F.round(
+                F.sum("delay_us").cast("double") / F.count("delay_us") / 1e6, 6
+            ).alias("avg_delay_sec"),
+        )
+    )
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH o AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN struct_pack(t_ts := epoch_us(ts),
+                                          t_type := event_type) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+),
+pur AS (
+  SELECT CASE WHEN touch IS NULL OR ts_us - touch.t_ts > {ATTRIB_WINDOW_US}
+              THEN 'organic' ELSE touch.t_type END AS channel,
+         CAST(value AS DECIMAL(12,2)) AS v,
+         CASE WHEN touch IS NOT NULL
+               AND ts_us - touch.t_ts <= {ATTRIB_WINDOW_US}
+              THEN ts_us - touch.t_ts END AS delay_us
+  FROM o WHERE event_type = 'purchase'
+)
+SELECT channel, COUNT(*) AS n_purchases,
+       CAST(SUM(v) AS DOUBLE) AS revenue,
+       ROUND(CAST(SUM(delay_us) AS DOUBLE) / COUNT(delay_us) / 1e6, 6)
+         AS avg_delay_sec
+FROM pur GROUP BY channel
+"""
+
+
 QUERIES = {
     "q_stats_agg": q_stats_agg,
     "q_filtered_agg": q_filtered_agg,
@@ -2116,6 +2202,7 @@ QUERIES = {
     "q_expectations": q_expectations,
     "q_profile_columns": q_profile_columns,
     "q_skew_stats": q_skew_stats,
+    "q_attribution": q_attribution,
 }
 
 ORACLES = {
@@ -2158,4 +2245,5 @@ ORACLES = {
     "q_expectations": ORACLE_EXPECTATIONS,
     "q_profile_columns": ORACLE_PROFILE_COLUMNS,
     "q_skew_stats": ORACLE_SKEW_STATS,
+    "q_attribution": ORACLE_ATTRIBUTION,
 }

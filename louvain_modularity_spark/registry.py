@@ -73,7 +73,8 @@ def _modules():
 # q_dsir_weights q_label_noise q_conductance q_partition_nmi
 # q_reservoir_group q_zorder_layout q_incremental_agg q_cdc_apply
 # q_hits q_expectations q_profile_columns q_skew_stats q_containment
-# q_bigram_lm q_bloom_prefilter q_stream_metrics; rows-only with exact Python
+# q_bigram_lm q_bloom_prefilter q_stream_metrics q_attribution;
+# rows-only with exact Python
 # merge-list golden:
 # q_bpe_learn;
 # rows-only with networkx MSF golden: q_mst_boruvka.
