@@ -338,6 +338,53 @@ GROUP BY l_returnflag
 """
 
 
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-handling surface: the ``try_*`` family returns NULL
+    where strict ANSI evaluation would raise — division by zero,
+    malformed casts, out-of-range array access, failed number parses.
+    The probe inputs derive from customer columns so every failure
+    mode actually occurs in-data. The oracle reproduces each NULL with
+    explicit CASE guards (DuckDB's strict operators would error), so
+    parity proves the documented NULL-on-error semantics, not just
+    the happy path."""
+    c = load(spark, sf_dir, "customer")
+    zero_or_mod = (F.col("c_custkey") % 3).cast("long")
+    digits_or_junk = F.when(
+        F.col("c_custkey") % 2 == 0, F.col("c_custkey").cast("string")
+    ).otherwise(F.concat(F.lit("x"), F.col("c_custkey").cast("string")))
+    arr = F.array(F.lit(10), F.lit(20), F.lit(30))
+    idx = (F.col("c_custkey") % 5).cast("int")
+    return c.select(
+        "c_custkey",
+        F.try_divide(F.col("c_custkey").cast("long"), zero_or_mod).alias(
+            "div_or_null"
+        ),
+        digits_or_junk.try_cast("long").alias("cast_or_null"),
+        F.try_element_at(arr, idx + 1).alias("elem_or_null"),
+        F.try_to_number(digits_or_junk, F.lit("999999999")).cast("double").alias(
+            "parse_or_null"
+        ),
+    )
+
+
+ORACLE_FN_TRY = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 3 = 0 THEN NULL
+            ELSE c_custkey / CAST(c_custkey % 3 AS DOUBLE) END AS div_or_null,
+       TRY_CAST(CASE WHEN c_custkey % 2 = 0 THEN CAST(c_custkey AS VARCHAR)
+                     ELSE 'x' || CAST(c_custkey AS VARCHAR) END
+                AS BIGINT) AS cast_or_null,
+       CASE WHEN c_custkey % 5 + 1 BETWEEN 1 AND 3
+            THEN [10, 20, 30][CAST(c_custkey % 5 + 1 AS INTEGER)] END
+         AS elem_or_null,
+       CAST(TRY_CAST(CASE WHEN c_custkey % 2 = 0
+                          THEN CAST(c_custkey AS VARCHAR)
+                          ELSE 'x' || CAST(c_custkey AS VARCHAR) END
+                     AS BIGINT) AS DOUBLE) AS parse_or_null
+FROM customer
+"""
+
+
 QUERIES = {
     "q_fn_string": q_fn_string,
     "q_fn_date": q_fn_date,
@@ -348,6 +395,7 @@ QUERIES = {
     "q_fn_map": q_fn_map,
     "q_fn_json": q_fn_json,
     "q_fn_variant": q_fn_variant,
+    "q_fn_try": q_fn_try,
 }
 
 ORACLES = {
@@ -360,4 +408,5 @@ ORACLES = {
     "q_fn_map": ORACLE_FN_MAP,
     "q_fn_json": ORACLE_FN_JSON,
     "q_fn_variant": ORACLE_FN_VARIANT,
+    "q_fn_try": ORACLE_FN_TRY,
 }
