@@ -579,3 +579,38 @@ def test_conductance_no_cartesian(spark):
 
     plan = _plan_of(q_conductance, spark)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_attribution_no_join_single_window(spark):
+    """Last-touch attribution must be ONE carried window over the
+    mixed stream — a purchase×touch range join would explode at scale;
+    the plan must contain no join operator at all."""
+    from louvain_modularity_spark.analytics import q_attribution
+
+    plan = _plan_of(q_attribution, spark)
+    assert "Join" not in plan, plan
+    assert plan.count("Window [") == 1, plan
+
+
+def test_bloom_probe_all_broadcast(spark):
+    """The Bloom probe must never shuffle the fact table: every join
+    in the plan (word lookups, membership truth) is broadcast."""
+    from louvain_modularity_spark.relational import q_bloom_prefilter
+
+    plan = _plan_of(q_bloom_prefilter, spark)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_checkpointed_single_scans(spark):
+    """The multiply-consumed derivations (conductance's labeled edges,
+    bigram LM's token/bigram streams) are checkpointed — their final
+    plans must not re-scan parquet at all; DSIR re-reads the corpus
+    exactly once (the scoring pass) with its LM checkpointed."""
+    from louvain_modularity_spark.graph import q_conductance
+    from louvain_modularity_spark.textprep import q_bigram_lm, q_dsir_weights
+
+    assert _plan_of(q_conductance, spark).count("FileScan parquet") == 0
+    assert _plan_of(q_bigram_lm, spark).count("FileScan parquet") == 0
+    assert _plan_of(q_dsir_weights, spark).count("FileScan parquet") == 1
