@@ -1069,6 +1069,64 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5 second batch (SURVEY §2.19): dataset splitting
+# ---------------------------------------------------------------------------
+
+#: split fractions (train / val, remainder = test) and the LCG that
+#: assigns them (pure function of doc_id — identical on any engine,
+#: any partitioning, any retry; same constants as q_reservoir_group)
+SPLIT_TRAIN = 0.8
+SPLIT_VAL = 0.9
+SPLIT_A = 1_103_515_245
+SPLIT_C = 12_345
+SPLIT_M = 2_147_483_648
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) — the dataset-
+    versioning requirement: membership must be a pure function of the
+    example id so the split is identical across engines, reruns, and
+    cluster layouts (a ``rand()`` split silently reshuffles on retry).
+    One narrow projection assigns the split from an LCG hash; the
+    report aggregates per (lang, split) with each split's share of its
+    language — the check that stratification holds per slice."""
+    d = load(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * SPLIT_A + SPLIT_C) % SPLIT_M) / F.lit(float(SPLIT_M))
+    split = (
+        F.when(u < SPLIT_TRAIN, "train")
+        .when(u < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    per = d.select("lang", split.alias("split")).groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs")
+    )
+    wl = Window.partitionBy("lang")
+    return per.select(
+        "lang",
+        "split",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(wl), 6).alias("share"),
+    )
+
+
+ORACLE_TRAIN_SPLIT = f"""
+WITH s AS (
+  SELECT lang,
+         CASE WHEN ((doc_id * {SPLIT_A} + {SPLIT_C}) % {SPLIT_M})
+                   / CAST({SPLIT_M} AS DOUBLE) < {SPLIT_TRAIN} THEN 'train'
+              WHEN ((doc_id * {SPLIT_A} + {SPLIT_C}) % {SPLIT_M})
+                   / CAST({SPLIT_M} AS DOUBLE) < {SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+per AS (SELECT lang, split, COUNT(*) AS n_docs FROM s GROUP BY 1, 2)
+SELECT lang, split, n_docs,
+       ROUND(n_docs / SUM(n_docs) OVER (PARTITION BY lang), 6) AS share
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
 # round-5 second batch (SURVEY §2.19): asymmetric containment dedup
 # ---------------------------------------------------------------------------
 
@@ -1267,6 +1325,7 @@ QUERIES = {
     "q_udf_pandas": q_udf_pandas,
     "q_label_noise": q_label_noise,
     "q_containment": q_containment,
+    "q_train_split": q_train_split,
 }
 
 ORACLES = {
@@ -1285,6 +1344,7 @@ ORACLES = {
     "q_dup_embedding": ORACLE_DUP_EMBEDDING,
     "q_label_noise": ORACLE_LABEL_NOISE,
     "q_containment": ORACLE_CONTAINMENT,
+    "q_train_split": ORACLE_TRAIN_SPLIT,
     "q_sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "q_data_mix": ORACLE_DATA_MIX,
     # q_sample_hash: rows-only (xxhash64-seeded membership)

@@ -73,7 +73,8 @@ def _modules():
 # q_dsir_weights q_label_noise q_conductance q_partition_nmi
 # q_reservoir_group q_zorder_layout q_incremental_agg q_cdc_apply
 # q_hits q_expectations q_profile_columns q_skew_stats q_containment
-# q_bigram_lm q_bloom_prefilter q_stream_metrics q_attribution q_fn_try;
+# q_bigram_lm q_bloom_prefilter q_stream_metrics q_attribution q_fn_try
+# q_train_split;
 # rows-only with exact Python
 # merge-list golden:
 # q_bpe_learn;
