@@ -1411,7 +1411,11 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket extents — the min/max manifest a writer would emit —
     via one groupBy. At scale the same key feeds
     ``repartitionByRange(z)`` + ``sortWithinPartitions(z)`` exactly
-    like q_write_shards does for its 1-D key."""
+    like q_write_shards does for its 1-D key. Measured payoff and the
+    two deployment pitfalls (rank-normalize dimensions to equal bit
+    budgets; evaluate with quantile cutoffs): scripts/stress_zorder.py
+    and SCALE.md §2 — 2/32 files read for a 2-D octant box vs 4/32
+    (x-sorted) and 32/32 (unsorted)."""
     e = load(spark, sf_dir, "events")
     x = F.pmod(F.col("user_id"), F.lit(1 << ZORDER_BITS)).cast("long")
     y = F.pmod(
