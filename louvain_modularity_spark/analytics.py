@@ -2162,6 +2162,95 @@ FROM pur GROUP BY channel
 """
 
 
+#: A/B test arms (event types whose value distributions we compare)
+AB_ARM_A = "purchase"
+AB_ARM_B = "view"
+
+
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic between two event-type arms —
+    the experimentation-platform primitive: compare the value
+    distributions of 'purchase' vs 'view' without assuming equal
+    variances. ONE conditional-sum aggregate over the scan produces
+    both arms' exact DECIMAL moments (count, sum, sum of squares);
+    the t statistic and Welch-Satterthwaite degrees of freedom are
+    scalar arithmetic on that single row. This is the one-pass shape
+    an always-on experiment pipeline runs per metric per day at any
+    scale."""
+    e = load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(12,2)")
+    in_a = F.col("event_type") == AB_ARM_A
+    in_b = F.col("event_type") == AB_ARM_B
+    row = e.agg(
+        F.sum(in_a.cast("long")).alias("na"),
+        F.sum(F.when(in_a, dec)).alias("sa"),
+        F.sum(F.when(in_a, dec * dec)).alias("qa"),
+        F.sum(in_b.cast("long")).alias("nb"),
+        F.sum(F.when(in_b, dec)).alias("sb"),
+        F.sum(F.when(in_b, dec * dec)).alias("qb"),
+    )
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    va = (F.col("qa").cast("double") - F.col("sa").cast("double") * ma) / (
+        F.col("na") - 1
+    )
+    vb = (F.col("qb").cast("double") - F.col("sb").cast("double") * mb) / (
+        F.col("nb") - 1
+    )
+    se2a = va / F.col("na")
+    se2b = vb / F.col("nb")
+    t = (ma - mb) / F.sqrt(se2a + se2b)
+    df = (se2a + se2b) * (se2a + se2b) / (
+        se2a * se2a / (F.col("na") - 1) + se2b * se2b / (F.col("nb") - 1)
+    )
+    return row.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"),
+    )
+
+
+ORACLE_AB_TTEST = f"""
+WITH m AS (
+  SELECT CAST(SUM(CASE WHEN event_type = '{AB_ARM_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS na,
+         SUM(CASE WHEN event_type = '{AB_ARM_A}'
+                  THEN CAST(value AS DECIMAL(12,2)) END) AS sa,
+         SUM(CASE WHEN event_type = '{AB_ARM_A}'
+                  THEN CAST(value AS DECIMAL(12,2))
+                       * CAST(value AS DECIMAL(12,2)) END) AS qa,
+         CAST(SUM(CASE WHEN event_type = '{AB_ARM_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb,
+         SUM(CASE WHEN event_type = '{AB_ARM_B}'
+                  THEN CAST(value AS DECIMAL(12,2)) END) AS sb,
+         SUM(CASE WHEN event_type = '{AB_ARM_B}'
+                  THEN CAST(value AS DECIMAL(12,2))
+                       * CAST(value AS DECIMAL(12,2)) END) AS qb
+  FROM events
+),
+d AS (
+  SELECT na, nb,
+         CAST(sa AS DOUBLE) / na AS ma,
+         CAST(sb AS DOUBLE) / nb AS mb,
+         (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) / na))
+           / (na - 1) AS va,
+         (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * (CAST(sb AS DOUBLE) / nb))
+           / (nb - 1) AS vb
+  FROM m
+)
+SELECT na AS n_a, nb AS n_b,
+       ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+       ROUND((ma - mb) / SQRT(va / na + vb / nb), 6) AS t_stat,
+       ROUND((va / na + vb / nb) * (va / na + vb / nb)
+             / ((va / na) * (va / na) / (na - 1)
+                + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS welch_df
+FROM d
+"""
+
+
 QUERIES = {
     "q_stats_agg": q_stats_agg,
     "q_filtered_agg": q_filtered_agg,
@@ -2203,6 +2292,7 @@ QUERIES = {
     "q_profile_columns": q_profile_columns,
     "q_skew_stats": q_skew_stats,
     "q_attribution": q_attribution,
+    "q_ab_ttest": q_ab_ttest,
 }
 
 ORACLES = {
@@ -2246,4 +2336,5 @@ ORACLES = {
     "q_profile_columns": ORACLE_PROFILE_COLUMNS,
     "q_skew_stats": ORACLE_SKEW_STATS,
     "q_attribution": ORACLE_ATTRIBUTION,
+    "q_ab_ttest": ORACLE_AB_TTEST,
 }

@@ -916,6 +916,75 @@ GROUP BY bg.doc_id
 """
 
 
+#: session-path prefix length (events per session kept in the path key)
+PATH_PREFIX = 5
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining (the product-analytics 'flow' view): after
+    30-minute-gap sessionization, each session's first five event
+    types become an ordered path key, counted corpus-wide — the table
+    behind every 'where do users go after signup?' sankey. One keyed
+    window pair (lag-gap marker + running session id, sharing a single
+    user_id shuffle, same as q_sessionize), then one per-session
+    aggregate whose order is pinned by array_sort over (ts, id, type)
+    structs — collect_list alone is partition-order-nondeterministic,
+    the classic silent-corruption bug this formulation avoids."""
+    ev = load(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_sess = F.when(
+        F.col("ts_us") - F.lag("ts_us").over(w_ord) >= GAP_30M_US, 1
+    ).otherwise(0)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = ev.select(
+        "user_id", "ts_us", "event_id", "event_type", new_sess.alias("ns")
+    ).withColumn("session_id", F.sum("ns").over(w_run))
+    paths = (
+        marked.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "struct(ts_us, event_id, event_type))),"
+                        " x -> x.event_type)"
+                    ),
+                    1,
+                    PATH_PREFIX,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+
+
+ORACLE_SESSION_PATHS = f"""
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   >= {GAP_30M_US}
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts_us, event_id, event_type,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+paths AS (
+  SELECT user_id, session_id,
+         array_to_string(
+           list_slice(list(event_type ORDER BY ts_us, event_id),
+                      1, {PATH_PREFIX}), '>') AS path
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+"""
+
+
 #: number of BPE merge rounds to learn
 BPE_MERGES = 8
 
@@ -1008,6 +1077,7 @@ QUERIES = {
     "q_dsir_weights": q_dsir_weights,
     "q_bigram_lm": q_bigram_lm,
     "q_bpe_learn": q_bpe_learn,
+    "q_session_paths": q_session_paths,
 }
 
 ORACLES = {
@@ -1029,4 +1099,5 @@ ORACLES = {
     "q_gopher_quality": ORACLE_GOPHER_QUALITY,
     "q_dsir_weights": ORACLE_DSIR_WEIGHTS,
     "q_bigram_lm": ORACLE_BIGRAM_LM,
+    "q_session_paths": ORACLE_SESSION_PATHS,
 }
