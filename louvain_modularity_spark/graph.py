@@ -1951,6 +1951,57 @@ FROM cell CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot
 """
 
 
+#: recursive-CTE BFS source vertex and hop bound
+RCTE_SOURCE = 0
+RCTE_MAX_HOPS = 4
+
+_RCTE_BODY = """
+WITH RECURSIVE reach(id, hops) AS (
+  SELECT CAST({source} AS BIGINT) AS id, 0 AS hops
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN {edges} e ON e.src = r.id
+  WHERE r.hops < {max_hops}
+)
+SELECT id, CAST(MIN(hops) AS INT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY id
+"""
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (SQL:1999 WITH RECURSIVE, supported by Spark 4's
+    parser): bounded-depth BFS from vertex 0 over symmetrized karate,
+    returning each reachable vertex's hop distance AND its ≤4-hop walk
+    count — the declarative sibling of the engine's iterative
+    DataFrame BFS (q_bfs_hops), exercising the recursion feature
+    itself. The hop bound caps the walk expansion (an unbounded
+    recursive UNION ALL over a cyclic graph diverges — the reason the
+    engine's O(diameter) algorithms are anti-join frontier loops, not
+    recursive CTEs); both engines run the IDENTICAL recursive SQL, so
+    the oracle also pins Spark's recursion semantics against an
+    independent implementation."""
+    sym = symmetrize(karate_edges(spark)).select("src", "dst")
+    sym.createOrReplaceTempView("rcte_edges")
+    return spark.sql(
+        _RCTE_BODY.format(
+            source=RCTE_SOURCE, edges="rcte_edges", max_hops=RCTE_MAX_HOPS
+        )
+    )
+
+
+def _oracle_recursive_cte() -> str:
+    # WITH RECURSIVE heads the whole CTE list (SQL:1999); the karate
+    # derivation and symmetrization ride along as plain members
+    body = _RCTE_BODY.format(
+        source=RCTE_SOURCE, edges="sym", max_hops=RCTE_MAX_HOPS
+    ).replace("WITH RECURSIVE ", "", 1)
+    return (
+        f"WITH RECURSIVE e0 AS ({_KARATE_SQL}),\n"
+        "sym AS (SELECT src, dst FROM e0 WHERE src <> dst"
+        " UNION ALL SELECT dst, src FROM e0 WHERE src <> dst),\n" + body
+    )
+
+
 #: HITS fixed iteration budget — the oracle unrolls exactly this many
 #: alternations (like PAGERANK_ITERS)
 HITS_ITERS = 16
@@ -2224,6 +2275,7 @@ QUERIES = {
     "q_partition_nmi": q_partition_nmi,
     "q_mst_boruvka": q_mst_boruvka,
     "q_hits": q_hits,
+    "q_recursive_cte": q_recursive_cte,
 }
 
 ORACLES = {
@@ -2263,6 +2315,7 @@ UNION ALL SELECT 'json', n_edges, total_weight FROM agg
     "q_conductance": ORACLE_CONDUCTANCE,
     "q_partition_nmi": ORACLE_PARTITION_NMI,
     "q_hits": _oracle_hits(),
+    "q_recursive_cte": _oracle_recursive_cte(),
     # rows-only: q_mst_boruvka (data-dependent Borůvka fixpoint;
     # networkx minimum-spanning-forest golden in tests)
     # rows-only: q_ktruss (data-dependent peel fixpoint; networkx

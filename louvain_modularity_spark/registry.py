@@ -74,7 +74,7 @@ def _modules():
 # q_reservoir_group q_zorder_layout q_incremental_agg q_cdc_apply
 # q_hits q_expectations q_profile_columns q_skew_stats q_containment
 # q_bigram_lm q_bloom_prefilter q_stream_metrics q_attribution q_fn_try
-# q_train_split q_ab_ttest q_session_paths;
+# q_train_split q_ab_ttest q_session_paths q_recursive_cte;
 # rows-only with exact Python
 # merge-list golden:
 # q_bpe_learn;
