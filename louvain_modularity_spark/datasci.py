@@ -1,0 +1,648 @@
+"""Data-science / evaluation / reconciliation primitives (SURVEY.md
+§2.20): mergeable frequency sketches, weighted order statistics,
+ranking-quality metrics, time-decayed counters, entity-resolution
+blocking, customer segmentation, and snapshot reconciliation.
+
+Every query here follows the repo's exactness conventions: integer /
+DECIMAL arithmetic wherever a sum crosses an engine boundary, IEEE
+exactly-rounded ops (+ − × ÷) for anything that must hash-match
+DuckDB bit-for-bit, and a single trailing ROUND only where a final
+scalar division is displayed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .sources import load
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+#: sketch geometry: depth d=4 pairwise-independent-ish hash rows, width 256
+CM_DEPTH = 4
+CM_WIDTH = 256
+CM_PRIME = 2_147_483_647  # 2^31 − 1; (key+1)·A + B stays well inside int64
+CM_A = [1103515245, 1299709, 104729, 7919]
+CM_B = [12345, 7, 27644437, 104723]
+
+
+def _cm_slot(key_col, i: int):
+    """Row-i Count-Min slot: ((k+1)·A_i + B_i) mod P mod W — carter-
+    wegman style universal hash spelled in +·% only, so Spark and
+    DuckDB produce identical int64 results."""
+    return (
+        (key_col + F.lit(1)) * F.lit(CM_A[i]) + F.lit(CM_B[i])
+    ) % F.lit(CM_PRIME) % F.lit(CM_WIDTH)
+
+
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over lineitem part frequencies with exact
+    error accounting: build the d×w counter matrix, then report the
+    sketch estimate vs the true count for the top-10 parts (count
+    desc, key asc) — est ≥ true always (one-sided error).
+
+    100 TB shape: per-key counts collapse map-side in ONE groupBy;
+    the sketch is then d·|keys| tiny rows into a ≤ d·w counter table
+    (a mergeable sketch: counter matrices from separate corpora ADD).
+    The probe side joins the ≤1024-row counter table broadcast — the
+    corpus is scanned once, checkpointed, and reused for truth and
+    sketch. At 100 TB the modulus is applied per-term before the
+    multiply to stay in int64 for arbitrary key magnitudes.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    kc = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    hashed = kc.select(
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("depth"),
+                        _cm_slot(F.col("l_partkey"), i).alias("slot"),
+                    )
+                    for i in range(CM_DEPTH)
+                ]
+            )
+        ).alias("h"),
+    )
+    counters = hashed.groupBy("h.depth", "h.slot").agg(F.sum("cnt").alias("c"))
+    top10 = kc.orderBy(F.desc("cnt"), "l_partkey").limit(10)
+    probes = top10.select(
+        "l_partkey",
+        F.col("cnt").alias("true_cnt"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("depth"),
+                        _cm_slot(F.col("l_partkey"), i).alias("slot"),
+                    )
+                    for i in range(CM_DEPTH)
+                ]
+            )
+        ).alias("h"),
+    )
+    return (
+        probes.join(
+            F.broadcast(counters),
+            (probes["h.depth"] == counters["depth"])
+            & (probes["h.slot"] == counters["slot"]),
+        )
+        .groupBy("l_partkey", "true_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+        .select(
+            "l_partkey",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+        )
+    )
+
+
+_CM_A_SQL = "[" + ",".join(str(a) for a in CM_A) + "]"
+_CM_B_SQL = "[" + ",".join(str(b) for b in CM_B) + "]"
+
+ORACLE_COUNT_MIN = f"""
+WITH kc AS (
+  SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1
+),
+depths AS (SELECT unnest([1,2,3,4]) AS depth),
+counters AS (
+  SELECT depth,
+         ((((k + 1) * ({_CM_A_SQL})[depth] + ({_CM_B_SQL})[depth])
+           % {CM_PRIME}) % {CM_WIDTH}) AS slot,
+         CAST(SUM(cnt) AS BIGINT) AS c
+  FROM kc CROSS JOIN depths
+  GROUP BY 1, 2
+),
+top10 AS (SELECT k, cnt FROM kc ORDER BY cnt DESC, k LIMIT 10)
+SELECT t.k                        AS l_partkey,
+       t.cnt                      AS true_cnt,
+       MIN(c.c)                   AS est_cnt,
+       MIN(c.c) - t.cnt           AS overcount
+FROM top10 t
+CROSS JOIN depths d
+JOIN counters c
+  ON c.depth = d.depth
+ AND c.slot = ((((t.k + 1) * ({_CM_A_SQL})[d.depth] + ({_CM_B_SQL})[d.depth])
+                % {CM_PRIME}) % {CM_WIDTH})
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted median
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag: the
+    smallest price whose cumulative quantity reaches half the group's
+    total (the exact weighted-percentile definition, integer compare
+    2·cum ≥ tot so no division ever happens).
+
+    100 TB shape: the scan collapses to one row per (flag, price)
+    map-side; the cumulative window then runs over the collapsed
+    value-histogram (bounded by distinct prices), not the corpus —
+    the same histogram-first trick as q_equi_depth_hist.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("w")
+    )
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_win = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("w").over(win).alias("cum"),
+        F.sum("w").over(tot_win).alias("tot"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("wmedian"),
+            F.min("tot").alias("total_qty"),
+        )
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH hist AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+  FROM hist
+)
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS wmedian,
+       MIN(tot)             AS total_qty
+FROM cum
+WHERE 2 * cum >= tot
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ranking quality: Mann-Whitney AUC
+# ---------------------------------------------------------------------------
+
+
+def q_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected ROC AUC of the event ``value`` as a score for
+    predicting purchases, via the Mann-Whitney U statistic on average
+    ranks. All arithmetic stays in integers (U is doubled so tie
+    mid-ranks are whole) until the single final division.
+
+    100 TB shape: the corpus collapses to a per-distinct-score
+    histogram (one map-side-combined groupBy); the rank walk is a
+    window over the histogram, not the events; the final reduce is a
+    3-scalar aggregate. No global sort of raw rows ever happens.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "purchase").cast("long").alias("pos")
+    )
+    g = e.groupBy("value").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("p")
+    )
+    win = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "n",
+        "p",
+        F.coalesce(F.sum("n").over(win), F.lit(0)).alias("cum_before"),
+    )
+    agg = ranked.agg(
+        F.sum("p").alias("n_pos"),
+        (F.sum("n") - F.sum("p")).alias("n_neg"),
+        F.sum(
+            F.col("p") * (F.lit(2) * F.col("cum_before") + F.col("n") + F.lit(1))
+        ).alias("u2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("u2") - F.col("n_pos") * (F.col("n_pos") + F.lit(1)))
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+ORACLE_AUC_RANK = """
+WITH g AS (
+  SELECT value,
+         count(*) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT n, p,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM g
+),
+agg AS (
+  SELECT CAST(SUM(p) AS BIGINT)          AS n_pos,
+         CAST(SUM(n) - SUM(p) AS BIGINT) AS n_neg,
+         CAST(SUM(p * (2 * cum_before + n + 1)) AS BIGINT) AS u2
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       ROUND((u2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg), 6) AS auc
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed popularity counter
+# ---------------------------------------------------------------------------
+
+#: decay time constant: 7 days in microseconds
+DECAY_TAU_DAYS = 7.0
+
+
+def q_decayed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed popularity score per event type: each event
+    contributes 1/(1 + Δdays/τ) where Δ is its age vs the corpus
+    max timestamp (τ = 7 days). A hyperbolic kernel is used instead
+    of exp() because + − × ÷ are IEEE exactly-rounded and therefore
+    bit-identical across engines, while libm exp/pow are only
+    faithfully rounded; an exponential kernel drops in by swapping
+    one expression. Per-row weights are quantized to DECIMAL(16,12)
+    so the corpus sum is order-independent (exact decimal addition),
+    immune to partial-aggregation ordering at any scale.
+
+    100 TB shape: one scalar max broadcast back over the scan, one
+    map-side-combined groupBy — the classic "decayed counter" that
+    replaces windowed re-aggregation of full history.
+    """
+    e = load(spark, sf_dir, "events")
+    tmax = e.agg(F.max("ts_us").alias("tmax"))
+    delta_days = (F.col("tmax") - F.col("ts_us")) / F.lit(86400.0 * 1e6)
+    w = F.lit(1.0) / (F.lit(1.0) + delta_days / F.lit(DECAY_TAU_DAYS))
+    return (
+        e.crossJoin(F.broadcast(tmax))
+        .select("event_type", F.round(w, 12).cast("decimal(16,12)").alias("wq"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("wq").cast("double"), 6).alias("decayed_score"),
+        )
+    )
+
+
+ORACLE_DECAYED_COUNT = f"""
+WITH t AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events)
+SELECT event_type,
+       count(*) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(
+           1.0 / (1.0 + ((t.tmax - epoch_us(ts)) / 86400000000.0)
+                         / {DECAY_TAU_DAYS}), 12) AS DECIMAL(16,12))) AS DOUBLE), 6)
+         AS decayed_score
+FROM events CROSS JOIN t
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood entity-resolution blocking (Hernández & Stolfo 1995)
+# ---------------------------------------------------------------------------
+
+#: neighborhood width: each record pairs with its w successors in-block
+SNM_WINDOW = 3
+#: edit-distance acceptance gate
+SNM_MAX_DIST = 1
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution candidates over customer
+    names: sort within hash-friendly blocks (the name's leading digit
+    prefix), slide a w=3 window via lead(), keep pairs within
+    levenshtein distance 1. Output: candidate pair keys + distance.
+
+    100 TB shape: the sort is PER BLOCK (a window partitioned by the
+    sort-key prefix), never a global single-partition sort; the
+    candidate set is O(n·w) rather than the O(n²) all-pairs compare.
+    Cross-block boundary pairs are traded away exactly as in the
+    published multi-pass SNM method (a second pass with a shifted
+    block key would recover them).
+    """
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 10, 7).alias("blk")
+    )
+    win = Window.partitionBy("blk").orderBy("c_name")
+    leads = c.select(
+        "c_custkey",
+        "c_name",
+        *[
+            F.lead("c_custkey", i).over(win).alias(f"k{i}")
+            for i in range(1, SNM_WINDOW + 1)
+        ],
+        *[
+            F.lead("c_name", i).over(win).alias(f"n{i}")
+            for i in range(1, SNM_WINDOW + 1)
+        ],
+    )
+    with_leads = leads.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"k{i}").alias("b_key"),
+                        F.col(f"n{i}").alias("b_name"),
+                    )
+                    for i in range(1, SNM_WINDOW + 1)
+                ]
+            )
+        ).alias("nb"),
+    )
+    return (
+        with_leads.filter(F.col("nb.b_key").isNotNull())
+        .select(
+            F.col("c_custkey").alias("a_key"),
+            F.col("nb.b_key").alias("b_key"),
+            F.levenshtein("c_name", F.col("nb.b_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= SNM_MAX_DIST)
+    )
+
+
+ORACLE_SORTED_NEIGHBORHOOD = f"""
+WITH c AS (
+  SELECT c_custkey, c_name, substring(c_name, 10, 7) AS blk FROM customer
+),
+leads AS (
+  SELECT c_custkey AS a_key, c_name AS a_name,
+         lead(c_custkey, 1) OVER w AS k1, lead(c_name, 1) OVER w AS n1,
+         lead(c_custkey, 2) OVER w AS k2, lead(c_name, 2) OVER w AS n2,
+         lead(c_custkey, 3) OVER w AS k3, lead(c_name, 3) OVER w AS n3
+  FROM c
+  WINDOW w AS (PARTITION BY blk ORDER BY c_name)
+),
+pairs AS (
+  SELECT a_key, a_name, k1 AS b_key, n1 AS b_name FROM leads
+  UNION ALL SELECT a_key, a_name, k2, n2 FROM leads
+  UNION ALL SELECT a_key, a_name, k3, n3 FROM leads
+)
+SELECT a_key, b_key,
+       CAST(levenshtein(a_name, b_name) AS INTEGER) AS dist
+FROM pairs
+WHERE b_key IS NOT NULL AND levenshtein(a_name, b_name) <= {SNM_MAX_DIST}
+"""
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency / frequency / monetary
+    from the orders fact, quintile scores (ntile with a custkey
+    tiebreak so every rank is total-ordered and engine-independent),
+    a rule-based segment label, and a per-segment rollup.
+
+    100 TB shape: the fact collapses to one row per customer first
+    (map-side combine), so the three ntile windows sort the CUSTOMER
+    DIMENSION, not the fact; at dimension cardinalities where even
+    that sort hurts, the quantile boundaries would come from one
+    exact-percentile aggregate as in q_equi_depth_hist. Monetary is
+    summed as DECIMAL — exact and order-independent.
+    """
+    o = load(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    cust = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.min("maxd"), F.max("o_orderdate")).alias("rec_days"),
+            F.count("*").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("mon"),
+        )
+    )
+    r_q = F.ntile(5).over(Window.orderBy("rec_days", "o_custkey"))
+    f_q = F.ntile(5).over(Window.orderBy(F.desc("freq"), F.col("o_custkey")))
+    m_q = F.ntile(5).over(Window.orderBy(F.desc("mon"), F.col("o_custkey")))
+    scored = cust.select(
+        "rec_days",
+        "freq",
+        "mon",
+        r_q.alias("r_q"),
+        f_q.alias("f_q"),
+        m_q.alias("m_q"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_q") <= 2) & (F.col("f_q") <= 2) & (F.col("m_q") <= 2),
+            "champion",
+        )
+        .when((F.col("r_q") >= 4) & ((F.col("f_q") <= 2) | (F.col("m_q") <= 2)), "at_risk")
+        .when(F.col("f_q") <= 2, "loyal")
+        .when(F.col("m_q") <= 2, "big_spender")
+        .when(F.col("r_q") >= 4, "hibernating")
+        .otherwise("regular")
+    )
+    return (
+        scored.select(seg.alias("segment"), "rec_days", "freq", "mon")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("rec_days"), 2).alias("avg_recency_days"),
+            F.round(F.avg("freq"), 2).alias("avg_frequency"),
+            F.sum("mon").cast("double").alias("total_monetary"),
+        )
+    )
+
+
+ORACLE_RFM = """
+WITH t AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+cust AS (
+  SELECT o_custkey,
+         CAST(datediff('day', MAX(o_orderdate), MIN(t.maxd)) AS INTEGER) AS rec_days,
+         count(*) AS freq,
+         SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS mon
+  FROM orders CROSS JOIN t
+  GROUP BY 1
+),
+scored AS (
+  SELECT rec_days, freq, mon,
+         ntile(5) OVER (ORDER BY rec_days, o_custkey)     AS r_q,
+         ntile(5) OVER (ORDER BY freq DESC, o_custkey)    AS f_q,
+         ntile(5) OVER (ORDER BY mon DESC, o_custkey)     AS m_q
+  FROM cust
+),
+seg AS (
+  SELECT CASE
+           WHEN r_q <= 2 AND f_q <= 2 AND m_q <= 2 THEN 'champion'
+           WHEN r_q >= 4 AND (f_q <= 2 OR m_q <= 2) THEN 'at_risk'
+           WHEN f_q <= 2 THEN 'loyal'
+           WHEN m_q <= 2 THEN 'big_spender'
+           WHEN r_q >= 4 THEN 'hibernating'
+           ELSE 'regular'
+         END AS segment,
+         rec_days, freq, mon
+  FROM scored
+)
+SELECT segment,
+       count(*) AS n_customers,
+       ROUND(AVG(rec_days), 2)          AS avg_recency_days,
+       ROUND(AVG(freq), 2)              AS avg_frequency,
+       CAST(SUM(mon) AS DOUBLE)         AS total_monetary
+FROM seg
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff / reconciliation
+# ---------------------------------------------------------------------------
+
+
+def q_diff_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation between two derived order snapshots
+    (deterministic mutations of the same fixture: A drops keys ≡3
+    mod 97; B drops keys ≡5 mod 89, reclassifies priority on keys ≡0
+    mod 11 and bumps price by 1.00 on keys ≡0 mod 13): classify every
+    key as added / removed / changed / same and count per-column
+    drifts — the data-reconciliation shape behind CDC validation and
+    blue-green migration checks.
+
+    100 TB shape: ONE full outer join on the snapshot key (both sides
+    shuffle-partitioned on it — bucketed layouts make it co-located),
+    then a map-side-combined rollup; per-column compares are plain
+    projections. Price compares in DECIMAL so equality is exact.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+    )
+    a = o.filter(F.col("o_orderkey") % 97 != 3).select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderpriority").alias("a_prio"),
+        F.col("price").alias("a_price"),
+    )
+    b = o.filter(F.col("o_orderkey") % 89 != 5).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("9-RECLASS"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("b_prio"),
+        (
+            F.col("price")
+            + F.when(F.col("o_orderkey") % 13 == 0, F.lit(1.00)).otherwise(
+                F.lit(0.00)
+            ).cast("decimal(4,2)")
+        ).alias("b_price"),
+    )
+    j = a.join(b, a.a_key == b.b_key, "full_outer")
+    prio_chg = (
+        F.col("a_key").isNotNull()
+        & F.col("b_key").isNotNull()
+        & (F.col("a_prio") != F.col("b_prio"))
+    ).cast("long")
+    price_chg = (
+        F.col("a_key").isNotNull()
+        & F.col("b_key").isNotNull()
+        & (F.col("a_price") != F.col("b_price"))
+    ).cast("long")
+    cls = (
+        F.when(F.col("a_key").isNull(), "added")
+        .when(F.col("b_key").isNull(), "removed")
+        .when((prio_chg + price_chg) > 0, "changed")
+        .otherwise("same")
+    )
+    return (
+        j.select(
+            cls.alias("diff_class"),
+            prio_chg.alias("pc"),
+            price_chg.alias("vc"),
+        )
+        .groupBy("diff_class")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("pc").alias("priority_changes"),
+            F.sum("vc").alias("price_changes"),
+        )
+    )
+
+
+ORACLE_DIFF_SNAPSHOT = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(14,2)) AS price
+  FROM orders
+),
+a AS (
+  SELECT o_orderkey AS a_key, o_orderpriority AS a_prio, price AS a_price
+  FROM o WHERE o_orderkey % 97 != 3
+),
+b AS (
+  SELECT o_orderkey AS b_key,
+         CASE WHEN o_orderkey % 11 = 0 THEN '9-RECLASS'
+              ELSE o_orderpriority END AS b_prio,
+         price + CASE WHEN o_orderkey % 13 = 0
+                      THEN CAST(1.00 AS DECIMAL(4,2))
+                      ELSE CAST(0.00 AS DECIMAL(4,2)) END AS b_price
+  FROM o WHERE o_orderkey % 89 != 5
+),
+j AS (
+  SELECT a_key, b_key,
+         CASE WHEN a_key IS NOT NULL AND b_key IS NOT NULL
+                   AND a_prio != b_prio THEN 1 ELSE 0 END AS pc,
+         CASE WHEN a_key IS NOT NULL AND b_key IS NOT NULL
+                   AND a_price != b_price THEN 1 ELSE 0 END AS vc
+  FROM a FULL OUTER JOIN b ON a_key = b_key
+)
+SELECT CASE WHEN a_key IS NULL THEN 'added'
+            WHEN b_key IS NULL THEN 'removed'
+            WHEN pc + vc > 0 THEN 'changed'
+            ELSE 'same' END AS diff_class,
+       count(*) AS n,
+       CAST(SUM(pc) AS BIGINT) AS priority_changes,
+       CAST(SUM(vc) AS BIGINT) AS price_changes
+FROM j
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "q_count_min": q_count_min,
+    "q_weighted_median": q_weighted_median,
+    "q_auc_rank": q_auc_rank,
+    "q_decayed_count": q_decayed_count,
+    "q_sorted_neighborhood": q_sorted_neighborhood,
+    "q_rfm": q_rfm,
+    "q_diff_snapshot": q_diff_snapshot,
+}
+
+ORACLES = {
+    "q_count_min": ORACLE_COUNT_MIN,
+    "q_weighted_median": ORACLE_WEIGHTED_MEDIAN,
+    "q_auc_rank": ORACLE_AUC_RANK,
+    "q_decayed_count": ORACLE_DECAYED_COUNT,
+    "q_sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
+    "q_rfm": ORACLE_RFM,
+    "q_diff_snapshot": ORACLE_DIFF_SNAPSHOT,
+}

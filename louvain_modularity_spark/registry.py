@@ -18,6 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def _modules():
     from . import (
         analytics,
+        datasci,
         funcs,
         graph,
         llm_ops,
@@ -44,6 +45,7 @@ def _modules():
         pipeline,
         analytics,
         tpch,
+        datasci,
     ]
 
 
@@ -78,7 +80,11 @@ def _modules():
 # rows-only with exact Python
 # merge-list golden:
 # q_bpe_learn;
-# rows-only with networkx MSF golden: q_mst_boruvka.
+# rows-only with networkx MSF golden: q_mst_boruvka;
+# plus the seven §2.20 third-batch additions — oracle-backed, local
+# DuckDB-parity green at sf0.001+sf0.01: q_count_min q_weighted_median
+# q_auc_rank q_decayed_count q_sorted_neighborhood q_rfm
+# q_diff_snapshot.
 #
 # Rows-only entries deliberately inside this window: q_betweenness_sampled
 # (first window ever; estimator pinned by the rank-correlation pytest) and
