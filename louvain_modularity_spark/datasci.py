@@ -627,6 +627,253 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Distributed PCA (one-pass Gram aggregate + driver eigendecomposition)
+# ---------------------------------------------------------------------------
+
+
+def _gram_partials(emb: DataFrame, dim: int) -> list:
+    """Per-partition (n, Σx, ΣxxᵀT flattened) partial moments via
+    mapInPandas — the canonical tall-skinny covariance shape: the
+    corpus is scanned once, each partition reduces to 1 + d + d² ≈ 4 KB
+    of state, and only #partitions such rows reach the driver."""
+    import pandas as pd
+
+    schema = "n long, s array<double>, g array<double>"
+
+    def part(batches):
+        import numpy as np
+
+        n = 0
+        s = np.zeros(dim)
+        g = np.zeros((dim, dim))
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    return emb.select("embedding").mapInPandas(part, schema).collect()
+
+
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 2-component PCA of the embeddings table: one
+    map-side pass reduces the corpus to per-partition (count, sum,
+    Gram) moments; the driver combines them, eigendecomposes the d×d
+    covariance (d=64 — trivially driver-sized at ANY corpus scale),
+    pins each component's sign (largest-|loading| coordinate made
+    positive), and the components are broadcast back as plan literals
+    for one projection scan. Output: (vec_id, pc1, pc2).
+
+    rows-only: eigenvectors aren't SQL-expressible; a numpy golden in
+    tests/test_llm_ops.py checks the projections against single-node
+    PCA and the explained-variance ordering.
+
+    100 TB shape: this IS the large-n/small-d PCA published as
+    tall-skinny covariance — network traffic is #partitions·(d²+d)
+    doubles, the corpus never shuffles, and the projection pass is a
+    shuffle-free map. For d where d² no longer fits (≥ ~10⁴), swap the
+    driver eig for distributed randomized SVD.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    parts = _gram_partials(emb, dim)
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.array(p["s"]) for p in parts], axis=0)
+    g = np.sum([np.array(p["g"]).reshape(dim, dim) for p in parts], axis=0)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    comps = []
+    for k in range(2):
+        v = evecs[:, order[k]]
+        v = v * np.sign(v[int(np.argmax(np.abs(v)))])
+        comps.append(v)
+
+    def proj(v):
+        centered = F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.array(*[F.lit(float(m)) for m in mu]),
+            lambda x, m: x - m,
+        )
+        return F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(c)) for c in v]),
+                lambda x, c: x * c,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return emb.select(
+        "vec_id",
+        F.round(proj(comps[0]), 6).alias("pc1"),
+        F.round(proj(comps[1]), 6).alias("pc2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (Jégou, Douze & Schmid 2011)
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: M subspaces of SUB dims each, K codewords per subspace
+PQ_M = 8
+PQ_K = 16
+#: codebooks train on this deterministic id-prefix sample
+PQ_TRAIN_IDS = 256
+#: queries = this id prefix; recall measured at top-10
+PQ_QUERIES = 5
+PQ_TOPK = 10
+
+
+def _pq_codebooks(emb: DataFrame, dim: int):
+    """Train per-subspace codebooks with 5 Lloyd iterations of numpy
+    k-means on the vec_id < PQ_TRAIN_IDS sample (init = the K first
+    sample rows). Deterministic: fixed sample, fixed iteration count,
+    fixed init order — identical across runs, engines, partitionings."""
+    import numpy as np
+
+    sub = dim // PQ_M
+    rows = (
+        emb.filter(F.col("vec_id") < PQ_TRAIN_IDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    books = []
+    for j in range(PQ_M):
+        xs = x[:, j * sub : (j + 1) * sub]
+        c = xs[:PQ_K].copy()
+        for _ in range(5):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for k in range(PQ_K):
+                m = xs[a == k]
+                if len(m):
+                    c[k] = m.mean(axis=0)
+        books.append(c)
+    return books
+
+
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with measured recall: train M=8
+    per-subspace K=16 codebooks on a bounded deterministic sample,
+    encode the corpus to 8 one-byte codes (64× memory compression of
+    the float32 vectors), answer the first-5-vector queries by
+    asymmetric-distance (ADC) lookup-table sums, and report
+    recall@10 of the PQ candidate list against the exact L2 top-10
+    computed in the same scan. Output: (query_id, recall_at_10).
+
+    rows-only: codebooks come from iterative k-means; recall ≥ floor,
+    code-range, and determinism invariants are pinned in
+    tests/test_llm_ops.py.
+
+    100 TB shape: encoding is one shuffle-free scan against K·d
+    broadcast codebook literals (same layout as q_kmeans); each query
+    ships only an M×K LUT (128 doubles); candidate ranking is a
+    per-query TakeOrdered over est-distance — the published IVF-PQ
+    scale path adds the coarse IVF stage already implemented in
+    q_ann_ivf. The exact arm stays the verification baseline.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    sub = dim // PQ_M
+    books = _pq_codebooks(emb, dim)
+    qrows = (
+        emb.filter(F.col("vec_id") < PQ_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qrows.sort(key=lambda r: r["vec_id"])
+    queries = [(int(r["vec_id"]), np.array(list(r["embedding"]), dtype=np.float64)) for r in qrows]
+
+    def code_col(j: int):
+        sl = F.slice(F.col("embedding").cast("array<double>"), j * sub + 1, sub)
+        cands = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sl,
+                            F.array(*[F.lit(float(v)) for v in books[j][k]]),
+                            lambda x, c: (x - c) * (x - c),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(k).alias("k"),
+                )
+                for k in range(PQ_K)
+            ]
+        )
+        return F.array_min(cands).getField("k")
+
+    enc = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("x"),
+        *[code_col(j).alias(f"c{j}") for j in range(PQ_M)],
+    )
+
+    per_query = []
+    for qid, qv in queries:
+        lut = [
+            [float(((books[j][k] - qv[j * sub : (j + 1) * sub]) ** 2).sum()) for k in range(PQ_K)]
+            for j in range(PQ_M)
+        ]
+        est = sum(
+            F.element_at(
+                F.array(*[F.lit(v) for v in lut[j]]), F.col(f"c{j}") + 1
+            )
+            for j in range(PQ_M)
+        )
+        exact = F.aggregate(
+            F.zip_with(
+                F.col("x"),
+                F.array(*[F.lit(float(v)) for v in qv]),
+                lambda x, q: (x - q) * (x - q),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        per_query.append(
+            enc.select(
+                F.lit(qid).alias("query_id"),
+                "vec_id",
+                est.alias("est"),
+                exact.alias("exact"),
+            )
+        )
+    scored = per_query[0]
+    for df in per_query[1:]:
+        scored = scored.unionByName(df)
+    w_est = Window.partitionBy("query_id").orderBy("est", "vec_id")
+    w_ex = Window.partitionBy("query_id").orderBy("exact", "vec_id")
+    flagged = scored.select(
+        "query_id",
+        (F.row_number().over(w_est) <= PQ_TOPK).cast("int").alias("in_pq"),
+        (F.row_number().over(w_ex) <= PQ_TOPK).cast("int").alias("in_exact"),
+    )
+    return (
+        flagged.groupBy("query_id")
+        .agg(
+            (
+                F.sum(F.col("in_pq") * F.col("in_exact")) / F.lit(float(PQ_TOPK))
+            ).alias("recall_at_10")
+        )
+    )
+
+
 QUERIES = {
     "q_count_min": q_count_min,
     "q_weighted_median": q_weighted_median,
@@ -635,8 +882,13 @@ QUERIES = {
     "q_sorted_neighborhood": q_sorted_neighborhood,
     "q_rfm": q_rfm,
     "q_diff_snapshot": q_diff_snapshot,
+    "q_pca_power": q_pca_power,
+    "q_pq_ann": q_pq_ann,
 }
 
+# rows-only: q_pca_power (eigendecomposition not SQL-expressible;
+# numpy golden in tests/test_llm_ops.py), q_pq_ann (iterative k-means
+# codebooks; recall/determinism invariants in tests/test_llm_ops.py)
 ORACLES = {
     "q_count_min": ORACLE_COUNT_MIN,
     "q_weighted_median": ORACLE_WEIGHTED_MEDIAN,

@@ -1395,6 +1395,71 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(spark, edges)
 
 
+def leiden_refine(
+    spark: SparkSession, edges: DataFrame, assignment: DataFrame
+) -> DataFrame:
+    """Leiden-style refinement of a community assignment (Traag,
+    Waltman & van Eck 2019, *From Louvain to Leiden*, §"guaranteeing
+    well-connected communities"): split every community into its
+    connected components, fixing Louvain's known defect that a
+    community can become internally DISCONNECTED when its bridge node
+    is moved away. Splitting a disconnected community along its
+    components never decreases modularity (intra-weight is preserved
+    while Σtot² strictly shrinks), so this is a pure quality repair.
+
+    Dataflow: label both endpoints with their community (two joins
+    against the assignment), keep INTRA-community edges only, run
+    min-id connected components over that subgraph (isolated members
+    stay singletons via the left join), and emit
+    (id, community, refined_community) with refined ids = min member
+    id of the component — deterministic, engine-independent.
+
+    100 TB shape: the CC loop runs on the intra-community EDGE SUBSET
+    (strictly smaller than the graph), each round one join + one
+    map-side-combined min aggregate, localCheckpoint-truncated —
+    identical machinery to connected_components. No collect of data;
+    the assignment table is the only extra join input.
+    """
+    from .graph import symmetrize
+
+    sym = symmetrize(edges)
+    a_src = assignment.select(F.col("id").alias("src"), F.col("community").alias("c_src"))
+    a_dst = assignment.select(F.col("id").alias("dst"), F.col("community").alias("c_dst"))
+    intra = (
+        sym.join(a_src, "src")
+        .join(a_dst, "dst")
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .select("src", "dst", "weight")
+    )
+    comp = connected_components(spark, intra)
+    refined = assignment.join(comp, "id", "left").select(
+        "id",
+        "community",
+        F.coalesce("component", F.col("id")).alias("refined_community"),
+    )
+    # canonicalize the ORIGINAL labels to min-member-id too, so
+    # community == refined_community exactly when the community
+    # survived refinement intact (labels live in the same id space)
+    canon = refined.groupBy("community").agg(F.min("id").alias("community_canon"))
+    return (
+        refined.join(F.broadcast(canon), "community")
+        .select(
+            "id",
+            F.col("community_canon").alias("community"),
+            "refined_community",
+        )
+    )
+
+
+def q_leiden_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain on G1 followed by Leiden-style connectivity refinement
+    (rows-only; sub-partition / connectivity / modularity-non-decrease
+    invariants pinned in tests/test_louvain.py)."""
+    edges = copurchase_edges(spark, sf_dir)
+    res = louvain_communities(spark, edges, max_sweeps=8)
+    return leiden_refine(spark, edges, res.assignment)
+
+
 def _oracle_connected_components() -> str:
     from .graph import _KARATE_SQL
 
@@ -1432,6 +1497,7 @@ QUERIES = {
     "q_seeded_order": q_seeded_order,
     "q_label_propagation": q_label_propagation,
     "q_connected_components": q_connected_components,
+    "q_leiden_refine": q_leiden_refine,
 }
 
 ORACLES = {

@@ -84,7 +84,9 @@ def _modules():
 # plus the seven §2.20 third-batch additions — oracle-backed, local
 # DuckDB-parity green at sf0.001+sf0.01: q_count_min q_weighted_median
 # q_auc_rank q_decayed_count q_sorted_neighborhood q_rfm
-# q_diff_snapshot.
+# q_diff_snapshot; rows-only with golden/invariant pytest: q_pca_power
+# (numpy PCA golden), q_pq_ann (recall floor + determinism),
+# q_leiden_refine (sub-partition/connectivity/Q-non-decrease).
 #
 # Rows-only entries deliberately inside this window: q_betweenness_sampled
 # (first window ever; estimator pinned by the rank-correlation pytest) and

@@ -195,3 +195,59 @@ def test_bpe_learn_matches_reference(spark):
                     out.append(s)
             vocab[w] = (out, c)
     assert got == want
+
+
+def test_pca_power_matches_numpy_golden(spark):
+    """q_pca_power's distributed moment pipeline must agree with
+    single-node numpy PCA (same sign convention) on every projection,
+    and pc1's variance must dominate pc2's."""
+    import numpy as np
+
+    from louvain_modularity_spark.datasci import q_pca_power
+
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in q_pca_power(spark, SF_DIR).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [int(r["vec_id"]) for r in rows]
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    mu = x.mean(axis=0)
+    cov = (x.T @ x) / len(x) - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    comps = []
+    for k in range(2):
+        v = evecs[:, order[k]]
+        v = v * np.sign(v[int(np.argmax(np.abs(v)))])
+        comps.append(v)
+    want = (x - mu) @ np.stack(comps).T
+    assert len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        assert abs(got[vid][0] - want[i, 0]) < 1e-5, vid
+        assert abs(got[vid][1] - want[i, 1]) < 1e-5, vid
+    assert evals[order[0]] >= evals[order[1]]
+
+
+def test_pq_ann_recall_and_determinism(spark):
+    """PQ ANN: recall@10 must beat the random-candidate baseline
+    (10/500 = 0.02) by a wide margin for every query, be ≤ 1, and the
+    whole pipeline must be deterministic across runs."""
+    from louvain_modularity_spark.datasci import q_pq_ann
+
+    r1 = sorted(
+        (r["query_id"], r["recall_at_10"])
+        for r in q_pq_ann(spark, SF_DIR).collect()
+    )
+    assert len(r1) == 5
+    for qid, rec in r1:
+        assert 0.2 <= rec <= 1.0, (qid, rec)
+    r2 = sorted(
+        (r["query_id"], r["recall_at_10"])
+        for r in q_pq_ann(spark, SF_DIR).collect()
+    )
+    assert r1 == r2

@@ -306,3 +306,52 @@ def test_triangle_count_known_graphs(spark):
     assert triangle_count(clique).collect()[0]["n_triangles"] == 4
     bip = copurchase_edges(spark, SF_DIR)
     assert triangle_count(bip).collect()[0]["n_triangles"] == 0
+
+
+def test_leiden_refine_invariants(spark):
+    """Leiden-style refinement: (a) sub-partition of the input
+    partition, (b) every refined community induces a connected
+    subgraph (networkx check), (c) modularity never decreases, and a
+    planted disconnected community is actually split."""
+    import networkx as nx
+
+    from louvain_modularity_spark.louvain import leiden_refine
+    from louvain_modularity_spark.metrics import modularity
+    from louvain_modularity_spark.sources import karate_edges
+
+    edges = karate_edges(spark)
+    # planted partition: community 0 = {0,1} ∪ {32,33} is
+    # internally disconnected in karate (0-1 and 32-33 are edges, but
+    # no edge crosses between the pairs inside the community)
+    planted = {0, 1, 32, 33}
+    assign = spark.createDataFrame(
+        [(i, 0 if i in planted else 1) for i in range(34)],
+        "id LONG, community LONG",
+    )
+    out = leiden_refine(spark, edges, assign).collect()
+    assert len(out) == 34
+    orig = {r["id"]: r["community"] for r in out}
+    ref = {r["id"]: r["refined_community"] for r in out}
+    # (a) sub-partition: equal refined label => equal original label
+    by_ref = {}
+    for i in ref:
+        by_ref.setdefault(ref[i], set()).add(i)
+    for members in by_ref.values():
+        assert len({orig[i] for i in members}) == 1
+    # (b) connectivity of every refined community
+    g = nx.Graph()
+    for r in edges.collect():
+        g.add_edge(int(r["src"]), int(r["dst"]))
+    for members in by_ref.values():
+        if len(members) > 1:
+            assert nx.is_connected(g.subgraph(members)), members
+    # (c) the planted disconnected community split, and Q didn't drop
+    assert len({ref[i] for i in planted}) >= 2
+    ref_df = spark.createDataFrame(
+        [(i, c) for i, c in ref.items()], "id LONG, community LONG"
+    )
+    orig_df = spark.createDataFrame(
+        [(i, 0 if i in planted else 1) for i in range(34)],
+        "id LONG, community LONG",
+    )
+    assert modularity(edges, ref_df) >= modularity(edges, orig_df) - 1e-9
