@@ -614,3 +614,41 @@ def test_checkpointed_single_scans(spark):
     assert _plan_of(q_conductance, spark).count("FileScan parquet") == 0
     assert _plan_of(q_bigram_lm, spark).count("FileScan parquet") == 0
     assert _plan_of(q_dsir_weights, spark).count("FileScan parquet") == 1
+
+
+def test_count_min_checkpointed_single_scan(spark):
+    """Count-Min: truth and sketch both derive from the ONE
+    checkpointed per-key count table — the final plan must contain no
+    further parquet scans, and the ≤ d·w counter table must join
+    broadcast (never shuffle the probe side)."""
+    from louvain_modularity_spark.datasci import q_count_min
+
+    plan = _plan_of(q_count_min, spark)
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_decayed_count_single_scan_broadcast_scalar(spark):
+    """Decayed counter: one corpus scan, the t_max scalar arrives via
+    a broadcast nested-loop (1-row) join, weights are pure JVM
+    expressions — no Python eval, no sort-merge machinery."""
+    from louvain_modularity_spark.datasci import q_decayed_count
+
+    plan = _plan_of(q_decayed_count, spark)
+    assert plan.count("FileScan parquet") == 2, plan  # corpus + 1-row max
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_pq_ann_no_cartesian_no_corpus_shuffle_join(spark):
+    """PQ ANN: encoding + both distance arms are broadcast-literal
+    expressions — the plan may contain no join operator at all (the
+    query set is literals, not a joined relation) and no Python eval;
+    ranking is window-based."""
+    from louvain_modularity_spark.datasci import q_pq_ann
+
+    plan = _plan_of(q_pq_ann, spark)
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
