@@ -53,6 +53,9 @@ SHARED_R02 = [
 #: (VERDICT r4 item 3): the broadcast-tier TPC-H snowflake (Q8, 8-table
 #: two-level dimension tree) and the embedding-space semantic-dedup
 #: stage (centroid assignment + within-cluster self-join)
+#: the §2.20 addition q_pca_power times the one remaining untimed
+#: execution class: an Arrow mapInPandas moment pass over the corpus
+#: followed by a broadcast-literal projection scan
 HEADLINE = SHARED_R02 + [
     "q_tpch_q3",
     "q_tpch_q1",
@@ -61,6 +64,7 @@ HEADLINE = SHARED_R02 + [
     "q_semdedup",
     "q_pmi_cooccur",
     "q_betweenness_sampled",
+    "q_pca_power",
 ]
 
 #: noisiest entries under this VM's CPU-steal (±30% swings on unchanged
