@@ -734,14 +734,14 @@ PQ_QUERIES = 5
 PQ_TOPK = 10
 
 
-def _pq_codebooks(emb: DataFrame, dim: int):
+def _pq_codebooks(emb: DataFrame, dim: int, m: int = PQ_M, kk: int = PQ_K):
     """Train per-subspace codebooks with 5 Lloyd iterations of numpy
     k-means on the vec_id < PQ_TRAIN_IDS sample (init = the K first
     sample rows). Deterministic: fixed sample, fixed iteration count,
     fixed init order — identical across runs, engines, partitionings."""
     import numpy as np
 
-    sub = dim // PQ_M
+    sub = dim // m
     rows = (
         emb.filter(F.col("vec_id") < PQ_TRAIN_IDS)
         .select("vec_id", "embedding")
@@ -750,21 +750,23 @@ def _pq_codebooks(emb: DataFrame, dim: int):
     rows.sort(key=lambda r: r["vec_id"])
     x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
     books = []
-    for j in range(PQ_M):
+    for j in range(m):
         xs = x[:, j * sub : (j + 1) * sub]
-        c = xs[:PQ_K].copy()
+        c = xs[:kk].copy()
         for _ in range(5):
             d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             a = d2.argmin(axis=1)
-            for k in range(PQ_K):
-                m = xs[a == k]
-                if len(m):
-                    c[k] = m.mean(axis=0)
+            for k in range(kk):
+                mk = xs[a == k]
+                if len(mk):
+                    c[k] = mk.mean(axis=0)
         books.append(c)
     return books
 
 
-def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pq_ann(
+    spark: SparkSession, sf_dir: str, m: int = PQ_M, kk: int = PQ_K
+) -> DataFrame:
     """Product-quantization ANN with measured recall: train M=8
     per-subspace K=16 codebooks on a bounded deterministic sample,
     encode the corpus to 8 one-byte codes (64× memory compression of
@@ -788,8 +790,8 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").head()[0])
-    sub = dim // PQ_M
-    books = _pq_codebooks(emb, dim)
+    sub = dim // m
+    books = _pq_codebooks(emb, dim, m, kk)
     qrows = (
         emb.filter(F.col("vec_id") < PQ_QUERIES)
         .select("vec_id", "embedding")
@@ -814,7 +816,7 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("d"),
                     F.lit(k).alias("k"),
                 )
-                for k in range(PQ_K)
+                for k in range(kk)
             ]
         )
         return F.array_min(cands).getField("k")
@@ -822,20 +824,20 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("x"),
-        *[code_col(j).alias(f"c{j}") for j in range(PQ_M)],
+        *[code_col(j).alias(f"c{j}") for j in range(m)],
     )
 
     per_query = []
     for qid, qv in queries:
         lut = [
-            [float(((books[j][k] - qv[j * sub : (j + 1) * sub]) ** 2).sum()) for k in range(PQ_K)]
-            for j in range(PQ_M)
+            [float(((books[j][k] - qv[j * sub : (j + 1) * sub]) ** 2).sum()) for k in range(kk)]
+            for j in range(m)
         ]
         est = sum(
             F.element_at(
                 F.array(*[F.lit(v) for v in lut[j]]), F.col(f"c{j}") + 1
             )
-            for j in range(PQ_M)
+            for j in range(m)
         )
         exact = F.aggregate(
             F.zip_with(
