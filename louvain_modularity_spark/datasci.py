@@ -876,6 +876,327 @@ def q_pq_ann(
     )
 
 
+# ---------------------------------------------------------------------------
+# Time-series statistics: OLS trend, Theil-Sen, autocorrelation
+# ---------------------------------------------------------------------------
+
+
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group OLS trend: revenue vs order-day index per order
+    priority, closed form from five sufficient moments. n/Σx/Σx² are
+    exact BIGINTs, Σy/Σxy are exact DECIMAL sums (y in cents stays
+    under 2⁵³, so the double casts are exact at this scale — the
+    docstring contract says to re-scale the moments at SF where cents
+    exceed 2⁵³); the closed-form division is spelled with identical
+    parenthesization in both engines, so every IEEE op matches.
+
+    100 TB shape: ONE map-side-combined aggregate per group — the
+    moments are the entire network traffic (5 numbers/group); no sort,
+    no window, no per-row regression library.
+    """
+    o = load(spark, sf_dir, "orders")
+    mind = o.agg(F.min("o_orderdate").alias("mind"))
+    base = o.crossJoin(F.broadcast(mind)).select(
+        "o_orderpriority",
+        F.datediff("o_orderdate", "mind").cast("long").alias("x"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("y"),
+    )
+    agg = base.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("x")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n").cast("double"), 4
+        ).alias("intercept"),
+    )
+
+
+ORACLE_TREND_FIT = """
+WITH t AS (SELECT MIN(o_orderdate) AS mind FROM orders),
+base AS (
+  SELECT o_orderpriority,
+         CAST(datediff('day', t.mind, o_orderdate) AS BIGINT) AS x,
+         CAST(o_totalprice AS DECIMAL(14,2)) AS y
+  FROM orders CROSS JOIN t
+),
+agg AS (
+  SELECT o_orderpriority,
+         count(*) AS n,
+         CAST(SUM(x) AS BIGINT)     AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y) AS DOUBLE)     AS sy,
+         CAST(SUM(y * x) AS DOUBLE) AS sxy
+  FROM base GROUP BY 1
+)
+SELECT o_orderpriority, n,
+       ROUND((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+         AS slope_per_day,
+       ROUND((sy - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sx) / CAST(n AS DOUBLE), 4)
+         AS intercept
+FROM agg
+"""
+
+
+def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of DAILY total revenue: the median of
+    all pairwise slopes — the estimator that shrugs off the outlier
+    days OLS chases. Runs on the collapsed per-day series (the day
+    domain is bounded: ~2400 days here, ~37k days of commerce ever),
+    so the O(D²) pair enumeration is over aggregate rows, never the
+    fact table; slopes are exactly-rounded double divisions of exact
+    inputs, and the median interpolates identically in both engines.
+
+    100 TB shape: fact → per-day DECIMAL aggregate (map-side), ONE
+    co-partitioned self-join on the bounded day table, one exact
+    percentile. For day domains too large for D², the published
+    repeated-median / sampled variant drops in above the same per-day
+    aggregate.
+    """
+    o = load(spark, sf_dir, "orders")
+    mind = o.agg(F.min("o_orderdate").alias("mind"))
+    daily = (
+        o.crossJoin(F.broadcast(mind))
+        .groupBy(F.datediff("o_orderdate", "mind").cast("long").alias("x"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("v"))
+        .select("x", F.col("v").cast("double").alias("v"))
+    )
+    a = daily.select(F.col("x").alias("x1"), F.col("v").alias("v1"))
+    b = daily.select(F.col("x").alias("x2"), F.col("v").alias("v2"))
+    pairs = a.join(b, F.col("x2") > F.col("x1")).select(
+        ((F.col("v2") - F.col("v1")) / (F.col("x2") - F.col("x1")).cast("double")).alias(
+            "slope"
+        )
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("theil_slope"),
+    )
+
+
+ORACLE_THEILSEN = """
+WITH t AS (SELECT MIN(o_orderdate) AS mind FROM orders),
+daily AS (
+  SELECT CAST(datediff('day', t.mind, o_orderdate) AS BIGINT) AS x,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS v
+  FROM orders CROSS JOIN t GROUP BY 1
+),
+pairs AS (
+  SELECT (b.v - a.v) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON b.x > a.x
+)
+SELECT count(*) AS n_pairs,
+       ROUND(quantile_cont(slope, 0.5), 6) AS theil_slope
+FROM pairs
+"""
+
+
+#: autocorrelation lags measured (days)
+AUTOCORR_LAGS = [1, 7]
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k = 1, 7 days) of daily total revenue:
+    Pearson r over (v_t, v_{t+k}) calendar pairs. All five moments
+    are exact DECIMAL sums (products of DECIMAL(14,2) daily values);
+    the r formula runs on their double casts with identical
+    parenthesization both engines — sqrt is IEEE exactly-rounded.
+
+    100 TB shape: fact collapses to the bounded day table map-side;
+    the lag pairing is an equi-join of that table with itself on
+    x + k (co-partitioned, no window, handles missing days exactly);
+    one 5-moment aggregate per lag ends the job.
+    """
+    o = load(spark, sf_dir, "orders")
+    mind = o.agg(F.min("o_orderdate").alias("mind"))
+    daily = (
+        o.crossJoin(F.broadcast(mind))
+        .groupBy(F.datediff("o_orderdate", "mind").cast("long").alias("x"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("v"))
+    )
+    lagged = daily.select(
+        "x", "v", F.explode(F.array(*[F.lit(k) for k in AUTOCORR_LAGS])).alias("k")
+    )
+    b = daily.select(F.col("x").alias("xb"), F.col("v").alias("vb"))
+    pairs = lagged.join(b, lagged.x + lagged.k == b.xb).select(
+        "k", F.col("v").alias("a"), F.col("vb").alias("b")
+    )
+    agg = pairs.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("a").cast("double").alias("sa"),
+        F.sum("b").cast("double").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("double").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("double").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("double").alias("sbb"),
+    )
+    r = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")) / F.sqrt(
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+        * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+    )
+    return agg.select(
+        F.col("k").alias("lag_days"), "n", F.round(r, 6).alias("autocorr")
+    )
+
+
+ORACLE_AUTOCORR = """
+WITH t AS (SELECT MIN(o_orderdate) AS mind FROM orders),
+daily AS (
+  SELECT CAST(datediff('day', t.mind, o_orderdate) AS BIGINT) AS x,
+         SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS v
+  FROM orders CROSS JOIN t GROUP BY 1
+),
+lags AS (SELECT unnest([1, 7]) AS k),
+pairs AS (
+  SELECT l.k, a.v AS a, b.v AS b
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.x = a.x + l.k
+),
+agg AS (
+  SELECT k, count(*) AS n,
+         CAST(SUM(a) AS DOUBLE)     AS sa,
+         CAST(SUM(b) AS DOUBLE)     AS sb,
+         CAST(SUM(a * b) AS DOUBLE) AS sab,
+         CAST(SUM(a * a) AS DOUBLE) AS saa,
+         CAST(SUM(b * b) AS DOUBLE) AS sbb
+  FROM pairs GROUP BY 1
+)
+SELECT k AS lag_days, n,
+       ROUND((n * sab - sa * sb)
+             / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 6)
+         AS autocorr
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+#: Benford expected shares log10(1 + 1/d), baked as literals so both
+#: engines use the SAME constants (no cross-engine libm log calls)
+import math as _math  # noqa: E402
+
+BENFORD = {d: round(_math.log10(1.0 + 1.0 / d), 6) for d in range(1, 10)}
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals —
+    the classic fraud/data-quality screen. The digit is extracted by
+    integer/string arithmetic (never log10 of a double, which is not
+    exactly-rounded libm and could differ across engines); expected
+    shares are baked literals; output is the per-digit observed
+    share, Benford share, and excess.
+
+    100 TB shape: one narrow projection + 9-group map-side-combined
+    aggregate — a full-corpus screen in a single pass.
+    """
+    o = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    per = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    tot = per.agg(F.sum("n").alias("tot"))
+    bmap = F.element_at(
+        F.array(*[F.lit(BENFORD[d]) for d in range(1, 10)]), F.col("digit")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("tot").cast("double"), 6).alias("share"),
+            bmap.alias("benford_share"),
+            F.round(
+                F.col("n") / F.col("tot").cast("double") - bmap, 6
+            ).alias("excess"),
+        )
+    )
+
+
+_BENFORD_SQL = "[" + ",".join(str(BENFORD[d]) for d in range(1, 10)) + "]"
+
+ORACLE_BENFORD = f"""
+WITH per AS (
+  SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit,
+         count(*) AS n
+  FROM orders GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM per)
+SELECT digit, n,
+       ROUND(n / CAST(tot AS DOUBLE), 6)                    AS share,
+       CAST(({_BENFORD_SQL})[digit] AS DOUBLE)              AS benford_share,
+       ROUND(n / CAST(tot AS DOUBLE)
+             - CAST(({_BENFORD_SQL})[digit] AS DOUBLE), 6)  AS excess
+FROM per CROSS JOIN t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temporal graph snapshots
+# ---------------------------------------------------------------------------
+
+
+def q_temporal_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year snapshots of the co-purchase graph: edge count,
+    vertex counts per side, total and max edge weight for each order
+    year — the temporal-graph-profile query behind drift dashboards
+    ("is this quarter's graph denser than last?").
+
+    100 TB shape: the lineitem⋈orders join shuffles once on orderkey
+    (bucketed layouts make it free); the year-keyed edge collapse and
+    the snapshot rollup are both map-side-combined; distinct vertex
+    counts per year are exact two-column countDistincts over the
+    already-collapsed edge table, not the fact.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("yr", "o_custkey", "l_suppkey")
+        .agg(F.count("*").alias("w"))
+    )
+    return edges.groupBy("yr").agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.sum("w").alias("total_weight"),
+        F.max("w").alias("max_weight"),
+    )
+
+
+ORACLE_TEMPORAL_GRAPH = """
+WITH edges AS (
+  SELECT year(o_orderdate) AS yr, o_custkey, l_suppkey,
+         count(*) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2, 3
+)
+SELECT yr,
+       count(*)                                  AS n_edges,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(SUM(w) AS BIGINT)                    AS total_weight,
+       CAST(MAX(w) AS BIGINT)                    AS max_weight
+FROM edges
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_count_min": q_count_min,
     "q_weighted_median": q_weighted_median,
@@ -886,6 +1207,11 @@ QUERIES = {
     "q_diff_snapshot": q_diff_snapshot,
     "q_pca_power": q_pca_power,
     "q_pq_ann": q_pq_ann,
+    "q_trend_fit": q_trend_fit,
+    "q_theilsen": q_theilsen,
+    "q_autocorr": q_autocorr,
+    "q_benford": q_benford,
+    "q_temporal_graph": q_temporal_graph,
 }
 
 # rows-only: q_pca_power (eigendecomposition not SQL-expressible;
@@ -899,4 +1225,9 @@ ORACLES = {
     "q_sorted_neighborhood": ORACLE_SORTED_NEIGHBORHOOD,
     "q_rfm": ORACLE_RFM,
     "q_diff_snapshot": ORACLE_DIFF_SNAPSHOT,
+    "q_trend_fit": ORACLE_TREND_FIT,
+    "q_theilsen": ORACLE_THEILSEN,
+    "q_autocorr": ORACLE_AUTOCORR,
+    "q_benford": ORACLE_BENFORD,
+    "q_temporal_graph": ORACLE_TEMPORAL_GRAPH,
 }

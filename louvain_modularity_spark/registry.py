@@ -86,7 +86,10 @@ def _modules():
 # q_auc_rank q_decayed_count q_sorted_neighborhood q_rfm
 # q_diff_snapshot; rows-only with golden/invariant pytest: q_pca_power
 # (numpy PCA golden), q_pq_ann (recall floor + determinism),
-# q_leiden_refine (sub-partition/connectivity/Q-non-decrease).
+# q_leiden_refine (sub-partition/connectivity/Q-non-decrease);
+# plus the five §2.21 fourth-batch additions — oracle-backed, local
+# DuckDB-parity green at sf0.001+sf0.01: q_trend_fit q_theilsen
+# q_autocorr q_benford q_temporal_graph.
 #
 # Rows-only entries deliberately inside this window: q_betweenness_sampled
 # (first window ever; estimator pinned by the rank-correlation pytest) and
