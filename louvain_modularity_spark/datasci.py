@@ -1197,6 +1197,449 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Categorical statistics and feature preprocessing
+# ---------------------------------------------------------------------------
+
+
+def q_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between customer market segment
+    and order priority: contingency counts, expected cells from the
+    marginals, χ² and degrees of freedom — the categorical sibling of
+    q_ab_ttest. Counts stay BIGINT-exact; χ² combines them in doubles
+    with identical parenthesization in both engines.
+
+    100 TB shape: the fact joins the broadcast customer dimension,
+    collapses to the R×C contingency map-side, and everything after
+    runs on ≤ R·C rows (marginals via two tiny rollups joined back
+    broadcast). One corpus shuffle total.
+    """
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cont = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    rows = cont.groupBy("c_mktsegment").agg(F.sum("n").alias("rn"))
+    cols = cont.groupBy("o_orderpriority").agg(F.sum("n").alias("cn"))
+    tot = cont.agg(F.sum("n").alias("tot"))
+    cells = (
+        cont.join(F.broadcast(rows), "c_mktsegment")
+        .join(F.broadcast(cols), "o_orderpriority")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (F.col("rn") * F.col("cn")).cast("double") / F.col("tot").cast("double")
+    chi2_cell = (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e
+    return cells.agg(
+        F.sum("n").alias("n_orders"),
+        F.round(F.sum(chi2_cell), 4).alias("chi2"),
+        (
+            (F.countDistinct("c_mktsegment") - F.lit(1))
+            * (F.countDistinct("o_orderpriority") - F.lit(1))
+        ).alias("dof"),
+    )
+
+
+ORACLE_CROSSTAB_CHI2 = """
+WITH cont AS (
+  SELECT c_mktsegment, o_orderpriority, count(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+r AS (SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS rn FROM cont GROUP BY 1),
+c AS (SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS cn FROM cont GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM cont)
+SELECT CAST(SUM(n) AS BIGINT) AS n_orders,
+       ROUND(SUM((CAST(n AS DOUBLE) - CAST(rn * cn AS DOUBLE) / CAST(tot AS DOUBLE))
+                 * (CAST(n AS DOUBLE) - CAST(rn * cn AS DOUBLE) / CAST(tot AS DOUBLE))
+                 / (CAST(rn * cn AS DOUBLE) / CAST(tot AS DOUBLE))), 4) AS chi2,
+       CAST((count(DISTINCT cont.c_mktsegment) - 1)
+            * (count(DISTINCT cont.o_orderpriority) - 1) AS BIGINT) AS dof
+FROM cont
+JOIN r USING (c_mktsegment)
+JOIN c USING (o_orderpriority)
+CROSS JOIN t
+"""
+
+
+def q_null_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation audit (the ML-preprocessing step done
+    honestly): account balances are masked NULL on a deterministic
+    key slice (custkey ≡ 0 mod 19), refilled with their segment's
+    non-null mean, and the per-segment report shows how many cells
+    were imputed and how the mean moved. Sums stay DECIMAL-exact;
+    the imputed mean is recombined from exact parts in doubles.
+
+    100 TB shape: ONE map-side-combined aggregate computes all parts
+    (non-null sum/count, null count) per segment; no second scan, no
+    join — the refill statistics are pure arithmetic on the
+    aggregate. An actual materialized refill would be the same scan
+    plus a broadcast of the per-segment means.
+    """
+    c = load(spark, sf_dir, "customer")
+    masked = c.select(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 19 == 0, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .cast("decimal(12,2)")
+        .alias("bal"),
+    )
+    agg = masked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.count("bal").alias("n_obs"),
+        F.sum("bal").cast("double").alias("s"),
+    )
+    mean_obs = F.col("s") / F.col("n_obs").cast("double")
+    mean_after = (
+        F.col("s") + (F.col("n") - F.col("n_obs")).cast("double") * mean_obs
+    ) / F.col("n").cast("double")
+    return agg.select(
+        "c_mktsegment",
+        "n",
+        (F.col("n") - F.col("n_obs")).alias("n_imputed"),
+        F.round(mean_obs, 4).alias("mean_observed"),
+        F.round(mean_after, 4).alias("mean_after_impute"),
+    )
+
+
+ORACLE_NULL_IMPUTATION = """
+WITH masked AS (
+  SELECT c_mktsegment,
+         CASE WHEN c_custkey % 19 = 0 THEN NULL
+              ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS bal
+  FROM customer
+),
+agg AS (
+  SELECT c_mktsegment,
+         count(*) AS n,
+         count(bal) AS n_obs,
+         CAST(SUM(bal) AS DOUBLE) AS s
+  FROM masked GROUP BY 1
+)
+SELECT c_mktsegment, n,
+       n - n_obs AS n_imputed,
+       ROUND(s / CAST(n_obs AS DOUBLE), 4) AS mean_observed,
+       ROUND((s + CAST(n - n_obs AS DOUBLE) * (s / CAST(n_obs AS DOUBLE)))
+             / CAST(n AS DOUBLE), 4) AS mean_after_impute
+FROM agg
+"""
+
+
+#: fixed one-hot domain — ML encoders need a pinned schema, not a pivot
+ONE_HOT_SEGMENTS = [
+    "AUTOMOBILE",
+    "BUILDING",
+    "FURNITURE",
+    "HOUSEHOLD",
+    "MACHINERY",
+]
+
+
+def q_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-domain one-hot encoding of the market segment (plus an
+    out-of-domain indicator) — the feature-engineering step where the
+    COLUMN SET is part of the model contract, which is why this is a
+    static projection and not a data-driven pivot (a new upstream
+    category must land in `other`, not silently reshape the schema).
+
+    100 TB shape: a narrow shuffle-free projection; indicator columns
+    are codegen'd CASE expressions. Composes with q_target_encode for
+    high-cardinality categoricals where one-hot explodes.
+    """
+    c = load(spark, sf_dir, "customer")
+    cols = [
+        (F.col("c_mktsegment") == s).cast("int").alias(f"seg_{s.lower()}")
+        for s in ONE_HOT_SEGMENTS
+    ]
+    other = (
+        ~F.col("c_mktsegment").isin(*ONE_HOT_SEGMENTS)
+    ).cast("int").alias("seg_other")
+    return c.select("c_custkey", *cols, other)
+
+
+ORACLE_ONE_HOT = """
+SELECT c_custkey,
+       CAST(c_mktsegment = 'AUTOMOBILE' AS INTEGER) AS seg_automobile,
+       CAST(c_mktsegment = 'BUILDING'   AS INTEGER) AS seg_building,
+       CAST(c_mktsegment = 'FURNITURE'  AS INTEGER) AS seg_furniture,
+       CAST(c_mktsegment = 'HOUSEHOLD'  AS INTEGER) AS seg_household,
+       CAST(c_mktsegment = 'MACHINERY'  AS INTEGER) AS seg_machinery,
+       CAST(c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE',
+                                 'HOUSEHOLD','MACHINERY') AS INTEGER)
+         AS seg_other
+FROM customer
+"""
+
+
+def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D binned histogram of lineitem (quantity × price): counts and
+    DECIMAL-exact revenue per cell — the aggregation that backs every
+    density heatmap. Bin ids are integer arithmetic (floor division),
+    so binning is engine-exact by construction.
+
+    100 TB shape: one narrow projection + one map-side-combined
+    groupBy on the bounded bin grid (≤ 10 × ~11 cells) — the corpus
+    collapses in the map stage; nothing downstream sees raw rows.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            ((F.col("l_quantity").cast("long") - 1) / F.lit(5))
+            .cast("long")
+            .alias("qty_bin"),
+            F.floor(F.col("l_extendedprice") / F.lit(10000.0)).alias("price_bin"),
+            F.col("l_extendedprice").cast("decimal(14,2)").alias("rev"),
+        )
+        .groupBy("qty_bin", "price_bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+ORACLE_HISTOGRAM_2D = """
+SELECT CAST((CAST(l_quantity AS BIGINT) - 1) // 5 AS BIGINT) AS qty_bin,
+       CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT)      AS price_bin,
+       count(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Graph feature aggregation, graph drift, rolling bands
+# ---------------------------------------------------------------------------
+
+
+def q_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style mean-aggregation layer over the co-purchase
+    graph: each supplier vertex aggregates its customer neighbors'
+    account-balance features (mean, min, max, degree) — the
+    message-passing primitive under every GNN feature pipeline,
+    expressed as plain relational ops. Sums are DECIMAL-exact; the
+    mean divides once in double.
+
+    100 TB shape: edges shuffle once on the customer key to pick up
+    the feature (broadcast when the feature table is dimension-sized,
+    as here), then ONE map-side-combined groupBy on the destination —
+    identical cost to a degree count. Stacking L layers = L such
+    joins, which is exactly how distributed GNN samplers schedule it.
+    """
+    from .sources import copurchase_edges
+
+    e = copurchase_edges(spark, sf_dir)
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("src"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("feat"),
+    )
+    return (
+        e.join(F.broadcast(c), "src")
+        .groupBy(F.col("dst").alias("supplier_vertex"))
+        .agg(
+            F.count("*").alias("n_neighbors"),
+            F.round(
+                F.sum("feat").cast("double") / F.count("*").cast("double"), 4
+            ).alias("mean_feat"),
+            F.min("feat").cast("double").alias("min_feat"),
+            F.max("feat").cast("double").alias("max_feat"),
+        )
+    )
+
+
+ORACLE_NEIGHBOR_AGG = """
+WITH e AS (
+  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)
+SELECT dst AS supplier_vertex,
+       count(*) AS n_neighbors,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4)                AS mean_feat,
+       CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS min_feat,
+       CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_feat
+FROM e JOIN customer ON src = c_custkey
+GROUP BY 1
+"""
+
+
+def q_graph_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year co-purchase graph drift: Jaccard similarity of
+    consecutive yearly edge SETS plus the added/removed edge counts —
+    the structural-drift metric a graph platform alerts on. All
+    counts are exact BIGINTs from one full-outer join per year pair.
+
+    100 TB shape: year-keyed edge collapse (one shuffle), then the
+    consecutive-year comparison joins the edge table to itself on
+    (year+1, src, dst) — co-partitioned on the edge key, so each year
+    pair is a local merge; the rollup is map-side-combined.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("yr", "o_custkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = edges.select(
+        F.col("yr").alias("y"),
+        F.col("o_custkey").alias("c"),
+        F.col("l_suppkey").alias("s"),
+        F.lit(1).alias("in_cur"),
+    )
+    b = edges.select(
+        (F.col("yr") - 1).alias("y"),
+        F.col("o_custkey").alias("c"),
+        F.col("l_suppkey").alias("s"),
+        F.lit(1).alias("in_next"),
+    )
+    j = a.join(b, ["y", "c", "s"], "full_outer")
+    per = j.groupBy("y").agg(
+        F.sum(
+            (F.col("in_cur").isNotNull() & F.col("in_next").isNotNull()).cast("long")
+        ).alias("kept"),
+        F.sum(
+            (F.col("in_cur").isNotNull() & F.col("in_next").isNull()).cast("long")
+        ).alias("removed"),
+        F.sum(
+            (F.col("in_cur").isNull() & F.col("in_next").isNotNull()).cast("long")
+        ).alias("added"),
+    )
+    years = edges.select("yr").distinct()
+    valid = years.select(F.col("yr").alias("y")).join(
+        years.select((F.col("yr") - 1).alias("y")), "y"
+    )
+    return (
+        per.join(valid, "y")
+        .select(
+            F.col("y").alias("year"),
+            (F.col("y") + 1).alias("next_year"),
+            "kept",
+            "removed",
+            "added",
+            F.round(
+                F.col("kept").cast("double")
+                / (F.col("kept") + F.col("removed") + F.col("added")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_GRAPH_DRIFT = """
+WITH edges AS (
+  SELECT DISTINCT year(o_orderdate) AS yr, o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+j AS (
+  SELECT COALESCE(a.yr, b.yr - 1) AS y,
+         CASE WHEN a.yr IS NOT NULL AND b.yr IS NOT NULL THEN 1 ELSE 0 END AS kept,
+         CASE WHEN a.yr IS NOT NULL AND b.yr IS NULL THEN 1 ELSE 0 END     AS removed,
+         CASE WHEN a.yr IS NULL AND b.yr IS NOT NULL THEN 1 ELSE 0 END     AS added
+  FROM edges a
+  FULL OUTER JOIN edges b
+    ON b.yr = a.yr + 1 AND b.c = a.c AND b.s = a.s
+),
+per AS (
+  SELECT y,
+         CAST(SUM(kept) AS BIGINT)    AS kept,
+         CAST(SUM(removed) AS BIGINT) AS removed,
+         CAST(SUM(added) AS BIGINT)   AS added
+  FROM j GROUP BY 1
+),
+years AS (SELECT DISTINCT yr FROM edges)
+SELECT p.y AS year, p.y + 1 AS next_year, kept, removed, added,
+       ROUND(CAST(kept AS DOUBLE)
+             / CAST(kept + removed + added AS DOUBLE), 6) AS jaccard
+FROM per p
+JOIN years y1 ON y1.yr = p.y
+JOIN years y2 ON y2.yr = p.y + 1
+"""
+
+
+#: Bollinger window: current day + 6 preceding calendar days
+BOLLINGER_DAYS = 6
+
+
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over daily revenue: 7-calendar-day rolling
+    mean ± 2σ plus a breakout flag — the rolling-variance sibling of
+    q_rolling_7d. Σv and Σv² accumulate as exact DECIMALs inside a
+    RANGE window over the collapsed day series; mean/σ divide once in
+    double (sqrt is IEEE exactly-rounded), and the breakout compare
+    re-derives both sides from the same exact moments.
+
+    100 TB shape: the fact collapses to the bounded day table
+    map-side BEFORE the window (the q_rolling_7d precedent); the
+    RANGE frame holds ≤ 7 rows of state per step and partitions by
+    nothing bigger than the day domain.
+    """
+    o = load(spark, sf_dir, "orders")
+    mind = o.agg(F.min("o_orderdate").alias("mind"))
+    daily = (
+        o.crossJoin(F.broadcast(mind))
+        .groupBy(F.datediff("o_orderdate", "mind").cast("long").alias("x"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("v"))
+    )
+    win = (
+        Window.orderBy("x").rangeBetween(-BOLLINGER_DAYS, 0)
+    )
+    m = daily.select(
+        "x",
+        F.col("v").cast("double").alias("v"),
+        F.count("*").over(win).alias("n"),
+        F.sum("v").over(win).cast("double").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(win).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n").cast("double")
+    var = F.col("s2") / F.col("n").cast("double") - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return m.select(
+        "x",
+        F.round("v", 2).alias("revenue"),
+        F.round(mean, 4).alias("ma7"),
+        F.round(sd, 4).alias("sd7"),
+        (F.col("v") > mean + F.lit(2.0) * sd).alias("breakout_up"),
+    )
+
+
+ORACLE_BOLLINGER = """
+WITH t AS (SELECT MIN(o_orderdate) AS mind FROM orders),
+daily AS (
+  SELECT CAST(datediff('day', t.mind, o_orderdate) AS BIGINT) AS x,
+         SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS v
+  FROM orders CROSS JOIN t GROUP BY 1
+),
+m AS (
+  SELECT x, CAST(v AS DOUBLE) AS v,
+         CAST(COUNT(*) OVER w AS BIGINT)      AS n,
+         CAST(SUM(v) OVER w AS DOUBLE)        AS s1,
+         CAST(SUM(v * v) OVER w AS DOUBLE)    AS s2
+  FROM daily
+  WINDOW w AS (ORDER BY x RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT x,
+       ROUND(v, 2) AS revenue,
+       ROUND(s1 / CAST(n AS DOUBLE), 4) AS ma7,
+       ROUND(sqrt(GREATEST(s2 / CAST(n AS DOUBLE)
+                           - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)),
+                           0.0)), 4) AS sd7,
+       (v > s1 / CAST(n AS DOUBLE)
+            + 2.0 * sqrt(GREATEST(s2 / CAST(n AS DOUBLE)
+                                  - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)),
+                                  0.0))) AS breakout_up
+FROM m
+"""
+
+
+
 QUERIES = {
     "q_count_min": q_count_min,
     "q_weighted_median": q_weighted_median,
@@ -1212,6 +1655,13 @@ QUERIES = {
     "q_autocorr": q_autocorr,
     "q_benford": q_benford,
     "q_temporal_graph": q_temporal_graph,
+    "q_crosstab_chi2": q_crosstab_chi2,
+    "q_null_imputation": q_null_imputation,
+    "q_one_hot": q_one_hot,
+    "q_histogram_2d": q_histogram_2d,
+    "q_neighbor_agg": q_neighbor_agg,
+    "q_graph_drift": q_graph_drift,
+    "q_bollinger": q_bollinger,
 }
 
 # rows-only: q_pca_power (eigendecomposition not SQL-expressible;
@@ -1230,4 +1680,11 @@ ORACLES = {
     "q_autocorr": ORACLE_AUTOCORR,
     "q_benford": ORACLE_BENFORD,
     "q_temporal_graph": ORACLE_TEMPORAL_GRAPH,
+    "q_crosstab_chi2": ORACLE_CROSSTAB_CHI2,
+    "q_null_imputation": ORACLE_NULL_IMPUTATION,
+    "q_one_hot": ORACLE_ONE_HOT,
+    "q_histogram_2d": ORACLE_HISTOGRAM_2D,
+    "q_neighbor_agg": ORACLE_NEIGHBOR_AGG,
+    "q_graph_drift": ORACLE_GRAPH_DRIFT,
+    "q_bollinger": ORACLE_BOLLINGER,
 }

@@ -89,7 +89,11 @@ def _modules():
 # q_leiden_refine (sub-partition/connectivity/Q-non-decrease);
 # plus the five §2.21 fourth-batch additions — oracle-backed, local
 # DuckDB-parity green at sf0.001+sf0.01: q_trend_fit q_theilsen
-# q_autocorr q_benford q_temporal_graph.
+# q_autocorr q_benford q_temporal_graph, and the §2.22 fifth batch:
+# q_crosstab_chi2 q_null_imputation q_one_hot q_histogram_2d
+# (oracle-backed) + q_bpe_encode (rows-only, exact Python golden),
+# and the §2.23 sixth batch (oracle-backed): q_neighbor_agg
+# q_graph_drift q_bollinger.
 #
 # Rows-only entries deliberately inside this window: q_betweenness_sampled
 # (first window ever; estimator pinned by the rank-correlation pytest) and

@@ -989,6 +989,14 @@ SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
 BPE_MERGES = 8
 
 
+def _bpe_run(spark: SparkSession, sf_dir: str):
+    """Shared BPE machinery: returns (merge list, final encoded
+    (word, cnt, syms) vocabulary DataFrame) after BPE_MERGES rounds —
+    q_bpe_learn reports the merges, q_bpe_encode the resulting
+    subword statistics."""
+    return _bpe_loop(spark, sf_dir)
+
+
 def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary learning (Sennrich et al. 2016):
     learn the first BPE_MERGES merges over the corpus. The scale
@@ -1004,6 +1012,13 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     round's merge pair becomes a plan literal — data-dependent, not
     SQL-expressible); a pure-Python reference implementation pins the
     exact merge list in tests/test_textprep_extra.py."""
+    merges, _ = _bpe_run(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rank INT, left STRING, right STRING, merged STRING, pair_count LONG"
+    )
+
+
+def _bpe_loop(spark: SparkSession, sf_dir: str):
     d = load(spark, sf_dir, "documents")
     words = (
         tokens_of(d)
@@ -1052,8 +1067,29 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         words = words.select(
             "word", "cnt", F.expr(fold).alias("syms")
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "rank INT, left STRING, right STRING, merged STRING, pair_count LONG"
+    return merges, words
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges and report the top-20 subword
+    tokens by weighted corpus count (count DESC, token ASC) — the
+    encode half of the tokenizer: learn produces the merge table,
+    encode shows what the corpus tokenizes INTO. rows-only (the merge
+    list is data-dependent plan state); the pure-Python reference in
+    tests/test_llm_ops.py re-derives the exact same top-20.
+
+    100 TB shape: identical to q_bpe_learn — statistics live on the
+    weighted word VOCABULARY, never the raw corpus; the final subword
+    rollup is one explode→map-side-combined groupBy over vocabulary
+    rows, and the real corpus encode would be one broadcast of the
+    merge list into a shuffle-free scan."""
+    _, words = _bpe_run(spark, sf_dir)
+    return (
+        words.select("cnt", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
     )
 
 
@@ -1077,6 +1113,7 @@ QUERIES = {
     "q_dsir_weights": q_dsir_weights,
     "q_bigram_lm": q_bigram_lm,
     "q_bpe_learn": q_bpe_learn,
+    "q_bpe_encode": q_bpe_encode,
     "q_session_paths": q_session_paths,
 }
 

@@ -251,3 +251,51 @@ def test_pq_ann_recall_and_determinism(spark):
         for r in q_pq_ann(spark, SF_DIR).collect()
     )
     assert r1 == r2
+
+
+def test_bpe_encode_matches_python_golden(spark):
+    """q_bpe_encode's top-20 subword stats must equal a pure-Python
+    re-derivation: learn the same merges, apply them left-to-right
+    non-overlapping, count weighted subwords, take top-20 by
+    (count DESC, token ASC)."""
+    from collections import Counter
+
+    import duckdb
+
+    from louvain_modularity_spark.textprep import BPE_MERGES, q_bpe_encode
+
+    got = [(r["token"], r["n"]) for r in q_bpe_encode(spark, SF_DIR).collect()]
+
+    wc = duckdb.sql(
+        f"""
+        SELECT token, COUNT(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS token
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+        ) WHERE token <> '' GROUP BY token
+        """
+    ).fetchall()
+    vocab = {w: (list(w), c) for w, c in wc}
+    for _ in range(BPE_MERGES):
+        counts = Counter()
+        for syms, c in vocab.values():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += c
+        if not counts:
+            break
+        (l, r), _n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, (syms, c) in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            vocab[w] = (out, c)
+    sub = Counter()
+    for syms, c in vocab.values():
+        for s in syms:
+            sub[s] += c
+    want = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want

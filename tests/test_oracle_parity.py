@@ -31,7 +31,9 @@ ORACLES = all_oracles()
 ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
 
 #: in-flight comparisons; latency-bound, so well above core-count ÷ 1
-_POOL = 8
+#: (raised 8 → 12 as the registry passed 250 queries to hold the full
+#: suite under the 10-minute wall-clock budget)
+_POOL = 12
 
 
 @pytest.fixture(scope="session")
