@@ -1640,6 +1640,313 @@ FROM m
 
 
 
+
+# ---------------------------------------------------------------------------
+# Exact financial allocation, survivorship, concentration metrics
+# ---------------------------------------------------------------------------
+
+
+def q_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder allocation: split each order's total across
+    its lineitems proportional to extended price, EXACTLY in integer
+    cents — base shares by integer division, the leftover cents going
+    to the items with the largest remainders (ties to the lowest line
+    number). The per-order output proves conservation (allocated ==
+    total to the cent) while max/min expose the item-level result —
+    the financial-allocation kernel (invoice splits, cost
+    apportionment, tax rounding) where floating point is disallowed.
+
+    100 TB shape: one orderkey-shuffled join, one per-order window
+    over its ≤7 items for the remainder ranks, one map-side-combined
+    rollup. All arithmetic is int64 (products bounded by
+    total_cents·item_cents < 2⁶³) with DIV — no doubles anywhere.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("t_cents"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("w"),
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    tot_w = Window.partitionBy("l_orderkey")
+    with_w = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "t_cents",
+        "w",
+        F.sum("w").over(tot_w).alias("wsum"),
+    )
+    base = F.expr("t_cents * w DIV wsum")
+    frac = F.col("t_cents") * F.col("w") - base * F.col("wsum")
+    staged = with_w.select(
+        "l_orderkey",
+        "l_linenumber",
+        "t_cents",
+        base.alias("base"),
+        frac.alias("frac"),
+    )
+    rem = F.col("t_cents") - F.sum("base").over(tot_w)
+    rk = F.row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(
+            F.desc("frac"), F.asc("l_linenumber")
+        )
+    )
+    alloc = staged.select(
+        "l_orderkey",
+        "t_cents",
+        (F.col("base") + (rk <= rem).cast("long")).alias("alloc_cents"),
+    )
+    return alloc.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.min("t_cents").alias("total_cents"),
+        F.sum("alloc_cents").alias("allocated_cents"),
+        F.max("alloc_cents").alias("max_item_cents"),
+        F.min("alloc_cents").alias("min_item_cents"),
+    )
+
+
+ORACLE_ALLOCATION = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS t_cents
+  FROM orders
+),
+li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS w
+  FROM lineitem
+),
+with_w AS (
+  SELECT l_orderkey, l_linenumber, t_cents, w,
+         CAST(SUM(w) OVER (PARTITION BY l_orderkey) AS BIGINT) AS wsum
+  FROM li JOIN o ON l_orderkey = o_orderkey
+),
+staged AS (
+  SELECT l_orderkey, l_linenumber, t_cents,
+         (t_cents * w) // wsum                      AS base,
+         t_cents * w - ((t_cents * w) // wsum) * wsum AS frac
+  FROM with_w
+),
+alloc AS (
+  SELECT l_orderkey, t_cents,
+         base + CASE WHEN row_number() OVER (PARTITION BY l_orderkey
+                          ORDER BY frac DESC, l_linenumber)
+                     <= t_cents - CAST(SUM(base) OVER (PARTITION BY l_orderkey) AS BIGINT)
+                     THEN 1 ELSE 0 END AS alloc_cents
+  FROM staged
+)
+SELECT l_orderkey,
+       count(*) AS n_items,
+       MIN(t_cents) AS total_cents,
+       CAST(SUM(alloc_cents) AS BIGINT) AS allocated_cents,
+       MAX(alloc_cents) AS max_item_cents,
+       MIN(alloc_cents) AS min_item_cents
+FROM alloc
+GROUP BY 1
+"""
+
+
+#: synthetic duplicate groups: entity id = custkey mod this
+SURVIVOR_ENTITIES = 300
+
+
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record merge (master-data-management):
+    collapse each duplicate group (entity = custkey mod 300 — the
+    deterministic stand-in for a resolved match cluster) into one
+    record under per-column rules: name from the LATEST member
+    (max custkey), balance = group max, nation = deterministic mode
+    (count desc, smallest value — q_mode_agg's composite argmax),
+    segment from the EARLIEST member. Every rule is an aggregate;
+    no window, no sort, no per-group collect.
+
+    100 TB shape: two map-side-combined aggregates (one for the mode
+    pre-count, one for everything else) joined on the bounded entity
+    key — the cheapest possible golden-record pass; rules extend
+    per-column without new shuffles.
+    """
+    c = load(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % SURVIVOR_ENTITIES).alias("entity"),
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    main = c.groupBy("entity").agg(
+        F.count("*").alias("n_members"),
+        F.max_by("c_name", "c_custkey").alias("name_latest"),
+        F.max("bal").cast("double").alias("bal_max"),
+        F.min_by("c_mktsegment", "c_custkey").alias("segment_first"),
+    )
+    nation_counts = c.groupBy("entity", "c_nationkey").agg(
+        F.count("*").alias("cnt")
+    )
+    nation_mode = nation_counts.groupBy("entity").agg(
+        F.max_by(
+            "c_nationkey", F.col("cnt") * 1000 - F.col("c_nationkey")
+        ).alias("nation_mode")
+    )
+    return main.join(nation_mode, "entity")
+
+
+ORACLE_SURVIVORSHIP = f"""
+WITH c AS (
+  SELECT c_custkey % {SURVIVOR_ENTITIES} AS entity, c_custkey, c_name,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS bal, c_nationkey, c_mktsegment
+  FROM customer
+),
+main AS (
+  SELECT entity,
+         count(*) AS n_members,
+         arg_max(c_name, c_custkey)       AS name_latest,
+         CAST(MAX(bal) AS DOUBLE)         AS bal_max,
+         arg_min(c_mktsegment, c_custkey) AS segment_first
+  FROM c GROUP BY 1
+),
+nc AS (
+  SELECT entity, c_nationkey, count(*) AS cnt FROM c GROUP BY 1, 2
+),
+nm AS (
+  SELECT entity,
+         arg_max(c_nationkey, cnt * 1000 - c_nationkey) AS nation_mode
+  FROM nc GROUP BY 1
+)
+SELECT main.*, nm.nation_mode FROM main JOIN nm USING (entity)
+"""
+
+
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: parts are
+    ranked by revenue (desc, key asc), A = the head reaching 80% of
+    cumulative revenue, B = to 95%, C = the tail. Thresholds compare
+    in exact integer cents (5·cum ≤ 4·tot and 20·cum ≤ 19·tot) so the
+    class boundary can never flip on float noise.
+
+    100 TB shape: fact collapses to the part dimension map-side; the
+    cumulative window sorts the DIMENSION only (at part cardinalities
+    where that hurts, the equi-depth boundary trick substitutes); the
+    output is the 3-row class rollup.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+    )
+    win = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per.agg(F.sum("cents").alias("tot"))
+    cum = per.select(
+        "l_partkey", "cents", F.sum("cents").over(win).alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    cls = (
+        F.when(F.lit(5) * F.col("cum") <= F.lit(4) * F.col("tot"), "A")
+        .when(F.lit(20) * F.col("cum") <= F.lit(19) * F.col("tot"), "B")
+        .otherwise("C")
+    )
+    return (
+        cum.select(cls.alias("abc_class"), "cents", "tot")
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(
+                F.sum("cents").cast("double") / F.min("tot").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+    )
+
+
+ORACLE_PARETO_ABC = """
+WITH per AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM per),
+cum AS (
+  SELECT l_partkey, cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         tot
+  FROM per CROSS JOIN t
+)
+SELECT CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+            WHEN 20 * cum <= 19 * tot THEN 'B'
+            ELSE 'C' END AS abc_class,
+       count(*) AS n_parts,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / CAST(MIN(tot) AS DOUBLE), 6)
+         AS revenue_share
+FROM cum
+GROUP BY 1
+"""
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers —
+    the inequality metric behind "top-1% of customers" dashboards.
+    Computed from the exact sorted-rank identity
+    G = (2·Σ iᐧxᵢ − (n+1)·Σx) / (n·Σx) with x ascending (ties broken
+    by key); the rank-weighted sum accumulates in DECIMAL(38,0) cents
+    so it cannot overflow int64 or lose a cent at any scale.
+
+    100 TB shape: fact → per-customer cents (map-side), ONE
+    dimension-sized ranking window, one 3-scalar reduce. The final
+    identity is four exact integers and one division.
+    """
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    i = F.row_number().over(Window.orderBy(F.asc("cents"), F.asc("o_custkey")))
+    ranked = per.select(
+        "cents", (i.cast("decimal(38,0)") * F.col("cents")).alias("ix")
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum("ix").alias("six"),
+    )
+    g = (
+        F.lit(2.0) * F.col("six").cast("double")
+        - (F.col("n") + 1).cast("double") * F.col("sx").cast("double")
+    ) / (F.col("n").cast("double") * F.col("sx").cast("double"))
+    return agg.select(
+        "n",
+        F.round(F.col("sx").cast("double") / 100.0, 2).alias("total_revenue"),
+        F.round(g, 6).alias("gini"),
+    )
+
+
+ORACLE_GINI = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, o_custkey) AS DECIMAL(38,0))
+           * cents AS ix
+  FROM per
+),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sx,
+         SUM(ix) AS six
+  FROM ranked
+)
+SELECT n,
+       ROUND(CAST(sx AS DOUBLE) / 100.0, 2) AS total_revenue,
+       ROUND((2.0 * CAST(six AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+FROM agg
+"""
+
+
+
 QUERIES = {
     "q_count_min": q_count_min,
     "q_weighted_median": q_weighted_median,
@@ -1662,6 +1969,10 @@ QUERIES = {
     "q_neighbor_agg": q_neighbor_agg,
     "q_graph_drift": q_graph_drift,
     "q_bollinger": q_bollinger,
+    "q_allocation": q_allocation,
+    "q_survivorship": q_survivorship,
+    "q_pareto_abc": q_pareto_abc,
+    "q_gini": q_gini,
 }
 
 # rows-only: q_pca_power (eigendecomposition not SQL-expressible;
@@ -1687,4 +1998,8 @@ ORACLES = {
     "q_neighbor_agg": ORACLE_NEIGHBOR_AGG,
     "q_graph_drift": ORACLE_GRAPH_DRIFT,
     "q_bollinger": ORACLE_BOLLINGER,
+    "q_allocation": ORACLE_ALLOCATION,
+    "q_survivorship": ORACLE_SURVIVORSHIP,
+    "q_pareto_abc": ORACLE_PARETO_ABC,
+    "q_gini": ORACLE_GINI,
 }

@@ -93,7 +93,9 @@ def _modules():
 # q_crosstab_chi2 q_null_imputation q_one_hot q_histogram_2d
 # (oracle-backed) + q_bpe_encode (rows-only, exact Python golden),
 # and the §2.23 sixth batch (oracle-backed): q_neighbor_agg
-# q_graph_drift q_bollinger.
+# q_graph_drift q_bollinger, and the §2.24 seventh batch
+# (oracle-backed): q_allocation q_survivorship q_pareto_abc q_gini
+# q_stream_topk.
 #
 # Rows-only entries deliberately inside this window: q_betweenness_sampled
 # (first window ever; estimator pinned by the rank-correlation pytest) and

@@ -23,7 +23,7 @@ import os
 import uuid
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from .session import ensure_conf
 from .sources import ts_us_expr
@@ -557,6 +557,56 @@ FROM events
 """
 
 
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming top-k: tumbling 1-hour counts per event
+    type computed BY THE STREAM, then the per-window top-2 ranking
+    applied to the materialized result — the standard composition for
+    "trending now" dashboards (rank is not an incremental streaming
+    operator, so it runs batch-side on the windowed aggregate, the
+    same split a foreachBatch sink would use).
+
+    100 TB shape: streaming state is the windowed count map (bounded
+    by windows × types, watermark-expired); the ranking input is that
+    aggregate, never raw events.
+    """
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts_ltz", "10 minutes")
+        .groupBy(F.window("ts_ltz", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros("window.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    mat = run_to_table(spark, agg, "complete")
+    rk = F.row_number().over(
+        Window.partitionBy("window_start_us").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+    )
+    return mat.select("window_start_us", "event_type", "n_events", rk.alias("rk")).filter(
+        F.col("rk") <= 2
+    )
+
+
+ORACLE_STREAM_TOPK = f"""
+WITH counts AS (
+  SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS window_start_us,
+         event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start_us, event_type, n_events, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY window_start_us
+                 ORDER BY n_events DESC, event_type) AS INTEGER) AS rk
+  FROM counts
+)
+WHERE rk <= 2
+"""
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_sliding": q_stream_sliding,
@@ -571,6 +621,7 @@ QUERIES = {
     # correctness window stable (see registry._modules ordering note)
     "q_stream_foreach_batch": q_stream_foreach_batch,
     "q_stream_metrics": q_stream_metrics,
+    "q_stream_topk": q_stream_topk,
 }
 
 ORACLES = {
@@ -584,6 +635,7 @@ ORACLES = {
     "q_stream_file_sink": ORACLE_STREAM_FILE_SINK,
     "q_stream_foreach_batch": ORACLE_STREAM_FOREACH_BATCH,
     "q_stream_metrics": ORACLE_STREAM_METRICS,
+    "q_stream_topk": ORACLE_STREAM_TOPK,
     # rows-only: q_stream_watermark (append-mode emission depends on
     # final-batch watermark advancement; semantics pinned in tests)
 }

@@ -88,3 +88,20 @@ def test_salted_join_broadcasts_dim(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_allocation_conserves_every_cent(spark):
+    """Largest-remainder allocation: allocated == total for EVERY
+    order (to the cent), and item shares stay within one cent of
+    exact proportionality bounds (base ≤ share ≤ base+1 by
+    construction implies max-min spread sanity)."""
+    from conftest import SF_DIR
+
+    from louvain_modularity_spark.datasci import q_allocation
+
+    rows = q_allocation(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["allocated_cents"] == r["total_cents"], r
+        assert r["min_item_cents"] >= 0, r
+        assert r["max_item_cents"] >= r["min_item_cents"], r
