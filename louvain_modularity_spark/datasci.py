@@ -1947,6 +1947,274 @@ FROM agg
 
 
 
+# ---------------------------------------------------------------------------
+# Survival analysis, cohort LTV, association rules
+# ---------------------------------------------------------------------------
+
+#: customers whose last order falls in the final window are censored
+KM_CENSOR_DAYS = 180
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer lifetime (days between
+    first and last order; customers still ordering in the final 180
+    days are right-CENSORED — the estimator's whole point). At each
+    event time: n_at_risk from a descending cumulative window over the
+    collapsed duration histogram, S(t) = Π(1 − d/n) via exp-Σ-ln with
+    an exact zero-factor flag (Spark ln(0) is NULL, DuckDB -inf — the
+    flag sidesteps both).
+
+    100 TB shape: fact → per-customer (duration, censored) rollup →
+    duration HISTOGRAM (bounded by distinct day counts) → two windows
+    over the histogram → done. The corpus is touched once.
+    """
+    o = load(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    per = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("dur"),
+            (
+                F.datediff(F.min("maxd"), F.max("o_orderdate"))
+                < F.lit(KM_CENSOR_DAYS)
+            ).cast("long").alias("censored"),
+        )
+    )
+    hist = per.groupBy("dur").agg(
+        F.sum(F.lit(1) - F.col("censored")).alias("d"),
+        F.count("*").alias("c"),
+    )
+    risk_win = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km_win = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    staged = hist.select(
+        "dur",
+        "d",
+        F.sum("c").over(risk_win).alias("n_risk"),
+    ).filter(F.col("d") > 0)
+    factor = F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast("double")
+    events = staged.select(
+        "dur",
+        "d",
+        "n_risk",
+        factor.alias("f"),
+    )
+    surv = F.when(
+        F.min("f").over(km_win) <= F.lit(0.0), F.lit(0.0)
+    ).otherwise(F.exp(F.sum(F.log("f")).over(km_win)))
+    return events.select(
+        F.col("dur").alias("t_days"),
+        F.col("d").alias("n_events"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.round(surv, 6).alias("survival"),
+    )
+
+
+ORACLE_KAPLAN_MEIER = f"""
+WITH t AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+per AS (
+  SELECT o_custkey,
+         CAST(datediff('day', MIN(o_orderdate), MAX(o_orderdate)) AS INTEGER) AS dur,
+         CASE WHEN datediff('day', MAX(o_orderdate), MIN(t.maxd))
+                   < {KM_CENSOR_DAYS} THEN 1 ELSE 0 END AS censored
+  FROM orders CROSS JOIN t GROUP BY 1
+),
+hist AS (
+  SELECT dur,
+         CAST(SUM(1 - censored) AS BIGINT) AS d,
+         count(*) AS c
+  FROM per GROUP BY 1
+),
+staged AS (
+  SELECT dur, d,
+         CAST(SUM(c) OVER (ORDER BY dur DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+  FROM hist
+),
+events AS (
+  SELECT dur, d, n_risk,
+         1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+  FROM staged WHERE d > 0
+)
+SELECT dur AS t_days, d AS n_events, n_risk AS n_at_risk,
+       ROUND(CASE WHEN MIN(f) OVER w <= 0.0 THEN 0.0
+                  ELSE exp(SUM(ln(f)) OVER w) END, 6) AS survival
+FROM events
+WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+#: LTV horizon: months 0..5 after the cohort month
+LTV_MONTHS = 5
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers grouped by first-order month, the
+    cumulative revenue per customer tracked for the first 6 months —
+    the curve every subscription/commerce dashboard draws next to
+    q_retention_cohort's counts. Month ids are pure integer
+    arithmetic (year·12+month); revenue is DECIMAL-exact until the
+    one per-cell division.
+
+    100 TB shape: two map-side-combined aggregates (first-month per
+    customer, then per-(cohort, offset) revenue) + one ≤6-row
+    cumulative window per cohort over the cohort×offset grid —
+    windows never see the fact.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("rev"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    sizes = first.groupBy("m0").agg(F.count("*").alias("n_customers"))
+    cells = (
+        o.join(first, "o_custkey")
+        .select("m0", (F.col("m") - F.col("m0")).alias("off"), "rev")
+        .filter(F.col("off") <= LTV_MONTHS)
+        .groupBy("m0", "off")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    cum_win = Window.partitionBy("m0").orderBy("off").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "m0",
+        "off",
+        (F.sum("rev").over(cum_win) * 100).cast("long").alias("cum_cents"),
+    )
+    # per-customer LTV reported in whole cents via integer DIV — the
+    # fractional quotient lands on exact .xxx5 half-cases (cents / small
+    # n) where Spark's and DuckDB's double ROUND disagree, so the
+    # output stays in the integer domain (plus an unrounded exact-
+    # division dollars column, IEEE-identical in both engines)
+    ltv_cents = F.expr("cum_cents DIV n_customers")
+    return (
+        cum.join(F.broadcast(sizes), "m0")
+        .select(
+            F.col("m0").alias("cohort_month"),
+            F.col("off").alias("months_since"),
+            "n_customers",
+            ltv_cents.alias("ltv_cents_per_customer"),
+            (ltv_cents.cast("double") / F.lit(100.0)).alias("ltv_dollars"),
+        )
+    )
+
+
+ORACLE_COHORT_LTV = f"""
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS m,
+         CAST(o_totalprice AS DECIMAL(14,2)) AS rev
+  FROM orders
+),
+first AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY 1),
+sizes AS (SELECT m0, count(*) AS n_customers FROM first GROUP BY 1),
+cells AS (
+  SELECT m0, m - m0 AS off, SUM(rev) AS rev
+  FROM o JOIN first USING (o_custkey)
+  WHERE m - m0 <= {LTV_MONTHS}
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT m0, off,
+         CAST(SUM(rev) OVER (PARTITION BY m0 ORDER BY off
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 AS BIGINT)
+           AS cum_cents
+  FROM cells
+)
+SELECT m0 AS cohort_month, off AS months_since, n_customers,
+       cum_cents // n_customers AS ltv_cents_per_customer,
+       CAST(cum_cents // n_customers AS DOUBLE) / 100.0 AS ltv_dollars
+FROM cum JOIN sizes USING (m0)
+"""
+
+
+#: association rules kept at or above this pair support
+ASSOC_MIN_SUPPORT = 40
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets at brand granularity:
+    support, both confidences, and lift for every brand pair with
+    support ≥ {ASSOC_MIN_SUPPORT} — q_freq_pairs' pair mining
+    completed into the rule statistics (Agrawal-Srikant 1994). All
+    counts are exact BIGINTs; confidence/lift divide once in double.
+
+    100 TB shape: baskets collapse to DISTINCT (order, brand) first
+    (the A-priori fan-out bound), the pair join is co-partitioned on
+    the basket key, single-item supports come from one tiny
+    brand-count rollup broadcast twice.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_baskets = baskets.select("l_orderkey").distinct().count()
+    singles = baskets.groupBy("p_brand").agg(F.count("*").alias("n1"))
+    a = baskets.select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("ba"))
+    b = baskets.select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("bb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= ASSOC_MIN_SUPPORT)
+    )
+    sa = singles.select(F.col("p_brand").alias("ba"), F.col("n1").alias("n_a"))
+    sb = singles.select(F.col("p_brand").alias("bb"), F.col("n1").alias("n_b"))
+    out = pairs.join(F.broadcast(sa), "ba").join(F.broadcast(sb), "bb")
+    lift = (
+        F.col("n_ab").cast("double") * F.lit(float(n_baskets))
+    ) / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    return out.select(
+        F.col("ba").alias("brand_a"),
+        F.col("bb").alias("brand_b"),
+        "n_ab",
+        F.round(F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6).alias(
+            "conf_a_to_b"
+        ),
+        F.round(F.col("n_ab").cast("double") / F.col("n_b").cast("double"), 6).alias(
+            "conf_b_to_a"
+        ),
+        F.round(lift, 6).alias("lift"),
+    )
+
+
+ORACLE_ASSOC_RULES = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets),
+singles AS (SELECT p_brand, count(*) AS n1 FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.p_brand AS ba, b.p_brand AS bb, count(*) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING count(*) >= {ASSOC_MIN_SUPPORT}
+)
+SELECT ba AS brand_a, bb AS brand_b, n_ab,
+       ROUND(CAST(n_ab AS DOUBLE) / CAST(sa.n1 AS DOUBLE), 6) AS conf_a_to_b,
+       ROUND(CAST(n_ab AS DOUBLE) / CAST(sb.n1 AS DOUBLE), 6) AS conf_b_to_a,
+       ROUND(CAST(n_ab AS DOUBLE) * CAST(nb.n AS DOUBLE)
+             / (CAST(sa.n1 AS DOUBLE) * CAST(sb.n1 AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN singles sa ON sa.p_brand = pairs.ba
+JOIN singles sb ON sb.p_brand = pairs.bb
+CROSS JOIN nb
+"""
+
+
+
+
 QUERIES = {
     "q_count_min": q_count_min,
     "q_weighted_median": q_weighted_median,
@@ -1973,6 +2241,9 @@ QUERIES = {
     "q_survivorship": q_survivorship,
     "q_pareto_abc": q_pareto_abc,
     "q_gini": q_gini,
+    "q_kaplan_meier": q_kaplan_meier,
+    "q_cohort_ltv": q_cohort_ltv,
+    "q_assoc_rules": q_assoc_rules,
 }
 
 # rows-only: q_pca_power (eigendecomposition not SQL-expressible;
@@ -2002,4 +2273,7 @@ ORACLES = {
     "q_survivorship": ORACLE_SURVIVORSHIP,
     "q_pareto_abc": ORACLE_PARETO_ABC,
     "q_gini": ORACLE_GINI,
+    "q_kaplan_meier": ORACLE_KAPLAN_MEIER,
+    "q_cohort_ltv": ORACLE_COHORT_LTV,
+    "q_assoc_rules": ORACLE_ASSOC_RULES,
 }

@@ -95,7 +95,8 @@ def _modules():
 # and the §2.23 sixth batch (oracle-backed): q_neighbor_agg
 # q_graph_drift q_bollinger, and the §2.24 seventh batch
 # (oracle-backed): q_allocation q_survivorship q_pareto_abc q_gini
-# q_stream_topk.
+# q_stream_topk, and the §2.25 eighth batch (oracle-backed):
+# q_kaplan_meier q_cohort_ltv q_assoc_rules.
 #
 # Rows-only entries deliberately inside this window: q_betweenness_sampled
 # (first window ever; estimator pinned by the rank-correlation pytest) and
