@@ -652,3 +652,39 @@ def test_pq_ann_no_cartesian_no_corpus_shuffle_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_allocation_all_integer_plan(spark):
+    """The allocation kernel must stay in the integer domain: no
+    double-typed arithmetic anywhere in the executed plan's
+    projections (the doubles-forbidden financial contract), and the
+    remainder rank must be the only Window."""
+    from louvain_modularity_spark.datasci import q_allocation
+
+    plan = _plan_of(q_allocation, spark)
+    assert "EvalPython" not in plan, plan
+    # round() over the raw prices is the one sanctioned double touch
+    # (cents quantization at scan time); after that everything is
+    # bigint — no double division operator may appear
+    assert "/ " not in plan.replace("// ", ""), plan
+
+
+def test_assoc_rules_checkpointed_basket_reuse(spark):
+    """A-priori rules: the distinct basket table is checkpointed and
+    reused for pairs and single supports — the final plan re-scans no
+    parquet; single-support joins broadcast."""
+    from louvain_modularity_spark.datasci import q_assoc_rules
+
+    plan = _plan_of(q_assoc_rules, spark)
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_survivorship_aggregate_only(spark):
+    """Golden-record merge must be windowless: two hash aggregates and
+    a join, never a sort-based per-group pass."""
+    from louvain_modularity_spark.datasci import q_survivorship
+
+    plan = _plan_of(q_survivorship, spark)
+    assert "Window" not in plan, plan
+    assert "max_by" in plan or "HashAggregate" in plan, plan
