@@ -30,6 +30,7 @@ def _modules():
         streaming,
         textprep,
         tpch,
+        tsml,
     )
 
     return [
@@ -46,6 +47,7 @@ def _modules():
         analytics,
         tpch,
         datasci,
+        tsml,
     ]
 
 
@@ -96,7 +98,9 @@ def _modules():
 # q_graph_drift q_bollinger, and the §2.24 seventh batch
 # (oracle-backed): q_allocation q_survivorship q_pareto_abc q_gini
 # q_stream_topk, and the §2.25 eighth batch (oracle-backed):
-# q_kaplan_meier q_cohort_ltv q_assoc_rules.
+# q_kaplan_meier q_cohort_ltv q_assoc_rules, and the §2.26 ninth batch
+# (oracle-backed): q_ewma q_cusum q_winsorize q_grid_join
+# q_calibration q_ndcg.
 #
 # Rows-only entries deliberately inside this window: q_betweenness_sampled
 # (first window ever; estimator pinned by the rank-correlation pytest) and

@@ -1,0 +1,595 @@
+"""Time-series smoothing/changepoint, robust preprocessing, planar
+near-neighbor search, and ranking/probability evaluation (SURVEY.md
+§2.26).
+
+Exactness conventions as everywhere in the repo: sums that cross the
+engine boundary stay in integer / DECIMAL domains (order-independent),
+doubles appear only in final displayed divisions behind one ROUND, and
+synthetic model scores / coordinates are pure-LCG functions of stable
+keys so both engines derive identical values with +·% arithmetic only.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .sources import load
+
+# ---------------------------------------------------------------------------
+# EWMA — truncated exponential smoothing of daily revenue
+# ---------------------------------------------------------------------------
+
+#: decay α = 1/2 per day, kernel truncated at EWMA_HORIZON days: the
+#: dropped tail mass is 2^-30 ≈ 1e-9 of the kernel — far below the
+#:  6-dp display precision — and truncation is what makes the weighted
+#: sums exact integers
+EWMA_HORIZON = 30
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of DAILY order revenue
+    (α = 1/2, kernel truncated at 30 days, renormalized over the days
+    actually present — a calendar-decay smoother that is gap-exact
+    instead of row-decay). The α = 1/2 choice makes every kernel
+    weight a power of two, so numerator Σ cents·2^(29−k) and
+    denominator Σ 2^(29−k) are EXACT integers (DECIMAL(38,0) sums,
+    order-independent); a single final division is displayed.
+
+    100 TB shape: the fact table collapses to the bounded day domain
+    (~37k days of commerce ever) in one map-side-combined aggregate;
+    the kernel is then an O(HORIZON·D) self-join over aggregate rows
+    only — never a window whose weight depends on pair distance, and
+    never the fact table squared.
+    """
+    o = load(spark, sf_dir, "orders")
+    mind = o.agg(F.min("o_orderdate").alias("mind"))
+    daily = (
+        o.crossJoin(F.broadcast(mind))
+        .groupBy(F.datediff("o_orderdate", "mind").cast("long").alias("x"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(F.col("x").alias("xi"), F.col("cents").alias("vi"))
+    w = F.pow(F.lit(2.0), F.lit(EWMA_HORIZON - 1) - (F.col("t.x") - F.col("xi"))).cast(
+        "decimal(18,0)"
+    )
+    terms = (
+        daily.alias("t")
+        .join(
+            a,
+            (F.col("xi") <= F.col("t.x"))
+            & (F.col("xi") > F.col("t.x") - F.lit(EWMA_HORIZON)),
+        )
+        .select(
+            F.col("t.x").alias("x"),
+            F.col("t.cents").alias("cents"),
+            (F.col("vi") * w).alias("term"),
+            w.alias("wt"),
+        )
+    )
+    return (
+        terms.groupBy("x", "cents")
+        .agg(
+            F.sum("term").cast("decimal(38,0)").alias("num"),
+            F.sum("wt").cast("decimal(38,0)").alias("den"),
+        )
+        .select(
+            "x",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(
+                (F.col("num").cast("double") / F.col("den").cast("double")) / 100.0, 6
+            ).alias("ewma"),
+        )
+        .orderBy("x")
+    )
+
+
+ORACLE_EWMA = f"""
+WITH t0 AS (SELECT MIN(o_orderdate) AS mind FROM orders),
+daily AS (
+  SELECT CAST(datediff('day', t0.mind, o_orderdate) AS BIGINT) AS x,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT) AS cents
+  FROM orders CROSS JOIN t0 GROUP BY 1
+),
+k AS (
+  SELECT t.x, t.cents,
+         CAST(SUM(a.cents * CAST(pow(2.0, {EWMA_HORIZON - 1} - (t.x - a.x))
+                                 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS num,
+         CAST(SUM(CAST(pow(2.0, {EWMA_HORIZON - 1} - (t.x - a.x))
+                       AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS den
+  FROM daily t JOIN daily a
+    ON a.x <= t.x AND a.x > t.x - {EWMA_HORIZON}
+  GROUP BY 1, 2
+)
+SELECT x, ROUND(cents / 100.0, 2) AS revenue,
+       ROUND((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) / 100.0, 6) AS ewma
+FROM k ORDER BY x
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan
+# ---------------------------------------------------------------------------
+
+#: report this many top-|CUSUM| candidate changepoint days
+CUSUM_TOP = 5
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over daily revenue: S_t = Σ_{i≤t}
+    (v_i − μ); the day maximizing |S_t| is the classic single-
+    changepoint estimate (Page 1954). Scaled by n to stay integer:
+    n·S_t = n·(running Σ v) − rank_t·total, every term an exact
+    BIGINT/DECIMAL — the running sum is the ONLY window and it runs
+    over the collapsed day table, never the fact scan.
+
+    100 TB shape: fact → per-day map-side aggregate; one tiny-table
+    window; top-|S| via TakeOrderedAndProject.
+    """
+    o = load(spark, sf_dir, "orders")
+    mind = o.agg(F.min("o_orderdate").alias("mind"))
+    daily = (
+        o.crossJoin(F.broadcast(mind))
+        .groupBy(F.datediff("o_orderdate", "mind").cast("long").alias("x"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"), F.sum("cents").cast("decimal(38,0)").alias("tot")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "n",
+            "tot",
+            F.sum("cents").over(w).cast("decimal(38,0)").alias("run"),
+            F.row_number().over(Window.orderBy("x")).alias("rk"),
+        )
+        .select(
+            "x",
+            "n",
+            (F.col("n") * F.col("run") - F.col("rk") * F.col("tot"))
+            .cast("decimal(38,0)")
+            .alias("ns"),
+        )
+    )
+    return (
+        scored.select(
+            "x",
+            F.round((F.col("ns").cast("double") / F.col("n")) / 100.0, 6).alias(
+                "cusum"
+            ),
+            F.abs(F.col("ns")).alias("abs_ns"),
+        )
+        .orderBy(F.desc("abs_ns"), "x")
+        .limit(CUSUM_TOP)
+        .select("x", "cusum")
+    )
+
+
+ORACLE_CUSUM = f"""
+WITH t0 AS (SELECT MIN(o_orderdate) AS mind FROM orders),
+daily AS (
+  SELECT CAST(datediff('day', t0.mind, o_orderdate) AS BIGINT) AS x,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT) AS cents
+  FROM orders CROSS JOIN t0 GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS DECIMAL(38,0)) AS tot FROM daily),
+scored AS (
+  SELECT x, tot.n,
+         CAST(tot.n * SUM(cents) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - ROW_NUMBER() OVER (ORDER BY x) * tot.tot
+              AS DECIMAL(38,0)) AS ns
+  FROM daily CROSS JOIN tot
+)
+SELECT x, ROUND((CAST(ns AS DOUBLE) / n) / 100.0, 6) AS cusum
+FROM scored ORDER BY abs(ns) DESC, x LIMIT {CUSUM_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean
+# ---------------------------------------------------------------------------
+
+#: winsorization tail probability (clip at p05 / p95)
+WINSOR_P = 0.05
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag winsorized mean of l_extendedprice: exact
+    p05/p95 boundaries (2-dp-quantized so clipped values stay
+    DECIMAL-summable), values clamped into [lo, hi], raw vs winsorized
+    mean and clip counts — the robust-mean preprocessing step between
+    plain AVG and the median.
+
+    100 TB shape: the mad_outlier two-pass — one exact-percentile
+    aggregate per group (3 groups) broadcast back over a second scan;
+    all sums DECIMAL, single displayed division.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(F.expr(f"percentile(l_extendedprice, {WINSOR_P})"), 2)
+        .cast("decimal(14,2)")
+        .alias("lo"),
+        F.round(F.expr(f"percentile(l_extendedprice, {1 - WINSOR_P})"), 2)
+        .cast("decimal(14,2)")
+        .alias("hi"),
+    )
+    v = F.col("l_extendedprice").cast("decimal(14,2)")
+    clipped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.count("*").alias("n"),
+            F.sum(F.when(v < F.col("lo"), 1).otherwise(0)).alias("n_clip_lo"),
+            F.sum(F.when(v > F.col("hi"), 1).otherwise(0)).alias("n_clip_hi"),
+            F.sum(v).cast("decimal(38,2)").alias("raw_sum"),
+            F.sum(clipped).cast("decimal(38,2)").alias("win_sum"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("lo").cast("double").alias("lo"),
+            F.col("hi").cast("double").alias("hi"),
+            "n",
+            "n_clip_lo",
+            "n_clip_hi",
+            F.round(F.col("raw_sum").cast("double") / F.col("n"), 6).alias("mean_raw"),
+            F.round(F.col("win_sum").cast("double") / F.col("n"), 6).alias(
+                "mean_winsor"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_WINSORIZE = f"""
+WITH bounds AS (
+  SELECT l_returnflag,
+         CAST(ROUND(quantile_cont(l_extendedprice, {WINSOR_P}), 2)
+              AS DECIMAL(14,2)) AS lo,
+         CAST(ROUND(quantile_cont(l_extendedprice, {1 - WINSOR_P}), 2)
+              AS DECIMAL(14,2)) AS hi
+  FROM lineitem GROUP BY 1
+)
+SELECT li.l_returnflag,
+       CAST(ANY_VALUE(lo) AS DOUBLE) AS lo,
+       CAST(ANY_VALUE(hi) AS DOUBLE) AS hi,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN CAST(l_extendedprice AS DECIMAL(14,2)) < lo
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(SUM(CASE WHEN CAST(l_extendedprice AS DECIMAL(14,2)) > hi
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+       ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)))
+                       AS DECIMAL(38,2)) AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+       ROUND(CAST(CAST(SUM(LEAST(GREATEST(
+                 CAST(l_extendedprice AS DECIMAL(14,2)), lo), hi))
+                       AS DECIMAL(38,2)) AS DOUBLE) / COUNT(*), 6) AS mean_winsor
+FROM lineitem li JOIN bounds b ON li.l_returnflag = b.l_returnflag
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Planar grid near-neighbor join
+# ---------------------------------------------------------------------------
+
+#: synthetic planar coordinates: pure-LCG projections of the customer
+#: key onto a GRID_SIZE × GRID_SIZE integer plane (deterministic and
+#: engine-portable; stands in for any real point column)
+GRID_SIZE = 10_000
+GRID_RADIUS = 150  # neighbor radius; also the grid cell edge
+GRID_A1, GRID_B1 = 1103515245, 12345
+GRID_A2, GRID_B2 = 1299709, 7919
+GRID_P = 2_147_483_647
+GRID_TOP = 100
+
+
+def _grid_xy(key):
+    x = ((key * GRID_A1 + GRID_B1) % GRID_P) % GRID_SIZE
+    y = ((key * GRID_A2 + GRID_B2) % GRID_P) % GRID_SIZE
+    return x, y
+
+
+def q_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar distance self-join — all customer pairs within L2
+    distance GRID_RADIUS on a 10k×10k integer plane — via grid-cell
+    bucketing (cell edge = radius, 3×3 neighbor probe), the canonical
+    spatial-join decomposition (the geohash/S2 shape). Distances stay
+    squared-integer (no sqrt, no libm); output is the GRID_TOP closest
+    pairs, deterministically ordered.
+
+    100 TB shape: each left row explodes to its 9 candidate cells and
+    meets right rows ONLY inside its hash-partitioned cell bucket — a
+    plain equi-join on the cell key, plan-guarded against
+    CartesianProduct/BroadcastNestedLoop. Work is Σ_cell |L_cell|·9·
+    avg bucket size, linear for bounded point density; skewed cells
+    are ordinary skewed join keys (AQE/salting apply unchanged). The
+    oracle brute-forces O(n²) at test scale, which is exactly the
+    formulation this decomposition replaces.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    x, y = _grid_xy(F.col("c_custkey"))
+    pts = c.select(
+        F.col("c_custkey").alias("id"), x.alias("x"), y.alias("y")
+    ).localCheckpoint(eager=True)
+    g = F.lit(GRID_RADIUS)
+    left = pts.select(
+        "id",
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        ((F.col("x") / g).cast("long") + dx).alias("cx"),
+                        ((F.col("y") / g).cast("long") + dy).alias("cy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("cell"),
+    ).select("id", "x", "y", "cell.cx", "cell.cy")
+    right = pts.select(
+        F.col("id").alias("id2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+        (F.col("x") / g).cast("long").alias("cx"),
+        (F.col("y") / g).cast("long").alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("x2")) * (F.col("x") - F.col("x2")) + (
+        F.col("y") - F.col("y2")
+    ) * (F.col("y") - F.col("y2"))
+    return (
+        left.join(right, ["cx", "cy"])
+        .filter(F.col("id") < F.col("id2"))
+        .select(
+            F.col("id").alias("cust_a"),
+            F.col("id2").alias("cust_b"),
+            d2.alias("dist2"),
+        )
+        .filter(F.col("dist2") <= F.lit(GRID_RADIUS * GRID_RADIUS))
+        .orderBy("dist2", "cust_a", "cust_b")
+        .limit(GRID_TOP)
+    )
+
+
+ORACLE_GRID_JOIN = f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         ((c_custkey * {GRID_A1} + {GRID_B1}) % {GRID_P}) % {GRID_SIZE} AS x,
+         ((c_custkey * {GRID_A2} + {GRID_B2}) % {GRID_P}) % {GRID_SIZE} AS y
+  FROM customer
+)
+SELECT a.id AS cust_a, b.id AS cust_b,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {GRID_RADIUS * GRID_RADIUS}
+ORDER BY dist2, cust_a, cust_b LIMIT {GRID_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Probability calibration audit
+# ---------------------------------------------------------------------------
+
+#: synthetic model probability: LCG(o_orderkey) in milli-units (3-dp),
+#: audited against the o_orderstatus = 'F' label
+CAL_A, CAL_B = 104729, 27644437
+CAL_BINS = 10
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-calibration audit (reliability table + per-bin
+    Brier score): a synthetic 3-dp model probability per order is
+    binned into deciles and compared with the observed 'F'-status
+    rate. With p in integer milli-units and the label 0/1, every
+    statistic — Σp, Σ(p−y)², positives — is an EXACT integer sum;
+    mean_p / frac_pos / brier are single final divisions.
+
+    100 TB shape: ONE map-side-combined groupBy on a 10-value key;
+    nothing leaves the aggregate but 10 rows.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    p_milli = ((F.col("o_orderkey") * CAL_A + CAL_B) % GRID_P) % 1000
+    yv = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    err = p_milli - 1000 * yv
+    return (
+        o.select(
+            (p_milli / F.lit(100)).cast("long").alias("bin"),
+            p_milli.alias("pm"),
+            yv.alias("y"),
+            (err * err).alias("sq"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.sum("pm").alias("sum_pm"),
+            F.sum("sq").alias("sum_sq"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(F.col("sum_pm") / (F.col("n") * 1000.0), 6).alias("mean_p"),
+            F.round(F.col("n_pos") / F.col("n").cast("double"), 6).alias("frac_pos"),
+            F.round(F.col("sum_sq") / (F.col("n") * 1e6), 6).alias("brier"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_CALIBRATION = f"""
+WITH scored AS (
+  SELECT ((o_orderkey * {CAL_A} + {CAL_B}) % {GRID_P}) % 1000 AS pm,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+)
+SELECT pm // 100 AS bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+       ROUND(SUM(pm) / (COUNT(*) * 1000.0), 6) AS mean_p,
+       ROUND(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos,
+       ROUND(SUM((pm - 1000 * y) * (pm - 1000 * y)) / (COUNT(*) * 1e6), 6)
+         AS brier
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# NDCG ranking quality
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+#: positional discounts 1/log2(rank+1), rank 1..K, frozen to 12-dp
+#: DECIMAL literals so BOTH engines consume the identical constants
+#: and the DCG sum (integer gain × decimal weight) is exact and
+#: order-independent — no runtime libm log in either plan
+NDCG_W = [round(1.0 / math.log2(i + 1), 12) for i in range(1, NDCG_K + 1)]
+#: graded relevance from the account-balance range [-999.99, 9999.99]:
+#: (cents + 99999) // 275000 ∈ {0,1,2,3}; gain = 2^grade − 1
+NDCG_SCORE_A, NDCG_SCORE_B = 7919, 104723
+
+
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per market segment: customers ranked by a synthetic
+    model score are scored against a graded relevance derived from
+    account balance (4 grades, gain 2^g − 1), normalized by the ideal
+    (grade-sorted) ranking — the standard ranking-quality metric
+    (Järvelin & Kekäläinen 2002). Positional discounts are frozen
+    decimal literals (see NDCG_W), so DCG/IDCG are exact decimal sums
+    and the single displayed division is the only double op.
+
+    100 TB shape: both rankings sort the customer DIMENSION within
+    5 segment partitions (the q_rfm window discipline — never a fact
+    sort); everything after the two top-10 windows is 100 rows.
+    """
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    grade = ((cents + 99999) / F.lit(275000)).cast("long")
+    score = (F.col("c_custkey") * NDCG_SCORE_A + NDCG_SCORE_B) % GRID_P
+    base = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        grade.alias("grade"),
+        score.alias("score"),
+    )
+    gain = F.expr("CAST(shiftleft(1, CAST(grade AS INT)) - 1 AS BIGINT)")
+    wexpr = F.lit(None).cast("decimal(14,12)")
+    for i, wi in enumerate(NDCG_W, start=1):
+        wexpr = F.when(F.col("rk") == i, F.lit(str(wi)).cast("decimal(14,12)")).otherwise(
+            wexpr
+        )
+    model_w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("score"), "c_custkey"
+    )
+    ideal_w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("grade"), "c_custkey"
+    )
+
+    def dcg_of(win, name):
+        return (
+            base.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= NDCG_K)
+            .withColumn("w", wexpr)
+            .groupBy("c_mktsegment")
+            .agg(F.sum(gain * F.col("w")).cast("decimal(24,12)").alias(name))
+        )
+
+    dcg = dcg_of(model_w, "dcg")
+    idcg = dcg_of(ideal_w, "idcg")
+    return (
+        dcg.join(idcg, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            F.round(F.col("dcg").cast("double"), 6).alias("dcg"),
+            F.round(F.col("idcg").cast("double"), 6).alias("idcg"),
+            F.round(
+                F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6
+            ).alias("ndcg"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_NDCG_W_SQL = "CASE rk " + " ".join(
+    f"WHEN {i} THEN CAST('{w}' AS DECIMAL(14,12))"
+    for i, w in enumerate(NDCG_W, start=1)
+) + " END"
+
+ORACLE_NDCG = f"""
+WITH base AS (
+  SELECT c_mktsegment, c_custkey,
+         (CAST(ROUND(c_acctbal * 100) AS BIGINT) + 99999) // 275000 AS grade,
+         (c_custkey * {NDCG_SCORE_A} + {NDCG_SCORE_B}) % {GRID_P} AS score
+  FROM customer
+),
+model AS (
+  SELECT c_mktsegment, grade,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY score DESC, c_custkey) AS rk
+  FROM base
+),
+ideal AS (
+  SELECT c_mktsegment, grade,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY grade DESC, c_custkey) AS rk
+  FROM base
+),
+dcg AS (
+  SELECT c_mktsegment,
+         CAST(SUM(((1 << CAST(grade AS INT)) - 1) * {_NDCG_W_SQL})
+              AS DECIMAL(24,12)) AS dcg
+  FROM model WHERE rk <= {NDCG_K} GROUP BY 1
+),
+idcg AS (
+  SELECT c_mktsegment,
+         CAST(SUM(((1 << CAST(grade AS INT)) - 1) * {_NDCG_W_SQL})
+              AS DECIMAL(24,12)) AS idcg
+  FROM ideal WHERE rk <= {NDCG_K} GROUP BY 1
+)
+SELECT dcg.c_mktsegment,
+       ROUND(CAST(dcg AS DOUBLE), 6) AS dcg,
+       ROUND(CAST(idcg AS DOUBLE), 6) AS idcg,
+       ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
+FROM dcg JOIN idcg USING (c_mktsegment)
+ORDER BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "q_ewma": q_ewma,
+    "q_cusum": q_cusum,
+    "q_winsorize": q_winsorize,
+    "q_grid_join": q_grid_join,
+    "q_calibration": q_calibration,
+    "q_ndcg": q_ndcg,
+}
+
+ORACLES = {
+    "q_ewma": ORACLE_EWMA,
+    "q_cusum": ORACLE_CUSUM,
+    "q_winsorize": ORACLE_WINSORIZE,
+    "q_grid_join": ORACLE_GRID_JOIN,
+    "q_calibration": ORACLE_CALIBRATION,
+    "q_ndcg": ORACLE_NDCG,
+}

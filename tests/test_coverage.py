@@ -688,3 +688,40 @@ def test_survivorship_aggregate_only(spark):
     plan = _plan_of(q_survivorship, spark)
     assert "Window" not in plan, plan
     assert "max_by" in plan or "HashAggregate" in plan, plan
+
+
+def test_grid_join_equi_cell_never_cartesian(spark):
+    """The planar distance join must meet candidates ONLY inside
+    hash-partitioned grid-cell buckets: an equi hash join on the cell
+    key, never a CartesianProduct or nested-loop over the point set
+    (the O(n²) formulation the decomposition exists to replace)."""
+    from louvain_modularity_spark.tsml import q_grid_join
+
+    plan = _plan_of(q_grid_join, spark)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "HashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_calibration_one_aggregate_no_shuffle_joins(spark):
+    """The calibration audit is ONE map-side-combined groupBy on the
+    bin key: no joins, no windows, no Python."""
+    from louvain_modularity_spark.tsml import q_calibration
+
+    plan = _plan_of(q_calibration, spark)
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_ewma_kernel_over_day_aggregate_only(spark):
+    """The EWMA kernel join runs over the checkpointed day aggregate —
+    the executed plan re-reads NO parquet (fact collapsed first) and
+    keeps the weighted sums in the decimal domain."""
+    from louvain_modularity_spark.tsml import q_ewma
+
+    plan = _plan_of(q_ewma, spark)
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "EvalPython" not in plan, plan
