@@ -385,6 +385,65 @@ FROM customer
 """
 
 
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family: build a canonical URL per document from
+    its attributes, then decompose it with ``parse_url`` (HOST, PATH,
+    QUERY, and keyed QUERY extraction) plus a ``regexp_extract`` over
+    the path — the log-sessionization / referrer-analytics surface.
+    The oracle reconstructs every component from the SOURCE columns,
+    so Spark's parser must invert the construction losslessly.
+
+    100 TB shape: pure per-row whole-stage-codegen projections into
+    one map-side-combined groupBy on the host key."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id"),
+        F.lit("?ref="),
+        F.col("doc_id") % 7,
+        F.lit("&k="),
+        F.col("n_chars"),
+    )
+    u = d.select(url.alias("url"))
+    return (
+        u.select(
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.regexp_extract(
+                F.parse_url("url", F.lit("PATH")), r"^/([a-z]+)/", 1
+            ).alias("path_lang"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("k"))
+            .cast("long")
+            .alias("k"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("ref"))
+            .cast("long")
+            .alias("ref"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("path_lang").alias("n_langs"),
+            F.max("k").alias("max_k"),
+            F.sum("ref").alias("sum_ref"),
+        )
+        .orderBy("host")
+    )
+
+
+ORACLE_URL_PARSE = """
+SELECT source || '.example.org' AS host,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       MAX(n_chars) AS max_k,
+       CAST(SUM(doc_id % 7) AS BIGINT) AS sum_ref
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q_fn_string": q_fn_string,
     "q_fn_date": q_fn_date,
@@ -396,6 +455,7 @@ QUERIES = {
     "q_fn_json": q_fn_json,
     "q_fn_variant": q_fn_variant,
     "q_fn_try": q_fn_try,
+    "q_url_parse": q_url_parse,
 }
 
 ORACLES = {
@@ -409,4 +469,5 @@ ORACLES = {
     "q_fn_json": ORACLE_FN_JSON,
     "q_fn_variant": ORACLE_FN_VARIANT,
     "q_fn_try": ORACLE_FN_TRY,
+    "q_url_parse": ORACLE_URL_PARSE,
 }

@@ -2241,6 +2241,79 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chosen_all.select("u", "v", "w")
 
 
+def topo_layers(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Longest-path DAG layering (the critical-path / scheduling-wave
+    assignment): layer(v) = 0 for sources, else 1 + max over incoming
+    layer(u) — what a topological scheduler uses to group tasks into
+    parallel waves. Iterative max-propagation: each round is one edge
+    join + one map-side-combined max aggregate + a greatest() merge,
+    converging in O(longest path) rounds with lineage truncated per
+    round; state is one integer per vertex. At 100 TB the edge table
+    is hash-partitioned on src and each round is the pagerank
+    superstep shape — no path enumeration ever happens (the oracle's
+    recursive CTE enumerates (vertex, depth) states instead, which is
+    why it must dedup with UNION, not UNION ALL)."""
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    layer = nodes.select("id", F.lit(0).alias("layer")).localCheckpoint(eager=True)
+    while True:
+        pushed = (
+            edges.join(layer.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.max("layer") + 1).alias("cand"))
+        )
+        merged = (
+            layer.join(pushed, "id", "left")
+            .select(
+                "id",
+                F.greatest("layer", F.coalesce("cand", F.lit(0))).alias("layer"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            merged.join(layer.withColumnRenamed("layer", "old"), "id")
+            .filter(F.col("layer") != F.col("old"))
+            .count()
+        )
+        layer = merged
+        if changed == 0:
+            return layer
+
+
+def q_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduling-wave layering of the karate DAG (edges oriented
+    low → high id, acyclic by construction): each vertex's longest
+    incoming path length. Oracle: the same DAG's (vertex, depth)
+    reachability states via a deduplicating recursive CTE, MAX(depth)
+    per vertex — value-exact integers."""
+    dag = (
+        karate_edges(spark)
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+    )
+    return topo_layers(spark, dag).orderBy("id")
+
+
+ORACLE_TOPO_LAYERS = f"""
+WITH RECURSIVE ke AS ({_KARATE_SQL}),
+dag AS (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM ke WHERE src <> dst
+),
+nodes AS (SELECT src AS id FROM dag UNION SELECT dst FROM dag),
+reach(id, d) AS (
+  SELECT id, 0 FROM nodes
+  UNION
+  SELECT dag.dst, r.d + 1 FROM reach r JOIN dag ON dag.src = r.id
+)
+SELECT id, CAST(MAX(d) AS INT) AS layer FROM reach GROUP BY id ORDER BY id
+"""
+
+
 QUERIES = {
     "q_edges_from_relational": q_edges_from_relational,
     "q_read_edgelist": q_read_edgelist,
@@ -2276,6 +2349,7 @@ QUERIES = {
     "q_mst_boruvka": q_mst_boruvka,
     "q_hits": q_hits,
     "q_recursive_cte": q_recursive_cte,
+    "q_topo_layers": q_topo_layers,
 }
 
 ORACLES = {
@@ -2316,6 +2390,7 @@ UNION ALL SELECT 'json', n_edges, total_weight FROM agg
     "q_partition_nmi": ORACLE_PARTITION_NMI,
     "q_hits": _oracle_hits(),
     "q_recursive_cte": _oracle_recursive_cte(),
+    "q_topo_layers": ORACLE_TOPO_LAYERS,
     # rows-only: q_mst_boruvka (data-dependent Borůvka fixpoint;
     # networkx minimum-spanning-forest golden in tests)
     # rows-only: q_ktruss (data-dependent peel fixpoint; networkx
