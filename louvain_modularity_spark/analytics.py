@@ -371,6 +371,46 @@ FROM events GROUP BY 1
 """
 
 
+def q_nested_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema round trip with NESTED FIELD PRUNING: write a
+    parquet whose rows carry a struct (price, priority) and an array,
+    read it back touching ONLY struct.priority, and aggregate. The
+    read-back scan's ReadSchema must contain just the one struct leaf
+    (plan-guarded in tests/test_coverage.py) — Spark's
+    ``nestedSchemaPruning`` pushes the projection into the parquet
+    column chunks, so at 100 TB the untouched price/array columns are
+    never decoded or even read off storage. Oracle recomputes from
+    the flat source, so a lossy nested round trip breaks values."""
+    import hashlib
+    import os
+
+    o = load(spark, sf_dir, "orders")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        ).alias("info"),
+        F.array(F.col("o_custkey"), F.col("o_orderkey") % 97).alias("tags"),
+    )
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join("/root/repo/.tmp", f"nested_{tag}")
+    nested.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("info.prio").alias("prio"))
+        .agg(F.count("*").alias("n"), F.max("o_orderkey").alias("max_key"))
+        .orderBy("prio")
+    )
+
+
+ORACLE_NESTED_PRUNE = """
+SELECT o_orderpriority AS prio, COUNT(*) AS n,
+       MAX(o_orderkey) AS max_key
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-semantics parity surface: three-valued logic pinned
     value-exactly across engines — null-safe equality (``<=>`` / IS
@@ -2262,6 +2302,7 @@ QUERIES = {
     "q_union_by_name": q_union_by_name,
     "q_read_merge_schema": q_read_merge_schema,
     "q_null_semantics": q_null_semantics,
+    "q_nested_prune": q_nested_prune,
     "q_read_orc": q_read_orc,
     "q_clustering_coeff": q_clustering_coeff,
     "q_adamic_adar": q_adamic_adar,
@@ -2306,6 +2347,7 @@ ORACLES = {
     "q_union_by_name": ORACLE_UNION_BY_NAME,
     "q_read_merge_schema": ORACLE_READ_MERGE_SCHEMA,
     "q_null_semantics": ORACLE_NULL_SEMANTICS,
+    "q_nested_prune": ORACLE_NESTED_PRUNE,
     "q_read_orc": ORACLE_READ_ORC,
     "q_clustering_coeff": ORACLE_CLUSTERING_COEFF,
     "q_adamic_adar": ORACLE_ADAMIC_ADAR,

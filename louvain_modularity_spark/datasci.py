@@ -2215,6 +2215,168 @@ CROSS JOIN nb
 
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog register algebra (Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+
+#: m = 64 buckets (p = 6); α_64 = 0.709 (Flajolet et al. 2007, Fig. 3)
+HLL_BUCKETS = 64
+HLL_ALPHA = "0.709"
+HLL_A, HLL_B = 48271, 16807
+HLL_P = 2_147_483_647
+#: suffix width: 31-bit hash minus 6 bucket bits → w ∈ [0, 2^25)
+HLL_WBITS = 25
+
+
+def _hll_rho_spark(w):
+    """ρ(w) = 1 + trailing-zero count of the 25-bit suffix (26 for
+    w = 0) — spelled as a %-ladder so no engine needs a clz/log2
+    builtin (libm-free, exact in both engines)."""
+    expr = F.lit(HLL_WBITS + 1)
+    for k in range(HLL_WBITS - 1, -1, -1):
+        expr = F.when(w % (2 ** (k + 1)) == 2**k, F.lit(k + 1)).otherwise(expr)
+    return expr
+
+
+def _hll_rho_sql(w: str) -> str:
+    cases = " ".join(
+        f"WHEN {w} % {2 ** (k + 1)} = {2 ** k} THEN {k + 1}"
+        for k in range(HLL_WBITS)
+    )
+    return f"CASE {cases} ELSE {HLL_WBITS + 1} END"
+
+
+def q_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register ALGEBRA with exact error accounting: build
+    m=64 registers for two customer sets (buyers with 'F' vs 'O'
+    orders), estimate each cardinality, merge registers by MAX for the
+    union estimate, and derive the intersection by inclusion–
+    exclusion — the mergeable-sketch property that makes distributed /
+    incremental COUNT DISTINCT possible. Every register is an exact
+    integer (pure-LCG hash, %-ladder ρ — no libm anywhere); the
+    harmonic sum Σ2^−M_j is a sum of 64 single-bit doubles spanning
+    < 53 bits, hence EXACT and order-independent, so even the
+    estimates hash-match across engines. True distinct counts ride
+    along for the error report.
+
+    100 TB shape: per-(side, bucket) MAX registers collapse map-side
+    in one groupBy over the distinct key set; the sketch state is
+    ≤ 2·64 rows no matter the corpus — register tables from separate
+    partitions/corpora merge by the same MAX.
+    """
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(F.col("o_orderstatus").alias("side"), "o_custkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = ((F.col("o_custkey") + 1) * HLL_A + HLL_B) % HLL_P
+    hashed = o.select(
+        "side",
+        (h % HLL_BUCKETS).alias("bucket"),
+        _hll_rho_spark((h / F.lit(HLL_BUCKETS)).cast("long")).alias("rho"),
+    )
+    reg = hashed.groupBy("side", "bucket").agg(F.max("rho").alias("m"))
+    reg_u = hashed.groupBy("bucket").agg(F.max("rho").alias("m"))
+
+    def estimate(r, label):
+        return r.agg(
+            F.round(
+                F.lit(float(HLL_ALPHA))
+                * F.lit(HLL_BUCKETS * HLL_BUCKETS)
+                / (
+                    F.sum(F.pow(F.lit(2.0), -F.col("m")))
+                    + (F.lit(HLL_BUCKETS) - F.count("*"))
+                ),
+                4,
+            ).alias("est")
+        ).select(F.lit(label).alias("measure"), "est")
+
+    est_f = estimate(reg.filter(F.col("side") == "F"), "F")
+    est_o = estimate(reg.filter(F.col("side") == "O"), "O")
+    est_u = estimate(reg_u, "union")
+    est_i = (
+        est_f.select(F.col("est").alias("ef"))
+        .crossJoin(est_o.select(F.col("est").alias("eo")))
+        .crossJoin(est_u.select(F.col("est").alias("eu")))
+        .select(
+            F.lit("intersect").alias("measure"),
+            F.round(F.col("ef") + F.col("eo") - F.col("eu"), 4).alias("est"),
+        )
+    )
+    keys = o.select("side", "o_custkey")
+    ex_f = keys.filter(F.col("side") == "F").select("o_custkey").distinct()
+    ex_o = keys.filter(F.col("side") == "O").select("o_custkey").distinct()
+    def counted(df, label):
+        return df.agg(F.count("*").alias("exact")).select(
+            F.lit(label).alias("measure"), "exact"
+        )
+
+    exact = (
+        counted(ex_f, "F")
+        .unionByName(counted(ex_o, "O"))
+        .unionByName(counted(ex_f.unionByName(ex_o).distinct(), "union"))
+        .unionByName(counted(ex_f.join(ex_o, "o_custkey", "semi"), "intersect"))
+    )
+    return (
+        est_f.unionByName(est_o)
+        .unionByName(est_u)
+        .unionByName(est_i)
+        .join(exact, "measure")
+        .orderBy("measure")
+    )
+
+
+_HLL_HASH_SQL = f"((o_custkey + 1) * {HLL_A} + {HLL_B}) % {HLL_P}"
+
+ORACLE_SKETCH_UNION = f"""
+WITH keys AS (
+  SELECT DISTINCT o_orderstatus AS side, o_custkey
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+hashed AS (
+  SELECT side,
+         ({_HLL_HASH_SQL}) % {HLL_BUCKETS} AS bucket,
+         {_hll_rho_sql(f"(({_HLL_HASH_SQL}) // {HLL_BUCKETS})")} AS rho
+  FROM keys
+),
+reg AS (SELECT side, bucket, MAX(rho) AS m FROM hashed GROUP BY 1, 2),
+reg_u AS (SELECT bucket, MAX(rho) AS m FROM hashed GROUP BY 1),
+est AS (
+  SELECT side AS measure,
+         ROUND({HLL_ALPHA} * {HLL_BUCKETS * HLL_BUCKETS}
+               / (SUM(pow(2.0, -m)) + ({HLL_BUCKETS} - COUNT(*))), 4) AS est
+  FROM reg GROUP BY side
+  UNION ALL
+  SELECT 'union',
+         ROUND({HLL_ALPHA} * {HLL_BUCKETS * HLL_BUCKETS}
+               / (SUM(pow(2.0, -m)) + ({HLL_BUCKETS} - COUNT(*))), 4)
+  FROM reg_u
+),
+est_i AS (
+  SELECT 'intersect' AS measure,
+         ROUND((SELECT est FROM est WHERE measure = 'F')
+               + (SELECT est FROM est WHERE measure = 'O')
+               - (SELECT est FROM est WHERE measure = 'union'), 4) AS est
+),
+exact AS (
+  SELECT side AS measure, CAST(COUNT(*) AS BIGINT) AS exact
+  FROM keys GROUP BY side
+  UNION ALL
+  SELECT 'union', CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM keys
+  UNION ALL
+  SELECT 'intersect', CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT o_custkey FROM keys WHERE side = 'F')
+       NATURAL JOIN (SELECT o_custkey FROM keys WHERE side = 'O')
+)
+SELECT e.measure, e.est, x.exact
+FROM (SELECT * FROM est UNION ALL SELECT * FROM est_i) e
+JOIN exact x ON e.measure = x.measure
+ORDER BY e.measure
+"""
+
+
 QUERIES = {
     "q_count_min": q_count_min,
     "q_weighted_median": q_weighted_median,
@@ -2244,6 +2406,7 @@ QUERIES = {
     "q_kaplan_meier": q_kaplan_meier,
     "q_cohort_ltv": q_cohort_ltv,
     "q_assoc_rules": q_assoc_rules,
+    "q_sketch_union": q_sketch_union,
 }
 
 # rows-only: q_pca_power (eigendecomposition not SQL-expressible;
@@ -2276,4 +2439,5 @@ ORACLES = {
     "q_kaplan_meier": ORACLE_KAPLAN_MEIER,
     "q_cohort_ltv": ORACLE_COHORT_LTV,
     "q_assoc_rules": ORACLE_ASSOC_RULES,
+    "q_sketch_union": ORACLE_SKETCH_UNION,
 }

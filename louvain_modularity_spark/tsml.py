@@ -576,6 +576,103 @@ ORDER BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov
+# ---------------------------------------------------------------------------
+
+KS_ARM_A, KS_ARM_B = "click", "view"
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two event arms: D = max_v |F_A(v) − F_B(v)|,
+    reported with the value attaining it. Kept EXACT by integer
+    cross-scaling — the numerator max |n_B·cum_A(v) − n_A·cum_B(v)|
+    is a BIGINT over the value histogram, so engines can't diverge on
+    ECDF arithmetic; the single division by n_A·n_B is the displayed
+    op (the nonparametric distribution-shift test completing the
+    χ²/t-test/AUC evaluation family).
+
+    100 TB shape: the fact scan collapses to the distinct-value
+    histogram in ONE map-side-combined groupBy (2-dp values → bounded
+    domain); the cumulative window and argmax run over histogram
+    rows, and the answer is one TakeOrdered row.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KS_ARM_A, KS_ARM_B)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    hist = (
+        ev.groupBy(cents.alias("v"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == KS_ARM_A, 1).otherwise(0)).alias(
+                "a"
+            ),
+            F.sum(F.when(F.col("event_type") == KS_ARM_B, 1).otherwise(0)).alias(
+                "b"
+            ),
+        )
+        # the histogram feeds BOTH the totals and the cumulative
+        # window — checkpoint so the fact is scanned exactly once
+        .localCheckpoint(eager=True)
+    )
+    tot = hist.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    scored = hist.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "na",
+        "nb",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+    return (
+        scored.select(
+            "v",
+            "na",
+            "nb",
+            F.abs(F.col("nb") * F.col("ca") - F.col("na") * F.col("cb")).alias(
+                "dnum"
+            ),
+        )
+        .orderBy(F.desc("dnum"), "v")
+        .limit(1)
+        .select(
+            "na",
+            "nb",
+            F.round(F.col("v") / 100.0, 2).alias("at_value"),
+            F.round(
+                F.col("dnum") / (F.col("na") * F.col("nb")).cast("double"), 6
+            ).alias("ks_d"),
+        )
+    )
+
+
+ORACLE_KS_TEST = f"""
+WITH hist AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN event_type = '{KS_ARM_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN event_type = '{KS_ARM_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM events WHERE event_type IN ('{KS_ARM_A}', '{KS_ARM_B}')
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+        FROM hist),
+scored AS (
+  SELECT v, na, nb,
+         SUM(a) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(b) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM hist CROSS JOIN tot
+)
+SELECT na, nb, ROUND(v / 100.0, 2) AS at_value,
+       ROUND(abs(nb * ca - na * cb) / CAST(na * nb AS DOUBLE), 6) AS ks_d
+FROM scored ORDER BY abs(nb * ca - na * cb) DESC, v LIMIT 1
+"""
+
+
 QUERIES = {
     "q_ewma": q_ewma,
     "q_cusum": q_cusum,
@@ -583,6 +680,7 @@ QUERIES = {
     "q_grid_join": q_grid_join,
     "q_calibration": q_calibration,
     "q_ndcg": q_ndcg,
+    "q_ks_test": q_ks_test,
 }
 
 ORACLES = {
@@ -592,4 +690,5 @@ ORACLES = {
     "q_grid_join": ORACLE_GRID_JOIN,
     "q_calibration": ORACLE_CALIBRATION,
     "q_ndcg": ORACLE_NDCG,
+    "q_ks_test": ORACLE_KS_TEST,
 }

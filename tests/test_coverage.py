@@ -725,3 +725,29 @@ def test_ewma_kernel_over_day_aggregate_only(spark):
     plan = _plan_of(q_ewma, spark)
     assert plan.count("FileScan parquet") == 0, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_nested_prune_readschema_single_leaf(spark):
+    """The nested round-trip's read-back scan must prune to the ONE
+    struct leaf it touches: ReadSchema carries info.prio only — no
+    price, no tags array — proving nested-schema pruning reaches the
+    parquet scan."""
+    from louvain_modularity_spark.analytics import q_nested_prune
+
+    plan = _plan_of(q_nested_prune, spark)
+    assert "info:struct<prio:string>" in plan, plan
+    assert "price" not in plan, plan
+    assert "tags" not in plan, plan
+
+
+def test_ks_test_histogram_collapse_single_scan(spark):
+    """KS reads the fact ONCE and collapses to the value histogram
+    before any window: the checkpointed histogram means the executed
+    plan re-reads NO parquet, no Python runs, and the answer is one
+    TakeOrdered row."""
+    from louvain_modularity_spark.tsml import q_ks_test
+
+    plan = _plan_of(q_ks_test, spark)
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
