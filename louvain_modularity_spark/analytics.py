@@ -371,6 +371,67 @@ FROM events GROUP BY 1
 """
 
 
+#: compaction bin target payload (chars) — sized so test scales yield
+#: several bins per language
+BINPACK_TARGET = 50_000
+
+
+def q_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction / OPTIMIZE planner: pack per-(lang, source) document
+    groups into target-sized bins by running-total assignment over the
+    size-descending manifest — the deterministic windowed equivalent
+    of first-fit-decreasing that lakehouse OPTIMIZE jobs use to plan
+    small-file rewrites. bin = floor((running Σ bytes − 1) / target):
+    pure integer arithmetic over MANIFEST rows.
+
+    100 TB shape: the planner touches metadata only — the fact scan
+    collapses to the (lang, source) manifest first (one map-side
+    aggregate), and the ranking window sorts manifest rows within
+    each lang partition, never data. The plan's output (which groups
+    co-locate) is what a rewrite job would then execute."""
+    d = load(spark, sf_dir, "documents")
+    manifest = d.groupBy("lang", "source").agg(F.sum("n_chars").alias("bytes"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("bytes"), "source")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    binned = manifest.select(
+        "lang",
+        "source",
+        "bytes",
+        ((F.sum("bytes").over(w) - 1) / F.lit(BINPACK_TARGET))
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("bytes").alias("bin_bytes"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+ORACLE_BIN_PACK = f"""
+WITH manifest AS (
+  SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1, 2
+),
+binned AS (
+  SELECT lang, source, bytes,
+         CAST((SUM(bytes) OVER (PARTITION BY lang ORDER BY bytes DESC, source
+                                ROWS UNBOUNDED PRECEDING) - 1)
+              // {BINPACK_TARGET} AS BIGINT) AS bin
+  FROM manifest
+)
+SELECT lang, bin, COUNT(*) AS n_groups,
+       CAST(SUM(bytes) AS BIGINT) AS bin_bytes
+FROM binned GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_nested_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-schema round trip with NESTED FIELD PRUNING: write a
     parquet whose rows carry a struct (price, priority) and an array,
@@ -2303,6 +2364,7 @@ QUERIES = {
     "q_read_merge_schema": q_read_merge_schema,
     "q_null_semantics": q_null_semantics,
     "q_nested_prune": q_nested_prune,
+    "q_bin_pack": q_bin_pack,
     "q_read_orc": q_read_orc,
     "q_clustering_coeff": q_clustering_coeff,
     "q_adamic_adar": q_adamic_adar,
@@ -2348,6 +2410,7 @@ ORACLES = {
     "q_read_merge_schema": ORACLE_READ_MERGE_SCHEMA,
     "q_null_semantics": ORACLE_NULL_SEMANTICS,
     "q_nested_prune": ORACLE_NESTED_PRUNE,
+    "q_bin_pack": ORACLE_BIN_PACK,
     "q_read_orc": ORACLE_READ_ORC,
     "q_clustering_coeff": ORACLE_CLUSTERING_COEFF,
     "q_adamic_adar": ORACLE_ADAMIC_ADAR,

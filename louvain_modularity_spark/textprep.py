@@ -1093,12 +1093,104 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed activity-interval length attached to each event (5 minutes)
+IVL_LEN_US = 300_000_000
+
+
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: each event opens a 5-minute half-open
+    activity interval; overlapping/adjacent intervals per (user, type)
+    merge into maximal islands (the classic merge-overlapping-
+    intervals problem, the coverage dual of q_sessionize's gap
+    splitting), rolled up per event type as interval counts, total
+    covered time, and the longest stretch — all exact integer
+    epoch-micros.
+
+    100 TB shape: the running-max-end window partitions by the
+    FINE-GRAINED (user_id, event_type) key — millions of small
+    partitions, never 5 type-sized sorts; islands then collapse in
+    one map-side-combined rollup. Merge decisions are pure integer
+    compares (ts > running max end; touching intervals merge)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    w_ord = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    prev_end = F.max(F.col("ts_us") + IVL_LEN_US).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.when(prev_end.isNull() | (F.col("ts_us") > prev_end), 1)
+        .otherwise(0)
+        .alias("new_ivl"),
+    )
+    islands = marked.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.sum("new_ivl")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    merged = islands.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts_us").alias("s"),
+        (F.max("ts_us") + IVL_LEN_US).alias("e"),
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(F.col("e") - F.col("s")).alias("covered_us"),
+            F.max(F.col("e") - F.col("s")).alias("longest_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_INTERVAL_MERGE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+marked AS (
+  SELECT user_id, event_type, ts_us, event_id,
+         CASE WHEN MAX(ts_us + {IVL_LEN_US}) OVER (
+                PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR ts_us > MAX(ts_us + {IVL_LEN_US}) OVER (
+                PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_ivl
+  FROM ev
+),
+islands AS (
+  SELECT user_id, event_type, ts_us,
+         SUM(new_ivl) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+),
+merged AS (
+  SELECT user_id, event_type, island,
+         MIN(ts_us) AS s, MAX(ts_us) + {IVL_LEN_US} AS e
+  FROM islands GROUP BY 1, 2, 3
+)
+SELECT event_type, COUNT(*) AS n_intervals,
+       CAST(SUM(e - s) AS BIGINT) AS covered_us,
+       CAST(MAX(e - s) AS BIGINT) AS longest_us
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q_chunk_sliding": q_chunk_sliding,
     "q_ngram_counts": q_ngram_counts,
     "q_token_vocab": q_token_vocab,
     "q_stopword_remove": q_stopword_remove,
     "q_sessionize": q_sessionize,
+    "q_interval_merge": q_interval_merge,
     "q_length_filter": q_length_filter,
     "q_pii_scrub": q_pii_scrub,
     "q_embedding_normalize": q_embedding_normalize,
@@ -1123,6 +1215,7 @@ ORACLES = {
     "q_token_vocab": ORACLE_TOKEN_VOCAB,
     "q_stopword_remove": ORACLE_STOPWORD_REMOVE,
     "q_sessionize": ORACLE_SESSIONIZE,
+    "q_interval_merge": ORACLE_INTERVAL_MERGE,
     "q_length_filter": ORACLE_LENGTH_FILTER,
     "q_pii_scrub": ORACLE_PII_SCRUB,
     "q_embedding_normalize": ORACLE_EMBEDDING_NORMALIZE,
