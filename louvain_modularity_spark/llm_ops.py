@@ -1302,10 +1302,68 @@ GROUP BY query_id, own_label
 """
 
 
+#: hashing-trick geometry: 64 buckets, independent sign hash
+#: (Weinberger et al. 2009 — feature hashing for large-scale ML)
+FH_BUCKETS = 64
+FH_A, FH_B = 48271, 104729
+FH_SA, FH_SB = 69621, 16807
+FH_P = 2_147_483_647
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer audit (Weinberger 2009): every token
+    occurrence maps to one of FH_BUCKETS buckets via a portable
+    integer token key (the repo's ascii·256+length convention — weak
+    on purpose; its collisions are PART of the hash definition and
+    identical in both engines) with an independent ±1 sign hash, and
+    the corpus-level feature matrix column sums come back with
+    collision accounting: per bucket the signed weight, raw
+    occurrence count, and number of distinct token keys sharing the
+    bucket.
+
+    100 TB shape: explode → ONE map-side-combined groupBy on a
+    64-value key; the featurizer itself is stateless per token (no
+    vocabulary, no fit step — the hashing trick's point), so the
+    feature space never shuffles."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_of(d).filter(F.col("token") != "")
+    key = F.ascii("token").cast("long") * 256 + F.length("token")
+    bucket = ((key * FH_A + FH_B) % FH_P) % FH_BUCKETS
+    sign = ((key * FH_SA + FH_SB) % FH_P) % 2 * 2 - 1
+    return (
+        toks.select(bucket.alias("bucket"), sign.alias("sign"), key.alias("key"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("sign").alias("signed_weight"),
+            F.count("*").alias("n_obs"),
+            F.countDistinct("key").alias("n_keys"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_FEATURE_HASH = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+keyed AS (
+  SELECT ascii(token) * 256 + length(token) AS key FROM toks
+  WHERE token <> ''
+)
+SELECT ((key * {FH_A} + {FH_B}) % {FH_P}) % {FH_BUCKETS} AS bucket,
+       CAST(SUM(((key * {FH_SA} + {FH_SB}) % {FH_P}) % 2 * 2 - 1)
+            AS BIGINT) AS signed_weight,
+       COUNT(*) AS n_obs,
+       CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
+FROM keyed GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q_text_tokens": q_text_tokens,
     "q_token_count": q_token_count,
     "q_tfidf": q_tfidf,
+    "q_feature_hash": q_feature_hash,
     "q_lang_stats": q_lang_stats,
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
@@ -1332,6 +1390,7 @@ ORACLES = {
     "q_text_tokens": ORACLE_TEXT_TOKENS,
     "q_token_count": ORACLE_TOKEN_COUNT,
     "q_tfidf": _oracle_tfidf(),
+    "q_feature_hash": ORACLE_FEATURE_HASH,
     "q_lang_stats": ORACLE_LANG_STATS,
     "q_lang_id": _oracle_lang_id(),
     "q_quality_score": ORACLE_QUALITY_SCORE,

@@ -101,7 +101,8 @@ def _modules():
 # q_kaplan_meier q_cohort_ltv q_assoc_rules, and the §2.26 ninth batch
 # (oracle-backed): q_ewma q_cusum q_winsorize q_grid_join
 # q_calibration q_ndcg q_topo_layers q_url_parse q_ks_test
-# q_sketch_union q_nested_prune q_interval_merge q_bin_pack.
+# q_sketch_union q_nested_prune q_interval_merge q_bin_pack
+# q_feature_hash q_geo_density.
 #
 # Rows-only entries deliberately inside this window: q_betweenness_sampled
 # (first window ever; estimator pinned by the rank-correlation pytest) and

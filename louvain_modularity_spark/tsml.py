@@ -576,6 +576,108 @@ ORDER BY c_mktsegment
 """
 
 
+#: raster cell edge for the density surface (20×20 grid over the
+#: 10k×10k plane)
+DENSITY_CELL = 500
+DENSITY_TOP = 20
+
+
+def q_geo_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-smoothed point-density surface: bucket the planar
+    points (q_grid_join's LCG projection) into a 20×20 raster, then
+    compute each cell's 3×3 box-kernel density — a relational raster
+    convolution (each cell's count explodes to its 9 neighbors and
+    re-aggregates), the heatmap/hotspot primitive. Integer-exact.
+
+    100 TB shape: points collapse to the bounded cell histogram
+    map-side FIRST; the 9× explode runs over raster rows only (the
+    convolution never touches point rows), and the answer is a
+    TakeOrdered top-k.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    x, y = _grid_xy(F.col("c_custkey"))
+    n_cells = GRID_SIZE // DENSITY_CELL
+    counts = (
+        c.select(
+            (x / F.lit(DENSITY_CELL)).cast("long").alias("cx"),
+            (y / F.lit(DENSITY_CELL)).cast("long").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    spread = counts.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("tx"),
+                        (F.col("cy") + dy).alias("ty"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("t"),
+    ).select("n", "t.tx", "t.ty")
+    smoothed = (
+        spread.filter(
+            (F.col("tx") >= 0)
+            & (F.col("tx") < n_cells)
+            & (F.col("ty") >= 0)
+            & (F.col("ty") < n_cells)
+        )
+        .groupBy("tx", "ty")
+        .agg(F.sum("n").alias("density"))
+    )
+    return (
+        smoothed.join(
+            counts.select(F.col("cx").alias("tx"), F.col("cy").alias("ty"), "n"),
+            ["tx", "ty"],
+            "left",
+        )
+        .select(
+            F.col("tx").alias("cx"),
+            F.col("ty").alias("cy"),
+            F.coalesce("n", F.lit(0)).alias("own"),
+            "density",
+        )
+        .orderBy(F.desc("density"), "cx", "cy")
+        .limit(DENSITY_TOP)
+    )
+
+
+ORACLE_GEO_DENSITY = f"""
+WITH counts AS (
+  SELECT (((c_custkey * {GRID_A1} + {GRID_B1}) % {GRID_P}) % {GRID_SIZE})
+           // {DENSITY_CELL} AS cx,
+         (((c_custkey * {GRID_A2} + {GRID_B2}) % {GRID_P}) % {GRID_SIZE})
+           // {DENSITY_CELL} AS cy,
+         COUNT(*) AS n
+  FROM customer GROUP BY 1, 2
+),
+spread AS (
+  SELECT counts.cx + d.dx AS tx, counts.cy + d.dy AS ty, n
+  FROM counts CROSS JOIN (
+    SELECT dx, dy FROM (VALUES (-1), (0), (1)) a(dx),
+                       (VALUES (-1), (0), (1)) b(dy)
+  ) d
+),
+smoothed AS (
+  SELECT tx, ty, CAST(SUM(n) AS BIGINT) AS density
+  FROM spread
+  WHERE tx >= 0 AND tx < {GRID_SIZE // DENSITY_CELL}
+    AND ty >= 0 AND ty < {GRID_SIZE // DENSITY_CELL}
+  GROUP BY 1, 2
+)
+SELECT s.tx AS cx, s.ty AS cy,
+       COALESCE(c.n, 0) AS own, s.density
+FROM smoothed s LEFT JOIN counts c ON c.cx = s.tx AND c.cy = s.ty
+ORDER BY s.density DESC, cx, cy LIMIT {DENSITY_TOP}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Two-sample Kolmogorov–Smirnov
 # ---------------------------------------------------------------------------
@@ -681,6 +783,7 @@ QUERIES = {
     "q_calibration": q_calibration,
     "q_ndcg": q_ndcg,
     "q_ks_test": q_ks_test,
+    "q_geo_density": q_geo_density,
 }
 
 ORACLES = {
@@ -691,4 +794,5 @@ ORACLES = {
     "q_calibration": ORACLE_CALIBRATION,
     "q_ndcg": ORACLE_NDCG,
     "q_ks_test": ORACLE_KS_TEST,
+    "q_geo_density": ORACLE_GEO_DENSITY,
 }
