@@ -201,6 +201,121 @@ FROM scored ORDER BY abs(ns) DESC, x LIMIT {CUSUM_TOP}
 """
 
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-calendar-day rolling MEDIAN of daily revenue — the robust
+    twin of q_bollinger's rolling mean (one outlier day cannot move
+    it). Exact percentile as a WINDOW aggregate over a ≤7-row RANGE
+    frame; both engines interpolate identically on the same 2-dp
+    daily values (the established percentile/quantile_cont parity).
+
+    100 TB shape: fact → per-day map-side collapse FIRST; the window
+    holds ≤7 aggregate rows of state per step over the bounded day
+    domain — never a fact-table sort.
+    """
+    o = load(spark, sf_dir, "orders")
+    mind = o.agg(F.min("o_orderdate").alias("mind"))
+    daily = o.crossJoin(F.broadcast(mind)).groupBy(
+        F.datediff("o_orderdate", "mind").cast("long").alias("x")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("v")
+    )
+    w = Window.orderBy("x").rangeBetween(-6, 0)
+    return daily.select(
+        "x",
+        F.round("v", 2).alias("revenue"),
+        F.round(F.expr("percentile(v, 0.5)").over(w), 6).alias("med7"),
+    ).orderBy("x")
+
+
+ORACLE_ROLLING_MEDIAN = """
+WITH t0 AS (SELECT MIN(o_orderdate) AS mind FROM orders),
+daily AS (
+  SELECT CAST(datediff('day', t0.mind, o_orderdate) AS BIGINT) AS x,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS v
+  FROM orders CROSS JOIN t0 GROUP BY 1
+)
+SELECT x, ROUND(v, 2) AS revenue,
+       ROUND(quantile_cont(v, 0.5) OVER (
+         ORDER BY x RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+FROM daily ORDER BY x
+"""
+
+
+def q_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth — the BI
+    reporting staple. Monthly revenue stays integer cents; the YoY
+    lookup joins on the CALENDAR (year−1, month) key rather than a
+    12-row lag so month gaps can never silently misalign a
+    comparison; growth ratios are single displayed divisions.
+
+    100 TB shape: fact → per-month map-side collapse (≤ a few
+    thousand rows ever); one lag window + one self-join on the
+    bounded month table.
+    """
+    o = load(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.year("o_orderdate").alias("yy"), F.month("o_orderdate").alias("mm")
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy("yy", "mm")
+    cur = monthly.select(
+        "yy", "mm", "cents", F.lag("cents").over(w).alias("prev_cents")
+    )
+    yoy = monthly.select(
+        (F.col("yy") + 1).alias("yy"), F.col("mm").alias("mm"),
+        F.col("cents").alias("yoy_cents"),
+    )
+    return (
+        cur.join(yoy, ["yy", "mm"], "left")
+        .select(
+            "yy",
+            "mm",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(
+                (F.col("cents") - F.col("prev_cents"))
+                / F.col("prev_cents").cast("double"),
+                6,
+            ).alias("mom_growth"),
+            F.round(
+                (F.col("cents") - F.col("yoy_cents"))
+                / F.col("yoy_cents").cast("double"),
+                6,
+            ).alias("yoy_growth"),
+        )
+        .orderBy("yy", "mm")
+    )
+
+
+ORACLE_MOM_YOY = """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yy,
+         CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mm,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+cur AS (
+  SELECT yy, mm, cents,
+         LAG(cents) OVER (ORDER BY yy, mm) AS prev_cents
+  FROM monthly
+)
+SELECT c.yy, c.mm, ROUND(c.cents / 100.0, 2) AS revenue,
+       ROUND((c.cents - c.prev_cents) / CAST(c.prev_cents AS DOUBLE), 6)
+         AS mom_growth,
+       ROUND((c.cents - y.cents) / CAST(y.cents AS DOUBLE), 6) AS yoy_growth
+FROM cur c LEFT JOIN monthly y ON y.yy = c.yy - 1 AND y.mm = c.mm
+ORDER BY c.yy, c.mm
+"""
+
+
 # ---------------------------------------------------------------------------
 # Winsorized mean
 # ---------------------------------------------------------------------------
@@ -784,6 +899,8 @@ QUERIES = {
     "q_ndcg": q_ndcg,
     "q_ks_test": q_ks_test,
     "q_geo_density": q_geo_density,
+    "q_rolling_median": q_rolling_median,
+    "q_mom_yoy": q_mom_yoy,
 }
 
 ORACLES = {
@@ -795,4 +912,6 @@ ORACLES = {
     "q_ndcg": ORACLE_NDCG,
     "q_ks_test": ORACLE_KS_TEST,
     "q_geo_density": ORACLE_GEO_DENSITY,
+    "q_rolling_median": ORACLE_ROLLING_MEDIAN,
+    "q_mom_yoy": ORACLE_MOM_YOY,
 }
