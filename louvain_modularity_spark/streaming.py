@@ -359,6 +359,86 @@ FROM events c JOIN events p
 """
 
 
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the abandoned-cart shape: every
+    click pairs with same-user purchases in the following hour, and
+    clicks that never convert are emitted with NULLs once the
+    watermark proves no match can still arrive. The outer-null
+    emission rule is the part an engine must get right, and the
+    oracle pins it: a click emits NULL iff click_ts + 1 h <
+    final_watermark, where final_watermark = least(max click ts,
+    max purchase ts) − 10 min (the global watermark is the MIN across
+    sources of max-event-time − delay, and Spark's trailing no-data
+    batch evicts state up to it). Matched rows are the inner-join
+    rows. 100 TB shape: join state is bounded by the watermark ±
+    range bound exactly as in q_stream_stream_join; the outer rows
+    add no state — eviction emits them as state expires."""
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts_us").alias("click_us"),
+            F.col("ts_ltz").alias("click_ltz"),
+        )
+        .withWatermark("click_ltz", "10 minutes")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts_us").alias("purchase_us"),
+            F.col("ts_ltz").alias("purchase_ltz"),
+        )
+        .withWatermark("purchase_ltz", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND "
+            "purchase_ltz >= click_ltz AND "
+            "purchase_ltz <= click_ltz + INTERVAL 1 HOUR"
+        ),
+        "left_outer",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.col("purchase_us") - F.col("click_us")).alias("gap_us"),
+    )
+    return run_to_table(spark, joined, "append")
+
+
+ORACLE_STREAM_JOIN_OUTER = """
+WITH wm AS (
+  SELECT LEAST(
+    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+  ) - 600000000 AS wm
+)
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) >= epoch_us(c.ts)
+ AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+UNION ALL
+SELECT c.user_id, c.event_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM events c CROSS JOIN wm
+WHERE c.event_type = 'click'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      AND epoch_us(p.ts) >= epoch_us(c.ts)
+      AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000)
+  AND epoch_us(c.ts) + 3600000000 < wm.wm
+"""
+
+
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data handling surface: watermarked tumbling count in APPEND
     mode — only windows the watermark has passed are emitted (rows-only
@@ -615,6 +695,7 @@ QUERIES = {
     "q_stream_stateful_count": q_stream_stateful_count,
     "q_stream_static_join": q_stream_static_join,
     "q_stream_stream_join": q_stream_stream_join,
+    "q_stream_join_outer": q_stream_join_outer,
     "q_stream_watermark": q_stream_watermark,
     "q_stream_file_sink": q_stream_file_sink,
     # registered last on purpose: keeps this round's first-50 driver
@@ -632,6 +713,7 @@ ORACLES = {
     "q_stream_stateful_count": ORACLE_STREAM_STATEFUL_COUNT,
     "q_stream_static_join": ORACLE_STREAM_STATIC_JOIN,
     "q_stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
+    "q_stream_join_outer": ORACLE_STREAM_JOIN_OUTER,
     "q_stream_file_sink": ORACLE_STREAM_FILE_SINK,
     "q_stream_foreach_batch": ORACLE_STREAM_FOREACH_BATCH,
     "q_stream_metrics": ORACLE_STREAM_METRICS,
