@@ -56,6 +56,10 @@ SHARED_R02 = [
 #: the §2.20 addition q_pca_power times the one remaining untimed
 #: execution class: an Arrow mapInPandas moment pass over the corpus
 #: followed by a broadcast-literal projection scan
+#: the §2.26 additions time the two new execution shapes: the grid-cell
+#: spatial equi-join (9-cell probe; measured 13.7× over brute at 150k
+#: points, SCALE.md §2) and the fine-grained-key interval-merge window
+#: (millions of small (user,type) window partitions + island rollup)
 HEADLINE = SHARED_R02 + [
     "q_tpch_q3",
     "q_tpch_q1",
@@ -65,6 +69,8 @@ HEADLINE = SHARED_R02 + [
     "q_pmi_cooccur",
     "q_betweenness_sampled",
     "q_pca_power",
+    "q_grid_join",
+    "q_interval_merge",
 ]
 
 #: noisiest entries under this VM's CPU-steal (±30% swings on unchanged

@@ -469,6 +469,98 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map Python surface (``groupBy().cogroup()
+    .applyInPandas``): per-order reconciliation of the order header
+    total against the sum of its line items — the two sides arrive as
+    separate per-key pandas frames (the API whose point is seeing BOTH
+    groups at once), keys missing on either side included. All money
+    is converted to integer cents JVM-SIDE before crossing into
+    Python, so the Arrow round trip carries only int64 — no float
+    drift can enter.
+
+    Like q_udf_pandas / q_udtf_tokens this exercises the API surface
+    and pins its semantics to a relational oracle (a full-outer-join
+    aggregate); the production reconciliation IS that full outer join
+    (q_diff_snapshot) — a per-key Python callback is never the hot
+    path. At scale cogroup shuffles both sides on the key once, same
+    as the join it mirrors."""
+    import pandas as pd
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.round(F.col("o_totalprice").cast("decimal(14,2)"), 2) * 100)
+        .cast("long")
+        .alias("o_cents"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.round(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+                * (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(4,2)")),
+                2,
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("l_cents"),
+    )
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        o_sum = int(odf["o_cents"].sum()) if len(odf) else 0
+        l_sum = int(ldf["l_cents"].sum()) if len(ldf) else 0
+        prio = odf["o_orderpriority"].iloc[0] if len(odf) else "(no-order)"
+        return pd.DataFrame(
+            [{"prio": prio, "diff_cents": o_sum - l_sum, "has_lines": int(len(ldf) > 0)}]
+        )
+
+    per_key = (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(reconcile, "prio string, diff_cents long, has_lines int")
+    )
+    return (
+        per_key.groupBy("prio")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.abs(F.col("diff_cents"))).alias("total_abs_diff_cents"),
+            F.sum("has_lines").alias("n_with_lines"),
+        )
+        .orderBy("prio")
+    )
+
+
+ORACLE_COGROUP_UDF = """
+WITH l AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(14,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                        * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))), 2)
+                  * 100 AS BIGINT)) AS l_sum
+  FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT o_orderkey, o_orderpriority AS prio,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(14,2)), 2) * 100 AS BIGINT)
+           AS o_cents
+  FROM orders
+),
+per_key AS (
+  SELECT COALESCE(o.prio, '(no-order)') AS prio,
+         COALESCE(o.o_cents, 0) - COALESCE(l.l_sum, 0) AS diff_cents,
+         CASE WHEN l.l_orderkey IS NULL THEN 0 ELSE 1 END AS has_lines
+  FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+)
+SELECT prio, COUNT(*) AS n_orders,
+       CAST(SUM(ABS(diff_cents)) AS BIGINT) AS total_abs_diff_cents,
+       CAST(SUM(has_lines) AS BIGINT) AS n_with_lines
+FROM per_key GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_UDTF_TOKENS = """
 SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
 FROM (SELECT doc_id, string_split(text, ' ') AS toks,
@@ -712,6 +804,7 @@ QUERIES = {
     "q_kmeans": q_kmeans,
     "q_semdedup": q_semdedup,
     "q_udtf_tokens": q_udtf_tokens,
+    "q_cogroup_udf": q_cogroup_udf,
     "q_substring_dup": q_substring_dup,
 }
 
@@ -723,5 +816,6 @@ ORACLES = {
     "q_kmeans": ORACLE_KMEANS,
     "q_semdedup": ORACLE_SEMDEDUP,
     "q_udtf_tokens": ORACLE_UDTF_TOKENS,
+    "q_cogroup_udf": ORACLE_COGROUP_UDF,
     "q_substring_dup": ORACLE_SUBSTRING_DUP,
 }
