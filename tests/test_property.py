@@ -124,3 +124,30 @@ def test_degrees_match_networkx(spark, raw):
     }
     expected = dict(g.degree(weight="weight"))
     assert got == expected
+
+
+@_SETTINGS
+@given(raw=edges_strategy)
+def test_topo_layers_matches_networkx(spark, raw):
+    """Longest-path DAG layering equals networkx's per-node longest
+    path length on arbitrary DAGs (edges canonicalized low → high id,
+    acyclic by construction) — exact integers."""
+    import pyspark.sql.functions as F
+
+    from louvain_modularity_spark.graph import topo_layers
+
+    dag_edges = sorted(
+        {(min(s, d), max(s, d)) for s, d, _ in raw if s != d}
+    )
+    if not dag_edges:
+        return
+    df = spark.createDataFrame(dag_edges, "src LONG, dst LONG")
+    got = {r["id"]: r["layer"] for r in topo_layers(spark, df).collect()}
+
+    g = nx.DiGraph(dag_edges)
+    order = list(nx.topological_sort(g))
+    expected = {n: 0 for n in g.nodes()}
+    for u in order:
+        for v in g.successors(u):
+            expected[v] = max(expected[v], expected[u] + 1)
+    assert got == expected
