@@ -59,7 +59,9 @@ SHARED_R02 = [
 #: the §2.26 additions time the two new execution shapes: the grid-cell
 #: spatial equi-join (9-cell probe; measured 13.7× over brute at 150k
 #: points, SCALE.md §2) and the fine-grained-key interval-merge window
-#: (millions of small (user,type) window partitions + island rollup)
+#: (millions of small (user,type) window partitions + island rollup);
+#: q_e2e_curation times the composed gate→dedup→pack→manifest pipeline
+#: as one plan — the end-to-end number users actually experience
 HEADLINE = SHARED_R02 + [
     "q_tpch_q3",
     "q_tpch_q1",
@@ -71,6 +73,7 @@ HEADLINE = SHARED_R02 + [
     "q_pca_power",
     "q_grid_join",
     "q_interval_merge",
+    "q_e2e_curation",
 ]
 
 #: noisiest entries under this VM's CPU-steal (±30% swings on unchanged

@@ -469,6 +469,98 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: e2e curation: minimum tokens to pass the gate / shard token budget
+E2E_MIN_TOKENS = 5
+E2E_BIN_TOKENS = 1000
+
+
+def q_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline in one plan — the composition the
+    individual operators exist for: quality gate (token floor + ≥50%
+    alphabetic tokens, integer cross-multiplied so no float compare)
+    → exact content dedup (sha256 min-keeper) → per-language sequence
+    packing into E2E_BIN_TOKENS-token shards → per-(lang, shard)
+    manifest stats. Every stage is an already-oracle-verified shape
+    (q_gopher_quality / q_dedup_doc_exact / q_pack_sequences /
+    q_bin_pack); this query proves they COMPOSE into a single lazy
+    plan without materialization barriers.
+
+    100 TB shape: gate is a codegen'd projection fused into the scan;
+    dedup is one hash shuffle on the digest; packing is one running
+    window per language shard; the output is manifest-sized. One scan,
+    two shuffles, no Python.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_alpha = F.expr("size(filter(split(text, ' '), t -> t rlike '^[A-Za-z]+$'))")
+    gated = d.select(
+        "doc_id", "lang", "text", n_tokens.alias("n_tokens")
+    ).filter((n_tokens >= E2E_MIN_TOKENS) & (n_alpha * 2 >= n_tokens))
+    keeper_w = Window.partitionBy(F.sha2("text", 256))
+    kept = (
+        gated.withColumn("keep_id", F.min("doc_id").over(keeper_w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+    pack_w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = kept.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (
+            (F.sum("n_tokens").over(pack_w) - F.col("n_tokens"))
+            / F.lit(E2E_BIN_TOKENS)
+        )
+        .cast("long")
+        .alias("shard"),
+    )
+    return (
+        packed.groupBy("lang", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "shard")
+    )
+
+
+ORACLE_E2E_CURATION = f"""
+WITH gated AS (
+  SELECT doc_id, lang, text,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {E2E_MIN_TOKENS}
+    AND len(list_filter(string_split(text, ' '),
+                        t -> regexp_full_match(t, '[A-Za-z]+'))) * 2
+        >= len(string_split(text, ' '))
+),
+kept AS (
+  SELECT doc_id, lang, n_tokens
+  FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+        FROM gated)
+  WHERE doc_id = keep_id
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+              // {E2E_BIN_TOKENS} AS BIGINT) AS shard
+  FROM kept
+)
+SELECT lang, shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM packed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped-map Python surface (``groupBy().cogroup()
     .applyInPandas``): per-order reconciliation of the order header
@@ -805,6 +897,7 @@ QUERIES = {
     "q_semdedup": q_semdedup,
     "q_udtf_tokens": q_udtf_tokens,
     "q_cogroup_udf": q_cogroup_udf,
+    "q_e2e_curation": q_e2e_curation,
     "q_substring_dup": q_substring_dup,
 }
 
@@ -817,5 +910,6 @@ ORACLES = {
     "q_semdedup": ORACLE_SEMDEDUP,
     "q_udtf_tokens": ORACLE_UDTF_TOKENS,
     "q_cogroup_udf": ORACLE_COGROUP_UDF,
+    "q_e2e_curation": ORACLE_E2E_CURATION,
     "q_substring_dup": ORACLE_SUBSTRING_DUP,
 }

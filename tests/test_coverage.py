@@ -751,3 +751,16 @@ def test_ks_test_histogram_collapse_single_scan(spark):
     assert plan.count("FileScan parquet") == 0, plan
     assert "EvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_e2e_curation_single_scan_no_python(spark):
+    """The composed curation pipeline must stay ONE lazy plan: a
+    single parquet scan (gate fused into it), no Python workers, and
+    window/aggregate stages only — composition without
+    materialization barriers."""
+    from louvain_modularity_spark.pipeline import q_e2e_curation
+
+    plan = _plan_of(q_e2e_curation, spark)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "EvalPython" not in plan, plan
+    assert "Window" in plan, plan
