@@ -103,7 +103,7 @@ def _modules():
 # q_calibration q_ndcg q_topo_layers q_url_parse q_ks_test
 # q_sketch_union q_nested_prune q_interval_merge q_bin_pack
 # q_feature_hash q_geo_density q_rolling_median q_mom_yoy
-# q_stream_join_outer q_cogroup_udf q_e2e_curation.
+# q_stream_join_outer q_cogroup_udf q_e2e_curation q_window_nth.
 #
 # Rows-only entries deliberately inside this window: q_betweenness_sampled
 # (first window ever; estimator pinned by the rank-correlation pytest) and

@@ -595,6 +595,37 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 """
 
 
+def q_window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / last_value with an explicit full-partition frame —
+    the remaining analytic-window corner (last_value's default frame
+    ends at CURRENT ROW, the classic silent-wrong-answer trap; both
+    engines here pin the UNBOUNDED frame explicitly so the semantics
+    under test are the corrected ones). Per user: the 2nd event's
+    value, the final value, and each row's distance from the final
+    event — exact integers/2-dp doubles."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.nth_value("value", 2).over(w_full).alias("second_value"),
+        F.last("value").over(w_full).alias("final_value"),
+        (F.last("ts_us").over(w_full) - F.col("ts_us")).alias("us_before_final"),
+    )
+
+
+ORACLE_WINDOW_NTH = """
+SELECT event_id, user_id,
+       NTH_VALUE(value, 2) OVER w                    AS second_value,
+       LAST_VALUE(value) OVER w                      AS final_value,
+       LAST_VALUE(epoch_us(ts)) OVER w - epoch_us(ts) AS us_before_final
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 # ---------------------------------------------------------------------------
 # sort / limit / set ops / dedup
 # ---------------------------------------------------------------------------
@@ -1627,6 +1658,7 @@ QUERIES = {
     "q_window_rank": q_window_rank,
     "q_window_frame": q_window_frame,
     "q_window_laglead": q_window_laglead,
+    "q_window_nth": q_window_nth,
     "q_sort_limit": q_sort_limit,
     "q_set_ops": q_set_ops,
     "q_dedup_exact": q_dedup_exact,
@@ -1672,6 +1704,7 @@ ORACLES = {
     "q_window_rank": ORACLE_WINDOW_RANK,
     "q_window_frame": ORACLE_WINDOW_FRAME,
     "q_window_laglead": ORACLE_WINDOW_LAGLEAD,
+    "q_window_nth": ORACLE_WINDOW_NTH,
     "q_sort_limit": ORACLE_SORT_LIMIT,
     "q_set_ops": ORACLE_SET_OPS,
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
