@@ -2352,6 +2352,160 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (SURVEY §2.27)
+# ---------------------------------------------------------------------------
+
+#: probe stride: parts with partkey ≡ 0 (mod 97) get recommendations —
+#: a deterministic ~1% sample that scales the output, not the plan
+CF_PROBE_MOD = 97
+#: neighbors returned per probe item
+CF_TOP_N = 3
+
+
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar 2001 / Amazon 2003):
+    top-N most-similar parts for a probe set, by cosine similarity
+    over binary order-basket co-occurrence — cos(i,j) =
+    |orders with both| / √(|orders with i|·|orders with j|).
+
+    100 TB shape: the basket table is deduped ONCE (orderkey,partkey);
+    the probe filter lands BEFORE the co-occurrence self-join, so the
+    join is (tiny probe baskets) ⋈ (full baskets) hash-partitioned on
+    orderkey — never basket², and TPC-H baskets are ≤7 items so even
+    the unfiltered variant is bounded per order. Item counts attach
+    broadcast (probe side) and by hash join (neighbor side). Counts
+    stay BIGINT; cosine is one double expression ROUNDed before the
+    deterministic (similarity, id) ranking.
+    """
+    basket = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    item_n = basket.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").alias("n_orders")
+    )
+    probe = basket.filter(F.col("l_partkey") % CF_PROBE_MOD == 0)
+    pairs = (
+        probe.alias("a")
+        .join(basket.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("i"), F.col("b.l_partkey").alias("j")
+        )
+        .agg(F.count("*").alias("c_ij"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(
+                item_n.filter(F.col("item") % CF_PROBE_MOD == 0).select(
+                    F.col("item").alias("i"), F.col("n_orders").alias("c_i")
+                )
+            ),
+            "i",
+        )
+        .join(
+            item_n.select(F.col("item").alias("j"), F.col("n_orders").alias("c_j")),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            "c_ij",
+            F.round(
+                F.col("c_ij").cast("double")
+                / F.sqrt(F.col("c_i").cast("double") * F.col("c_j").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("cosine"), F.asc("j"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CF_TOP_N)
+        .select("i", "j", "c_ij", "cosine", "rn")
+        .orderBy("i", "rn")
+    )
+
+
+ORACLE_ITEM_CF = f"""
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+item_n AS (
+  SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM basket GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS i, b.l_partkey AS j, CAST(COUNT(*) AS BIGINT) AS c_ij
+  FROM basket a JOIN basket b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey % {CF_PROBE_MOD} = 0 AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i, j, c_ij,
+         ROUND(CAST(c_ij AS DOUBLE)
+               / sqrt(CAST(ni.n_orders AS DOUBLE) * CAST(nj.n_orders AS DOUBLE)),
+               6) AS cosine
+  FROM pairs JOIN item_n ni ON pairs.i = ni.item
+             JOIN item_n nj ON pairs.j = nj.item
+)
+SELECT i, j, c_ij, cosine, rn FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY i ORDER BY cosine DESC, j) AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= {CF_TOP_N}
+ORDER BY i, rn
+"""
+
+
+def q_read_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round trip on Spark 4's built-in XML data source
+    (the spark-xml package folded into core): export events to
+    row-tagged XML, read back with an EXPLICIT schema (no inference
+    pass), aggregate; the oracle recomputes from parquet, so entity
+    escaping and numeric round-trips must be lossless. At 100 TB:
+    rowTag framing lets the reader split files at element boundaries
+    across executors, and the explicit schema avoids the full
+    inference scan — same contract as q_read_json/q_read_csv.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value", "ts_us"
+    )
+    out = _roundtrip_dir(sf_dir, "xml")
+    e.write.format("xml").option("rootTag", "events").option(
+        "rowTag", "event"
+    ).mode("overwrite").save(out)
+    back = spark.read.format("xml").option("rowTag", "event").schema(
+        "event_id LONG, event_type STRING, user_id LONG, value DOUBLE, ts_us LONG"
+    ).load(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("ts_us").alias("max_ts_us"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_READ_XML = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       MIN(event_id) AS min_event_id,
+       MAX(CAST(epoch_us(ts) AS BIGINT)) AS max_ts_us,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q_stats_agg": q_stats_agg,
     "q_filtered_agg": q_filtered_agg,
@@ -2396,6 +2550,8 @@ QUERIES = {
     "q_skew_stats": q_skew_stats,
     "q_attribution": q_attribution,
     "q_ab_ttest": q_ab_ttest,
+    "q_item_cf": q_item_cf,
+    "q_read_xml": q_read_xml,
 }
 
 ORACLES = {
@@ -2442,4 +2598,6 @@ ORACLES = {
     "q_skew_stats": ORACLE_SKEW_STATS,
     "q_attribution": ORACLE_ATTRIBUTION,
     "q_ab_ttest": ORACLE_AB_TTEST,
+    "q_item_cf": ORACLE_ITEM_CF,
+    "q_read_xml": ORACLE_READ_XML,
 }

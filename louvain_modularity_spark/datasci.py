@@ -2377,6 +2377,260 @@ ORDER BY e.measure
 """
 
 
+# ---------------------------------------------------------------------------
+# Classical hypothesis tests over the event stream (SURVEY §2.27)
+# ---------------------------------------------------------------------------
+
+#: the two event types compared by the Mann-Whitney U test — chosen as
+#: the conversion-funnel endpoints so the test asks a real question
+#: ("do purchases carry different values than clicks?")
+MW_GROUP_A = "purchase"
+MW_GROUP_B = "click"
+
+
+def _value_cents(col):
+    """events.value is 2-dp by fixture contract; cents as exact int64
+    (the repo-wide decimal(12,2)·100 convention, e.g. tsml.q_ewma)."""
+    return (F.col(col).cast("decimal(12,2)") * 100).cast("long")
+
+
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across the five event types
+    (Fisher 1925): between/within sums of squares from per-group
+    moments, the F statistic and effect size η². The continuous
+    sibling of q_crosstab_chi2 and q_ab_ttest (k groups, not 2).
+
+    Exactness: per-group n, Σcents, Σcents² are INTEGER-exact
+    (order-independent partial aggregation); F and η² are scale-
+    invariant, so the cents domain needs no rescaling and doubles
+    appear only in the final k-row combination behind one ROUND —
+    the q_crosstab_chi2 convention.
+
+    100 TB shape: ONE map-side-combined groupBy collapses the fact
+    table to k ≈ 5 moment rows; everything after is driver-trivial
+    arithmetic on those rows. No second scan, no window.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_type", _value_cents("value").alias("c")
+    )
+    g = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    sg = F.col("s").cast("double")
+    term = sg * sg / F.col("n").cast("double")
+    stats = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("n_obs"),
+        F.sum("s").alias("s_tot"),
+        F.sum("q").alias("q_tot"),
+        F.sum(term).alias("between_raw"),
+    )
+    s_tot = F.col("s_tot").cast("double")
+    n_tot = F.col("n_obs").cast("double")
+    ssb = F.col("between_raw") - s_tot * s_tot / n_tot
+    ssw = F.col("q_tot").cast("double") - F.col("between_raw")
+    f_stat = (ssb / (F.col("k") - F.lit(1)).cast("double")) / (
+        ssw / (F.col("n_obs") - F.col("k")).cast("double")
+    )
+    return stats.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round(f_stat, 4).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_sq"),
+    )
+
+
+ORACLE_ANOVA = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS q
+  FROM events GROUP BY event_type
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_obs,
+         CAST(SUM(s) AS DOUBLE) AS s_tot,
+         CAST(SUM(q) AS DOUBLE) AS q_tot,
+         SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS between_raw
+  FROM g
+)
+SELECT k AS k_groups, n_obs,
+       ROUND(((between_raw - s_tot * s_tot / CAST(n_obs AS DOUBLE))
+               / CAST(k - 1 AS DOUBLE))
+             / ((q_tot - between_raw) / CAST(n_obs - k AS DOUBLE)), 4) AS f_stat,
+       ROUND((between_raw - s_tot * s_tot / CAST(n_obs AS DOUBLE))
+             / ((between_raw - s_tot * s_tot / CAST(n_obs AS DOUBLE))
+                + (q_tot - between_raw)), 6) AS eta_sq
+FROM t
+"""
+
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event VALUE and ARRIVAL ORDER
+    within each event type — 'is this event type's value drifting over
+    time?' asked robustly (rank space, so outliers and the value
+    distribution's shape don't matter). Ties get average (midrank)
+    ranks; ρ uses the classical 1 − 6Σd²/(n(n²−1)) formula on those
+    midranks (scipy's convention without the tie-correction term,
+    stated in the column name as rho_d2).
+
+    Exactness: midranks are half-integers, so 2·rank is INTEGER;
+    Σ(2d)² = 4Σd² accumulates as exact int64 and ρ is ONE final
+    double division. Nothing order-dependent crosses the engines.
+
+    100 TB shape: one shuffle on event_type with two in-partition
+    sorts (value rank, time order) — the standard Window pair; the
+    per-group state is the sort run, not a collected list. Groups at
+    scale are date-bucketed to bound partition size.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts_us", _value_cents("value").alias("c")
+    )
+    w_val = Window.partitionBy("event_type").orderBy("c")
+    w_tie = Window.partitionBy("event_type", "c")
+    w_time = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    ranked = e.select(
+        "event_type",
+        (2 * F.rank().over(w_val) + F.count("*").over(w_tie) - F.lit(1)).alias("r2"),
+        (2 * F.row_number().over(w_time)).alias("t2"),
+    )
+    d2 = (F.col("r2") - F.col("t2")) * (F.col("r2") - F.col("t2"))
+    n = F.col("n").cast("double")
+    return (
+        ranked.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(d2).alias("sum4d2"))
+        .select(
+            "event_type",
+            "n",
+            "sum4d2",
+            F.round(
+                F.lit(1.0)
+                - F.lit(1.5) * F.col("sum4d2").cast("double") / (n * (n * n - 1.0)),
+                6,
+            ).alias("rho_d2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SPEARMAN = """
+WITH e AS (
+  SELECT event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+ranked AS (
+  SELECT event_type,
+         2 * RANK() OVER (PARTITION BY event_type ORDER BY c)
+           + COUNT(*) OVER (PARTITION BY event_type, c) - 1 AS r2,
+         2 * ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS t2
+  FROM e
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM((r2 - t2) * (r2 - t2)) AS BIGINT) AS sum4d2,
+       ROUND(1.0 - 1.5 * CAST(SUM((r2 - t2) * (r2 - t2)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE)
+                * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)), 6)
+         AS rho_d2
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test (Mann & Wilcoxon 1945/47): do purchase
+    events carry systematically different values than click events?
+    Midrank-based U with the tie-corrected normal approximation —
+    the nonparametric sibling of q_ab_ttest (no normality assumption).
+
+    Exactness: 2·midrank and 2·R₁ are INTEGER-exact, so U₁ arrives as
+    an exact half-integer; the tie term Σ(t³−t) is an exact int64 from
+    one value-frequency aggregate; σ and z combine those integers in
+    doubles with identical parenthesization behind one ROUND.
+
+    100 TB shape: one filter-pushed scan, one shuffle to rank the
+    combined sample (a single global sort at this fixture size;
+    at scale the rank comes from the two-pass histogram-offset plan
+    q_equi_depth_hist uses), one value-frequency aggregate for ties.
+    """
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(MW_GROUP_A, MW_GROUP_B))
+        .select("event_type", _value_cents("value").alias("c"))
+    )
+    w_val = Window.orderBy("c")
+    w_tie = Window.partitionBy("c")
+    ranked = e.select(
+        "event_type",
+        (2 * F.rank().over(w_val) + F.count("*").over(w_tie) - F.lit(1)).alias("r2"),
+    )
+    ties = (
+        e.groupBy("c")
+        .agg(F.count("*").alias("t"))
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_sum"))
+    )
+    stats = ranked.groupBy().agg(
+        F.sum(F.when(F.col("event_type") == MW_GROUP_A, F.col("r2"))).alias("r1_2"),
+        F.sum(F.when(F.col("event_type") == MW_GROUP_A, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == MW_GROUP_B, 1).otherwise(0)).alias("n2"),
+    )
+    j = stats.crossJoin(F.broadcast(ties))
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    n = n1 + n2
+    u1 = (F.col("r1_2").cast("double") - F.col("n1").cast("double") * (n1 + 1.0)) / 2.0
+    sigma_sq = (
+        n1 * n2 / 12.0 * ((n + 1.0) - F.col("tie_sum").cast("double") / (n * (n - 1.0)))
+    )
+    z = (u1 - n1 * n2 / 2.0) / F.sqrt(sigma_sq)
+    return j.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(u1, 1).alias("u1"),
+        F.round(z, 4).alias("z_score"),
+    )
+
+
+ORACLE_MANN_WHITNEY = f"""
+WITH e AS (
+  SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  FROM events WHERE event_type IN ('{MW_GROUP_A}', '{MW_GROUP_B}')
+),
+ranked AS (
+  SELECT event_type,
+         2 * RANK() OVER (ORDER BY c) + COUNT(*) OVER (PARTITION BY c) - 1 AS r2
+  FROM e
+),
+ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+  FROM (SELECT COUNT(*) AS t FROM e GROUP BY c)
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN event_type = '{MW_GROUP_A}' THEN r2 END) AS BIGINT) AS r1_2,
+         CAST(SUM(CASE WHEN event_type = '{MW_GROUP_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN event_type = '{MW_GROUP_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM ranked
+)
+SELECT n1, n2,
+       ROUND((CAST(r1_2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0, 1) AS u1,
+       ROUND(((CAST(r1_2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
+              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+             / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                    * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                       - CAST(tie_sum AS DOUBLE)
+                         / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                            * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))), 4) AS z_score
+FROM s CROSS JOIN ties
+"""
+
+
 QUERIES = {
     "q_count_min": q_count_min,
     "q_weighted_median": q_weighted_median,
@@ -2407,6 +2661,9 @@ QUERIES = {
     "q_cohort_ltv": q_cohort_ltv,
     "q_assoc_rules": q_assoc_rules,
     "q_sketch_union": q_sketch_union,
+    "q_anova": q_anova,
+    "q_spearman": q_spearman,
+    "q_mann_whitney": q_mann_whitney,
 }
 
 # rows-only: q_pca_power (eigendecomposition not SQL-expressible;
@@ -2440,4 +2697,7 @@ ORACLES = {
     "q_cohort_ltv": ORACLE_COHORT_LTV,
     "q_assoc_rules": ORACLE_ASSOC_RULES,
     "q_sketch_union": ORACLE_SKETCH_UNION,
+    "q_anova": ORACLE_ANOVA,
+    "q_spearman": ORACLE_SPEARMAN,
+    "q_mann_whitney": ORACLE_MANN_WHITNEY,
 }

@@ -2314,6 +2314,107 @@ SELECT id, CAST(MAX(d) AS INT) AS layer FROM reach GROUP BY id ORDER BY id
 """
 
 
+# ---------------------------------------------------------------------------
+# Rich-club coefficient (SURVEY §2.27)
+# ---------------------------------------------------------------------------
+
+#: degree thresholds audited by q_rich_club — spanning the co-purchase
+#: graph's degree range so at least the low thresholds are non-trivial
+#: at every sf (φ is reported NULL when fewer than 2 nodes qualify)
+RICH_CLUB_KS = [2, 4, 8, 16]
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) (Colizza 2006, unnormalized): among
+    nodes of degree > k, the realized fraction of possible edges —
+    'do the hubs preferentially link to each other?'. Computed for the
+    fixed threshold ladder RICH_CLUB_KS in ONE pass: degrees once,
+    each edge classified against every k by conditional sums.
+
+    100 TB shape: degree aggregate (one shuffle), one hash join per
+    edge ENDPOINT to attach degrees (the same two-join shape as
+    q_assortativity — no per-k rescan, the |K| thresholds ride as
+    conditional-sum columns), then a |K|-row result. Exact integer
+    counts; φ is one final double division per threshold row.
+    """
+    edges = copurchase_edges(spark, sf_dir).select("src", "dst")
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+    with_degs = (
+        edges.join(
+            deg.select(F.col("id").alias("src"), F.col("degree").alias("deg_src")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("degree").alias("deg_dst")),
+            "dst",
+        )
+    )
+    e_counts = with_degs.agg(
+        *[
+            F.sum(
+                F.when((F.col("deg_src") > k) & (F.col("deg_dst") > k), 1).otherwise(0)
+            ).alias(f"e_{k}")
+            for k in RICH_CLUB_KS
+        ]
+    )
+    n_counts = deg.agg(
+        *[
+            F.sum(F.when(F.col("degree") > k, 1).otherwise(0)).alias(f"n_{k}")
+            for k in RICH_CLUB_KS
+        ]
+    )
+    per_k = [
+        F.struct(
+            F.lit(k).alias("k"),
+            F.col(f"n_{k}").alias("n_k"),
+            F.col(f"e_{k}").alias("e_k"),
+        )
+        for k in RICH_CLUB_KS
+    ]
+    rows = (
+        e_counts.crossJoin(F.broadcast(n_counts))
+        .select(F.explode(F.array(*per_k)).alias("s"))
+        .select("s.k", "s.n_k", "s.e_k")
+    )
+    nk = F.col("n_k").cast("double")
+    return rows.select(
+        "k",
+        "n_k",
+        "e_k",
+        F.when(
+            F.col("n_k") >= 2,
+            F.round(2.0 * F.col("e_k").cast("double") / (nk * (nk - 1.0)), 6),
+        ).alias("phi"),
+    ).orderBy("k")
+
+
+def _oracle_rich_club() -> str:
+    per_k = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE degree > {k}) AS n_k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ed
+        WHERE deg_src > {k} AND deg_dst > {k}) AS e_k"""
+        for k in RICH_CLUB_KS
+    )
+    return f"""
+WITH e AS ({COPURCHASE_EDGES_SQL}),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY 1),
+ed AS (
+  SELECT ds.degree AS deg_src, dd.degree AS deg_dst
+  FROM e JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id
+),
+rows_k AS ({per_k})
+SELECT k, n_k, e_k,
+       CASE WHEN n_k >= 2 THEN ROUND(2.0 * CAST(e_k AS DOUBLE)
+            / (CAST(n_k AS DOUBLE) * (CAST(n_k AS DOUBLE) - 1.0)), 6) END AS phi
+FROM rows_k ORDER BY k
+"""
+
+
 QUERIES = {
     "q_edges_from_relational": q_edges_from_relational,
     "q_read_edgelist": q_read_edgelist,
@@ -2350,6 +2451,7 @@ QUERIES = {
     "q_hits": q_hits,
     "q_recursive_cte": q_recursive_cte,
     "q_topo_layers": q_topo_layers,
+    "q_rich_club": q_rich_club,
 }
 
 ORACLES = {
@@ -2400,4 +2502,5 @@ UNION ALL SELECT 'json', n_edges, total_weight FROM agg
     # core_number golden in tests), q_betweenness_sampled (estimator;
     # rank-correlation + state-bound asserted in tests, exact twin is
     # oracle-checked)
+    "q_rich_club": _oracle_rich_club(),
 }

@@ -103,7 +103,9 @@ def _modules():
 # q_calibration q_ndcg q_topo_layers q_url_parse q_ks_test
 # q_sketch_union q_nested_prune q_interval_merge q_bin_pack
 # q_feature_hash q_geo_density q_rolling_median q_mom_yoy
-# q_stream_join_outer q_cogroup_udf q_e2e_curation q_window_nth.
+# q_stream_join_outer q_cogroup_udf q_e2e_curation q_window_nth,
+# and the §2.27 tenth batch (oracle-backed, one also networkx-golden):
+# q_anova q_spearman q_mann_whitney q_rich_club q_item_cf q_read_xml.
 #
 # Rows-only entries deliberately inside this window: q_betweenness_sampled
 # (first window ever; estimator pinned by the rank-correlation pytest) and

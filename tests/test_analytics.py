@@ -105,3 +105,81 @@ def test_allocation_conserves_every_cent(spark):
         assert r["allocated_cents"] == r["total_cents"], r
         assert r["min_item_cents"] >= 0, r
         assert r["max_item_cents"] >= r["min_item_cents"], r
+
+
+def test_hypothesis_tests_match_pure_python(spark):
+    """q_anova / q_spearman / q_mann_whitney vs from-scratch Python
+    statistics computed on the raw parquet rows — an implementation
+    independent of both the Spark plan and the DuckDB oracle (which
+    share their formula spelling)."""
+    import duckdb
+    from collections import Counter
+
+    from louvain_modularity_spark.datasci import (
+        MW_GROUP_A,
+        MW_GROUP_B,
+        q_anova,
+        q_mann_whitney,
+        q_spearman,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT),"
+        " CAST(epoch_us(ts) AS BIGINT), event_id"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+
+    # --- one-way ANOVA
+    groups = {}
+    for et, c, _, _ in rows:
+        groups.setdefault(et, []).append(c)
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    grand = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+    ssw = sum((x - sum(v) / len(v)) ** 2 for v in groups.values() for x in v)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    got = q_anova(spark, SF_DIR).collect()[0]
+    assert got["k_groups"] == k and got["n_obs"] == n
+    assert abs(got["f_stat"] - f_ref) < 1e-3
+    assert abs(got["eta_sq"] - ssb / (ssb + ssw)) < 1e-6
+
+    def midranks(vals):
+        cnt = Counter(vals)
+        start, rank_of = 1, {}
+        for v in sorted(cnt):
+            t = cnt[v]
+            rank_of[v] = start + (t - 1) / 2
+            start += t
+        return rank_of
+
+    # --- Spearman per event_type (midranks, classical d² formula)
+    spear = {r["event_type"]: r for r in q_spearman(spark, SF_DIR).collect()}
+    for et, vals in groups.items():
+        ordered = sorted(
+            [(ts, eid, c) for e2, c, ts, eid in rows if e2 == et]
+        )
+        rank_of = midranks([c for _, _, c in ordered])
+        d2 = sum(
+            (rank_of[c] - (i + 1)) ** 2 for i, (_, _, c) in enumerate(ordered)
+        )
+        m = len(ordered)
+        rho_ref = 1 - 6 * d2 / (m * (m * m - 1))
+        assert abs(spear[et]["rho_d2"] - rho_ref) < 1e-6, et
+
+    # --- Mann-Whitney U with tie correction
+    a = groups[MW_GROUP_A]
+    b = groups[MW_GROUP_B]
+    rank_of = midranks(a + b)
+    r1 = sum(rank_of[x] for x in a)
+    n1, n2 = len(a), len(b)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    nn = n1 + n2
+    tie = sum(t**3 - t for t in Counter(a + b).values())
+    sigma = (n1 * n2 / 12 * ((nn + 1) - tie / (nn * (nn - 1)))) ** 0.5
+    z_ref = (u1 - n1 * n2 / 2) / sigma
+    got = q_mann_whitney(spark, SF_DIR).collect()[0]
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert abs(got["u1"] - u1) < 1e-6
+    assert abs(got["z_score"] - z_ref) < 1e-3

@@ -325,3 +325,25 @@ def test_hits_matches_svd(spark):
         assert got_hub[s] == pytest.approx(h[i], abs=1e-4), ("hub", s)
     for d, i in di.items():
         assert got_auth[d] == pytest.approx(a[i], abs=1e-4), ("auth", d)
+
+
+def test_rich_club_matches_networkx(spark):
+    """q_rich_club vs networkx rich_club_coefficient (unnormalized)
+    on the sf0.001 co-purchase graph, at every threshold in
+    RICH_CLUB_KS where networkx defines φ (≥2 qualifying nodes)."""
+    from louvain_modularity_spark.graph import RICH_CLUB_KS, q_rich_club
+    from louvain_modularity_spark.sources import copurchase_edges
+
+    g = nx.Graph()
+    for r in copurchase_edges(spark, SF).collect():
+        if r["src"] != r["dst"]:
+            g.add_edge(int(r["src"]), int(r["dst"]))
+    want = nx.rich_club_coefficient(g, normalized=False)
+
+    got = {r["k"]: r for r in q_rich_club(spark, SF).collect()}
+    assert sorted(got) == sorted(RICH_CLUB_KS)
+    for k in RICH_CLUB_KS:
+        n_k = sum(1 for _, d in g.degree() if d > k)
+        assert got[k]["n_k"] == n_k, k
+        if k in want and n_k >= 2:
+            assert abs(got[k]["phi"] - want[k]) < 1e-6, k
