@@ -2415,6 +2415,72 @@ FROM rows_k ORDER BY k
 """
 
 
+# ---------------------------------------------------------------------------
+# Butterfly (bipartite 4-cycle) counting (SURVEY §2.28)
+# ---------------------------------------------------------------------------
+
+
+def q_butterfly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly counting (Sanei-Mehri 2018): the butterfly — a 2×2
+    biclique / 4-cycle — is the bipartite graph's smallest cohesion
+    motif, the analogue of the triangle (which bipartite graphs cannot
+    contain; q_triangle_count correctly finds 0 here). Counted from the
+    customer side: every pair of customers sharing c ≥ 2 suppliers
+    contributes C(c,2) butterflies; also reports the supplier-wedge
+    count Σ_s C(deg_s, 2) and co-purchase pair count as the density
+    denominators.
+
+    100 TB shape: ONE self-join on the supplier key builds wedges —
+    work is Σ_s deg_s², the published bound — then one pair aggregate;
+    hub suppliers are the skew term, capped exactly like q_pmi_cooccur
+    caps hot shingles (drop/sample suppliers over a degree cap and
+    report the cap, or delta-approximate). Exact at fixture scale;
+    counts BIGINT end to end.
+    """
+    e = copurchase_edges(spark, sf_dir).select("src", "dst").distinct()
+    wedge_stats = e.groupBy("dst").agg(F.count("*").alias("d")).agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), "dst")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    pair_stats = pairs.agg(
+        F.count("*").alias("n_copairs"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("n_butterflies"),
+    )
+    edges_n = e.agg(F.count("*").alias("n_edges"))
+    return (
+        edges_n.crossJoin(F.broadcast(wedge_stats))
+        .crossJoin(F.broadcast(pair_stats))
+        .select("n_edges", "n_wedges", "n_copairs", "n_butterflies")
+    )
+
+
+ORACLE_BUTTERFLY = f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({COPURCHASE_EDGES_SQL})),
+w AS (
+  SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM (SELECT dst, COUNT(*) AS d FROM e GROUP BY dst)
+),
+p AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_copairs,
+         CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_butterflies
+  FROM (
+    SELECT a.src AS u, b.src AS v, COUNT(*) AS c
+    FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY 1, 2
+  )
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_edges, n_wedges, n_copairs, n_butterflies
+FROM n CROSS JOIN w CROSS JOIN p
+"""
+
+
 QUERIES = {
     "q_edges_from_relational": q_edges_from_relational,
     "q_read_edgelist": q_read_edgelist,
@@ -2452,6 +2518,7 @@ QUERIES = {
     "q_recursive_cte": q_recursive_cte,
     "q_topo_layers": q_topo_layers,
     "q_rich_club": q_rich_club,
+    "q_butterfly": q_butterfly,
 }
 
 ORACLES = {
@@ -2503,4 +2570,5 @@ UNION ALL SELECT 'json', n_edges, total_weight FROM agg
     # rank-correlation + state-bound asserted in tests, exact twin is
     # oracle-checked)
     "q_rich_club": _oracle_rich_club(),
+    "q_butterfly": ORACLE_BUTTERFLY,
 }

@@ -890,6 +890,123 @@ FROM scored ORDER BY abs(nb * ca - na * cb) DESC, v LIMIT 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Grid-accelerated DBSCAN (SURVEY §2.28)
+# ---------------------------------------------------------------------------
+
+#: DBSCAN radius — tuned so the gate scale (sf0.01) shows real
+#: structure: 48 clusters, ~500 border, ~34 noise points; at sf0.001
+#: the plane is too sparse and most points are legitimately noise
+DBSCAN_EPS = 300
+#: core-point threshold, INCLUDING the point itself (scikit-learn's
+#: min_samples convention)
+DBSCAN_MINPTS = 5
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester 1996) of the synthetic
+    customer plane, decomposed into relational primitives: the ε-graph
+    from a grid-bucketed self-join (q_grid_join's 3×3 probe — never the
+    O(n²) cross join), core points by neighbor count, clusters as
+    connected components of the core-core ε-graph (min-id labels, so
+    cluster ids are deterministic), and border points attached to their
+    MINIMUM adjacent core cluster (a deterministic tie rule; classic
+    DBSCAN leaves border assignment scan-order-dependent, which a
+    distributed engine must not). Noise reported as cluster −1.
+
+    100 TB shape: ε-graph work is Σ_cell density² like every grid
+    join; CC runs on the CORE subgraph only, O(cluster diameter)
+    rounds of min-propagation; border attachment is one aggregate.
+    Rows-only for the driver (iterative CC isn't fixed-step SQL);
+    correctness pinned by the from-scratch Python DBSCAN golden in
+    tests/test_analytics.py with the same tie rules.
+    """
+    from .louvain import connected_components_star
+
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    xg = ((F.col("c_custkey") * GRID_A1 + GRID_B1) % GRID_P) % GRID_SIZE
+    yg = ((F.col("c_custkey") * GRID_A2 + GRID_B2) % GRID_P) % GRID_SIZE
+    pts = c.select(
+        F.col("c_custkey").alias("id"), xg.alias("x"), yg.alias("y")
+    ).localCheckpoint(eager=True)
+    g = F.lit(DBSCAN_EPS)
+    left = pts.select(
+        "id",
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        ((F.col("x") / g).cast("long") + dx).alias("cx"),
+                        ((F.col("y") / g).cast("long") + dy).alias("cy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("cell"),
+    ).select("id", "x", "y", "cell.cx", "cell.cy")
+    right = pts.select(
+        F.col("id").alias("id2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+        (F.col("x") / g).cast("long").alias("cx"),
+        (F.col("y") / g).cast("long").alias("cy"),
+    )
+    dx = F.col("x") - F.col("x2")
+    dy = F.col("y") - F.col("y2")
+    pairs = (
+        left.join(right, ["cx", "cy"])
+        .filter(F.col("id") != F.col("id2"))
+        .filter(dx * dx + dy * dy <= F.lit(DBSCAN_EPS * DBSCAN_EPS))
+        .select("id", "id2")
+        .localCheckpoint(eager=True)
+    )
+    ncount = pairs.groupBy("id").agg((F.count("*") + 1).alias("n_eps"))
+    core = ncount.filter(F.col("n_eps") >= DBSCAN_MINPTS).select("id")
+    core_pairs = (
+        pairs.join(core, "id")
+        .join(core.select(F.col("id").alias("id2")), "id2")
+        .filter(F.col("id") < F.col("id2"))
+        .select(
+            F.col("id").alias("src"),
+            F.col("id2").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    comp = connected_components_star(spark, core_pairs).select(
+        "id", F.col("component").alias("cluster")
+    )
+    # isolated core points (no core neighbor in ε) form singleton clusters
+    core_lab = core.join(comp, "id", "left").select(
+        "id", F.coalesce("cluster", F.col("id")).alias("cluster"), F.lit(1).alias("is_core")
+    ).localCheckpoint(eager=True)
+    border = (
+        pairs.join(
+            core_lab.select(F.col("id").alias("id2"), F.col("cluster")), "id2"
+        )
+        .join(core_lab.select(F.col("id"), F.lit(1).alias("c0")), "id", "left_anti")
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+        .select("id", "cluster", F.lit(0).alias("is_core"))
+    )
+    labeled = core_lab.unionByName(border)
+    noise = pts.join(labeled.select("id"), "id", "left_anti").select(
+        "id", F.lit(-1).alias("cluster"), F.lit(0).alias("is_core")
+    )
+    return (
+        labeled.unionByName(noise)
+        .groupBy("cluster")
+        .agg(
+            F.sum("is_core").cast("long").alias("n_core"),
+            F.sum(1 - F.col("is_core")).cast("long").alias("n_border"),
+            F.count("*").alias("n_total"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("cluster"))
+    )
+
+
 QUERIES = {
     "q_ewma": q_ewma,
     "q_cusum": q_cusum,
@@ -901,6 +1018,9 @@ QUERIES = {
     "q_geo_density": q_geo_density,
     "q_rolling_median": q_rolling_median,
     "q_mom_yoy": q_mom_yoy,
+    # rows-only: q_dbscan (iterative connected components, not
+    # fixed-step SQL; pure-Python DBSCAN golden in tests)
+    "q_dbscan": q_dbscan,
 }
 
 ORACLES = {

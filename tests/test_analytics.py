@@ -183,3 +183,93 @@ def test_hypothesis_tests_match_pure_python(spark):
     assert (got["n1"], got["n2"]) == (n1, n2)
     assert abs(got["u1"] - u1) < 1e-6
     assert abs(got["z_score"] - z_ref) < 1e-3
+
+
+def test_dbscan_matches_pure_python(spark):
+    """q_dbscan vs a from-scratch Python DBSCAN with the identical
+    deterministic conventions (min-id cluster labels, border → minimum
+    adjacent core cluster, self-inclusive minPts) on the sf0.001
+    customer plane."""
+    import duckdb
+
+    from louvain_modularity_spark.tsml import (
+        DBSCAN_EPS,
+        DBSCAN_MINPTS,
+        GRID_A1,
+        GRID_A2,
+        GRID_B1,
+        GRID_B2,
+        GRID_P,
+        GRID_SIZE,
+        q_dbscan,
+    )
+
+    keys = [
+        k
+        for (k,) in duckdb.connect()
+        .execute(f"SELECT c_custkey FROM '{SF_DIR}/customer.parquet'")
+        .fetchall()
+    ]
+    pts = {
+        k: (
+            (k * GRID_A1 + GRID_B1) % GRID_P % GRID_SIZE,
+            (k * GRID_A2 + GRID_B2) % GRID_P % GRID_SIZE,
+        )
+        for k in keys
+    }
+    eps2 = DBSCAN_EPS * DBSCAN_EPS
+    nbr = {k: [] for k in keys}
+    ks = sorted(keys)
+    for i, a in enumerate(ks):
+        ax, ay = pts[a]
+        for b in ks[i + 1 :]:
+            bx, by = pts[b]
+            if (ax - bx) ** 2 + (ay - by) ** 2 <= eps2:
+                nbr[a].append(b)
+                nbr[b].append(a)
+    core = {k for k in keys if len(nbr[k]) + 1 >= DBSCAN_MINPTS}
+    # CC over core-core adjacency, min-id labels
+    label = {}
+    for s in sorted(core):
+        if s in label:
+            continue
+        stack, comp = [s], []
+        seen = {s}
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in nbr[u]:
+                if v in core and v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        m = min(comp)
+        for u in comp:
+            label[u] = m
+    rows = {}  # cluster -> [n_core, n_border]
+    for k in keys:
+        if k in core:
+            rows.setdefault(label[k], [0, 0])[0] += 1
+        else:
+            adj = [label[v] for v in nbr[k] if v in core]
+            if adj:
+                rows.setdefault(min(adj), [0, 0])[1] += 1
+            else:
+                rows.setdefault(-1, [0, 0])[1] += 1
+    want = {
+        c: (nc, nb if c != -1 else 0, nc + nb)
+        for c, (nc, nb) in rows.items()
+    }
+    # noise row counts border as 0/is_core 0 but n_total counts them
+    got = {
+        r["cluster"]: (r["n_core"], r["n_border"], r["n_total"])
+        for r in q_dbscan(spark, SF_DIR).collect()
+    }
+    fixed_want = {
+        c: (nc, 0 if c == -1 else nb, tot)
+        for c, (nc, nb, tot) in want.items()
+    }
+    # in the engine, noise rows have is_core=0 and count into n_border=0?
+    # engine reports noise as n_border=n_total with n_core=0
+    fixed_want[-1] = (0, rows.get(-1, [0, 0])[1], rows.get(-1, [0, 0])[1]) if -1 in rows else fixed_want.get(-1)
+    fixed_want = {c: v for c, v in fixed_want.items() if v is not None}
+    assert got == fixed_want, (got, fixed_want)

@@ -347,3 +347,30 @@ def test_rich_club_matches_networkx(spark):
         assert got[k]["n_k"] == n_k, k
         if k in want and n_k >= 2:
             assert abs(got[k]["phi"] - want[k]) < 1e-6, k
+
+
+def test_butterfly_matches_pure_python(spark):
+    """q_butterfly vs a direct enumeration over supplier neighbor
+    sets on the sf0.001 co-purchase graph (independent of the
+    SQL-shaped oracle's self-join formulation)."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from louvain_modularity_spark.graph import q_butterfly
+    from louvain_modularity_spark.sources import copurchase_edges
+
+    nbrs = defaultdict(set)
+    for r in copurchase_edges(spark, SF).collect():
+        nbrs[int(r["dst"])].add(int(r["src"]))
+    n_edges = sum(len(v) for v in nbrs.values())
+    n_wedges = sum(len(v) * (len(v) - 1) // 2 for v in nbrs.values())
+    co = Counter()
+    for v in nbrs.values():
+        for a, b in combinations(sorted(v), 2):
+            co[(a, b)] += 1
+    n_butterflies = sum(c * (c - 1) // 2 for c in co.values())
+    got = q_butterfly(spark, SF).collect()[0]
+    assert got["n_edges"] == n_edges
+    assert got["n_wedges"] == n_wedges
+    assert got["n_copairs"] == len(co)
+    assert got["n_butterflies"] == n_butterflies
