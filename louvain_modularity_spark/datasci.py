@@ -2631,6 +2631,221 @@ FROM s CROSS JOIN ties
 """
 
 
+def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED member
+    of the test family (q_ab_ttest/q_mann_whitney are unpaired): per
+    user, the difference d = Σ purchase cents − Σ click cents; ranks
+    of |d| (midranks, zero-differences dropped per the classic
+    convention), W⁺ = Σ ranks of positive d, tie-corrected normal z.
+
+    Exactness: d is an exact int64 (conditional cent sums in one
+    map-side-combined groupBy); 2·midrank and 2W⁺ are exact integers;
+    μ, σ², and z combine exact integers in doubles with identical
+    parenthesization behind one ROUND.
+
+    100 TB shape: fact → per-user collapse (one shuffle), the rank
+    runs over the USER table not the fact table, tie aggregate on the
+    |d| domain. Same two-aggregate skeleton as q_mann_whitney.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(MW_GROUP_A, MW_GROUP_B)
+    )
+    cents = _value_cents("value")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == MW_GROUP_A, cents).otherwise(0)).alias(
+                "a"
+            ),
+            F.sum(F.when(F.col("event_type") == MW_GROUP_B, cents).otherwise(0)).alias(
+                "b"
+            ),
+        )
+        .select("user_id", (F.col("a") - F.col("b")).alias("d"))
+        .filter(F.col("d") != 0)
+    )
+    absd = F.abs(F.col("d"))
+    ranked = per_user.select(
+        "d",
+        (
+            2 * F.rank().over(Window.orderBy(absd))
+            + F.count("*").over(Window.partitionBy(absd))
+            - F.lit(1)
+        ).alias("r2"),
+        absd.alias("ad"),
+    )
+    ties = (
+        per_user.groupBy(absd.alias("ad"))
+        .agg(F.count("*").alias("t"))
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_sum"))
+    )
+    stats = ranked.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("r2")).otherwise(0)).alias("wp_2"),
+    )
+    n = F.col("n").cast("double")
+    w_plus = F.col("wp_2").cast("double") / 2.0
+    mu = n * (n + 1.0) / 4.0
+    sigma_sq = n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - F.col(
+        "tie_sum"
+    ).cast("double") / 48.0
+    return (
+        stats.crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").cast("long").alias("n_pairs"),
+            F.round(w_plus, 1).alias("w_plus"),
+            F.round((w_plus - mu) / F.sqrt(sigma_sq), 4).alias("z_score"),
+        )
+    )
+
+
+ORACLE_WILCOXON = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = '{MW_GROUP_A}'
+                  THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  ELSE 0 END)
+              - SUM(CASE WHEN event_type = '{MW_GROUP_B}'
+                    THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS d
+  FROM events WHERE event_type IN ('{MW_GROUP_A}', '{MW_GROUP_B}')
+  GROUP BY user_id
+),
+nz AS (SELECT d, abs(d) AS ad FROM per_user WHERE d <> 0),
+ranked AS (
+  SELECT d,
+         2 * RANK() OVER (ORDER BY ad) + COUNT(*) OVER (PARTITION BY ad) - 1 AS r2
+  FROM nz
+),
+ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+  FROM (SELECT COUNT(*) AS t FROM nz GROUP BY ad)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT) AS wp_2
+  FROM ranked
+)
+SELECT n AS n_pairs,
+       ROUND(CAST(wp_2 AS DOUBLE) / 2.0, 1) AS w_plus,
+       ROUND((CAST(wp_2 AS DOUBLE) / 2.0
+              - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+             / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                    * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                    - CAST(tie_sum AS DOUBLE) / 48.0), 4) AS z_score
+FROM s CROSS JOIN ties
+"""
+
+
+#: probe stride for q_quantile_normalize's per-row output (every 50th
+#: event) — bounds result size while the normalization itself runs on
+#: every row
+QN_PROBE_MOD = 50
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (Bolstad 2003, the omics/feature-prep
+    staple): map each group's values onto the POOLED distribution so
+    every event type's value column becomes identically distributed —
+    value at within-group percentile p is replaced by the pooled
+    linear-interpolated quantile at p. Distribution-shift removal
+    without a parametric model.
+
+    Exactness: within-group percentile p = (rn−1)/(n_g−1) with a
+    deterministic (value, event_id) tiebreak; the pooled quantile
+    interpolates BIGINT cents at ⌊p·(N−1)⌋ and its successor — each
+    output is ONE double expression from three exact integers, no
+    cross-row double sums, ROUNDed once.
+
+    100 TB shape: two rank windows (per-group and pooled) + an equi
+    join on the pooled rank index — rank-matching, not sort-merge of
+    the whole corpus through the driver; the probe filter bounds the
+    OUTPUT, not the computation.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", _value_cents("value").alias("c")
+    )
+    w_g = Window.partitionBy("event_type").orderBy("c", "event_id")
+    n_g = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_id",
+        "event_type",
+        "c",
+        F.row_number().over(w_g).alias("rn"),
+        F.count("*").over(n_g).alias("ng"),
+    )
+    tot = e.agg(F.count("*").alias("n_tot"))
+    pooled = e.select(
+        F.col("c").alias("pc"),
+        (F.row_number().over(Window.orderBy("c", "event_id")) - 1).alias("k"),
+    )
+    p = (F.col("rn") - 1).cast("double") / (F.col("ng") - 1).cast("double")
+    pos = p * (F.col("n_tot") - 1).cast("double")
+    k = F.floor(pos).cast("long")
+    joined = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("k", k)
+        .withColumn("frac", pos - F.col("k").cast("double"))
+        .join(pooled.select(F.col("k"), F.col("pc").alias("v0")), "k")
+        .join(
+            pooled.select((F.col("k") - 1).alias("k"), F.col("pc").alias("v1")),
+            "k",
+            "left",
+        )
+    )
+    norm = (
+        F.col("v0").cast("double")
+        + F.col("frac")
+        * (F.coalesce("v1", F.col("v0")).cast("double") - F.col("v0").cast("double"))
+    ) / 100.0
+    return (
+        joined.filter(F.col("event_id") % QN_PROBE_MOD == 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("c") / 100.0, 2).alias("value"),
+            F.round(norm, 6).alias("norm_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_QUANTILE_NORMALIZE = f"""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  FROM events
+),
+ranked AS (
+  SELECT event_id, event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS ng
+  FROM e
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM e),
+pooled AS (
+  SELECT c AS pc, ROW_NUMBER() OVER (ORDER BY c, event_id) - 1 AS k FROM e
+),
+pos AS (
+  SELECT r.event_id, r.event_type, r.c,
+         CAST(r.rn - 1 AS DOUBLE) / CAST(r.ng - 1 AS DOUBLE)
+           * CAST(t.n_tot - 1 AS DOUBLE) AS pk
+  FROM ranked r CROSS JOIN tot t
+)
+SELECT p.event_id, p.event_type,
+       ROUND(p.c / 100.0, 2) AS value,
+       ROUND((CAST(p0.pc AS DOUBLE)
+              + (p.pk - CAST(FLOOR(p.pk) AS DOUBLE))
+                * (CAST(COALESCE(p1.pc, p0.pc) AS DOUBLE) - CAST(p0.pc AS DOUBLE)))
+             / 100.0, 6) AS norm_value
+FROM pos p
+JOIN pooled p0 ON p0.k = CAST(FLOOR(p.pk) AS BIGINT)
+LEFT JOIN pooled p1 ON p1.k = CAST(FLOOR(p.pk) AS BIGINT) + 1
+WHERE p.event_id % {QN_PROBE_MOD} = 0
+ORDER BY p.event_id
+"""
+
+
 QUERIES = {
     "q_count_min": q_count_min,
     "q_weighted_median": q_weighted_median,
@@ -2664,6 +2879,8 @@ QUERIES = {
     "q_anova": q_anova,
     "q_spearman": q_spearman,
     "q_mann_whitney": q_mann_whitney,
+    "q_wilcoxon": q_wilcoxon,
+    "q_quantile_normalize": q_quantile_normalize,
 }
 
 # rows-only: q_pca_power (eigendecomposition not SQL-expressible;
@@ -2700,4 +2917,6 @@ ORACLES = {
     "q_anova": ORACLE_ANOVA,
     "q_spearman": ORACLE_SPEARMAN,
     "q_mann_whitney": ORACLE_MANN_WHITNEY,
+    "q_wilcoxon": ORACLE_WILCOXON,
+    "q_quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
 }

@@ -105,7 +105,8 @@ def _modules():
 # q_feature_hash q_geo_density q_rolling_median q_mom_yoy
 # q_stream_join_outer q_cogroup_udf q_e2e_curation q_window_nth,
 # and the §2.27 tenth batch (oracle-backed, one also networkx-golden):
-# q_anova q_spearman q_mann_whitney q_rich_club q_item_cf q_read_xml,
+# q_anova q_spearman q_mann_whitney q_wilcoxon q_quantile_normalize
+# q_rich_club q_item_cf q_read_xml,
 # and the §2.28 eleventh batch: q_butterfly (oracle-backed +
 # enumeration golden) and q_dbscan (rows-only; from-scratch Python
 # DBSCAN golden with identical deterministic tie rules).

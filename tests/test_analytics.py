@@ -273,3 +273,70 @@ def test_dbscan_matches_pure_python(spark):
     fixed_want[-1] = (0, rows.get(-1, [0, 0])[1], rows.get(-1, [0, 0])[1]) if -1 in rows else fixed_want.get(-1)
     fixed_want = {c: v for c, v in fixed_want.items() if v is not None}
     assert got == fixed_want, (got, fixed_want)
+
+
+def test_wilcoxon_and_qnorm_match_pure_python(spark):
+    """q_wilcoxon / q_quantile_normalize vs from-scratch Python on the
+    raw sf0.001 parquet rows (independent of the shared SQL formula
+    spelling of the DuckDB oracles)."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from louvain_modularity_spark.datasci import (
+        MW_GROUP_A,
+        MW_GROUP_B,
+        QN_PROBE_MOD,
+        q_quantile_normalize,
+        q_wilcoxon,
+    )
+
+    rows = duckdb.connect().execute(
+        "SELECT event_id, event_type, user_id,"
+        " CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+
+    # --- Wilcoxon signed-rank on per-user purchase-minus-click cents
+    net = defaultdict(int)
+    for _, et, uid, c in rows:
+        if et == MW_GROUP_A:
+            net[uid] += c
+        elif et == MW_GROUP_B:
+            net[uid] -= c
+    ds = [d for d in net.values() if d != 0]
+    cnt = Counter(abs(d) for d in ds)
+    start, rank_of = 1, {}
+    for v in sorted(cnt):
+        rank_of[v] = start + (cnt[v] - 1) / 2
+        start += cnt[v]
+    n = len(ds)
+    w_plus = sum(rank_of[abs(d)] for d in ds if d > 0)
+    mu = n * (n + 1) / 4
+    tie = sum(t**3 - t for t in cnt.values())
+    sigma = (n * (n + 1) * (2 * n + 1) / 24 - tie / 48) ** 0.5
+    got = q_wilcoxon(spark, SF_DIR).collect()[0]
+    assert got["n_pairs"] == n
+    assert abs(got["w_plus"] - w_plus) < 1e-6
+    assert abs(got["z_score"] - (w_plus - mu) / sigma) < 1e-3
+
+    # --- quantile normalization: probe rows recomputed from scratch
+    pooled = sorted((c, eid) for eid, _, _, c in rows)
+    pv = [c for c, _ in pooled]
+    n_tot = len(pv)
+    by_type = defaultdict(list)
+    for eid, et, _, c in rows:
+        by_type[et].append((c, eid))
+    want = {}
+    for et, vals in by_type.items():
+        vals.sort()
+        ng = len(vals)
+        for i, (c, eid) in enumerate(vals):
+            if eid % QN_PROBE_MOD == 0:
+                pk = i / (ng - 1) * (n_tot - 1)
+                k = int(pk // 1)
+                v1 = pv[k + 1] if k + 1 < n_tot else pv[k]
+                want[eid] = (pv[k] + (pk - k) * (v1 - pv[k])) / 100.0
+    got = {r["event_id"]: r["norm_value"] for r in q_quantile_normalize(spark, SF_DIR).collect()}
+    assert sorted(got) == sorted(want)
+    for eid in want:
+        assert abs(got[eid] - want[eid]) < 1e-6, eid
