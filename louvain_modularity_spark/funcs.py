@@ -444,6 +444,61 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4.0): case-insensitive grouping via
+    ``COLLATE UTF8_LCASE`` — the engine-level answer to the
+    lower()-wrapping anti-pattern (a collated comparison can still use
+    binary-prefix optimizations and keeps the original strings). The
+    fixture's segments are deterministically case-perturbed by key
+    parity (Initcap on even customer keys, lower on odd), then grouped
+    case-insensitively; counts must recover the un-perturbed segment
+    distribution, which the oracle computes with LOWER().
+
+    100 TB: a collated groupBy shuffles on the collation key exactly
+    like any other — no extra pass, no expression wrapping every
+    probe of the column.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pert = F.when(
+        F.col("c_custkey") % 2 == 0, F.initcap(F.lower("c_mktsegment"))
+    ).otherwise(F.lower("c_mktsegment"))
+    return (
+        c.select("c_custkey", pert.alias("seg"))
+        .groupBy(F.expr("collate(seg, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+            F.countDistinct("seg").alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.col("k")).cast("string").alias("segment"),
+            "n_customers",
+            "min_custkey",
+            "n_case_variants",
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_COLLATION = """
+WITH pert AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0
+              THEN concat(upper(substr(lower(c_mktsegment), 1, 1)),
+                          substr(lower(c_mktsegment), 2))
+              ELSE lower(c_mktsegment) END AS seg
+  FROM customer
+)
+SELECT lower(seg) AS segment,
+       COUNT(*) AS n_customers,
+       MIN(c_custkey) AS min_custkey,
+       CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_case_variants
+FROM pert
+GROUP BY lower(seg)
+ORDER BY segment
+"""
+
+
 QUERIES = {
     "q_fn_string": q_fn_string,
     "q_fn_date": q_fn_date,
@@ -456,6 +511,7 @@ QUERIES = {
     "q_fn_variant": q_fn_variant,
     "q_fn_try": q_fn_try,
     "q_url_parse": q_url_parse,
+    "q_collation": q_collation,
 }
 
 ORACLES = {
@@ -470,4 +526,5 @@ ORACLES = {
     "q_fn_variant": ORACLE_FN_VARIANT,
     "q_fn_try": ORACLE_FN_TRY,
     "q_url_parse": ORACLE_URL_PARSE,
+    "q_collation": ORACLE_COLLATION,
 }

@@ -177,13 +177,67 @@ FROM documents
 """
 
 
+def q_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface (the zero-copy Arrow RecordBatch lane,
+    one level below mapInPandas — no pandas materialization, the lane
+    a real codec/tokenizer binding would use): per-embedding dimension
+    count and L2 norm computed batch-wise in Python. The fold is the
+    SAME sequential double accumulation as the JVM-side ``_dot``
+    (float32→double cast is exact, adds in list order), so the result
+    hash-matches the oracle bit-for-bit — demonstrating that the Arrow
+    lane need not cost numeric fidelity. Builtins remain the hot path
+    for arithmetic like this (q_embedding_normalize is the JVM twin);
+    this pins the BATCH SHAPE: schema in/out, iterator contract,
+    per-batch zero-copy.
+
+    100 TB: embarrassingly parallel, no shuffle; batch size bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+    import math
+
+    import pyarrow as pa
+
+    def norms(batches):
+        for b in batches:
+            vids = b.column("vec_id")
+            dims, l2 = [], []
+            for emb in b.column("embedding").to_pylist():
+                acc = 0.0
+                for v in emb:
+                    acc += v * v  # v already exact double (from float32)
+                dims.append(len(emb))
+                l2.append(math.sqrt(acc))
+            yield pa.record_batch(
+                [vids, pa.array(dims, pa.int32()), pa.array(l2, pa.float64())],
+                names=["vec_id", "n_dims", "l2_norm"],
+            )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = emb.mapInArrow(norms, "vec_id LONG, n_dims INT, l2_norm DOUBLE")
+    return out.select(
+        "vec_id", "n_dims", F.round("l2_norm", 6).alias("l2_norm")
+    ).orderBy("vec_id")
+
+
+ORACLE_ARROW_BATCH = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS n_dims,
+       ROUND(SQRT(list_sum(list_transform(embedding,
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_features": q_multimodal_features,
     "q_frame_sample": q_frame_sample,
+    "q_arrow_batch": q_arrow_batch,
 }
 
 ORACLES = {
+    "q_arrow_batch": ORACLE_ARROW_BATCH,
     "q_multimodal_meta": ORACLE_MULTIMODAL_META,
     "q_multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,

@@ -109,7 +109,9 @@ def _modules():
 # q_rich_club q_item_cf q_read_xml,
 # and the §2.28 eleventh batch: q_butterfly (oracle-backed +
 # enumeration golden) and q_dbscan (rows-only; from-scratch Python
-# DBSCAN golden with identical deterministic tie rules).
+# DBSCAN golden with identical deterministic tie rules),
+# and the §2.29 twelfth batch (oracle-backed Spark 4 surfaces):
+# q_sql_pipe q_collation q_arrow_batch.
 #
 # Rows-only entries deliberately inside this window: q_betweenness_sampled
 # (first window ever; estimator pinned by the rank-correlation pytest) and

@@ -1632,6 +1632,50 @@ FROM joined
 """
 
 
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4.0, SURVEY §2.29)
+# ---------------------------------------------------------------------------
+
+
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe-operator syntax (Spark 4.0's ``|>`` chains, the
+    GoogleSQL pipe proposal): the same filter → derive → aggregate →
+    order plan q_agg_groupby expresses relationally, written as a
+    linear pipeline — each ``|>`` stage parses to the identical
+    Catalyst operator, so pushdown/partial-agg behavior is unchanged
+    and the feature is pure surface syntax. Exactness: DECIMAL money
+    sum, the repo convention.
+
+    100 TB: identical plan to the DataFrame spelling — the point of
+    the demo is that the new syntax costs nothing.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_pipe")
+    return spark.sql(
+        """
+        FROM v_orders_pipe
+        |> WHERE o_orderstatus <> 'X'
+        |> EXTEND CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(price) AS DOUBLE) AS sum_price,
+                     MIN(o_orderkey) AS min_orderkey
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+ORACLE_SQL_PIPE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_orderkey
+FROM orders
+WHERE o_orderstatus <> 'X'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q_scan_parquet": q_scan_parquet,
     "q_subquery_scalar": q_subquery_scalar,
@@ -1677,6 +1721,7 @@ QUERIES = {
     "q_reservoir_group": q_reservoir_group,
     "q_zorder_layout": q_zorder_layout,
     "q_bloom_prefilter": q_bloom_prefilter,
+    "q_sql_pipe": q_sql_pipe,
 }
 
 ORACLES = {
@@ -1721,6 +1766,7 @@ ORACLES = {
     "q_reservoir_group": ORACLE_RESERVOIR_GROUP,
     "q_zorder_layout": ORACLE_ZORDER_LAYOUT,
     "q_bloom_prefilter": ORACLE_BLOOM_PREFILTER,
+    "q_sql_pipe": ORACLE_SQL_PIPE,
     # q_approx_cd: rows-only (approximate, engine-specific estimates)
     # q_hll_sketch: rows-only (sketch estimates are engine-specific)
     # q_approx_topk: rows-only (boundary tie order is engine-internal;

@@ -764,3 +764,25 @@ def test_e2e_curation_single_scan_no_python(spark):
     assert plan.count("FileScan parquet") == 1, plan
     assert "EvalPython" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The engine's join-strategy control surface: user hints must
+    reach the physical plan (merge → SortMergeJoin, shuffle_hash →
+    ShuffledHashJoin) even where Spark's default would pick broadcast
+    for the small side — the knob that matters when a 'small' dim at
+    100 TB is no longer broadcastable."""
+    from conftest import SF_DIR
+
+    from louvain_modularity_spark.sources import load
+
+    o = load(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+
+    merged = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+
+    hashed = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan

@@ -31,9 +31,10 @@ ORACLES = all_oracles()
 ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
 
 #: in-flight comparisons; latency-bound, so well above core-count ÷ 1
-#: (raised 8 → 12 as the registry passed 250 queries to hold the full
-#: suite under the 10-minute wall-clock budget)
-_POOL = 12
+#: (raised 8 → 12 as the registry passed 250 queries, 12 → 16 as it
+#: passed 290, to hold the full-suite wall clock near the 10-minute
+#: budget)
+_POOL = 16
 
 
 @pytest.fixture(scope="session")
