@@ -2846,6 +2846,76 @@ ORDER BY p.event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# K-minimum-values (theta) distinct sketch (SURVEY §2.30)
+# ---------------------------------------------------------------------------
+
+#: sketch size — k smallest hash values retained (Bar-Yossef 2002 /
+#: theta-sketch KMV form); (k−1)/θ estimator, ~1/√(k−2) relative error
+KMV_K = 64
+KMV_A, KMV_B = 1103515245, 12345
+KMV_P = 2_147_483_647
+
+
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef 2002; the KMV form
+    of the theta sketch): hash every order's customer key to [0, P),
+    keep the K smallest DISTINCT hash values, estimate distinct
+    customers as (K−1)·P/h_K. Completes the sketch family next to
+    Count-Min (frequency) and HLL (bit-pattern distinct): KMV is the
+    mergeable-by-union form with a tunable-k error knob, and — unlike
+    HLL — supports set intersection via the theta framework. Exact
+    distinct count reported alongside for error accounting, the
+    q_sketch_union convention.
+
+    Exactness: the Carter–Wegman-style hash is +·% integer arithmetic
+    (identical in both engines); h_K and the estimator numerator are
+    exact integers, ONE final division is displayed.
+
+    100 TB shape: the distinct-hash set collapses map-side (partial
+    aggregation on the hash key), and TakeOrderedAndProject keeps only
+    K rows per partition before the single-partition merge — the
+    mergeable-sketch property expressed as a physical plan. No full
+    sort, no full dedup shuffle of the raw fact.
+    """
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    h = ((F.col("o_custkey") + 1) * KMV_A + KMV_B) % KMV_P
+    mins = (
+        o.select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    kth = mins.agg(F.max("h").alias("h_k"), F.count("*").alias("k_got"))
+    exact = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    return kth.crossJoin(F.broadcast(exact)).select(
+        F.col("k_got").cast("long").alias("k"),
+        F.col("h_k").cast("long").alias("h_k"),
+        F.round(
+            (F.col("k_got") - 1).cast("double")
+            * F.lit(float(KMV_P))
+            / F.col("h_k").cast("double"),
+            2,
+        ).alias("est_distinct"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+    )
+
+
+ORACLE_KMV_SKETCH = f"""
+WITH mins AS (
+  SELECT DISTINCT ((o_custkey + 1) * {KMV_A} + {KMV_B}) % {KMV_P} AS h
+  FROM orders ORDER BY h LIMIT {KMV_K}
+),
+kth AS (SELECT MAX(h) AS h_k, CAST(COUNT(*) AS BIGINT) AS k_got FROM mins),
+ex AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM orders)
+SELECT k_got AS k, CAST(h_k AS BIGINT) AS h_k,
+       ROUND(CAST(k_got - 1 AS DOUBLE) * {float(KMV_P)} / CAST(h_k AS DOUBLE), 2)
+         AS est_distinct,
+       n_exact
+FROM kth CROSS JOIN ex
+"""
+
+
 QUERIES = {
     "q_count_min": q_count_min,
     "q_weighted_median": q_weighted_median,
@@ -2881,6 +2951,7 @@ QUERIES = {
     "q_mann_whitney": q_mann_whitney,
     "q_wilcoxon": q_wilcoxon,
     "q_quantile_normalize": q_quantile_normalize,
+    "q_kmv_sketch": q_kmv_sketch,
 }
 
 # rows-only: q_pca_power (eigendecomposition not SQL-expressible;
@@ -2919,4 +2990,5 @@ ORACLES = {
     "q_mann_whitney": ORACLE_MANN_WHITNEY,
     "q_wilcoxon": ORACLE_WILCOXON,
     "q_quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
+    "q_kmv_sketch": ORACLE_KMV_SKETCH,
 }

@@ -111,7 +111,9 @@ def _modules():
 # enumeration golden) and q_dbscan (rows-only; from-scratch Python
 # DBSCAN golden with identical deterministic tie rules),
 # and the §2.29 twelfth batch (oracle-backed Spark 4 surfaces):
-# q_sql_pipe q_collation q_arrow_batch.
+# q_sql_pipe q_collation q_arrow_batch,
+# and the §2.30 thirteenth batch (oracle-backed): q_kmv_sketch
+# q_ohlc_bars.
 #
 # Rows-only entries deliberately inside this window: q_betweenness_sampled
 # (first window ever; estimator pinned by the rank-correlation pytest) and

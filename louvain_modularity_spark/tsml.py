@@ -891,6 +891,75 @@ FROM scored ORDER BY abs(nb * ca - na * cb) DESC, v LIMIT 1
 
 
 # ---------------------------------------------------------------------------
+# OHLC candlestick bars (SURVEY §2.30)
+# ---------------------------------------------------------------------------
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day OHLC bars per event type (open / high / low / close /
+    volume / exact turnover) — the candlestick aggregation every
+    market-data and metrics system ships. Open/close are the values at
+    the extreme (ts, event_id) keys, computed with ``min_by``/
+    ``max_by`` over a STRUCT ordering key — ONE map-side-combinable
+    aggregate, no window, no second scan (the same argmax idiom the
+    Louvain local-move pass uses). The oracle reproduces open/close
+    with deterministic row_number CTEs; the values must agree exactly.
+
+    100 TB shape: single map-side-combined groupBy on the bounded
+    (type, day) domain; min_by/max_by partials carry one struct each.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts_us") / F.lit(86_400_000_000)).alias("day"),
+        "event_id",
+        "ts_us",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    key = F.struct("ts_us", "event_id")
+    return (
+        e.groupBy("event_type", "day")
+        .agg(
+            F.min_by("v", key).cast("double").alias("open"),
+            F.max("v").cast("double").alias("high"),
+            F.min("v").cast("double").alias("low"),
+            F.max_by("v", key).cast("double").alias("close"),
+            F.count("*").alias("volume"),
+            F.sum("v").cast("decimal(38,2)").cast("double").alias("turnover"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_OHLC_BARS = """
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY ts_us, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY ts_us DESC, event_id DESC) AS rn_z
+  FROM e
+)
+SELECT event_type, day,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE) AS open,
+       CAST(MAX(v) AS DOUBLE) AS high,
+       CAST(MIN(v) AS DOUBLE) AS low,
+       CAST(MAX(CASE WHEN rn_z = 1 THEN v END) AS DOUBLE) AS close,
+       COUNT(*) AS volume,
+       CAST(CAST(SUM(v) AS DECIMAL(38,2)) AS DOUBLE) AS turnover
+FROM ranked
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
 # Grid-accelerated DBSCAN (SURVEY §2.28)
 # ---------------------------------------------------------------------------
 
@@ -1021,6 +1090,7 @@ QUERIES = {
     # rows-only: q_dbscan (iterative connected components, not
     # fixed-step SQL; pure-Python DBSCAN golden in tests)
     "q_dbscan": q_dbscan,
+    "q_ohlc_bars": q_ohlc_bars,
 }
 
 ORACLES = {
@@ -1034,4 +1104,5 @@ ORACLES = {
     "q_geo_density": ORACLE_GEO_DENSITY,
     "q_rolling_median": ORACLE_ROLLING_MEDIAN,
     "q_mom_yoy": ORACLE_MOM_YOY,
+    "q_ohlc_bars": ORACLE_OHLC_BARS,
 }
