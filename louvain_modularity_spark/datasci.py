@@ -1,7 +1,9 @@
 """Data-science / evaluation / reconciliation primitives (SURVEY.md
-§2.20): mergeable frequency sketches, weighted order statistics,
-ranking-quality metrics, time-decayed counters, entity-resolution
-blocking, customer segmentation, and snapshot reconciliation.
+§2.20, §2.27, §2.30): mergeable frequency and distinct sketches,
+weighted order statistics, the classical hypothesis-test family,
+quantile normalization, ranking-quality metrics, time-decayed
+counters, entity-resolution blocking, customer segmentation, and
+snapshot reconciliation.
 
 Every query here follows the repo's exactness conventions: integer /
 DECIMAL arithmetic wherever a sum crosses an engine boundary, IEEE

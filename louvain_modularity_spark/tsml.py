@@ -1,6 +1,7 @@
 """Time-series smoothing/changepoint, robust preprocessing, planar
-near-neighbor search, and ranking/probability evaluation (SURVEY.md
-§2.26).
+near-neighbor search, ranking/probability evaluation, density
+clustering, and market-bar aggregation (SURVEY.md §2.26, §2.28,
+§2.30).
 
 Exactness conventions as everywhere in the repo: sums that cross the
 engine boundary stay in integer / DECIMAL domains (order-independent),
