@@ -896,34 +896,49 @@ FROM scored ORDER BY abs(nb * ca - na * cb) DESC, v LIMIT 1
 # ---------------------------------------------------------------------------
 
 
+#: bit-packing shift for the OHLC open/close argmin: cents ride in
+#: the low 20 bits under the day-relative microsecond offset (< 2^37),
+#: so min/max of ONE BIGINT is the whole argmin — 57 bits total, and
+#: any value up to 10485.75 fits (fixture max ~330)
+OHLC_PACK = 1 << 20
+OHLC_DAY_US = 86_400_000_000
+
+
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day OHLC bars per event type (open / high / low / close /
-    volume / exact turnover) — the candlestick aggregation every
-    market-data and metrics system ships. Open/close are the values at
-    the extreme (ts, event_id) keys, computed with ``min_by``/
-    ``max_by`` over a STRUCT ordering key — ONE map-side-combinable
-    aggregate, no window, no second scan (the same argmax idiom the
-    Louvain local-move pass uses). The oracle reproduces open/close
-    with deterministic row_number CTEs; the values must agree exactly.
+    volume / exact DECIMAL turnover) — the candlestick aggregation
+    every market-data and metrics system ships. Open/close are argmins
+    over arrival time, computed WITHOUT min_by-over-struct (which
+    Spark can only plan as a SortAggregate — a per-partition sort of
+    the whole fact scan, measured while building this query): the
+    day-relative micro-offset and the cents value bit-pack into one
+    BIGINT, so open = min(packed) % 2^20 and close = max(packed) %
+    2^20 are plain integer min/max — the plan stays a partial+final
+    HashAggregate pair, nothing sorts but the final tiny result
+    (plan-guarded in tests/test_coverage.py). Equal-timestamp ties
+    resolve to the smaller (open) / larger (close) value — a
+    deterministic rule both engines share by construction.
 
-    100 TB shape: single map-side-combined groupBy on the bounded
-    (type, day) domain; min_by/max_by partials carry one struct each.
+    100 TB shape: ONE map-side-combined hash aggregate on the bounded
+    (type, day) domain; six integer/decimal partials per group.
     """
     e = load(spark, sf_dir, "events").select(
         "event_type",
-        F.floor(F.col("ts_us") / F.lit(86_400_000_000)).alias("day"),
-        "event_id",
+        F.floor(F.col("ts_us") / F.lit(OHLC_DAY_US)).alias("day"),
         "ts_us",
         F.col("value").cast("decimal(12,2)").alias("v"),
     )
-    key = F.struct("ts_us", "event_id")
+    cents = (F.col("v") * 100).cast("long")
+    rel = F.col("ts_us") - F.col("day") * F.lit(OHLC_DAY_US)
+    packed = rel * F.lit(OHLC_PACK) + cents
     return (
-        e.groupBy("event_type", "day")
+        e.select("event_type", "day", "v", packed.alias("p"))
+        .groupBy("event_type", "day")
         .agg(
-            F.min_by("v", key).cast("double").alias("open"),
+            (F.round((F.min("p") % OHLC_PACK) / 100.0, 2)).alias("open"),
             F.max("v").cast("double").alias("high"),
             F.min("v").cast("double").alias("low"),
-            F.max_by("v", key).cast("double").alias("close"),
+            (F.round((F.max("p") % OHLC_PACK) / 100.0, 2)).alias("close"),
             F.count("*").alias("volume"),
             F.sum("v").cast("decimal(38,2)").cast("double").alias("turnover"),
         )
@@ -931,30 +946,27 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_OHLC_BARS = """
+ORACLE_OHLC_BARS = f"""
 WITH e AS (
   SELECT event_type,
-         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
-         event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(epoch_us(ts) AS BIGINT) // {OHLC_DAY_US} AS day,
+         CAST(epoch_us(ts) AS BIGINT) % {OHLC_DAY_US} AS rel,
          CAST(value AS DECIMAL(12,2)) AS v
   FROM events
 ),
-ranked AS (
-  SELECT *,
-         ROW_NUMBER() OVER (PARTITION BY event_type, day
-                            ORDER BY ts_us, event_id) AS rn_a,
-         ROW_NUMBER() OVER (PARTITION BY event_type, day
-                            ORDER BY ts_us DESC, event_id DESC) AS rn_z
+packed AS (
+  SELECT event_type, day, v,
+         rel * {OHLC_PACK} + CAST(v * 100 AS BIGINT) AS p
   FROM e
 )
 SELECT event_type, day,
-       CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE) AS open,
+       ROUND((MIN(p) % {OHLC_PACK}) / 100.0, 2) AS open,
        CAST(MAX(v) AS DOUBLE) AS high,
        CAST(MIN(v) AS DOUBLE) AS low,
-       CAST(MAX(CASE WHEN rn_z = 1 THEN v END) AS DOUBLE) AS close,
+       ROUND((MAX(p) % {OHLC_PACK}) / 100.0, 2) AS close,
        COUNT(*) AS volume,
        CAST(CAST(SUM(v) AS DECIMAL(38,2)) AS DOUBLE) AS turnover
-FROM ranked
+FROM packed
 GROUP BY event_type, day
 ORDER BY event_type, day
 """

@@ -786,3 +786,44 @@ def test_join_strategy_hints_are_honored(spark):
     hashed = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
     plan = hashed._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_ohlc_and_pipe_plan_shapes(spark):
+    """Plan guards for the §2.29/§2.30 claims: q_ohlc_bars computes
+    open/close with min_by/max_by in ONE aggregate (no Window node —
+    the regression would be a per-partition sort pass); q_sql_pipe's
+    |> chain compiles to the same exchange count and aggregate shape
+    as the equivalent DataFrame spelling (pipe syntax is pure surface
+    syntax, not a different plan)."""
+    from conftest import SF_DIR
+
+    from louvain_modularity_spark.relational import q_sql_pipe
+    from louvain_modularity_spark.sources import load
+    from louvain_modularity_spark.tsml import q_ohlc_bars
+
+    def final_plan(df):
+        # AQE-wrapped plans print only the adaptive root before
+        # execution; run the job so toString shows the final tree
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    plan = final_plan(q_ohlc_bars(spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    # the bit-packed argmin exists precisely so the aggregate does NOT
+    # degrade to a sort-based plan (min_by over a struct key would)
+    assert "SortAggregate" not in plan, plan
+
+    pipe_plan = final_plan(q_sql_pipe(spark, SF_DIR))
+    o = load(spark, SF_DIR, "orders")
+    df_plan = final_plan(
+        o.filter(F.col("o_orderstatus") != "X")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*"))
+        .orderBy("o_orderpriority")
+    )
+    assert pipe_plan.count("Exchange") == df_plan.count("Exchange"), (
+        pipe_plan,
+        df_plan,
+    )
+    assert "HashAggregate" in pipe_plan, pipe_plan
