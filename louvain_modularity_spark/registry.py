@@ -52,138 +52,224 @@ def _modules():
 
 
 # Order matters: the correctness driver verifies the FIRST 50 entries of
-# all_queries(). Cumulative state after r04: 162 driver-green, 0 broken;
-# the ONLY queries without a green driver row are the 12 oracle-backed
-# ones below (held out of the r04 window, all local DuckDB-parity green at
-# sf0.001+sf0.01) and q_betweenness_sampled (rows-only, never windowed).
-# This round-5 window leads with those 13 first-timers — landing them
-# makes every oracle-backed query in the registry driver-green and every
-# registered query windowed at least once — then spends the remaining 37
-# slots re-verifying the OLDEST r01 greens (the §2.7 relational core,
-# §2.8 scalar-function families, the §2.1-2.5 graph scan/normalize/degree
-# pack, and the §2.13 r01 additions) so no green row is more than two
-# rounds stale. Round-4 greens are fresh and stay out.
+# all_queries(). Registry FROZEN at 302 queries for rounds 6-8 (the r5
+# verdict's top task): the 109 queries added in round 5 outpaced the
+# 50-slot window, so rounds 6-8 burn the never-windowed backlog to zero
+# before anything new is registered. The full three-round plan is pinned
+# below as data (_WINDOW_R06 / _WINDOW_R07_PLAN / _WINDOW_R08_LEAD) and
+# held_queries() derives the outstanding set — no hand-synced prose list.
 #
-# Held for the round-6 window (added this round, outside the pinned 50):
-# the thirteen §2.18 round-5 additions — oracle-backed, local
-# DuckDB-parity green at sf0.001+sf0.01: q_window_cume q_skyline
-# q_running_distinct q_interval_overlap q_ccnet_bucket q_random_walk
-# q_substring_dup q_mode_agg q_equi_depth_hist q_gaps_islands
-# q_mad_outlier; rows-only with golden/invariant pytest: q_ktruss
-# (networkx k_truss), q_graph_coloring (properness/determinism) —
-# plus the twelve §2.19 second-batch additions — oracle-backed, local
-# DuckDB-parity green at sf0.001+sf0.01: q_markov_transitions
-# q_seasonal_baseline q_target_encode q_freq_pairs q_gopher_quality
-# q_dsir_weights q_label_noise q_conductance q_partition_nmi
-# q_reservoir_group q_zorder_layout q_incremental_agg q_cdc_apply
-# q_hits q_expectations q_profile_columns q_skew_stats q_containment
-# q_bigram_lm q_bloom_prefilter q_stream_metrics q_attribution q_fn_try
-# q_train_split q_ab_ttest q_session_paths q_recursive_cte;
-# rows-only with exact Python
-# merge-list golden:
-# q_bpe_learn;
-# rows-only with networkx MSF golden: q_mst_boruvka;
-# plus the seven §2.20 third-batch additions — oracle-backed, local
-# DuckDB-parity green at sf0.001+sf0.01: q_count_min q_weighted_median
-# q_auc_rank q_decayed_count q_sorted_neighborhood q_rfm
-# q_diff_snapshot; rows-only with golden/invariant pytest: q_pca_power
-# (numpy PCA golden), q_pq_ann (recall floor + determinism),
-# q_leiden_refine (sub-partition/connectivity/Q-non-decrease);
-# plus the five §2.21 fourth-batch additions — oracle-backed, local
-# DuckDB-parity green at sf0.001+sf0.01: q_trend_fit q_theilsen
-# q_autocorr q_benford q_temporal_graph, and the §2.22 fifth batch:
-# q_crosstab_chi2 q_null_imputation q_one_hot q_histogram_2d
-# (oracle-backed) + q_bpe_encode (rows-only, exact Python golden),
-# and the §2.23 sixth batch (oracle-backed): q_neighbor_agg
-# q_graph_drift q_bollinger, and the §2.24 seventh batch
-# (oracle-backed): q_allocation q_survivorship q_pareto_abc q_gini
-# q_stream_topk, and the §2.25 eighth batch (oracle-backed):
-# q_kaplan_meier q_cohort_ltv q_assoc_rules, and the §2.26 ninth batch
-# (oracle-backed): q_ewma q_cusum q_winsorize q_grid_join
-# q_calibration q_ndcg q_topo_layers q_url_parse q_ks_test
-# q_sketch_union q_nested_prune q_interval_merge q_bin_pack
-# q_feature_hash q_geo_density q_rolling_median q_mom_yoy
-# q_stream_join_outer q_cogroup_udf q_e2e_curation q_window_nth,
-# and the §2.27 tenth batch (oracle-backed, one also networkx-golden):
-# q_anova q_spearman q_mann_whitney q_wilcoxon q_quantile_normalize
-# q_rich_club q_item_cf q_read_xml,
-# and the §2.28 eleventh batch: q_butterfly (oracle-backed +
-# enumeration golden) and q_dbscan (rows-only; from-scratch Python
-# DBSCAN golden with identical deterministic tie rules),
-# and the §2.29 twelfth batch (oracle-backed Spark 4 surfaces):
-# q_sql_pipe q_collation q_arrow_batch,
-# and the §2.30 thirteenth batch (oracle-backed): q_kmv_sketch
-# q_ohlc_bars.
-#
-# Rows-only entries deliberately inside this window: q_betweenness_sampled
-# (first window ever; estimator pinned by the rank-correlation pytest) and
-# q_approx_cd (an r01 rows-only green re-verified on the same staleness
-# rotation as its §2.7 neighbors).
+# Every oracle-backed entry is local DuckDB-parity green at
+# sf0.001+sf0.01 (tests/test_oracle_parity.py runs the driver's own
+# comparison); rows-only entries carry golden/invariant pytest evidence
+# (networkx k_truss / MSF, exact BPE merge list, numpy PCA, PQ recall
+# floor, from-scratch DBSCAN, Leiden invariants).
+
+# Rows-only-by-contract entries inside the R06 window (no DuckDB oracle;
+# each has a local golden): q_ktruss (networkx), q_graph_coloring
+# (properness/determinism), q_mst_boruvka (networkx MSF weight),
+# q_bpe_learn (exact pure-Python merge list).
 _WINDOW_ROWS_ONLY = [
-    "q_betweenness_sampled",
-    "q_approx_cd",
+    "q_ktruss",
+    "q_graph_coloring",
+    "q_mst_boruvka",
+    "q_bpe_learn",
 ]
-_WINDOW_R05 = [
-    # first-timers: the 12 oracle-backed queries still lacking a green
-    # driver row (incl. the oracle upgrades of q_write_edgelist and
-    # q_adjacency_pivot, green as rows-only in r01)
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q16",
-    "q_tpch_q20",
-    "q_lateral_topk",
-    "q_fn_struct",
-    "q_union_by_name",
-    "q_read_merge_schema",
-    "q_null_semantics",
-    "q_eccentricity",
-    "q_write_edgelist",
-    "q_adjacency_pivot",
-    # first-timer, rows-only by contract
-    "q_betweenness_sampled",
-    # staleness rotation: §2.7 relational core (r01 greens)
-    "q_scan_parquet",
-    "q_filter_pred",
-    "q_agg_groupby",
-    "q_agg_distinct",
-    "q_approx_cd",
-    "q_grouping_sets",
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_outer",
-    "q_join_semi_anti",
-    "q_cross_small",
-    "q_window_rank",
-    "q_window_frame",
-    "q_sort_limit",
-    "q_set_ops",
-    "q_dedup_exact",
-    # staleness rotation: §2.8 scalar-function families (r01 greens;
-    # the date/map/json families are r04-fresh and stay out)
-    "q_fn_string",
-    "q_fn_math",
-    "q_fn_cond",
-    "q_fn_array",
-    # staleness rotation: §2.1-2.5 graph scan/normalize/degree/coarsen
-    "q_edges_from_relational",
-    "q_read_edgelist",
-    "q_edge_agg_parallel",
-    "q_symmetrize",
-    "q_selfloop_filter",
-    "q_default_weight",
-    "q_degree_weighted",
-    "q_degree_inout",
-    "q_graph_size_m",
-    "q_coarsen_edges",
-    "q_membership_rollup",
-    # staleness rotation: §2.13 r01 additions
-    "q_join_full_outer",
-    "q_cube",
-    "q_grouping_sets_explicit",
-    "q_subquery_scalar",
-    "q_pivot_status",
-    "q_quantiles",
+
+# Round-6 window: 50 never-windowed round-5 additions, oracle-backed
+# §2.18-§2.20 first (the r5 verdict's priority list), plus the four
+# rows-only graph/BPE ops above.
+_WINDOW_R06 = [
+    # §2.18 scale-pattern rewrites + text buckets
+    "q_skyline",
+    "q_substring_dup",
+    "q_mode_agg",
+    "q_equi_depth_hist",
+    "q_gaps_islands",
+    "q_mad_outlier",
+    "q_window_cume",
+    "q_running_distinct",
+    "q_interval_overlap",
+    "q_ccnet_bucket",
+    "q_random_walk",
+    # §2.19 second batch
+    "q_markov_transitions",
+    "q_conductance",
+    "q_partition_nmi",
+    "q_hits",
+    "q_expectations",
+    "q_profile_columns",
+    "q_skew_stats",
+    "q_containment",
+    "q_bigram_lm",
+    "q_bloom_prefilter",
+    "q_attribution",
+    "q_fn_try",
+    "q_train_split",
+    "q_ab_ttest",
+    "q_session_paths",
+    "q_recursive_cte",
+    "q_gopher_quality",
+    "q_dsir_weights",
+    "q_label_noise",
+    "q_seasonal_baseline",
+    "q_target_encode",
+    "q_freq_pairs",
+    "q_reservoir_group",
+    "q_zorder_layout",
+    "q_incremental_agg",
+    "q_cdc_apply",
+    "q_stream_metrics",
+    # §2.20 third batch
+    "q_count_min",
+    "q_weighted_median",
+    "q_auc_rank",
+    "q_decayed_count",
+    "q_sorted_neighborhood",
+    "q_rfm",
+    "q_diff_snapshot",
+    "q_feature_hash",
+    # rows-only by contract (goldens in pytest)
+    "q_ktruss",
+    "q_graph_coloring",
+    "q_mst_boruvka",
+    "q_bpe_learn",
 ]
+
+# Round-7 window, pinned NOW per the r5 verdict: 46 oracle-backed +
+# 4 rows-only (q_dbscan, q_pca_power, q_pq_ann, q_bpe_encode).
+_WINDOW_R07_PLAN = [
+    "q_arrow_batch",
+    "q_stream_join_outer",
+    "q_stream_topk",
+    "q_window_nth",
+    "q_sql_pipe",
+    "q_url_parse",
+    "q_collation",
+    "q_topo_layers",
+    "q_rich_club",
+    "q_butterfly",
+    "q_interval_merge",
+    "q_cogroup_udf",
+    "q_e2e_curation",
+    "q_nested_prune",
+    "q_bin_pack",
+    "q_item_cf",
+    "q_read_xml",
+    "q_trend_fit",
+    "q_theilsen",
+    "q_autocorr",
+    "q_benford",
+    "q_temporal_graph",
+    "q_crosstab_chi2",
+    "q_null_imputation",
+    "q_one_hot",
+    "q_histogram_2d",
+    "q_neighbor_agg",
+    "q_graph_drift",
+    "q_bollinger",
+    "q_allocation",
+    "q_survivorship",
+    "q_pareto_abc",
+    "q_gini",
+    "q_kaplan_meier",
+    "q_cohort_ltv",
+    "q_assoc_rules",
+    "q_sketch_union",
+    "q_anova",
+    "q_spearman",
+    "q_mann_whitney",
+    "q_wilcoxon",
+    "q_quantile_normalize",
+    "q_kmv_sketch",
+    "q_ohlc_bars",
+    "q_ewma",
+    "q_cusum",
+    "q_dbscan",
+    "q_pca_power",
+    "q_pq_ann",
+    "q_bpe_encode",
+]
+
+# Round-8 lead: the final 9 never-windowed queries (8 oracle-backed +
+# rows-only q_leiden_refine); the other 41 r8 slots go to staleness
+# rotation of the oldest greens, chosen in round 8.
+_WINDOW_R08_LEAD = [
+    "q_winsorize",
+    "q_grid_join",
+    "q_calibration",
+    "q_ndcg",
+    "q_ks_test",
+    "q_geo_density",
+    "q_rolling_median",
+    "q_mom_yoy",
+    "q_leiden_refine",
+]
+
+# Every query name that has appeared in a driver CORRECTNESS window,
+# rounds 1-5 (= union of CORRECTNESS_r0{1..5}.json keys; 193 names).
+# Frozen history — append-only as windows run.
+_EVER_WINDOWED_PRE_R06 = frozenset({
+    "q_adamic_adar", "q_adjacency_pivot", "q_agg_distinct",
+    "q_agg_groupby", "q_ann_ivf", "q_ann_lsh", "q_approx_cd",
+    "q_approx_quantile", "q_approx_topk", "q_assortativity",
+    "q_best_move", "q_betweenness", "q_betweenness_sampled",
+    "q_bfs_hops", "q_bipartite_project", "q_bm25",
+    "q_chunk_sliding", "q_closeness", "q_clustering_coeff",
+    "q_coarsen_edges", "q_com_totals", "q_connected_components",
+    "q_contamination", "q_cross_small", "q_cube", "q_data_mix",
+    "q_dedup_doc_exact", "q_dedup_exact", "q_dedup_minhash",
+    "q_default_weight", "q_degree_dist", "q_degree_inout",
+    "q_degree_weighted", "q_delta_q", "q_delta_q_directed",
+    "q_doc_fingerprint", "q_dup_clusters", "q_dup_embedding",
+    "q_eccentricity", "q_edge_agg_parallel", "q_edges_from_relational",
+    "q_eigenvector", "q_embedding_centroid", "q_embedding_normalize",
+    "q_entropy_tokens", "q_filter_pred", "q_filtered_agg",
+    "q_frame_sample", "q_fn_array",
+    "q_fn_cond", "q_fn_date", "q_fn_json", "q_fn_map", "q_fn_math",
+    "q_fn_string", "q_fn_struct", "q_fn_variant", "q_funnel",
+    "q_fuzzy_join", "q_gap_fill", "q_graph_size_m", "q_grouping_sets",
+    "q_grouping_sets_explicit", "q_harmonic_centrality", "q_histogram",
+    "q_hll_sketch", "q_intra_inter_edges", "q_is_partition",
+    "q_jaccard_nodes", "q_join_asof", "q_join_broadcast",
+    "q_join_bucketed", "q_join_full_outer", "q_join_inner",
+    "q_join_outer", "q_join_semi_anti", "q_join_theta_range",
+    "q_kcore", "q_kmeans", "q_knn_label", "q_label_propagation",
+    "q_lang_id", "q_lang_stats", "q_lateral_topk", "q_latest_per_key",
+    "q_length_filter", "q_louvain_communities", "q_louvain_dendrogram",
+    "q_louvain_directed", "q_louvain_distributed", "q_louvain_one_level",
+    "q_membership_rollup", "q_merge_upsert", "q_modularity",
+    "q_modularity_directed", "q_multimodal_features", "q_multimodal_meta",
+    "q_neighbor_com_weights", "q_ngram_counts", "q_ngram_jaccard",
+    "q_null_semantics", "q_pack_sequences", "q_pagerank",
+    "q_partition_quality",
+    "q_personalized_pagerank", "q_pii_scrub", "q_pivot_status",
+    "q_pmi_cooccur", "q_quality_score", "q_quantiles", "q_read_csv",
+    "q_read_edgelist", "q_read_json", "q_read_merge_schema",
+    "q_read_orc", "q_read_text_log", "q_repetition_ratio",
+    "q_resolution_sweep", "q_retention_cohort", "q_robust_scale",
+    "q_rolling_7d", "q_rollup_time", "q_salted_join", "q_sample_hash",
+    "q_sample_stratified", "q_scan_parquet", "q_scc", "q_scd2_intervals",
+    "q_seeded_order", "q_selfloop_filter", "q_semdedup", "q_sessionize",
+    "q_set_ops", "q_sim_topk", "q_simhash", "q_sort_limit",
+    "q_sssp_weighted", "q_stats_agg", "q_stopword_remove",
+    "q_stream_dedup", "q_stream_file_sink", "q_stream_foreach_batch",
+    "q_stream_session", "q_stream_sliding", "q_stream_static_join",
+    "q_stream_stateful_count", "q_stream_stream_join",
+    "q_stream_tumbling", "q_stream_watermark", "q_string_agg",
+    "q_subquery_scalar", "q_symmetrize", "q_tfidf", "q_text_tokens",
+    "q_time_weighted_avg", "q_token_count", "q_token_vocab",
+    "q_tpch_q1", "q_tpch_q10", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13",
+    "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q2", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
+    "q_tpch_q8", "q_tpch_q9", "q_triangle_count",
+    "q_udf_pandas", "q_udtf_tokens", "q_unigram_surprise",
+    "q_union_by_name", "q_unpivot_metrics", "q_window_frame",
+    "q_window_laglead", "q_window_ntile", "q_window_rank",
+    "q_write_edgelist", "q_write_partitioned", "q_write_shards",
+    "q_zscore_outlier",
+})
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -193,12 +279,22 @@ def all_queries() -> dict[str, QueryFn]:
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         merged.update(mod.QUERIES)
-    missing = [n for n in _WINDOW_R05 if n not in merged]
+    missing = [n for n in _WINDOW_R06 if n not in merged]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R05}
+    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R06}
     out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
+
+
+def held_queries() -> list[str]:
+    """Registered queries with no driver CORRECTNESS row once the
+    round-6 window runs — DERIVED from the registry minus every windowed
+    name, replacing the hand-synced prose list the r5 verdict flagged
+    (What's wrong #2). test_coverage asserts this equals the pinned
+    R07+R08 plan, so any drift between plan and backlog fails loudly."""
+    windowed = _EVER_WINDOWED_PRE_R06 | set(_WINDOW_R06)
+    return sorted(n for n in all_queries() if n not in windowed)
 
 
 def all_oracles() -> dict[str, str]:

@@ -46,21 +46,60 @@ def test_documented_counts_match_registry():
     )
 
 
-def test_r05_window_leads_registry():
+def test_r06_window_leads_registry():
     """The driver checks the first 50 registry entries; the pinned
     window must lead the iteration order, and every entry must be
-    oracle-backed EXCEPT the two rows-only queries deliberately spent
-    on executes-under-driver evidence this round."""
-    from louvain_modularity_spark.registry import _WINDOW_R05, _WINDOW_ROWS_ONLY
+    oracle-backed EXCEPT the four rows-only graph/BPE ops deliberately
+    spent on executes-under-driver evidence this round. All 50 must be
+    first-timers (never in a CORRECTNESS window before) — the whole
+    point of the r6 window is burning the never-windowed backlog."""
+    from louvain_modularity_spark.registry import (
+        _EVER_WINDOWED_PRE_R06,
+        _WINDOW_R06,
+        _WINDOW_ROWS_ONLY,
+    )
 
     q, o = all_queries(), all_oracles()
-    assert list(q)[: len(_WINDOW_R05)] == _WINDOW_R05
-    assert len(_WINDOW_R05) == 50
-    not_backed = [n for n in _WINDOW_R05 if n not in o]
+    assert list(q)[: len(_WINDOW_R06)] == _WINDOW_R06
+    assert len(_WINDOW_R06) == 50 == len(set(_WINDOW_R06))
+    not_backed = [n for n in _WINDOW_R06 if n not in o]
     assert not_backed == _WINDOW_ROWS_ONLY, (
         f"unplanned rows-only queries in driver window: "
         f"{sorted(set(not_backed) - set(_WINDOW_ROWS_ONLY))}"
     )
+    repeats = set(_WINDOW_R06) & _EVER_WINDOWED_PRE_R06
+    assert not repeats, f"r06 window wastes slots on already-windowed: {sorted(repeats)}"
+
+
+def test_held_set_equals_pinned_r07_r08_plan():
+    """The r5 verdict (What's wrong #2): the held-for-later inventory
+    must be DERIVED, not a hand-synced prose comment. held_queries()
+    computes registry minus every windowed name; it must equal the
+    pinned round-7 window plus the round-8 lead exactly, and the three
+    windows must be mutually disjoint."""
+    from louvain_modularity_spark.registry import (
+        _EVER_WINDOWED_PRE_R06,
+        _WINDOW_R06,
+        _WINDOW_R07_PLAN,
+        _WINDOW_R08_LEAD,
+        held_queries,
+    )
+
+    held = held_queries()
+    plan = sorted(_WINDOW_R07_PLAN + _WINDOW_R08_LEAD)
+    assert held == plan, (
+        f"backlog/plan drift: held-not-planned="
+        f"{sorted(set(held) - set(plan))}, "
+        f"planned-not-held={sorted(set(plan) - set(held))}"
+    )
+    assert len(_WINDOW_R07_PLAN) == 50 == len(set(_WINDOW_R07_PLAN))
+    assert len(_WINDOW_R08_LEAD) == 9 == len(set(_WINDOW_R08_LEAD))
+    assert not set(_WINDOW_R07_PLAN) & set(_WINDOW_R08_LEAD)
+    assert not set(_WINDOW_R07_PLAN) & set(_WINDOW_R06)
+    # historical frozen set stays consistent with the registry: every
+    # name in it is still registered (no silent rename/removal)
+    unknown = _EVER_WINDOWED_PRE_R06 - set(all_queries())
+    assert not unknown, f"windowed names no longer registered: {sorted(unknown)}"
 
 
 def test_no_raw_ts_arithmetic():
