@@ -2438,8 +2438,11 @@ def q_butterfly(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts BIGINT end to end.
     """
     e = copurchase_edges(spark, sf_dir).select("src", "dst").distinct()
+    # d*(d-1) is always even, so summing BIGINT products then halving
+    # with integer `div` is exact at any scale; `/` would accumulate
+    # doubles and lose exactness past 2^53 (r5 ADVICE).
     wedge_stats = e.groupBy("dst").agg(F.count("*").alias("d")).agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+        F.expr("sum(d * (d - 1)) div 2").alias("n_wedges")
     )
     pairs = (
         e.alias("a")
@@ -2450,7 +2453,7 @@ def q_butterfly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pair_stats = pairs.agg(
         F.count("*").alias("n_copairs"),
-        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("n_butterflies"),
+        F.expr("sum(c * (c - 1)) div 2").alias("n_butterflies"),
     )
     edges_n = e.agg(F.count("*").alias("n_edges"))
     return (

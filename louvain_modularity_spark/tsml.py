@@ -928,7 +928,25 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         F.col("value").cast("decimal(12,2)").alias("v"),
     )
-    cents = (F.col("v") * 100).cast("long")
+    cents_raw = (F.col("v") * 100).cast("long")
+    # Packing is only exact for 0 <= cents < 2^20 (negative cents
+    # borrow from the rel bits; `%` then returns negative remainders).
+    # Enforce the domain at runtime: a future fixture outside it makes
+    # the whole query THROW (driver records err) instead of silently
+    # producing wrong open/close (r5 ADVICE). assert_true returns NULL
+    # on success, so the coalesce adds 0 and stays in codegen.
+    cents = cents_raw + F.coalesce(
+        F.assert_true(
+            (cents_raw >= 0) & (cents_raw < OHLC_PACK),
+            F.concat(
+                F.lit("q_ohlc_bars: value outside packing domain [0, "),
+                F.lit(OHLC_PACK),
+                F.lit(" cents): "),
+                F.col("v").cast("string"),
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
     rel = F.col("ts_us") - F.col("day") * F.lit(OHLC_DAY_US)
     packed = rel * F.lit(OHLC_PACK) + cents
     return (

@@ -7,7 +7,7 @@ iteration), mirroring the golden-fixture idiom of SURVEY.md §5.
 
 import numpy as np
 import pytest
-from conftest import SF_DIR
+from conftest import SF01_DIR, SF_DIR
 
 from louvain_modularity_spark.analytics import (
     PPR_ALPHA,
@@ -188,9 +188,15 @@ def test_hypothesis_tests_match_pure_python(spark):
 def test_dbscan_matches_pure_python(spark):
     """q_dbscan vs a from-scratch Python DBSCAN with the identical
     deterministic conventions (min-id cluster labels, border → minimum
-    adjacent core cluster, self-inclusive minPts) on the sf0.001
-    customer plane."""
+    adjacent core cluster, self-inclusive minPts) on the **sf0.01**
+    customer plane — the scale where the fixture shows real structure
+    (the r5 ADVICE found the sf0.001 run degenerates to a single
+    all-noise row, exercising none of the core/CC/border logic). The
+    Python neighbor search grid-buckets points into eps-cells and
+    probes the 3×3 neighborhood — the same trick the engine uses — so
+    the 10k-point pairing stays O(n·cell-density), not O(n²)."""
     import duckdb
+    from collections import defaultdict
 
     from louvain_modularity_spark.tsml import (
         DBSCAN_EPS,
@@ -207,7 +213,7 @@ def test_dbscan_matches_pure_python(spark):
     keys = [
         k
         for (k,) in duckdb.connect()
-        .execute(f"SELECT c_custkey FROM '{SF_DIR}/customer.parquet'")
+        .execute(f"SELECT c_custkey FROM '{SF01_DIR}/customer.parquet'")
         .fetchall()
     ]
     pts = {
@@ -218,23 +224,28 @@ def test_dbscan_matches_pure_python(spark):
         for k in keys
     }
     eps2 = DBSCAN_EPS * DBSCAN_EPS
-    nbr = {k: [] for k in keys}
-    ks = sorted(keys)
-    for i, a in enumerate(ks):
-        ax, ay = pts[a]
-        for b in ks[i + 1 :]:
-            bx, by = pts[b]
-            if (ax - bx) ** 2 + (ay - by) ** 2 <= eps2:
-                nbr[a].append(b)
-                nbr[b].append(a)
+    cells = defaultdict(list)
+    for k, (x, y) in pts.items():
+        cells[(x // DBSCAN_EPS, y // DBSCAN_EPS)].append(k)
+    nbr = {}
+    for a, (ax, ay) in pts.items():
+        cx, cy = ax // DBSCAN_EPS, ay // DBSCAN_EPS
+        nbr[a] = [
+            b
+            for ddx in (-1, 0, 1)
+            for ddy in (-1, 0, 1)
+            for b in cells.get((cx + ddx, cy + ddy), ())
+            if b != a
+            and (ax - pts[b][0]) ** 2 + (ay - pts[b][1]) ** 2 <= eps2
+        ]
     core = {k for k in keys if len(nbr[k]) + 1 >= DBSCAN_MINPTS}
-    # CC over core-core adjacency, min-id labels
+    # CC over core-core adjacency, min-id labels; an isolated core
+    # point falls out as its own singleton component (label = itself)
     label = {}
     for s in sorted(core):
         if s in label:
             continue
-        stack, comp = [s], []
-        seen = {s}
+        stack, comp, seen = [s], [], {s}
         while stack:
             u = stack.pop()
             comp.append(u)
@@ -245,34 +256,27 @@ def test_dbscan_matches_pure_python(spark):
         m = min(comp)
         for u in comp:
             label[u] = m
-    rows = {}  # cluster -> [n_core, n_border]
+    # engine row contract: (cluster, n_core, n_border, n_total) with
+    # border = non-core member; the noise row is (-1, 0, n_noise, n_noise)
+    want = defaultdict(lambda: [0, 0])  # cluster -> [n_core, n_border]
     for k in keys:
         if k in core:
-            rows.setdefault(label[k], [0, 0])[0] += 1
+            want[label[k]][0] += 1
         else:
             adj = [label[v] for v in nbr[k] if v in core]
-            if adj:
-                rows.setdefault(min(adj), [0, 0])[1] += 1
-            else:
-                rows.setdefault(-1, [0, 0])[1] += 1
-    want = {
-        c: (nc, nb if c != -1 else 0, nc + nb)
-        for c, (nc, nb) in rows.items()
-    }
-    # noise row counts border as 0/is_core 0 but n_total counts them
+            want[min(adj) if adj else -1][1] += 1
+    want = {c: (nc, nb, nc + nb) for c, (nc, nb) in want.items()}
+    # the golden must actually exercise the structure the fixture is
+    # tuned for — refuse to pass on a degenerate all-noise plane
+    real = [c for c in want if c != -1]
+    assert len(real) >= 2, f"fixture degenerated: clusters={len(real)}"
+    assert sum(want[c][0] for c in real) > 0, "no core points"
+    assert sum(want[c][1] for c in real) > 0, "no border points"
     got = {
         r["cluster"]: (r["n_core"], r["n_border"], r["n_total"])
-        for r in q_dbscan(spark, SF_DIR).collect()
+        for r in q_dbscan(spark, SF01_DIR).collect()
     }
-    fixed_want = {
-        c: (nc, 0 if c == -1 else nb, tot)
-        for c, (nc, nb, tot) in want.items()
-    }
-    # in the engine, noise rows have is_core=0 and count into n_border=0?
-    # engine reports noise as n_border=n_total with n_core=0
-    fixed_want[-1] = (0, rows.get(-1, [0, 0])[1], rows.get(-1, [0, 0])[1]) if -1 in rows else fixed_want.get(-1)
-    fixed_want = {c: v for c, v in fixed_want.items() if v is not None}
-    assert got == fixed_want, (got, fixed_want)
+    assert got == want, (got, want)
 
 
 def test_wilcoxon_and_qnorm_match_pure_python(spark):

@@ -829,8 +829,9 @@ def test_join_strategy_hints_are_honored(spark):
 
 def test_ohlc_and_pipe_plan_shapes(spark):
     """Plan guards for the §2.29/§2.30 claims: q_ohlc_bars computes
-    open/close with min_by/max_by in ONE aggregate (no Window node —
-    the regression would be a per-partition sort pass); q_sql_pipe's
+    open/close via the bit-packed BIGINT argmin in ONE HashAggregate
+    (no Window node — the regression would be a per-partition sort
+    pass); q_sql_pipe's
     |> chain compiles to the same exchange count and aggregate shape
     as the equivalent DataFrame spelling (pipe syntax is pure surface
     syntax, not a different plan)."""
