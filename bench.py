@@ -62,6 +62,12 @@ SHARED_R02 = [
 #: (millions of small (user,type) window partitions + island rollup);
 #: q_e2e_curation times the composed gate→dedup→pack→manifest pipeline
 #: as one plan — the end-to-end number users actually experience
+#: round 6 adds the three round-5 shapes most likely to misbehave at
+#: 100× (VERDICT r5 item 4): the verbatim-substring dedup rung (df-gated
+#: shingle-bucket inverted-index join — the 100 TB-critical dedup shape),
+#: the market-basket pair join (per-order item pairs → support/lift),
+#: and Borůvka MSF (the synchronized-round component-merge family whose
+#: local round latency SCALE.md §3 measured out-of-band)
 HEADLINE = SHARED_R02 + [
     "q_tpch_q3",
     "q_tpch_q1",
@@ -74,6 +80,9 @@ HEADLINE = SHARED_R02 + [
     "q_grid_join",
     "q_interval_merge",
     "q_e2e_curation",
+    "q_substring_dup",
+    "q_assoc_rules",
+    "q_mst_boruvka",
 ]
 
 #: noisiest entries under this VM's CPU-steal (±30% swings on unchanged

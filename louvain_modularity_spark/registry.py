@@ -138,6 +138,10 @@ _WINDOW_R06 = [
 
 # Round-7 window, pinned NOW per the r5 verdict: 46 oracle-backed +
 # 4 rows-only (q_dbscan, q_pca_power, q_pq_ann, q_bpe_encode).
+# Tie-hazard audit (r5 verdict #6, round 6): every row_number()/LIMIT
+# site across the 54 held oracles carries a deterministic total-order
+# tiebreak (secondary unique key, GROUP BY key, or DISTINCT-before-
+# LIMIT as in q_kmv_sketch); no q_gap_fill-class sf-dependent tie found.
 _WINDOW_R07_PLAN = [
     "q_arrow_batch",
     "q_stream_join_outer",
