@@ -1043,7 +1043,8 @@ def connected_components(spark: SparkSession, edges: DataFrame) -> DataFrame:
     round every node takes the min of its own and its neighbors'
     component ids, until fixpoint. O(diameter) rounds — for graphs with
     large diameter at scale, use connected_components_star (large-/
-    small-star, O(log n) rounds), equivalence-tested against this one.
+    small-star, O(log n) rounds); both are pinned to the same
+    pure-Python union-find golden in tests/test_louvain.py.
     """
     sym = symmetrize(edges).persist()
     state = vertices_of(edges).select("id", F.col("id").alias("component"))

@@ -32,9 +32,9 @@ ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
 
 #: in-flight comparisons; latency-bound, so well above core-count ÷ 1
 #: (raised 8 → 12 as the registry passed 250 queries, 12 → 16 as it
-#: passed 290, to hold the full-suite wall clock near the 10-minute
-#: budget)
-_POOL = 16
+#: passed 290, 16 → 20 in round 6, to hold the full-suite wall clock
+#: under the 10-minute budget)
+_POOL = 20
 
 
 @pytest.fixture(scope="session")
