@@ -719,6 +719,35 @@ def test_assoc_rules_checkpointed_basket_reuse(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_substring_dup_gated_bucket_join_no_python(spark):
+    """The Lee-2021 substring rung (r6 bench headline) must keep its
+    100 TB contract: candidates meet ONLY inside shingle buckets (equi
+    hash joins — never a CartesianProduct / nested-loop over the
+    corpus), the hot-shingle df gate rides a BROADCAST anti-join, and
+    the whole operator is JVM-side (no Python worker)."""
+    from louvain_modularity_spark.pipeline import q_substring_dup
+
+    plan = _plan_of(q_substring_dup, spark)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "LeftAnti, BuildRight" in plan, plan  # broadcast df gate
+    assert "HashJoin" in plan, plan
+
+
+def test_mst_boruvka_no_sort_no_python(spark):
+    """Borůvka MSF (r6 bench headline): each round's lightest-edge
+    pick is a min_by HASH aggregate — the executed plan may not fall
+    back to a sort-based aggregate, run Python, or form a cartesian
+    pair space."""
+    from louvain_modularity_spark.graph import q_mst_boruvka
+
+    plan = _plan_of(q_mst_boruvka, spark)
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "SortAggregate" not in plan, plan
+
+
 def test_survivorship_aggregate_only(spark):
     """Golden-record merge must be windowless: two hash aggregates and
     a join, never a sort-based per-group pass."""
