@@ -2124,6 +2124,14 @@ SELECT 'authority' AS side, id, ROUND(auth, 6) AS score FROM an{n}
 #: tuning knob
 MST_MAX_ROUNDS = 20
 
+#: component-merge graphs at or below this many (symmetric, distinct)
+#: edges collapse with an in-driver union-find instead of distributed
+#: min-label rounds — the same hybrid-tail rule as Louvain's
+#: inline_threshold: the component-level pseudo-forest has ≤ 1 edge per
+#: component and halves every Borůvka round, so at any scale only the
+#: first round or two can exceed this, and those stay distributed
+MST_INLINE_MERGE_EDGES = 2_000_000
+
 
 def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum spanning forest of the weighted co-purchase graph by
@@ -2195,40 +2203,63 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        lbl = (
-            ce.select(F.col("a").alias("c"))
-            .distinct()
-            .select("c", F.col("c").alias("lbl"))
-            .localCheckpoint(eager=True)
-        )
-        while True:
-            nb = (
-                ce.join(
-                    lbl.select(F.col("c").alias("b"), F.col("lbl").alias("nlbl")),
-                    "b",
-                )
-                .groupBy(F.col("a").alias("c"))
-                .agg(F.min("nlbl").alias("mn"))
+        ce_rows = ce.count()
+        if ce_rows <= MST_INLINE_MERGE_EDGES:
+            # in-driver union-find with min-id roots — identical labels
+            # to the min-propagation fixpoint (min id per component)
+            parent: dict = {}
+
+            def _find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in ce.collect():
+                ra, rb = _find(r["a"]), _find(r["b"])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            lbl = spark.createDataFrame(
+                [(c, _find(c)) for c in parent], "c LONG, lbl LONG"
             )
-            new_lbl = (
-                lbl.join(nb, "c", "left")
-                .select(
-                    "c",
-                    F.least(
-                        F.col("lbl"), F.coalesce("mn", F.col("lbl"))
-                    ).alias("lbl"),
-                )
+        else:
+            lbl = (
+                ce.select(F.col("a").alias("c"))
+                .distinct()
+                .select("c", F.col("c").alias("lbl"))
                 .localCheckpoint(eager=True)
             )
-            moved = (
-                new_lbl.select("c", F.col("lbl").alias("nl"))
-                .join(lbl, "c")
-                .filter(F.col("nl") != F.col("lbl"))
-            )
-            done = moved.isEmpty()
-            lbl = new_lbl
-            if done:
-                break
+            while True:
+                nb = (
+                    ce.join(
+                        lbl.select(
+                            F.col("c").alias("b"), F.col("lbl").alias("nlbl")
+                        ),
+                        "b",
+                    )
+                    .groupBy(F.col("a").alias("c"))
+                    .agg(F.min("nlbl").alias("mn"))
+                )
+                new_lbl = (
+                    lbl.join(nb, "c", "left")
+                    .select(
+                        "c",
+                        F.least(
+                            F.col("lbl"), F.coalesce("mn", F.col("lbl"))
+                        ).alias("lbl"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                moved = (
+                    new_lbl.select("c", F.col("lbl").alias("nl"))
+                    .join(lbl, "c")
+                    .filter(F.col("nl") != F.col("lbl"))
+                )
+                done = moved.isEmpty()
+                lbl = new_lbl
+                if done:
+                    break
         comp = (
             comp.join(
                 lbl.select(F.col("c").alias("comp"), F.col("lbl").alias("newc")),
