@@ -1110,16 +1110,26 @@ def betweenness(
         state = state.unionByName(newly).localCheckpoint(eager=True)
         frontier = newly
     max_level = state.agg(F.max("dist")).collect()[0][0]
-    # backward: per-level dependency accumulation
-    delta = state.select(
-        "source", "id", "dist", "sigma", F.lit(0.0).alias("delta")
-    ).localCheckpoint(eager=True)
+    # backward: per-level dependency accumulation. Brandes' δ(v) takes
+    # contributions ONLY from nodes one level deeper, so each level's
+    # delta rows are final the moment they're computed — keep one small
+    # frame per level instead of rewriting (and re-checkpointing) the
+    # whole O(sources·V) state every level: total checkpoint volume is
+    # one pass over the state, not diameter passes over it.
+    by_level: dict[int, DataFrame] = {
+        max_level: state.filter(F.col("dist") == max_level)
+        .select("source", "id", "sigma", F.lit(0.0).alias("delta"))
+        .localCheckpoint(eager=True)
+    }
     for level in range(max_level, 0, -1):
-        deeper = delta.filter(F.col("dist") == level).select(
+        deeper = by_level[level].select(
             F.col("id").alias("dst"),
             F.col("source").alias("w_source"),
             F.col("sigma").alias("sigma_w"),
             F.col("delta").alias("delta_w"),
+        )
+        up = state.filter(F.col("dist") == level - 1).select(
+            "source", "id", F.col("sigma").alias("sigma_v")
         )
         contrib = (
             sym.join(deeper, "dst")
@@ -1129,12 +1139,7 @@ def betweenness(
                 "sigma_w",
                 "delta_w",
             )
-            .join(
-                delta.filter(F.col("dist") == level - 1).select(
-                    "source", "id", F.col("sigma").alias("sigma_v")
-                ),
-                ["source", "id"],
-            )
+            .join(up, ["source", "id"])
             .groupBy("source", "id")
             .agg(
                 F.sum(
@@ -1142,19 +1147,19 @@ def betweenness(
                 ).alias("d_new")
             )
         )
-        delta = (
-            delta.join(contrib, ["source", "id"], "left")
+        by_level[level - 1] = (
+            up.join(contrib, ["source", "id"], "left")
             .select(
                 "source",
                 "id",
-                "dist",
-                "sigma",
-                F.coalesce(
-                    F.when(F.col("dist") == level - 1, F.col("d_new")), F.col("delta")
-                ).alias("delta"),
+                F.col("sigma_v").alias("sigma"),
+                F.coalesce("d_new", F.lit(0.0)).alias("delta"),
             )
             .localCheckpoint(eager=True)
         )
+    delta = by_level[0]
+    for level in range(1, max_level + 1):
+        delta = delta.unionByName(by_level[level])
     # Brandes–Pich extrapolation: sampled sums estimate k/n of the total
     scale = 1.0 if sources is None else verts.count() / float(len(sources))
     return (
