@@ -287,6 +287,23 @@ def test_mst_boruvka_matches_networkx(spark):
     assert nx.number_connected_components(t) == nx.number_connected_components(g)
 
 
+def test_mst_boruvka_merge_paths_agree(spark, monkeypatch):
+    """The hybrid component contraction (r6): forcing the distributed
+    min-label branch (inline threshold 0) must choose the exact same
+    forest as the in-driver union-find branch — they are two
+    implementations of the same min-id-per-merge-component fixpoint."""
+    import louvain_modularity_spark.graph as G
+
+    inline = {
+        (r["u"], r["v"], r["w"]) for r in G.q_mst_boruvka(spark, SF).collect()
+    }
+    monkeypatch.setattr(G, "MST_INLINE_MERGE_EDGES", 0)
+    distributed = {
+        (r["u"], r["v"], r["w"]) for r in G.q_mst_boruvka(spark, SF).collect()
+    }
+    assert inline == distributed
+
+
 def test_hits_matches_svd(spark):
     """HITS alternations vs the converged ground truth (top singular
     vectors of the bipartite weight matrix via numpy SVD — networkx
