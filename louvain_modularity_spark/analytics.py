@@ -1426,7 +1426,7 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = opens.unionByName(closes).withColumn("concurrent", F.sum("d").over(w))
     return run.groupBy("event_type").agg(
         F.max("concurrent").alias("max_concurrent"),
-        (F.count("*") / 2).cast("long").alias("n_events"),
+        F.expr("count(*) div 2").alias("n_events"),
     )
 
 
@@ -1447,7 +1447,7 @@ run AS (
 )
 SELECT event_type,
        CAST(MAX(concurrent) AS BIGINT) AS max_concurrent,
-       CAST(COUNT(*) / 2 AS BIGINT)    AS n_events
+       COUNT(*) // 2                   AS n_events
 FROM run GROUP BY event_type
 """
 

@@ -1872,7 +1872,10 @@ def q_partition_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ai = nij.groupBy("pa").agg(F.sum("n").alias("a"))
     bj = nij.groupBy("pb").agg(F.sum("n").alias("b"))
     tot = nij.agg(F.sum("n").alias("nt"))
-    pairs2 = lambda col: (F.col(col) * (F.col(col) - 1) / 2).cast("long")  # noqa: E731
+    # integer `div` keeps the per-row pair count exact past 2^53 (the
+    # same butterfly-class fix from the r5 ADVICE): x*(x-1) is even, so
+    # the halving never truncates
+    pairs2 = lambda col: F.expr(f"{col} * ({col} - 1) div 2")  # noqa: E731
     joined = (
         nij.join(F.broadcast(ai), "pa")
         .join(F.broadcast(bj), "pb")
@@ -1901,7 +1904,7 @@ def q_partition_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_parts_b"),
         )
     )
-    tp = (F.col("nt") * (F.col("nt") - 1) / 2).cast("long")
+    tp = F.expr("nt * (nt - 1) div 2")
     exp = F.col("sa").cast("double") * F.col("sb") / tp
     mx = (F.col("sa") + F.col("sb")) / 2.0
     return (
@@ -1930,27 +1933,27 @@ tot AS (SELECT COUNT(*) AS nt FROM c),
 cell AS (
   SELECT SUM((n / CAST(nt AS DOUBLE)) * LN((nt * n) / CAST(a * b AS DOUBLE)))
            AS mi,
-         SUM(CAST(n * (n - 1) / 2 AS BIGINT)) AS sij
+         SUM(n * (n - 1) // 2) AS sij
   FROM nij JOIN ai USING (pa) JOIN bj USING (pb) CROSS JOIN tot
 ),
 ha AS (
   SELECT -SUM((a / CAST(nt AS DOUBLE)) * LN(a / CAST(nt AS DOUBLE))) AS ha,
-         SUM(CAST(a * (a - 1) / 2 AS BIGINT)) AS sa,
+         SUM(a * (a - 1) // 2) AS sa,
          COUNT(*) AS n_parts_a
   FROM ai CROSS JOIN tot
 ),
 hb AS (
   SELECT -SUM((b / CAST(nt AS DOUBLE)) * LN(b / CAST(nt AS DOUBLE))) AS hb,
-         SUM(CAST(b * (b - 1) / 2 AS BIGINT)) AS sb,
+         SUM(b * (b - 1) // 2) AS sb,
          COUNT(*) AS n_parts_b
   FROM bj CROSS JOIN tot
 )
 SELECT nt AS n_nodes, n_parts_a, n_parts_b,
        ROUND(mi, 6) AS mi,
        ROUND(mi / SQRT(ha * hb), 6) AS nmi,
-       ROUND((sij - CAST(sa AS DOUBLE) * sb / CAST(nt * (nt - 1) / 2 AS BIGINT))
+       ROUND((sij - CAST(sa AS DOUBLE) * sb / (nt * (nt - 1) // 2))
              / ((sa + sb) / 2.0
-                - CAST(sa AS DOUBLE) * sb / CAST(nt * (nt - 1) / 2 AS BIGINT)),
+                - CAST(sa AS DOUBLE) * sb / (nt * (nt - 1) // 2)),
              6) AS ari
 FROM cell CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot
 """
