@@ -803,24 +803,34 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(
         F.size(F.split("text", " ")) >= SUBSTR_SHINGLE
     )
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(split(text, ' ')) - {SUBSTR_SHINGLE - 1}),"
-                f" i -> struct(i AS pos,"
-                f" array_join(slice(split(text, ' '), i, {SUBSTR_SHINGLE}), ' ')"
-                f" AS shingle))"
-            )
-        ).alias("s"),
-    ).select("doc_id", "s.pos", "s.shingle")
+    # materialize the shingle index ONCE (same checkpoint idiom as
+    # q_assoc_rules' basket table): it feeds the df gate, the anti-join
+    # and BOTH sides of the pair join — left lazy, Catalyst re-ran the
+    # scan+explode six times in one plan (measured, zero ReusedExchange)
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(split(text, ' ')) - {SUBSTR_SHINGLE - 1}),"
+                    f" i -> struct(i AS pos,"
+                    f" array_join(slice(split(text, ' '), i, {SUBSTR_SHINGLE}), ' ')"
+                    f" AS shingle))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.shingle")
+        .localCheckpoint(eager=True)
+    )
     hot = (
         sh.groupBy("shingle")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") > SUBSTR_MAX_DF)
         .select("shingle")
     )
-    gated = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    gated = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint(
+        eager=True
+    )
     a, b = gated.alias("a"), gated.alias("b")
     pairs = (
         a.join(b, "shingle")

@@ -721,18 +721,19 @@ def test_assoc_rules_checkpointed_basket_reuse(spark):
 
 def test_substring_dup_gated_bucket_join_no_python(spark):
     """The Lee-2021 substring rung (r6 bench headline) must keep its
-    100 TB contract: candidates meet ONLY inside shingle buckets (equi
-    hash joins — never a CartesianProduct / nested-loop over the
-    corpus), the hot-shingle df gate rides a BROADCAST anti-join, and
-    the whole operator is JVM-side (no Python worker)."""
+    100 TB contract: the gated shingle index is materialized ONCE and
+    the final plan re-reads NO parquet (scan+explode previously re-ran
+    six times), candidates meet ONLY inside shingle buckets (equi hash
+    joins — never a CartesianProduct / nested-loop over the corpus),
+    and the whole operator is JVM-side (no Python worker)."""
     from louvain_modularity_spark.pipeline import q_substring_dup
 
     plan = _plan_of(q_substring_dup, spark)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
     assert "EvalPython" not in plan, plan
-    assert "LeftAnti, BuildRight" in plan, plan  # broadcast df gate
-    assert "HashJoin" in plan, plan
+    assert plan.count("FileScan parquet") == 0, plan  # checkpointed index
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
 
 
 def test_mst_boruvka_no_sort_no_python(spark):
