@@ -56,8 +56,12 @@ def _modules():
 # verdict's top task): the 109 queries added in round 5 outpaced the
 # 50-slot window, so rounds 6-8 burn the never-windowed backlog to zero
 # before anything new is registered. The full three-round plan is pinned
-# below as data (_WINDOW_R06 / _WINDOW_R07_PLAN / _WINDOW_R08_LEAD) and
+# below as data (_WINDOW_R06 / _WINDOW_R07 / _WINDOW_R08) and
 # held_queries() derives the outstanding set — no hand-synced prose list.
+# ROUND 7 STATUS: _WINDOW_R07 (== the plan pinned in round 6, unchanged
+# name-for-name per the r6 verdict's task 1) is the ACTIVE window;
+# all_queries() leads with it. Backlog after this window: the 9
+# _WINDOW_R08_LEAD names.
 #
 # Every oracle-backed entry is local DuckDB-parity green at
 # sf0.001+sf0.01 (tests/test_oracle_parity.py runs the driver's own
@@ -136,13 +140,21 @@ _WINDOW_R06 = [
     "q_bpe_learn",
 ]
 
-# Round-7 window, pinned NOW per the r5 verdict: 46 oracle-backed +
-# 4 rows-only (q_dbscan, q_pca_power, q_pq_ann, q_bpe_encode).
+# Round-7 window, pinned in round 6 and EXECUTED in round 7 (active —
+# all_queries() leads with it): 46 oracle-backed + 4 rows-only
+# (q_dbscan, q_pca_power, q_pq_ann, q_bpe_encode).
 # Tie-hazard audit (r5 verdict #6, round 6): every row_number()/LIMIT
 # site across the 54 held oracles carries a deterministic total-order
 # tiebreak (secondary unique key, GROUP BY key, or DISTINCT-before-
 # LIMIT as in q_kmv_sketch); no q_gap_fill-class sf-dependent tie found.
-_WINDOW_R07_PLAN = [
+_WINDOW_R07_ROWS_ONLY = [
+    "q_dbscan",
+    "q_pca_power",
+    "q_pq_ann",
+    "q_bpe_encode",
+]
+
+_WINDOW_R07 = [
     "q_arrow_batch",
     "q_stream_join_outer",
     "q_stream_topk",
@@ -196,8 +208,7 @@ _WINDOW_R07_PLAN = [
 ]
 
 # Round-8 lead: the final 9 never-windowed queries (8 oracle-backed +
-# rows-only q_leiden_refine); the other 41 r8 slots go to staleness
-# rotation of the oldest greens, chosen in round 8.
+# rows-only q_leiden_refine).
 _WINDOW_R08_LEAD = [
     "q_winsorize",
     "q_grid_join",
@@ -209,6 +220,69 @@ _WINDOW_R08_LEAD = [
     "q_mom_yoy",
     "q_leiden_refine",
 ]
+
+# Round-8 window, pinned NOW (r6 verdict task 5): the 9 backlog burns
+# above + 41 staleness-rotation slots re-verifying the OLDEST driver
+# greens. Rationale: after r7 the entire registry has driver evidence,
+# but the round-1/round-2 cohort's rows will be 5-6 rounds stale —
+# exactly the staleness class that hid the q_gap_fill encoding bug
+# until its r3 re-run. The rotation therefore re-windows every r1/r2
+# name (44 of them) except the three weakest-signal rows-only entries
+# (q_sample_hash, q_udf_pandas, q_stream_watermark — a driver re-run
+# would only repeat the rows>0 check their pytest goldens already
+# subsume; dropped to fit 50 slots). 31 of the 41 are oracle-backed
+# (full hash re-verification); 10 are rows-only flagship Louvain /
+# dedup / ANN ops where executes-under-driver freshness still matters.
+_WINDOW_R08_ROTATION = [
+    # r1 greens (oldest rows in any CORRECTNESS file)
+    "q_histogram",
+    "q_approx_quantile",
+    # r2 greens: llm_ops cohort
+    "q_text_tokens",
+    "q_token_count",
+    "q_tfidf",
+    "q_lang_stats",
+    "q_lang_id",
+    "q_quality_score",
+    "q_dedup_doc_exact",
+    "q_ngram_jaccard",
+    "q_sim_topk",
+    "q_knn_label",
+    "q_ann_ivf",
+    "q_dup_embedding",
+    "q_sample_stratified",
+    "q_data_mix",
+    "q_dedup_minhash",
+    "q_simhash",
+    "q_ann_lsh",
+    # r2 greens: louvain cohort (flagship — freshness matters most)
+    "q_neighbor_com_weights",
+    "q_com_totals",
+    "q_delta_q",
+    "q_delta_q_directed",
+    "q_best_move",
+    "q_connected_components",
+    "q_louvain_directed",
+    "q_louvain_one_level",
+    "q_louvain_communities",
+    "q_louvain_distributed",
+    "q_louvain_dendrogram",
+    "q_seeded_order",
+    "q_label_propagation",
+    # r2 greens: metrics cohort
+    "q_modularity",
+    "q_modularity_directed",
+    "q_resolution_sweep",
+    "q_is_partition",
+    "q_intra_inter_edges",
+    "q_partition_quality",
+    # r2 greens: multimodal cohort
+    "q_multimodal_meta",
+    "q_multimodal_features",
+    "q_frame_sample",
+]
+
+_WINDOW_R08 = _WINDOW_R08_LEAD + _WINDOW_R08_ROTATION
 
 # Every query name that has appeared in a driver CORRECTNESS window,
 # rounds 1-5 (= union of CORRECTNESS_r0{1..5}.json keys; 193 names).
@@ -283,21 +357,22 @@ def all_queries() -> dict[str, QueryFn]:
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         merged.update(mod.QUERIES)
-    missing = [n for n in _WINDOW_R06 if n not in merged]
+    missing = [n for n in _WINDOW_R07 if n not in merged]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R06}
+    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R07}
     out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
 
 
 def held_queries() -> list[str]:
     """Registered queries with no driver CORRECTNESS row once the
-    round-6 window runs — DERIVED from the registry minus every windowed
+    round-7 window runs — DERIVED from the registry minus every windowed
     name, replacing the hand-synced prose list the r5 verdict flagged
     (What's wrong #2). test_coverage asserts this equals the pinned
-    R07+R08 plan, so any drift between plan and backlog fails loudly."""
-    windowed = _EVER_WINDOWED_PRE_R06 | set(_WINDOW_R06)
+    R08 lead exactly, so any drift between plan and backlog fails
+    loudly."""
+    windowed = _EVER_WINDOWED_PRE_R06 | set(_WINDOW_R06) | set(_WINDOW_R07)
     return sorted(n for n in all_queries() if n not in windowed)
 
 

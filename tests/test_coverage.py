@@ -46,56 +46,71 @@ def test_documented_counts_match_registry():
     )
 
 
-def test_r06_window_leads_registry():
+def test_r07_window_leads_registry():
     """The driver checks the first 50 registry entries; the pinned
-    window must lead the iteration order, and every entry must be
-    oracle-backed EXCEPT the four rows-only graph/BPE ops deliberately
-    spent on executes-under-driver evidence this round. All 50 must be
-    first-timers (never in a CORRECTNESS window before) — the whole
-    point of the r6 window is burning the never-windowed backlog."""
+    round-7 window (pinned as data in round 6, executed unchanged in
+    round 7 per the r6 verdict's task 1) must lead the iteration order,
+    and every entry must be oracle-backed EXCEPT the four rows-only
+    ops deliberately spent on executes-under-driver evidence
+    (q_dbscan, q_pca_power, q_pq_ann, q_bpe_encode — each with a local
+    golden). All 50 must be first-timers (never in a CORRECTNESS window
+    before) — rounds 6-8 burn the never-windowed backlog to zero."""
     from louvain_modularity_spark.registry import (
         _EVER_WINDOWED_PRE_R06,
         _WINDOW_R06,
-        _WINDOW_ROWS_ONLY,
+        _WINDOW_R07,
+        _WINDOW_R07_ROWS_ONLY,
     )
 
     q, o = all_queries(), all_oracles()
-    assert list(q)[: len(_WINDOW_R06)] == _WINDOW_R06
-    assert len(_WINDOW_R06) == 50 == len(set(_WINDOW_R06))
-    not_backed = [n for n in _WINDOW_R06 if n not in o]
-    assert not_backed == _WINDOW_ROWS_ONLY, (
+    assert list(q)[: len(_WINDOW_R07)] == _WINDOW_R07
+    assert len(_WINDOW_R07) == 50 == len(set(_WINDOW_R07))
+    not_backed = [n for n in _WINDOW_R07 if n not in o]
+    assert sorted(not_backed) == sorted(_WINDOW_R07_ROWS_ONLY), (
         f"unplanned rows-only queries in driver window: "
-        f"{sorted(set(not_backed) - set(_WINDOW_ROWS_ONLY))}"
+        f"{sorted(set(not_backed) - set(_WINDOW_R07_ROWS_ONLY))}"
     )
-    repeats = set(_WINDOW_R06) & _EVER_WINDOWED_PRE_R06
-    assert not repeats, f"r06 window wastes slots on already-windowed: {sorted(repeats)}"
+    repeats = set(_WINDOW_R07) & (_EVER_WINDOWED_PRE_R06 | set(_WINDOW_R06))
+    assert not repeats, f"r07 window wastes slots on already-windowed: {sorted(repeats)}"
 
 
-def test_held_set_equals_pinned_r07_r08_plan():
+def test_held_set_equals_pinned_r08_plan():
     """The r5 verdict (What's wrong #2): the held-for-later inventory
     must be DERIVED, not a hand-synced prose comment. held_queries()
-    computes registry minus every windowed name; it must equal the
-    pinned round-7 window plus the round-8 lead exactly, and the three
-    windows must be mutually disjoint."""
+    computes registry minus every windowed name; after the r7 window it
+    must equal the pinned round-8 lead exactly, the windows must be
+    mutually disjoint, and the full round-8 window (lead + staleness
+    rotation, pinned per the r6 verdict's task 5) must be 50 distinct
+    registered names whose rotation slots all come from the stale
+    r1/r2 cohort (subset of _EVER_WINDOWED_PRE_R06)."""
     from louvain_modularity_spark.registry import (
         _EVER_WINDOWED_PRE_R06,
         _WINDOW_R06,
-        _WINDOW_R07_PLAN,
+        _WINDOW_R07,
+        _WINDOW_R08,
         _WINDOW_R08_LEAD,
+        _WINDOW_R08_ROTATION,
         held_queries,
     )
 
     held = held_queries()
-    plan = sorted(_WINDOW_R07_PLAN + _WINDOW_R08_LEAD)
+    plan = sorted(_WINDOW_R08_LEAD)
     assert held == plan, (
         f"backlog/plan drift: held-not-planned="
         f"{sorted(set(held) - set(plan))}, "
         f"planned-not-held={sorted(set(plan) - set(held))}"
     )
-    assert len(_WINDOW_R07_PLAN) == 50 == len(set(_WINDOW_R07_PLAN))
+    assert len(_WINDOW_R07) == 50 == len(set(_WINDOW_R07))
+    assert len(_WINDOW_R08) == 50 == len(set(_WINDOW_R08))
     assert len(_WINDOW_R08_LEAD) == 9 == len(set(_WINDOW_R08_LEAD))
-    assert not set(_WINDOW_R07_PLAN) & set(_WINDOW_R08_LEAD)
-    assert not set(_WINDOW_R07_PLAN) & set(_WINDOW_R06)
+    assert not set(_WINDOW_R07) & set(_WINDOW_R08)
+    assert not set(_WINDOW_R07) & set(_WINDOW_R06)
+    # rotation slots re-verify stale r1/r2 greens, never-windowed names
+    # must all be in the lead — no wasted or double-counted slot
+    assert set(_WINDOW_R08_ROTATION) <= _EVER_WINDOWED_PRE_R06
+    assert not set(_WINDOW_R08_LEAD) & (_EVER_WINDOWED_PRE_R06 | set(_WINDOW_R06) | set(_WINDOW_R07))
+    unknown_r08 = set(_WINDOW_R08) - set(all_queries())
+    assert not unknown_r08, f"r08 window names not registered: {sorted(unknown_r08)}"
     # historical frozen set stays consistent with the registry: every
     # name in it is still registered (no silent rename/removal)
     unknown = _EVER_WINDOWED_PRE_R06 - set(all_queries())
