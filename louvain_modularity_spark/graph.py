@@ -438,25 +438,35 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
     )
-    # total order: rank by (degree, id); orient edges rank-up
-    w = Window.orderBy("deg", "id")
-    rank = deg.select("id", F.row_number().over(w).alias("r"))
-    ra = rank.select(F.col("id").alias("a"), F.col("r").alias("ra"))
-    rb = rank.select(F.col("id").alias("b"), F.col("r").alias("rb"))
+    # Total order WITHOUT ranking: (deg, id) is already a total order
+    # over vertices, so orient each edge by the composite struct
+    # comparison directly — two partitioned degree joins, no
+    # row_number(), no single-partition global Window (the r6 verdict's
+    # one scale-killer: one task sorting 10^9 vertices). The oriented
+    # edge keeps its head's (deg, id) so downstream comparisons stay in
+    # the same order.
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    a_first = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
     o = (
-        und.join(ra, "a")
-        .join(rb, "b")
+        und.join(da, "a")
+        .join(db, "b")
         .select(
-            F.least("ra", "rb").alias("lo"), F.greatest("ra", "rb").alias("hi")
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("hd"),
         )
     )
     wedges = (
         o.alias("x")
         .join(o.alias("y"), "lo")
-        .filter(F.col("x.hi") < F.col("y.hi"))
+        .filter(
+            F.struct(F.col("x.hd"), F.col("x.hi"))
+            < F.struct(F.col("y.hd"), F.col("y.hi"))
+        )
         .select(F.col("x.hi").alias("lo"), F.col("y.hi").alias("hi"))
     )
-    return wedges.join(o, ["lo", "hi"]).agg(
+    return wedges.join(o.select("lo", "hi"), ["lo", "hi"]).agg(
         F.count("*").alias("n_triangles")
     )
 

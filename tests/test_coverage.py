@@ -912,3 +912,21 @@ def test_ohlc_and_pipe_plan_shapes(spark):
         df_plan,
     )
     assert "HashAggregate" in pipe_plan, pipe_plan
+
+
+def test_triangle_count_no_global_window(spark):
+    """The r6 verdict's one scale-killer: the old degree orientation
+    ranked ALL vertices with row_number() over an unpartitioned Window
+    — one task sorting the whole vertex set at 10^9 vertices. The
+    rewrite orients by the composite (deg, id) struct comparison via
+    two partitioned degree joins; the physical plan must contain no
+    Window operator (and hence no single-partition sort) at all."""
+    from louvain_modularity_spark.graph import q_triangle_count
+
+    plan = (
+        q_triangle_count(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
