@@ -2211,20 +2211,27 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         # merge touching components: min-label propagation over the
         # chosen component edges (a pseudo-forest: ≤1 chosen edge per
         # component, so this closes in O(log chain) tiny rounds)
+        # ONE canonical orientation (a < b): the threshold below then
+        # counts true undirected merge edges (the r6 advice: the old
+        # symmetric ce made the effective cap half the constant and
+        # collected every edge twice); the distributed branch
+        # symmetrizes on demand since min-label propagation needs both
+        # directions.
         ce = (
             best.join(cu, "u")
             .join(cv, "v")
-            .select(F.col("cu").alias("a"), F.col("cv").alias("b"))
-        )
-        ce = (
-            ce.unionByName(ce.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .select(
+                F.least("cu", "cv").alias("a"), F.greatest("cu", "cv").alias("b")
+            )
             .distinct()
             .localCheckpoint(eager=True)
         )
         ce_rows = ce.count()
         if ce_rows <= MST_INLINE_MERGE_EDGES:
             # in-driver union-find with min-id roots — identical labels
-            # to the min-propagation fixpoint (min id per component)
+            # to the min-propagation fixpoint (min id per component).
+            # toLocalIterator + tuple unpacking streams one partition
+            # at a time instead of materializing ce_rows Row objects.
             parent: dict = {}
 
             def _find(x):
@@ -2234,14 +2241,20 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
                     x = parent[x]
                 return x
 
-            for r in ce.collect():
-                ra, rb = _find(r["a"]), _find(r["b"])
+            for a, b in ((r[0], r[1]) for r in ce.toLocalIterator()):
+                ra, rb = _find(a), _find(b)
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
             lbl = spark.createDataFrame(
                 [(c, _find(c)) for c in parent], "c LONG, lbl LONG"
             )
         else:
+            ce = (
+                ce.unionByName(
+                    ce.select(F.col("b").alias("a"), F.col("a").alias("b"))
+                )
+                .localCheckpoint(eager=True)
+            )
             lbl = (
                 ce.select(F.col("a").alias("c"))
                 .distinct()

@@ -231,6 +231,17 @@ class LouvainResult:
     n_levels: int = 0
 
 
+#: grouping budget for _numpy_prepass: below this many
+#: (node × live-community) slots the per-(u,c) sums come from ONE dense
+#: bincount + nonzero scan, O(E+nC) — communities collapse fast, so
+#: every round after the first is far cheaper than the O(E log E) sort
+#: it replaces (measured 6.7 s → ~2 s on the 587k-edge sf0.1
+#: co-purchase level, bit-identical trajectory). Module-level (r6
+#: advice) so tests can monkeypatch it to force the sparse branch and
+#: pin dense/sparse parity, like MST_INLINE_MERGE_EDGES.
+_PREPASS_DENSE_BUDGET = 40_000_000
+
+
 def _numpy_prepass(
     cur_edges: list[tuple[int, int, float]], gamma: float, seed: int
 ) -> dict[int, int]:
@@ -255,25 +266,24 @@ def _numpy_prepass(
     deg = np.zeros(n)
     np.add.at(deg, s, w)
     np.add.at(deg, d, w)  # self-loop rows (s==d) land twice, matching NX degree
-    nonloop = s != d
-    u = np.concatenate([s[nonloop], d[nonloop]])
-    v = np.concatenate([d[nonloop], s[nonloop]])
-    ww = np.concatenate([w[nonloop], w[nonloop]])
+    # zero-weight edges are filtered from the CANDIDATE set (not the
+    # degree sums, where they add 0) so the dense branch's flatnonzero
+    # scan and the sparse branch's key grouping see the exact same
+    # (node, community) slots — the r6 advice's divergence. Weights are
+    # non-negative by the Louvain contract, so w > 0 is exhaustive.
+    cand_mask = (s != d) & (w > 0)
+    u = np.concatenate([s[cand_mask], d[cand_mask]])
+    v = np.concatenate([d[cand_mask], s[cand_mask]])
+    ww = np.concatenate([w[cand_mask], w[cand_mask]])
     com = np.arange(n, dtype=np.int64)
     eps = 1.0 / (4.0 * m * m)
     two_m2 = 2.0 * m * m
-    # grouping budget: below this many (node × live-community) slots the
-    # per-(u,c) sums come from ONE dense bincount + nonzero scan, O(E+nC)
-    # — communities collapse fast, so every round after the first is far
-    # cheaper than the O(E log E) sort it replaces (measured 6.7 s → ~2 s
-    # on the 587k-edge sf0.1 co-purchase level, bit-identical trajectory)
-    dense_budget = 40_000_000
     for rnd in range(16):
         # dense-rank the live communities: C shrinks every round, so the
         # composite key (u, rank) spans n*C ≪ n² and usually fits int32
         coms, cr = np.unique(com, return_inverse=True)
         C = len(coms)
-        if n * C <= dense_budget:
+        if n * C <= _PREPASS_DENSE_BUDGET:
             w2c_dense = np.bincount(u * C + cr[v], weights=ww, minlength=n * C)
             uk = np.flatnonzero(w2c_dense)  # ascending = pu-major, rank-asc
             w2c = w2c_dense[uk]

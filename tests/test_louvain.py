@@ -378,3 +378,29 @@ def test_leiden_refine_invariants(spark):
         "id LONG, community LONG",
     )
     assert modularity(edges, ref_df) >= modularity(edges, orig_df) - 1e-9
+
+
+def test_prepass_dense_sparse_branches_agree(monkeypatch):
+    """The r6 advice: _numpy_prepass's sparse grouping branch (the one
+    that actually runs on large first levels where n*C exceeds the
+    dense budget) must produce the exact assignment of the dense
+    bincount branch. Forced via the module-level budget constant, like
+    MST_INLINE_MERGE_EDGES. The graph includes zero-weight edges to pin
+    the candidate-set alignment (zero-weight slots are filtered from
+    BOTH branches, not silently dropped by flatnonzero in one)."""
+    import random
+
+    import louvain_modularity_spark.louvain as L
+
+    rng = random.Random(7)
+    n = 400
+    edges = [
+        (rng.randrange(n), rng.randrange(n), float(rng.randint(0, 3)))
+        for _ in range(3000)
+    ]  # weight 0 edges included on purpose
+    edges += [(i, (i + 1) % n, 2.0) for i in range(n)]  # keep it connected
+    dense = L._numpy_prepass(edges, 1.0, 42)
+    monkeypatch.setattr(L, "_PREPASS_DENSE_BUDGET", 0)
+    sparse = L._numpy_prepass(edges, 1.0, 42)
+    assert dense == sparse
+    assert len({c for c in dense.values()}) < n  # it actually moved nodes
