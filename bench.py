@@ -83,6 +83,13 @@ HEADLINE = SHARED_R02 + [
     "q_substring_dup",
     "q_assoc_rules",
     "q_mst_boruvka",
+    # round 7 adds the last two expensive synchronized-round shapes that
+    # were measured only in SCALE.md prose (VERDICT r6 item 4): HITS
+    # (dual hub/authority power iteration with per-round normalization
+    # scalars) and grid-DBSCAN (cell-bucketed neighbor counting + CC
+    # merge over core cells)
+    "q_hits",
+    "q_dbscan",
 ]
 
 #: noisiest entries under this VM's CPU-steal (±30% swings on unchanged
