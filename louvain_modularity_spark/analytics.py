@@ -1401,10 +1401,20 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrency per event type: each event opens a 15-minute
     interval; how many overlap at the worst moment? The naive plan is
     an O(n²) self-range-join; the sweep-line identity turns it into ±1
-    deltas and ONE running sum per type — one shuffle on the partition
-    key, state O(1) per row. Delta order is pinned (time, then closes
-    before opens, then event_id) so both engines walk the identical
-    sequence; end-exclusive interval semantics."""
+    deltas and running sums. A single per-type running sum would put
+    EVERY delta of a type in one sorted partition (event_type is
+    low-cardinality, so that partition is data-proportional — the r6
+    window-bound audit's one offender in this file); the sweep is
+    therefore day-chunked: the running sum partitions on (type, day)
+    — bounded by one day's events per type — and per-day prefixes are
+    stitched with a carry-in window over the per-(type, day) AGGREGATE
+    table, whose group size is the day domain, never data. Identity:
+    global running sum at a row = carry-in (Σ of previous days' totals)
+    + within-day running sum, because (day, t, d, event_id) ordering
+    equals the global (t, d, event_id) ordering (day is monotone in t).
+    Delta order is pinned (time, then closes before opens, then
+    event_id) so both engines walk the identical sequence;
+    end-exclusive interval semantics."""
     e = load(spark, sf_dir, "events")
     opens = e.select(
         "event_type",
@@ -1418,15 +1428,36 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).alias("d"),
         "event_id",
     )
-    w = (
-        Window.partitionBy("event_type")
+    deltas = opens.unionByName(closes).withColumn(
+        "day", (F.col("t") / F.lit(DAY_US)).cast("long")
+    )
+    w_day = (
+        Window.partitionBy("event_type", "day")
         .orderBy("t", "d", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    run = opens.unionByName(closes).withColumn("concurrent", F.sum("d").over(w))
-    return run.groupBy("event_type").agg(
-        F.max("concurrent").alias("max_concurrent"),
-        F.expr("count(*) div 2").alias("n_events"),
+    per_day = (
+        deltas.withColumn("run_in_day", F.sum("d").over(w_day))
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("run_in_day").alias("day_max"),
+            F.sum("d").alias("day_total"),
+            F.count("*").alias("n_deltas"),
+        )
+    )
+    # carry-in prefix over the per-day aggregate: group size = days per
+    # type (bounded by the calendar), never event rows
+    w_carry = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = per_day.withColumn(
+        "carry", F.coalesce(F.sum("day_total").over(w_carry), F.lit(0).cast("long"))
+    )
+    return carried.groupBy("event_type").agg(
+        F.max(F.col("carry") + F.col("day_max")).alias("max_concurrent"),
+        F.expr("sum(n_deltas) div 2").alias("n_events"),
     )
 
 
@@ -2421,6 +2452,9 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+    # group size = scored neighbors per probe item: bounded by the
+    # probe item's co-occurrence degree (≤ orders containing i × ≤7
+    # items/basket), never the catalog (r6 window-bound audit)
     w = Window.partitionBy("i").orderBy(F.desc("cosine"), F.asc("j"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -556,6 +556,17 @@ def test_round5_scale_shapes(spark):
     )
     assert "collect_set" not in plan
     assert "HashAggregate" in plan
+    # interval overlap's sweep must stay day-chunked: every Window
+    # over event rows partitions on (event_type, day), never on
+    # event_type alone (whose partition would be data-proportional)
+    plan = (
+        q_interval_overlap(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    )
+    import re as _re
+
+    for spec in _re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        if "run_in_day" in plan and "day" not in spec:
+            raise AssertionError(f"un-chunked window spec: {spec}")
 
 
 def _plan_of(fn, spark, sf="/root/testdata/sf0.001"):
