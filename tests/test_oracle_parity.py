@@ -30,6 +30,37 @@ QUERIES = all_queries()
 ORACLES = all_oracles()
 ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
 
+
+def _driver_green() -> set[str]:
+    """Names with a full rows+schema+hash-green row in ANY driver
+    CORRECTNESS file. The driver runs its comparison at sf0.01, so for
+    these queries a local sf0.01 re-run duplicates external evidence;
+    they keep only the cheap sf0.001 canary (catches code regressions;
+    sf-dependent tie hazards were audited registry-wide in r6, and the
+    pinned r8 staleness rotation re-drives the oldest greens). Queries
+    the driver has NEVER hash-verified keep BOTH scales — local
+    two-scale parity is their only value evidence. This split is the
+    r6 verdict's suite-budget lever (task 3): it cut ~200 sf0.01
+    comparisons from the session pool."""
+    import glob
+    import json
+
+    green: set[str] = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        for name, row in json.load(open(path)).items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(name)
+    return green
+
+
+DRIVER_GREEN = _driver_green()
+BOTH_SCALES = sorted(set(ORACLES) - DRIVER_GREEN)
+
 #: in-flight comparisons; latency-bound, so well above core-count ÷ 1
 #: (raised 8 → 12 as the registry passed 250 queries, 12 → 16 as it
 #: passed 290, 16 → 20 in round 6, to hold the full-suite wall clock
@@ -72,10 +103,15 @@ def parity_results(spark):
     results = {}
     with ThreadPoolExecutor(max_workers=_POOL) as ex:
         futs = {
-            (name, sf): ex.submit(one_compare, name, sf)
+            (name, SF_DIR): ex.submit(one_compare, name, SF_DIR)
             for name in sorted(ORACLES)
-            for sf in (SF_DIR, SF01_DIR)
         }
+        futs.update(
+            {
+                (name, SF01_DIR): ex.submit(one_compare, name, SF01_DIR)
+                for name in BOTH_SCALES
+            }
+        )
         futs.update(
             {(name, "rows"): ex.submit(one_rows, name) for name in ROWS_ONLY}
         )
@@ -96,10 +132,13 @@ def test_rows_only_runs(parity_results, name):
     assert ok, msg
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize("name", BOTH_SCALES)
 def test_oracle_parity_sf001(parity_results, name):
     """Same parity at sf0.01 — the scale the driver compares at;
     catches scale-dependent divergence (bin bounds, top-k ties) that
-    sf0.001 can't."""
+    sf0.001 can't. Restricted to queries the DRIVER has never
+    hash-verified (see _driver_green): for driver-green names the
+    external sf0.01 evidence already exists and is refreshed by the
+    pinned staleness rotation."""
     ok, msg = parity_results[(name, SF01_DIR)]
     assert ok, msg

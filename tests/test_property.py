@@ -38,6 +38,17 @@ _SETTINGS = settings(
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 
+#: the iterative algorithms (Louvain levels, fixpoint layering) run a
+#: full multi-round Spark job chain PER EXAMPLE (~2 s each); 7 random
+#: examples per round keeps their semantic sweep while holding the
+#: suite under the 10-minute budget (r6 verdict task 3) — coverage
+#: accumulates across rounds since hypothesis reseeds per run
+_SETTINGS_ITERATIVE = settings(
+    max_examples=7,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
 
 def _spark_graph(spark, raw_edges):
     """Canonical undirected simple graph from a raw (src, dst, w) list:
@@ -70,7 +81,7 @@ def _spark_graph(spark, raw_edges):
     return canon, g
 
 
-@_SETTINGS
+@_SETTINGS_ITERATIVE
 @given(raw=edges_strategy, labels=labels_strategy)
 def test_modularity_matches_networkx(spark, raw, labels):
     """Q(assignment) computed by the distributed aggregates equals
@@ -91,7 +102,7 @@ def test_modularity_matches_networkx(spark, raw, labels):
     assert got == pytest.approx(expected, abs=1e-9)
 
 
-@_SETTINGS
+@_SETTINGS_ITERATIVE
 @given(raw=edges_strategy)
 def test_louvain_partition_is_valid_and_improves(spark, raw):
     """louvain_communities returns a true partition of the vertex set
@@ -134,7 +145,7 @@ def test_degrees_match_networkx(spark, raw):
     assert got == expected
 
 
-@_SETTINGS
+@_SETTINGS_ITERATIVE
 @given(raw=edges_strategy)
 def test_topo_layers_matches_networkx(spark, raw):
     """Longest-path DAG layering equals networkx's per-node longest
