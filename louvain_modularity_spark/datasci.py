@@ -2759,27 +2759,85 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is ONE double expression from three exact integers, no
     cross-row double sums, ROUNDed once.
 
-    100 TB shape: two rank windows (per-group and pooled) + an equi
-    join on the pooled rank index — rank-matching, not sort-merge of
-    the whole corpus through the driver; the probe filter bounds the
-    OUTPUT, not the computation.
+    100 TB shape: both ranks (per-group and pooled) are DISTRIBUTED —
+    range-chunked local row_numbers stitched with partition-count-sized
+    prefix-offset tables (see the inline note) — + an equi join on the
+    pooled rank index; no single sorted partition ever holds the corpus
+    or a full event type. The probe filter bounds the OUTPUT, not the
+    computation.
     """
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", _value_cents("value").alias("c")
     )
-    w_g = Window.partitionBy("event_type").orderBy("c", "event_id")
-    n_g = Window.partitionBy("event_type")
-    ranked = e.select(
+    # Distributed rank (r7): the straight formulation — ROW_NUMBER over
+    # ORDER BY (c, event_id) pooled, and per-type windows partitioned
+    # only by the low-cardinality event_type — puts the WHOLE corpus
+    # (or a type's full slice) through single sorted partitions. Range-
+    # partition on the sort key instead; every rank then decomposes as
+    # (prefix offset of the range chunk) + (rank within the chunk):
+    # both the pooled and per-type windows below partition on pid
+    # (chunk size ≈ N / shuffle-partitions by construction), and the
+    # offsets come from per-(pid[, type]) COUNT tables whose size is
+    # the partition-count domain — the same bounded-stitch pattern as
+    # q_interval_overlap's day-chunked sweep. Ranks are unchanged:
+    # (c, event_id) is a total order and range chunks are ascending,
+    # so chunk-prefix + local rank == global rank.
+    n_chunks = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    r = (
+        e.repartitionByRange(n_chunks, "c", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_pool_local = Window.partitionBy("pid").orderBy("c", "event_id")
+    w_type_local = Window.partitionBy("pid", "event_type").orderBy("c", "event_id")
+    local = r.select(
         "event_id",
         "event_type",
         "c",
-        F.row_number().over(w_g).alias("rn"),
-        F.count("*").over(n_g).alias("ng"),
+        "pid",
+        F.row_number().over(w_pool_local).alias("lrn"),
+        F.row_number().over(w_type_local).alias("lrn_g"),
+    )
+    chunk_counts = r.groupBy("pid", "event_type").agg(F.count("*").alias("n"))
+    # offset tables: ≤ n_chunks × |types| rows — partition-count-sized
+    w_pool_off = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pool_off = (
+        chunk_counts.groupBy("pid")
+        .agg(F.sum("n").alias("n"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("n").over(w_pool_off), F.lit(0)).alias("off"),
+        )
+    )
+    w_type_off = (
+        Window.partitionBy("event_type")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    type_off = chunk_counts.select(
+        "pid",
+        "event_type",
+        F.coalesce(F.sum("n").over(w_type_off), F.lit(0)).alias("off_g"),
+    )
+    ng_tbl = chunk_counts.groupBy("event_type").agg(F.sum("n").alias("ng"))
+    ranked = (
+        local.join(F.broadcast(pool_off), "pid")
+        .join(F.broadcast(type_off), ["pid", "event_type"])
+        .join(F.broadcast(ng_tbl), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "c",
+            (F.col("off_g") + F.col("lrn_g")).alias("rn"),
+            "ng",
+            (F.col("off") + F.col("lrn")).alias("pool_rn"),
+        )
     )
     tot = e.agg(F.count("*").alias("n_tot"))
-    pooled = e.select(
-        F.col("c").alias("pc"),
-        (F.row_number().over(Window.orderBy("c", "event_id")) - 1).alias("k"),
+    pooled = ranked.select(
+        F.col("c").alias("pc"), (F.col("pool_rn") - 1).alias("k")
     )
     p = (F.col("rn") - 1).cast("double") / (F.col("ng") - 1).cast("double")
     pos = p * (F.col("n_tot") - 1).cast("double")

@@ -941,3 +941,21 @@ def test_triangle_count_no_global_window(spark):
         .toString()
     )
     assert "Window" not in plan, plan
+
+
+def test_quantile_normalize_distributed_rank(spark):
+    """The pooled/per-type ranks must come from the range-chunked
+    formulation (local row_numbers + prefix-offset stitch), never a
+    single sorted partition of the corpus: the plan must contain the
+    RangePartitioning exchange, and every window over event rows must
+    partition on the chunk id (the offset windows run over the
+    partition-count-domain aggregate, which is bounded)."""
+    from louvain_modularity_spark.datasci import q_quantile_normalize
+
+    plan = (
+        q_quantile_normalize(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower(), plan
