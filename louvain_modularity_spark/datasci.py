@@ -2557,33 +2557,42 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     one value-frequency aggregate; σ and z combine those integers in
     doubles with identical parenthesization behind one ROUND.
 
-    100 TB shape: one filter-pushed scan, one shuffle to rank the
-    combined sample (a single global sort at this fixture size;
-    at scale the rank comes from the two-pass histogram-offset plan
-    q_equi_depth_hist uses), one value-frequency aggregate for ties.
+    100 TB shape (r7, the plan the r6 docstring promised): the corpus
+    collapses to the per-distinct-value histogram in ONE map-side-
+    combined aggregate carrying both the group-A count and the tie
+    count; the midrank walk is a window over the HISTOGRAM (value-
+    domain-sized, never event rows — every A-row at value v has
+    2·midrank = 2·cum_before(v) + t_v + 1, so Σ midranks decomposes
+    over the histogram exactly); the final reduce is a 4-scalar
+    aggregate. No row-level global sort ever happens — the same
+    histogram-offset plan as q_auc_rank.
     """
     e = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type").isin(MW_GROUP_A, MW_GROUP_B))
         .select("event_type", _value_cents("value").alias("c"))
     )
-    w_val = Window.orderBy("c")
-    w_tie = Window.partitionBy("c")
-    ranked = e.select(
-        "event_type",
-        (2 * F.rank().over(w_val) + F.count("*").over(w_tie) - F.lit(1)).alias("r2"),
+    freq = e.groupBy("c").agg(
+        F.count("*").alias("t"),
+        F.sum(
+            F.when(F.col("event_type") == MW_GROUP_A, 1).otherwise(0)
+        ).alias("a_cnt"),
     )
-    ties = (
-        e.groupBy("c")
-        .agg(F.count("*").alias("t"))
-        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_sum"))
+    win = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = freq.select(
+        "t",
+        "a_cnt",
+        F.coalesce(F.sum("t").over(win), F.lit(0)).alias("cum_before"),
     )
-    stats = ranked.groupBy().agg(
-        F.sum(F.when(F.col("event_type") == MW_GROUP_A, F.col("r2"))).alias("r1_2"),
-        F.sum(F.when(F.col("event_type") == MW_GROUP_A, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("event_type") == MW_GROUP_B, 1).otherwise(0)).alias("n2"),
+    j = ranked.agg(
+        F.sum(
+            F.col("a_cnt")
+            * (F.lit(2) * F.col("cum_before") + F.col("t") + F.lit(1))
+        ).alias("r1_2"),
+        F.sum("a_cnt").alias("n1"),
+        (F.sum("t") - F.sum("a_cnt")).alias("n2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_sum"),
     )
-    j = stats.crossJoin(F.broadcast(ties))
     n1 = F.col("n1").cast("double")
     n2 = F.col("n2").cast("double")
     n = n1 + n2
@@ -2645,9 +2654,12 @@ def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
     μ, σ², and z combine exact integers in doubles with identical
     parenthesization behind one ROUND.
 
-    100 TB shape: fact → per-user collapse (one shuffle), the rank
-    runs over the USER table not the fact table, tie aggregate on the
-    |d| domain. Same two-aggregate skeleton as q_mann_whitney.
+    100 TB shape (r7): fact → per-user collapse (one shuffle), then
+    the |d| HISTOGRAM (one map-side-combined aggregate carrying the
+    positive-d count per |d|) and a midrank walk over that histogram —
+    2·midrank(|d|) = 2·cum_before + t + 1, so W⁺ decomposes exactly
+    over (|d|, pos_cnt) rows; no row-level rank window over the user
+    table. Same histogram-offset plan as q_auc_rank/q_mann_whitney.
     """
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin(MW_GROUP_A, MW_GROUP_B)
@@ -2667,23 +2679,23 @@ def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") != 0)
     )
     absd = F.abs(F.col("d"))
-    ranked = per_user.select(
-        "d",
-        (
-            2 * F.rank().over(Window.orderBy(absd))
-            + F.count("*").over(Window.partitionBy(absd))
-            - F.lit(1)
-        ).alias("r2"),
-        absd.alias("ad"),
+    freq = per_user.groupBy(absd.alias("ad")).agg(
+        F.count("*").alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("pos_cnt"),
     )
-    ties = (
-        per_user.groupBy(absd.alias("ad"))
-        .agg(F.count("*").alias("t"))
-        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_sum"))
+    win = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = freq.select(
+        "t",
+        "pos_cnt",
+        F.coalesce(F.sum("t").over(win), F.lit(0)).alias("cum_before"),
     )
-    stats = ranked.groupBy().agg(
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("d") > 0, F.col("r2")).otherwise(0)).alias("wp_2"),
+    stats = ranked.agg(
+        F.sum("t").alias("n"),
+        F.sum(
+            F.col("pos_cnt")
+            * (F.lit(2) * F.col("cum_before") + F.col("t") + F.lit(1))
+        ).alias("wp_2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_sum"),
     )
     n = F.col("n").cast("double")
     w_plus = F.col("wp_2").cast("double") / 2.0
@@ -2691,13 +2703,10 @@ def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma_sq = n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - F.col(
         "tie_sum"
     ).cast("double") / 48.0
-    return (
-        stats.crossJoin(F.broadcast(ties))
-        .select(
-            F.col("n").cast("long").alias("n_pairs"),
-            F.round(w_plus, 1).alias("w_plus"),
-            F.round((w_plus - mu) / F.sqrt(sigma_sq), 4).alias("z_score"),
-        )
+    return stats.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(w_plus, 1).alias("w_plus"),
+        F.round((w_plus - mu) / F.sqrt(sigma_sq), 4).alias("z_score"),
     )
 
 
