@@ -420,18 +420,71 @@ WHERE b_key IS NOT NULL AND levenshtein(a_name, b_name) <= {SNM_MAX_DIST}
 # ---------------------------------------------------------------------------
 
 
+def chunked_global_rank(df: DataFrame, sort_cols, rank_name: str = "rn") -> DataFrame:
+    """Global ROW_NUMBER over a TOTAL order ``sort_cols`` without a
+    single-partition window — the reusable distributed-rank kernel
+    (r7): range-partition on the sort key (chunk size ≈ N /
+    shuffle-partitions by construction, ascending chunks), rank
+    locally per chunk, then stitch with a partition-count-sized
+    prefix-offset table broadcast back. chunk-prefix + local rank ==
+    global rank because range chunks respect the sort order. The
+    checkpoint pins ONE materialization of the chunk assignment so the
+    rank pass and the count pass can never see different range bounds.
+    Used by q_rfm; q_quantile_normalize inlines the same pattern
+    because it additionally derives per-group ranks from the same
+    chunking."""
+    spark = df.sparkSession
+    n_chunks = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    r = (
+        df.repartitionByRange(n_chunks, *sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*sort_cols)
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        r.groupBy("_pid")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+        )
+    )
+    return (
+        r.join(F.broadcast(off), "_pid")
+        .withColumn(rank_name, F.col("_off") + F.row_number().over(w_local))
+        .drop("_pid", "_off")
+    )
+
+
+def _ntile_expr(rn, n, k: int):
+    """Exact SQL NTILE(k) from a global rank and the row count: the
+    first n%k buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋ — integer
+    arithmetic (floor-division operands stay far below 2^53, so the
+    double floor is exact), no window."""
+    q = F.floor(n / F.lit(k)).cast("long")
+    r = (n % F.lit(k)).cast("long")
+    head = r * (q + 1)
+    return (
+        F.when(rn <= head, F.floor((rn - 1) / (q + 1)))
+        .otherwise(r + F.floor((rn - head - 1) / q))
+        .cast("long")
+        + 1
+    )
+
+
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency / frequency / monetary
     from the orders fact, quintile scores (ntile with a custkey
     tiebreak so every rank is total-ordered and engine-independent),
     a rule-based segment label, and a per-segment rollup.
 
-    100 TB shape: the fact collapses to one row per customer first
-    (map-side combine), so the three ntile windows sort the CUSTOMER
-    DIMENSION, not the fact; at dimension cardinalities where even
-    that sort hurts, the quantile boundaries would come from one
-    exact-percentile aggregate as in q_equi_depth_hist. Monetary is
-    summed as DECIMAL — exact and order-independent.
+    100 TB shape (r7): the fact collapses to one row per customer
+    first (map-side combine); each quintile then comes from the
+    DISTRIBUTED rank kernel (chunked_global_rank: range chunks +
+    prefix-offset stitch) and the exact-NTILE integer formula — at
+    10⁹ customers no single sorted partition ever holds the dimension
+    (the previous formulation's three global ntile windows each did).
+    Monetary is summed as DECIMAL — exact and order-independent.
     """
     o = load(spark, sf_dir, "orders")
     maxd = o.agg(F.max("o_orderdate").alias("maxd"))
@@ -444,16 +497,22 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("mon"),
         )
     )
-    r_q = F.ntile(5).over(Window.orderBy("rec_days", "o_custkey"))
-    f_q = F.ntile(5).over(Window.orderBy(F.desc("freq"), F.col("o_custkey")))
-    m_q = F.ntile(5).over(Window.orderBy(F.desc("mon"), F.col("o_custkey")))
-    scored = cust.select(
+    n_cust = cust.agg(F.count("*").alias("n_cust"))
+    ranked = chunked_global_rank(cust, [F.asc("rec_days"), F.asc("o_custkey")], "rn_r")
+    ranked = chunked_global_rank(
+        ranked, [F.desc("freq"), F.asc("o_custkey")], "rn_f"
+    )
+    ranked = chunked_global_rank(
+        ranked, [F.desc("mon"), F.asc("o_custkey")], "rn_m"
+    )
+    n = F.col("n_cust")
+    scored = ranked.crossJoin(F.broadcast(n_cust)).select(
         "rec_days",
         "freq",
         "mon",
-        r_q.alias("r_q"),
-        f_q.alias("f_q"),
-        m_q.alias("m_q"),
+        _ntile_expr(F.col("rn_r"), n, 5).alias("r_q"),
+        _ntile_expr(F.col("rn_f"), n, 5).alias("f_q"),
+        _ntile_expr(F.col("rn_m"), n, 5).alias("m_q"),
     )
     seg = (
         F.when(

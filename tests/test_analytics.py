@@ -344,3 +344,37 @@ def test_wilcoxon_and_qnorm_match_pure_python(spark):
     assert sorted(got) == sorted(want)
     for eid in want:
         assert abs(got[eid] - want[eid]) < 1e-6, eid
+
+
+def test_chunked_rank_and_ntile_match_window_forms(spark):
+    """The distributed-rank kernel + exact-NTILE formula must equal
+    Spark's own global row_number/ntile windows on adversarial sizes
+    (n not divisible by k, duplicate sort keys, descending order) —
+    the q_rfm building blocks, pinned against the reference operators
+    they replace."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from louvain_modularity_spark.datasci import _ntile_expr, chunked_global_rank
+
+    for n in (1, 4, 7, 23):
+        rows = [(i, (i * 7) % 5, float((i * 3) % 4)) for i in range(n)]
+        df = spark.createDataFrame(rows, "id LONG, grp LONG, v DOUBLE")
+        order = [F.desc("v"), F.asc("id")]
+        got = {
+            r["id"]: (r["rn"], r["q"])
+            for r in chunked_global_rank(df, order, "rn")
+            .crossJoin(F.broadcast(df.agg(F.count("*").alias("n"))))
+            .select("id", "rn", _ntile_expr(F.col("rn"), F.col("n"), 5).alias("q"))
+            .collect()
+        }
+        w = Window.orderBy(*order)
+        want = {
+            r["id"]: (r["rn"], r["q"])
+            for r in df.select(
+                "id",
+                F.row_number().over(w).alias("rn"),
+                F.ntile(5).over(w).alias("q"),
+            ).collect()
+        }
+        assert got == want, (n, got, want)
