@@ -456,6 +456,43 @@ def chunked_global_rank(df: DataFrame, sort_cols, rank_name: str = "rn") -> Data
     )
 
 
+def chunked_running_sum(
+    df: DataFrame, sort_cols, val_col: str, out_name: str
+) -> DataFrame:
+    """Global running SUM of ``val_col`` over a TOTAL order without a
+    single-partition window — the prefix-aggregate sibling of
+    chunked_global_rank: range-chunk on the sort key, run the sum
+    locally per chunk, and add the broadcast prefix of previous
+    chunks' totals (the same stitch as q_interval_overlap's day
+    carry-in, but with data-adaptive range chunks instead of calendar
+    days). Used by q_pareto_abc's cumulative-revenue staircase."""
+    spark = df.sparkSession
+    n_chunks = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    r = (
+        df.repartitionByRange(n_chunks, *sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        r.groupBy("_pid")
+        .agg(F.sum(val_col).alias("_n"))
+        .select(
+            "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+        )
+    )
+    return (
+        r.join(F.broadcast(off), "_pid")
+        .withColumn(out_name, F.col("_off") + F.sum(val_col).over(w_local))
+        .drop("_pid", "_off")
+    )
+
+
 def _ntile_expr(rn, n, k: int):
     """Exact SQL NTILE(k) from a global rank and the row count: the
     first n%k buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋ — integer
@@ -1887,21 +1924,19 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exact integer cents (5·cum ≤ 4·tot and 20·cum ≤ 19·tot) so the
     class boundary can never flip on float noise.
 
-    100 TB shape: fact collapses to the part dimension map-side; the
-    cumulative window sorts the DIMENSION only (at part cardinalities
-    where that hurts, the equi-depth boundary trick substitutes); the
-    output is the 3-row class rollup.
+    100 TB shape (r7): fact collapses to the part dimension map-side;
+    the cumulative revenue comes from the chunked running-sum kernel
+    (range chunks + broadcast prefix of chunk totals) — no single
+    sorted partition of the part dimension; the output is the 3-row
+    class rollup.
     """
     li = load(spark, sf_dir, "lineitem")
     per = li.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
     )
-    win = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     tot = per.agg(F.sum("cents").alias("tot"))
-    cum = per.select(
-        "l_partkey", "cents", F.sum("cents").over(win).alias("cum")
+    cum = chunked_running_sum(
+        per, [F.desc("cents"), F.asc("l_partkey")], "cents", "cum"
     ).crossJoin(F.broadcast(tot))
     cls = (
         F.when(F.lit(5) * F.col("cum") <= F.lit(4) * F.col("tot"), "A")
@@ -1953,17 +1988,20 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     by key); the rank-weighted sum accumulates in DECIMAL(38,0) cents
     so it cannot overflow int64 or lose a cent at any scale.
 
-    100 TB shape: fact → per-customer cents (map-side), ONE
-    dimension-sized ranking window, one 3-scalar reduce. The final
-    identity is four exact integers and one division.
+    100 TB shape (r7): fact → per-customer cents (map-side), then the
+    rank comes from the distributed-rank kernel (chunked_global_rank —
+    range chunks + prefix-offset stitch, never one sorted partition of
+    the customer dimension), one 3-scalar reduce. The final identity
+    is four exact integers and one division.
     """
     o = load(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    i = F.row_number().over(Window.orderBy(F.asc("cents"), F.asc("o_custkey")))
-    ranked = per.select(
-        "cents", (i.cast("decimal(38,0)") * F.col("cents")).alias("ix")
+    ranked = chunked_global_rank(
+        per, [F.asc("cents"), F.asc("o_custkey")], "i"
+    ).select(
+        "cents", (F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("ix")
     )
     agg = ranked.agg(
         F.count("*").alias("n"),

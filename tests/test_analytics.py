@@ -378,3 +378,26 @@ def test_chunked_rank_and_ntile_match_window_forms(spark):
             ).collect()
         }
         assert got == want, (n, got, want)
+
+
+def test_chunked_running_sum_matches_window_form(spark):
+    """chunked_running_sum must equal Spark's own global running-sum
+    window, including descending order and duplicate sort keys."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from louvain_modularity_spark.datasci import chunked_running_sum
+
+    rows = [(i, (i * 7) % 6, ((i * 13) % 9) + 1) for i in range(37)]
+    df = spark.createDataFrame(rows, "id LONG, v LONG, x LONG")
+    order = [F.desc("v"), F.asc("id")]
+    got = {
+        r["id"]: r["cum"]
+        for r in chunked_running_sum(df, order, "x", "cum").collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["cum"]
+        for r in df.select("id", F.sum("x").over(w).alias("cum")).collect()
+    }
+    assert got == want
