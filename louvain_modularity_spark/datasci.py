@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from .kernels import _ntile_expr, chunked_global_rank, chunked_running_sum
 from .sources import load
 
 # ---------------------------------------------------------------------------
@@ -418,95 +419,6 @@ WHERE b_key IS NOT NULL AND levenshtein(a_name, b_name) <= {SNM_MAX_DIST}
 # ---------------------------------------------------------------------------
 # RFM customer segmentation
 # ---------------------------------------------------------------------------
-
-
-def chunked_global_rank(df: DataFrame, sort_cols, rank_name: str = "rn") -> DataFrame:
-    """Global ROW_NUMBER over a TOTAL order ``sort_cols`` without a
-    single-partition window — the reusable distributed-rank kernel
-    (r7): range-partition on the sort key (chunk size ≈ N /
-    shuffle-partitions by construction, ascending chunks), rank
-    locally per chunk, then stitch with a partition-count-sized
-    prefix-offset table broadcast back. chunk-prefix + local rank ==
-    global rank because range chunks respect the sort order. The
-    checkpoint pins ONE materialization of the chunk assignment so the
-    rank pass and the count pass can never see different range bounds.
-    Used by q_rfm; q_quantile_normalize inlines the same pattern
-    because it additionally derives per-group ranks from the same
-    chunking."""
-    spark = df.sparkSession
-    n_chunks = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
-    r = (
-        df.repartitionByRange(n_chunks, *sort_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    w_local = Window.partitionBy("_pid").orderBy(*sort_cols)
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    off = (
-        r.groupBy("_pid")
-        .agg(F.count("*").alias("_n"))
-        .select(
-            "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
-        )
-    )
-    return (
-        r.join(F.broadcast(off), "_pid")
-        .withColumn(rank_name, F.col("_off") + F.row_number().over(w_local))
-        .drop("_pid", "_off")
-    )
-
-
-def chunked_running_sum(
-    df: DataFrame, sort_cols, val_col: str, out_name: str
-) -> DataFrame:
-    """Global running SUM of ``val_col`` over a TOTAL order without a
-    single-partition window — the prefix-aggregate sibling of
-    chunked_global_rank: range-chunk on the sort key, run the sum
-    locally per chunk, and add the broadcast prefix of previous
-    chunks' totals (the same stitch as q_interval_overlap's day
-    carry-in, but with data-adaptive range chunks instead of calendar
-    days). Used by q_pareto_abc's cumulative-revenue staircase."""
-    spark = df.sparkSession
-    n_chunks = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
-    r = (
-        df.repartitionByRange(n_chunks, *sort_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    w_local = (
-        Window.partitionBy("_pid")
-        .orderBy(*sort_cols)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    off = (
-        r.groupBy("_pid")
-        .agg(F.sum(val_col).alias("_n"))
-        .select(
-            "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
-        )
-    )
-    return (
-        r.join(F.broadcast(off), "_pid")
-        .withColumn(out_name, F.col("_off") + F.sum(val_col).over(w_local))
-        .drop("_pid", "_off")
-    )
-
-
-def _ntile_expr(rn, n, k: int):
-    """Exact SQL NTILE(k) from a global rank and the row count: the
-    first n%k buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋ — integer
-    arithmetic (floor-division operands stay far below 2^53, so the
-    double floor is exact), no window."""
-    q = F.floor(n / F.lit(k)).cast("long")
-    r = (n % F.lit(k)).cast("long")
-    head = r * (q + 1)
-    return (
-        F.when(rn <= head, F.floor((rn - 1) / (q + 1)))
-        .otherwise(r + F.floor((rn - head - 1) / q))
-        .cast("long")
-        + 1
-    )
 
 
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:

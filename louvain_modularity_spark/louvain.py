@@ -1404,11 +1404,21 @@ def q_louvain_dendrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_seeded_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded deterministic visit order (substitute for the reference's
-    seed.shuffle, louvain.py:268-269): rank nodes by xxhash64(seed, id).
-    rows-only: xxhash64 has no DuckDB twin."""
+    seed.shuffle, louvain.py:268-269): rank nodes by xxhash64(seed, id)
+    via the distributed-rank kernel (r7 — the old global row_number
+    window put every vertex in one sorted partition; the hash column
+    is materialized first so the chunk assignment and the local sort
+    rank the identical values). rows-only: xxhash64 has no DuckDB
+    twin."""
+    from .kernels import chunked_global_rank
+
     edges = copurchase_edges(spark, sf_dir)
-    w = Window.orderBy(F.xxhash64(F.lit(42), F.col("id")), F.col("id"))
-    return vertices_of(edges).select("id", F.row_number().over(w).alias("visit_rank"))
+    hashed = vertices_of(edges).select(
+        "id", F.xxhash64(F.lit(42), F.col("id")).alias("h")
+    )
+    return chunked_global_rank(
+        hashed, [F.asc("h"), F.asc("id")], "visit_rank"
+    ).select("id", "visit_rank")
 
 
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
