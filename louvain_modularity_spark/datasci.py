@@ -17,7 +17,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .kernels import _ntile_expr, chunked_global_rank, chunked_running_sum
+from .kernels import (
+    _ntile_expr,
+    chunked_global_rank,
+    chunked_group_rank,
+    chunked_running_sum,
+)
 from .sources import load
 
 # ---------------------------------------------------------------------------
@@ -2494,21 +2499,39 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ(2d)² = 4Σd² accumulates as exact int64 and ρ is ONE final
     double division. Nothing order-dependent crosses the engines.
 
-    100 TB shape: one shuffle on event_type with two in-partition
-    sorts (value rank, time order) — the standard Window pair; the
-    per-group state is the sort run, not a collected list. Groups at
-    scale are date-bucketed to bound partition size.
+    100 TB shape (r7): the VALUE midranks never rank rows — every row
+    with value c in type g has 2·midrank = 2·cum_before(g,c) + t(g,c)
+    + 1, so they come from the per-(type, value) HISTOGRAM (a walk
+    over the domain-sized histogram, joined back on (type, c)); the
+    ARRIVAL rank (tie-free by (ts_us, event_id)) comes from the
+    group-aware distributed-rank kernel (chunked_group_rank) — no
+    event type's full slice ever sits in one sorted partition, which
+    Window.partitionBy(event_type) would force at any per-type
+    volume.
     """
     e = load(spark, sf_dir, "events").select(
         "event_type", "event_id", "ts_us", _value_cents("value").alias("c")
     )
-    w_val = Window.partitionBy("event_type").orderBy("c")
-    w_tie = Window.partitionBy("event_type", "c")
-    w_time = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
-    ranked = e.select(
+    hist = e.groupBy("event_type", "c").agg(F.count("*").alias("t"))
+    w_h = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mid = hist.select(
         "event_type",
-        (2 * F.rank().over(w_val) + F.count("*").over(w_tie) - F.lit(1)).alias("r2"),
-        (2 * F.row_number().over(w_time)).alias("t2"),
+        "c",
+        (
+            F.lit(2) * F.coalesce(F.sum("t").over(w_h), F.lit(0))
+            + F.col("t")
+            + F.lit(1)
+        ).alias("r2"),
+    )
+    t_ranked = chunked_group_rank(
+        e, ["event_type"], [F.asc("ts_us"), F.asc("event_id")], "trn"
+    )
+    ranked = t_ranked.join(mid, ["event_type", "c"]).select(
+        "event_type", "r2", (F.lit(2) * F.col("trn")).alias("t2")
     )
     d2 = (F.col("r2") - F.col("t2")) * (F.col("r2") - F.col("t2"))
     n = F.col("n").cast("double")

@@ -105,3 +105,45 @@ def _ntile_expr(rn, n, k: int):
         .cast("long")
         + 1
     )
+
+def chunked_group_rank(
+    df: DataFrame, group_cols, sort_cols, rank_name: str = "rn"
+) -> DataFrame:
+    """Per-group ROW_NUMBER over ``sort_cols`` without putting any
+    group's full slice in one sorted partition — the group-aware form
+    of chunked_global_rank for LOW-CARDINALITY group keys (where
+    Window.partitionBy(group) would make each partition
+    data-proportional): range-chunk on (group, sort key) so a group
+    spans consecutive chunks, rank locally per (chunk, group), and
+    stitch with a per-(group, chunk) count table (size ≤ chunks ×
+    groups, bounded) carrying each group's prefix across chunks.
+    q_quantile_normalize inlines this same pattern; q_spearman uses
+    this helper for its per-type arrival ranks."""
+    spark = df.sparkSession
+    n_chunks = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    group_cols = list(group_cols)
+    r = (
+        df.repartitionByRange(n_chunks, *(group_cols + list(sort_cols)))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = Window.partitionBy("_pid", *group_cols).orderBy(*sort_cols)
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        r.groupBy("_pid", *group_cols)
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "_pid",
+            *group_cols,
+            F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    return (
+        r.join(F.broadcast(off), ["_pid"] + group_cols)
+        .withColumn(rank_name, F.col("_off") + F.row_number().over(w_local))
+        .drop("_pid", "_off")
+    )

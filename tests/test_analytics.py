@@ -401,3 +401,27 @@ def test_chunked_running_sum_matches_window_form(spark):
         for r in df.select("id", F.sum("x").over(w).alias("cum")).collect()
     }
     assert got == want
+
+
+def test_chunked_group_rank_matches_window_form(spark):
+    """chunked_group_rank must equal Spark's own per-group row_number
+    window, with multiple groups interleaved across range chunks."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from louvain_modularity_spark.kernels import chunked_group_rank
+
+    rows = [(i, ("g%d" % (i % 3)), (i * 17) % 11) for i in range(41)]
+    df = spark.createDataFrame(rows, "id LONG, g STRING, v LONG")
+    got = {
+        r["id"]: r["rn"]
+        for r in chunked_group_rank(
+            df, ["g"], [F.asc("v"), F.asc("id")], "rn"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
