@@ -1009,8 +1009,15 @@ def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.lit(0),
     )
+    # literal cap FIRST: Catalyst's InsertWindowGroupLimit only fires
+    # on a literal rank bound, and it is what makes this per-lang
+    # window scale-safe (partial top-k per map partition before the
+    # shuffle — verified in the plan); the per-lang quota then
+    # tightens the surviving ≤ max-quota rows per lang
+    max_quota = max(quotas.values())
     picked = (
         d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.lit(max_quota))
         .filter(F.col("rn") <= quota_expr)
     )
     return picked.groupBy("lang").agg(

@@ -1188,19 +1188,48 @@ def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     each customer's account balance within its market segment —
     completing the ranking surface next to rank/dense_rank
     (q_window_rank) and ntile (q_window_ntile). Both functions are
-    tie-aware (equal balances share a value), so the result is
-    deterministic without a unique tiebreak; one shuffle on the
-    partition key, frame-free rank functions stream within sorted
-    partitions at any scale."""
+    tie-aware (equal balances share a value), so every output value
+    depends only on the (segment, balance) HISTOGRAM: min-rank =
+    cum_before + 1 and cume-count = cum_before + t. The engine
+    therefore never ranks rows (r7): one map-side-combined histogram
+    aggregate, a cumulative walk over the histogram (balance-domain-
+    sized — it does not grow with row count), and a join back on
+    (segment, balance) — where Window.partitionBy(segment) would put
+    a fifth of all customers in one sorted partition.
+    percent_rank = cum_before/(n−1) (0 when n = 1, Spark's own
+    convention); cume_dist = (cum_before + t)/n."""
     c = load(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
-    return c.select(
-        "c_custkey",
+    hist = c.groupBy("c_mktsegment", "c_acctbal").agg(F.count("*").alias("t"))
+    w_h = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = hist.select(
         "c_mktsegment",
         "c_acctbal",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        "t",
+        F.coalesce(F.sum("t").over(w_h), F.lit(0)).alias("cum_before"),
     )
+    n_seg = hist.groupBy("c_mktsegment").agg(F.sum("t").alias("n"))
+    stats = staged.join(F.broadcast(n_seg), "c_mktsegment").select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.round(
+            F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+                F.col("cum_before").cast("double") / (F.col("n") - 1).cast("double")
+            ),
+            6,
+        ).alias("pct_rank"),
+        F.round(
+            (F.col("cum_before") + F.col("t")).cast("double")
+            / F.col("n").cast("double"),
+            6,
+        ).alias("cume"),
+    )
+    return c.select("c_custkey", "c_mktsegment", "c_acctbal").join(
+        stats, ["c_mktsegment", "c_acctbal"]
+    ).select("c_custkey", "c_mktsegment", "c_acctbal", "pct_rank", "cume")
 
 
 ORACLE_WINDOW_CUME = """

@@ -103,8 +103,12 @@ SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY bigram
 def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary with stable ids (the tokenizer-
     training id assignment): rank by (count DESC, token ASC). The
-    global window runs over the VOCABULARY (distinct tokens), not the
-    corpus — small by construction."""
+    rank runs over the VOCABULARY (distinct tokens), not the corpus —
+    and since a web-scale vocabulary is itself hundreds of millions of
+    types (Zipf tail), it uses the distributed-rank kernel (r7) rather
+    than a single sorted partition of the vocab."""
+    from .kernels import chunked_global_rank
+
     d = load(spark, sf_dir, "documents")
     counts = (
         tokens_of(d)
@@ -112,10 +116,9 @@ def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    return counts.select(
-        "token", "cnt", F.row_number().over(w).alias("vocab_id")
-    )
+    return chunked_global_rank(
+        counts, [F.desc("cnt"), F.asc("token")], "rn"
+    ).select("token", "cnt", F.col("rn").cast("int").alias("vocab_id"))
 
 
 ORACLE_TOKEN_VOCAB = """
@@ -601,12 +604,18 @@ def q_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     language's corpus into head/middle/tail terciles — the curation
     quota mechanism used to sample pretraining mixes per language.
 
-    ntile(3) over (lang; score desc, doc_id) is deterministic (unique
-    tiebreak) and partitions by language, so there is no global sort;
-    per-bucket rollups are exact integers / order statistics — no
-    accumulation-order-sensitive float aggregates. At 100 TB the
-    per-language window swaps to approx_percentile cut points
-    broadcast back (sketch-mergeable, same output contract)."""
+    The terciles are deterministic (unique (score desc, doc_id)
+    tiebreak) and come from the group-aware distributed-rank kernel +
+    the exact-NTILE integer formula (r7): a language is the textbook
+    low-cardinality partition key, so Window.partitionBy(lang) would
+    put an entire language's corpus — billions of documents for the
+    head languages — in ONE sorted partition; chunked_group_rank
+    spreads each language across range chunks and stitches ranks with
+    a (lang × chunk)-sized offset table. Per-bucket rollups are exact
+    integers / order statistics — no accumulation-order-sensitive
+    float aggregates."""
+    from .kernels import _ntile_expr, chunked_group_rank
+
     d = load(spark, sf_dir, "documents")
     n_toks = F.size(F.split("text", " "))
     scored = d.select(
@@ -615,10 +624,19 @@ def q_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_toks.alias("n_tokens"),
         F.round((F.length("text") - n_toks + 1) / n_toks, 6).alias("score"),
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("score"), "doc_id")
+    ranked = chunked_group_rank(
+        scored, ["lang"], [F.desc("score"), F.asc("doc_id")], "rn"
+    )
+    n_lang = scored.groupBy("lang").agg(F.count("*").alias("n_lang"))
     labels = F.array(*[F.lit(x) for x in _BUCKET_LABELS])
-    b = scored.withColumn(
-        "bucket", F.element_at(labels, F.ntile(len(_BUCKET_LABELS)).over(w))
+    b = ranked.join(F.broadcast(n_lang), "lang").withColumn(
+        "bucket",
+        F.element_at(
+            labels,
+            _ntile_expr(
+                F.col("rn"), F.col("n_lang"), len(_BUCKET_LABELS)
+            ).cast("int"),
+        ),
     )
     return b.groupBy("lang", "bucket").agg(
         F.count("*").alias("n_docs"),

@@ -959,3 +959,19 @@ def test_quantile_normalize_distributed_rank(spark):
         .toString()
     )
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_group_topk_windows_use_window_group_limit(spark):
+    """The per-group top-k windows (stratified sample, reservoir
+    sample, quota mix, NDCG cut) are scale-safe ONLY because Catalyst
+    inserts WindowGroupLimit (partial per-map-partition top-k before
+    the shuffle) — pin its presence so a refactor that breaks the
+    literal rank bound (the q_data_mix quota-expression bug class)
+    fails loudly."""
+    from louvain_modularity_spark.llm_ops import q_data_mix, q_sample_stratified
+    from louvain_modularity_spark.relational import q_reservoir_group
+    from louvain_modularity_spark.tsml import q_ndcg
+
+    for fn in (q_sample_stratified, q_data_mix, q_reservoir_group, q_ndcg):
+        plan = _plan_of(fn, spark)
+        assert "WindowGroupLimit" in plan, (fn.__name__, plan)
