@@ -8,8 +8,16 @@ ascending chunks), compute the statistic locally per chunk, and add a
 broadcast prefix over the partition-count-sized chunk-total table.
 Pinned bit-exact against Spark's own window operators in
 tests/test_analytics.py, and applied in q_rfm, q_gini, q_pareto_abc,
-q_seeded_order (q_quantile_normalize inlines the same pattern to share
-one chunking between its pooled and per-group ranks).
+q_seeded_order, q_token_vocab, q_ccnet_bucket, q_spearman
+(q_quantile_normalize inlines the same pattern to share one chunking
+between its pooled and per-group ranks).
+
+Skew note: every call site's sort key ends in a UNIQUE tiebreak
+column, and that is what makes the range chunks balanced even when the
+leading key is massively skewed — the range partitioner splits ties on
+the unique suffix, so no single value can overfill a chunk. A caller
+passing a non-unique sort key would reintroduce the skew the kernel
+exists to avoid.
 """
 
 from __future__ import annotations
