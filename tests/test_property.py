@@ -170,3 +170,58 @@ def test_topo_layers_matches_networkx(spark, raw):
         for v in g.successors(u):
             expected[v] = max(expected[v], expected[u] + 1)
     assert got == expected
+
+
+@settings(
+    max_examples=4,  # 3 kernel round-trips (each with a checkpoint) per example
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(raw=edges_strategy)
+def test_chunked_kernels_match_windows(spark, raw):
+    """The distributed order-statistic kernels (kernels.py) must equal
+    Spark's own global/group window operators on arbitrary small
+    tables — duplicates, skewed keys, single-row and single-group
+    shapes included. (raw edge tuples reused as an (id, grp, val)
+    table: unique id from position, grp/val from the tuple.)"""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from louvain_modularity_spark.kernels import (
+        chunked_global_rank,
+        chunked_group_rank,
+        chunked_running_sum,
+    )
+
+    rows = [(i, s % 3, d + w) for i, (s, d, w) in enumerate(raw)]
+    df = spark.createDataFrame(rows, "id LONG, grp LONG, val LONG")
+    order = [F.asc("val"), F.asc("id")]
+    w_g = Window.orderBy(*order)
+    want = {
+        r["id"]: (r["rn"], r["cum"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w_g).alias("rn"),
+            F.sum("val")
+            .over(w_g.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+        ).collect()
+    }
+    got_rank = {
+        r["id"]: r["rn"] for r in chunked_global_rank(df, order, "rn").collect()
+    }
+    got_sum = {
+        r["id"]: r["cum"]
+        for r in chunked_running_sum(df, order, "val", "cum").collect()
+    }
+    assert {i: (got_rank[i], got_sum[i]) for i in got_rank} == want
+    w_grp = Window.partitionBy("grp").orderBy(*order)
+    want_grp = {
+        r["id"]: r["rn"]
+        for r in df.select("id", F.row_number().over(w_grp).alias("rn")).collect()
+    }
+    got_grp = {
+        r["id"]: r["rn"]
+        for r in chunked_group_rank(df, ["grp"], order, "rn").collect()
+    }
+    assert got_grp == want_grp
