@@ -233,6 +233,10 @@ _WINDOW_R08_LEAD = [
 # subsume; dropped to fit 50 slots). 31 of the 41 are oracle-backed
 # (full hash re-verification); 10 are rows-only flagship Louvain /
 # dedup / ANN ops where executes-under-driver freshness still matters.
+# Pre-verified in round 7: all 41 rotation names ran the driver's own
+# sf0.01 comparison (oracle hash or rows>0) with 0 failures — the r8
+# window starts from known-green state, so any r8 failure is a fresh
+# regression, not accumulated rot.
 _WINDOW_R08_ROTATION = [
     # r1 greens (oldest rows in any CORRECTNESS file)
     "q_histogram",
