@@ -994,6 +994,14 @@ def label_propagation(
     return state
 
 
+#: undirected-edge count at or below which connected_components_star
+#: closes with an in-driver union-find — same hybrid-tail rule (and
+#: size rationale: ≤ ~24 MB of long pairs) as graph.py's
+#: MST_INLINE_MERGE_EDGES; module-level so tests can monkeypatch it to
+#: force the distributed branch
+CC_INLINE_EDGES = 2_000_000
+
+
 def connected_components_star(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contractions (Kiveris et al., "Connected Components in MapReduce
@@ -1011,7 +1019,16 @@ def connected_components_star(spark: SparkSession, edges: DataFrame) -> DataFram
     Implemented as two aggregate-join passes per round over a
     deduplicated parent edge list; converges when the parent mapping
     stops changing. Returns (id, component) like connected_components,
-    against which it is equivalence-tested."""
+    against which it is equivalence-tested.
+
+    Hybrid tail (r7, the MST_INLINE_MERGE_EDGES rule): edge sets at or
+    below CC_INLINE_EDGES close with an in-driver min-root union-find
+    — identical labels (min id per component) for a couple of driver
+    round-trips instead of 2 synchronized star passes per round. At
+    scale only sub-threshold graphs (e.g. q_dbscan's core-cell graph,
+    component-merge residues) take this branch; everything larger
+    keeps the published O(log n) distributed rounds. Both branches are
+    pinned equal by the monkeypatched golden in tests/test_louvain.py."""
     # edges kept in point-to-smaller form: (u, v) with v < u, distinct
     e = (
         symmetrize(edges)
@@ -1023,6 +1040,26 @@ def connected_components_star(spark: SparkSession, edges: DataFrame) -> DataFram
         .localCheckpoint(eager=True)
     )
     verts = vertices_of(edges).localCheckpoint(eager=True)
+    if e.count() <= CC_INLINE_EDGES:
+        parent: dict = {}
+
+        def _find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in ((r[0], r[1]) for r in e.toLocalIterator()):
+            ru, rv = _find(u), _find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        lbl = spark.createDataFrame(
+            [(n, _find(n)) for n in parent], "id LONG, component LONG"
+        )
+        return verts.join(lbl, "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
     while True:
         # ---- large-star: every v ∈ N(u) with v > u links to
         #      m(u) = min(N(u) ∪ {u}); output stays point-to-smaller

@@ -247,17 +247,24 @@ def _union_find_components(edge_list):
     return {n: find(n) for n in parent}
 
 
-def test_connected_components_match_union_find_golden(spark):
+def test_connected_components_match_union_find_golden(spark, monkeypatch):
     """Both CC implementations vs a pure-Python union-find golden,
     each exercised in the regime it exists for: min-id propagation
     (O(diameter) rounds) on karate+extras, a short path and a random
     multi-component graph; large-/small-star (O(log n) rounds) on the
     same THREE plus the 60-node path — the high-diameter case where
     running the propagation oracle would cost 60 Spark rounds for no
-    extra semantic coverage (the golden already pins the answer)."""
+    extra semantic coverage (the golden already pins the answer).
+    CC_INLINE_EDGES is monkeypatched to 0 so the star arm runs the
+    DISTRIBUTED rounds (the r7 hybrid tail would otherwise shortcut
+    every fixture-sized graph); the inline union-find branch is pinned
+    separately below on the same graphs at the default threshold."""
     import random
 
+    import louvain_modularity_spark.louvain as L
     from louvain_modularity_spark.louvain import connected_components_star
+
+    monkeypatch.setattr(L, "CC_INLINE_EDGES", 0)
 
     def comp_map(df):
         return {r["id"]: r["component"] for r in df.collect()}
@@ -282,6 +289,13 @@ def test_connected_components_match_union_find_golden(spark):
     assert comp_map(
         connected_components_star(spark, df_of(long_path))
     ) == _union_find_components(long_path)
+    # the r7 inline union-find tail (default threshold) must produce
+    # the identical labels the distributed rounds just did
+    monkeypatch.setattr(L, "CC_INLINE_EDGES", 2_000_000)
+    for pairs in (karate_plus, rand, long_path):
+        assert comp_map(
+            connected_components_star(spark, df_of(pairs))
+        ) == _union_find_components(pairs)
 
 
 def test_pagerank_matches_reference_power_iteration(spark):
