@@ -2056,21 +2056,33 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("id", F.lit(1.0).alias("hub"))
     )
-    auth = None
-    for k in range(1, HITS_ITERS + 1):
-        auth = (
-            e.join(hubs.select(F.col("id").alias("src"), "hub"), "src")
+    def _auth_of(h):
+        return (
+            e.join(h.select(F.col("id").alias("src"), "hub"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("hub") * F.col("w")).alias("auth"))
         )
-        hubs = (
-            e.join(auth.select(F.col("id").alias("dst"), "auth"), "dst")
+
+    def _hubs_of(a):
+        return (
+            e.join(a.select(F.col("id").alias("dst"), "auth"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum(F.col("auth") * F.col("w")).alias("hub"))
         )
+
+    auth = None
+    for k in range(1, HITS_ITERS + 1):
+        auth = _auth_of(hubs)
         if k % HITS_NORM_EVERY == 0:
+            # checkpoint auth BEFORE deriving hubs from it (r7): the
+            # old order built hubs on the un-checkpointed auth lineage,
+            # so materializing hubs re-evaluated the whole 2·cadence-
+            # deep join chain a second time — checkpoint-first makes
+            # the hubs materialization a single join over the pinned
+            # auth (same values: checkpointing does not change the
+            # expression, only where evaluation is cut)
             auth = auth.localCheckpoint(eager=True)
-            hubs = hubs.localCheckpoint(eager=True)
+            hubs = _hubs_of(auth).localCheckpoint(eager=True)
             amax = auth.agg(F.max("auth").alias("m"))
             auth = auth.crossJoin(F.broadcast(amax)).select(
                 "id", (F.col("auth") / F.col("m")).alias("auth")
@@ -2079,6 +2091,8 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             hubs = hubs.crossJoin(F.broadcast(hmax)).select(
                 "id", (F.col("hub") / F.col("m")).alias("hub")
             )
+        else:
+            hubs = _hubs_of(auth)
     return hubs.select(
         F.lit("hub").alias("side"), "id", F.round("hub", 6).alias("score")
     ).unionByName(
