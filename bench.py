@@ -96,8 +96,16 @@ HEADLINE = SHARED_R02 + [
 #: code, SCALE.md §7): widen to min-of-3 so round-over-round deltas
 #: track code, not the hypervisor. q_louvain_distributed joined in r7:
 #: its Python-tail-heavy rounds measured 19.8 and 23.3 s on the SAME
-#: boot with identical code
-MIN_OF_3 = {"q_stream_tumbling", "q_dedup_minhash", "q_louvain_distributed"}
+#: boot with identical code, and the flagship q_louvain_communities
+#: (the number judged against the 19.25 s baseline) measured 8.3 and
+#: 14.4 s the same way — the Arrow/Python sequential tail is the most
+#: steal-sensitive code in the repo
+MIN_OF_3 = {
+    "q_stream_tumbling",
+    "q_dedup_minhash",
+    "q_louvain_distributed",
+    "q_louvain_communities",
+}
 
 
 def main() -> None:
