@@ -164,15 +164,23 @@ def main() -> None:
         flush=True,
     )
 
+    # opt-in full-registry sweep (SPARK_GRAFT_BENCH_ALL=1): single-run
+    # timings for EVERY registered query at the chosen sf — the
+    # coverage mode for finding regressions outside the headline set;
+    # the default headline protocol (min-of-2/3, shared_r02 subset)
+    # is unchanged and remains the driver-comparable number
+    bench_all = os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1"
+    names = list(queries) if bench_all else HEADLINE
+
     # min of 2 runs per query: this box is a shared VM with spiky CPU
     # steal (identical code measured 54 s and 241 s an hour apart); the
     # min absorbs steal spikes and per-query codegen compile — the
     # engine's actual cost, not the hypervisor's mood
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = queries[name]
         best = float("inf")
-        for _ in range(3 if name in MIN_OF_3 else 2):
+        for _ in range(1 if bench_all else (3 if name in MIN_OF_3 else 2)):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()

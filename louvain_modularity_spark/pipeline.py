@@ -576,7 +576,16 @@ def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate); the production reconciliation IS that full outer join
     (q_diff_snapshot) — a per-key Python callback is never the hot
     path. At scale cogroup shuffles both sides on the key once, same
-    as the join it mirrors."""
+    as the join it mirrors.
+
+    The cogroup KEY is a hash bucket of the order key, not the order
+    key itself (r7): keying per order invoked Python once per order —
+    ~2.5 ms of pandas-frame overhead × N orders (measured 40 s at
+    sf0.01, the slowest query in the registry by 3×) — where the
+    bucket key gives a BOUNDED number of Python calls and a vectorized
+    pandas groupby-merge over each bucket's orders inside the
+    callback. Same per-order rows (outer merge keeps keys missing on
+    either side), same rollup, same oracle; measured 40 → ~2 s."""
     import pandas as pd
 
     o = load(spark, sf_dir, "orders").select(
@@ -602,16 +611,32 @@ def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
-        o_sum = int(odf["o_cents"].sum()) if len(odf) else 0
-        l_sum = int(ldf["l_cents"].sum()) if len(ldf) else 0
-        prio = odf["o_orderpriority"].iloc[0] if len(odf) else "(no-order)"
+        og = odf.groupby("o_orderkey", as_index=False).agg(
+            o_sum=("o_cents", "sum"), prio=("o_orderpriority", "first")
+        )
+        lg = ldf.groupby("l_orderkey", as_index=False).agg(
+            l_sum=("l_cents", "sum")
+        )
+        m = og.merge(
+            lg, left_on="o_orderkey", right_on="l_orderkey", how="outer"
+        )
         return pd.DataFrame(
-            [{"prio": prio, "diff_cents": o_sum - l_sum, "has_lines": int(len(ldf) > 0)}]
+            {
+                "prio": m["prio"].fillna("(no-order)"),
+                "diff_cents": (
+                    m["o_sum"].fillna(0) - m["l_sum"].fillna(0)
+                ).astype("int64"),
+                "has_lines": m["l_orderkey"].notna().astype("int32"),
+            }
         )
 
+    n_buckets = 64
     per_key = (
-        o.groupBy("o_orderkey")
-        .cogroup(li.groupBy("l_orderkey"))
+        o.withColumn("b", F.pmod("o_orderkey", F.lit(n_buckets)))
+        .groupBy("b")
+        .cogroup(
+            li.withColumn("b", F.pmod("l_orderkey", F.lit(n_buckets))).groupBy("b")
+        )
         .applyInPandas(reconcile, "prio string, diff_cents long, has_lines int")
     )
     return (
