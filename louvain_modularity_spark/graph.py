@@ -556,8 +556,17 @@ def pagerank(
                     * (F.coalesce("flow", F.lit(0.0)) + F.col("dm_per_node"))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        # Per-iteration checkpoint is DELIBERATE (r7 A/B): batching to
+        # the eigenvector cadence (every 5) measured 14.1 s vs 12.7 s
+        # on the 50-step fixture — each iteration's dangling-mass
+        # broadcast aggregates over the un-truncated ranks chain, so
+        # within a batch every broadcast re-evaluates all iterations
+        # below it (quadratic in the batch length). Eigenvector can
+        # batch because its recurrence has no per-step scalar
+        # aggregate; PageRank's dangling term is exactly such a
+        # scalar, so the lineage must be cut where it is computed.
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("id", "rank")
 
 
