@@ -2534,7 +2534,15 @@ def q_butterfly(spark: SparkSession, sf_dir: str) -> DataFrame:
     report the cap, or delta-approximate). Exact at fixture scale;
     counts BIGINT end to end.
     """
-    e = copurchase_edges(spark, sf_dir).select("src", "dst").distinct()
+    # checkpoint ONCE (r7): three branches (wedge stats, the wedge
+    # self-join, the edge count) consume e — without the cut each
+    # re-evaluated the lineitem⋈orders fact join
+    e = (
+        copurchase_edges(spark, sf_dir)
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # d*(d-1) is always even, so summing BIGINT products then halving
     # with integer `div` is exact at any scale; `/` would accumulate
     # doubles and lose exactness past 2^53 (r5 ADVICE).
