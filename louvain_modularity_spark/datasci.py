@@ -980,11 +980,15 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load(spark, sf_dir, "orders")
     mind = o.agg(F.min("o_orderdate").alias("mind"))
+    # checkpoint the collapsed day series once (r7): both sides of the
+    # pair self-join consume it — without the cut each re-evaluated
+    # the orders scan + aggregate
     daily = (
         o.crossJoin(F.broadcast(mind))
         .groupBy(F.datediff("o_orderdate", "mind").cast("long").alias("x"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("v"))
         .select("x", F.col("v").cast("double").alias("v"))
+        .localCheckpoint(eager=True)
     )
     a = daily.select(F.col("x").alias("x1"), F.col("v").alias("v1"))
     b = daily.select(F.col("x").alias("x2"), F.col("v").alias("v2"))
@@ -993,9 +997,34 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope"
         )
     )
-    return pairs.agg(
-        F.count("*").alias("n_pairs"),
-        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("theil_slope"),
+    # exact median WITHOUT the single-buffer percentile aggregate
+    # (r7): Spark's exact `percentile` collects every slope into ONE
+    # aggregation buffer — at 37k days that is 680M doubles in one
+    # task, the plan that actually breaks first at scale. Instead rank
+    # the slopes with the distributed-rank kernel and pick the two
+    # middle order statistics: median = lo + g·(hi − lo) with g = 0.5
+    # iff n is even (the same continuous-percentile interpolation both
+    # engines define; for odd n the two picks coincide).
+    ranked = chunked_global_rank(pairs, [F.asc("slope")], "rn")
+    n_tbl = ranked.agg(F.count("*").alias("n"))
+    mid = (
+        ranked.crossJoin(F.broadcast(n_tbl))
+        .filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("n div 2 + 1"))
+        )
+        .agg(
+            F.min("n").alias("n_pairs"),
+            F.min("slope").alias("lo"),
+            F.max("slope").alias("hi"),
+        )
+    )
+    g = F.when(F.col("n_pairs") % 2 == 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    return mid.select(
+        "n_pairs",
+        F.round(F.col("lo") + g * (F.col("hi") - F.col("lo")), 6).alias(
+            "theil_slope"
+        ),
     )
 
 

@@ -155,3 +155,86 @@ def chunked_group_rank(
         .withColumn(rank_name, F.col("_off") + F.row_number().over(w_local))
         .drop("_pid", "_off")
     )
+
+def chunked_exact_quantiles(df: DataFrame, value_col, ps_names) -> DataFrame:
+    """EXACT continuous percentiles without the single-buffer
+    ``percentile`` aggregate: Spark's exact percentile collects every
+    value of the group into ONE aggregation buffer (680M doubles in
+    one task at a 100 TB day-pair table — the plan that breaks first).
+    Instead rank the values with chunked_global_rank and pick the two
+    bracketing order statistics per requested p, interpolating with
+    the same (1−g)·x_lo + g·x_hi formula (pos = p·(n−1), g its
+    fractional part) the builtin uses — value-identical, distributed.
+
+    ``ps_names`` is a list of (p, output_name); returns a 1-row
+    DataFrame with one DOUBLE column per name plus ``n`` (the value
+    count). Ties in the value column are harmless: order statistics at
+    a position are the same VALUE under any tie ordering."""
+    ranked = chunked_global_rank(
+        df.select(F.col(value_col).cast("double").alias("_v")).withColumn(
+            "_tb", F.monotonically_increasing_id()
+        ),
+        [F.asc("_v"), F.asc("_tb")],
+        "_rn",
+    )
+    n_tbl = ranked.agg(F.count("*").alias("_n"))
+    r2 = ranked.crossJoin(F.broadcast(n_tbl))
+    aggs = [F.min("_n").alias("n")]
+    for i, (p, _name) in enumerate(ps_names):
+        k = F.floor(F.lit(float(p)) * (F.col("_n") - 1).cast("double"))
+        aggs.append(
+            F.min(F.when(F.col("_rn") == k + 1, F.col("_v"))).alias(f"_lo{i}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("_rn") == k + 2, F.col("_v"))).alias(f"_hi{i}")
+        )
+    agg = r2.agg(*aggs)
+    outs = [F.col("n")]
+    for i, (p, name) in enumerate(ps_names):
+        pos = F.lit(float(p)) * (F.col("n") - 1).cast("double")
+        g = pos - F.floor(pos)
+        lo = F.col(f"_lo{i}")
+        hi = F.coalesce(F.col(f"_hi{i}"), F.col(f"_lo{i}"))
+        outs.append(((F.lit(1.0) - g) * lo + g * hi).alias(name))
+    return agg.select(*outs)
+
+
+def chunked_group_quantiles(
+    df: DataFrame, group_cols, value_col, ps_names
+) -> DataFrame:
+    """Per-group form of chunked_exact_quantiles for LOW-CARDINALITY
+    group keys, where the builtin grouped ``percentile`` buffers each
+    group's whole slice in one task: group-aware chunked ranks + the
+    same bracketing-order-statistic interpolation, one output row per
+    group. A synthetic unique tiebreak keeps the range chunks balanced
+    when the value domain is tie-heavy (ranks of tied values permute
+    identical values, so outputs are unaffected)."""
+    group_cols = list(group_cols)
+    ranked = chunked_group_rank(
+        df.select(
+            *group_cols, F.col(value_col).cast("double").alias("_v")
+        ).withColumn("_tb", F.monotonically_increasing_id()),
+        group_cols,
+        [F.asc("_v"), F.asc("_tb")],
+        "_rn",
+    )
+    counts = ranked.groupBy(*group_cols).agg(F.count("*").alias("_n"))
+    r2 = ranked.join(F.broadcast(counts), group_cols)
+    aggs = [F.min("_n").alias("_n")]
+    for i, (p, _name) in enumerate(ps_names):
+        k = F.floor(F.lit(float(p)) * (F.col("_n") - 1).cast("double"))
+        aggs.append(
+            F.min(F.when(F.col("_rn") == k + 1, F.col("_v"))).alias(f"_lo{i}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("_rn") == k + 2, F.col("_v"))).alias(f"_hi{i}")
+        )
+    agg = r2.groupBy(*group_cols).agg(*aggs)
+    outs = list(group_cols)
+    for i, (p, name) in enumerate(ps_names):
+        pos = F.lit(float(p)) * (F.col("_n") - 1).cast("double")
+        g = pos - F.floor(pos)
+        lo = F.col(f"_lo{i}")
+        hi = F.coalesce(F.col(f"_hi{i}"), F.col(f"_lo{i}"))
+        outs.append(((F.lit(1.0) - g) * lo + g * hi).alias(name))
+    return agg.select(*outs)

@@ -714,13 +714,30 @@ FROM (
 
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median / p90) per return flag —
-    Spark `percentile` and DuckDB `quantile_cont` share the linear-
-    interpolation definition."""
+    the linear-interpolation definition Spark `percentile` and DuckDB
+    `quantile_cont` share, computed DISTRIBUTED (r7): the builtin
+    grouped `percentile` buffers each flag's entire slice in one
+    aggregation task (a third of the fact table per buffer at any
+    scale); chunked_group_quantiles ranks the values in range chunks
+    and interpolates the two bracketing order statistics per p —
+    value-identical, no data-proportional buffer anywhere."""
+    from .kernels import chunked_group_quantiles
+
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+    price = chunked_group_quantiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [(0.5, "median_price_raw"), (0.9, "p90_price_raw")],
+    )
+    qty = chunked_group_quantiles(
+        li, ["l_returnflag"], "l_quantity", [(0.5, "median_qty_raw")]
+    )
+    return price.join(qty, "l_returnflag").select(
+        "l_returnflag",
+        F.round("median_price_raw", 6).alias("median_price"),
+        F.round("p90_price_raw", 6).alias("p90_price"),
+        F.round("median_qty_raw", 6).alias("median_qty"),
     )
 
 

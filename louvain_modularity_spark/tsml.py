@@ -332,18 +332,24 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean and clip counts — the robust-mean preprocessing step between
     plain AVG and the median.
 
-    100 TB shape: the mad_outlier two-pass — one exact-percentile
-    aggregate per group (3 groups) broadcast back over a second scan;
-    all sums DECIMAL, single displayed division.
+    100 TB shape (r7): the clip boundaries come from the distributed
+    exact-quantile kernel (chunked_group_quantiles — the builtin
+    grouped `percentile` would buffer a third of the fact table per
+    aggregation task) broadcast back over a second scan; all sums
+    DECIMAL, single displayed division.
     """
+    from .kernels import chunked_group_quantiles
+
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    bounds = li.groupBy("l_returnflag").agg(
-        F.round(F.expr(f"percentile(l_extendedprice, {WINSOR_P})"), 2)
-        .cast("decimal(14,2)")
-        .alias("lo"),
-        F.round(F.expr(f"percentile(l_extendedprice, {1 - WINSOR_P})"), 2)
-        .cast("decimal(14,2)")
-        .alias("hi"),
+    bounds = chunked_group_quantiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [(WINSOR_P, "lo_raw"), (1 - WINSOR_P, "hi_raw")],
+    ).select(
+        "l_returnflag",
+        F.round("lo_raw", 2).cast("decimal(14,2)").alias("lo"),
+        F.round("hi_raw", 2).cast("decimal(14,2)").alias("hi"),
     )
     v = F.col("l_extendedprice").cast("decimal(14,2)")
     clipped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
