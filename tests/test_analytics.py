@@ -425,3 +425,43 @@ def test_chunked_group_rank_matches_window_form(spark):
         for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
     }
     assert got == want
+
+
+def test_chunked_quantiles_match_builtin_percentile(spark):
+    """The exact-quantile kernels must equal Spark's own exact
+    percentile aggregate (same interpolation) on tie-heavy and
+    odd/even-sized data, globally and per group."""
+    import pyspark.sql.functions as F
+
+    from louvain_modularity_spark.kernels import (
+        chunked_exact_quantiles,
+        chunked_group_quantiles,
+    )
+
+    for n in (1, 2, 9, 40):
+        rows = [(i, "g%d" % (i % 2), float((i * 7) % 5)) for i in range(n)]
+        df = spark.createDataFrame(rows, "id LONG, g STRING, v DOUBLE")
+        got = chunked_exact_quantiles(
+            df, "v", [(0.5, "p50"), (0.9, "p90")]
+        ).collect()[0]
+        want = df.agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.9)").alias("p90"),
+        ).collect()[0]
+        assert (got["p50"], got["p90"]) == (want["p50"], want["p90"]), n
+        got_g = {
+            r["g"]: (r["p25"], r["p50"])
+            for r in chunked_group_quantiles(
+                df, ["g"], "v", [(0.25, "p25"), (0.5, "p50")]
+            ).collect()
+        }
+        want_g = {
+            r["g"]: (r["p25"], r["p50"])
+            for r in df.groupBy("g")
+            .agg(
+                F.expr("percentile(v, 0.25)").alias("p25"),
+                F.expr("percentile(v, 0.5)").alias("p50"),
+            )
+            .collect()
+        }
+        assert got_g == want_g, n
