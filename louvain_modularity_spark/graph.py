@@ -517,8 +517,14 @@ def pagerank(
     lineage truncated per iteration. The dangling-node mass is a
     1-row aggregate folded into the rank update as a broadcast
     crossJoin — no per-superstep driver collect, so each superstep
-    is one job. Returns (id, rank) with Σ rank = n
-    (networkx-convention × n)."""
+    is one job. Graphs with NO dangling nodes (every symmetrized /
+    undirected input, detected once up front) skip the per-step
+    scalar entirely — its mass is identically 0 — which both removes
+    an aggregate per superstep and makes eigenvector-cadence
+    checkpoint batching safe (with the scalar present, batching
+    re-evaluates the un-truncated chain under each step's aggregate —
+    the quadratic A/B recorded below). Returns (id, rank) with
+    Σ rank = n (networkx-convention × n)."""
     verts = vertices_of(edges).localCheckpoint(eager=True)
     n = verts.count()
     if n == 0:
@@ -527,6 +533,37 @@ def pagerank(
         F.sum("weight").alias("wout")
     )
     base = verts.join(wout, "id", "left").localCheckpoint(eager=True)
+    has_dangling = not base.filter(F.col("wout").isNull()).isEmpty()
+    if not has_dangling:
+        ranks = base.select("id", "wout", F.lit(1.0).alias("rank"))
+        for it in range(iters):
+            contribs = (
+                edges.join(
+                    ranks.select(
+                        F.col("id").alias("src"),
+                        "rank",
+                        F.col("wout").alias("w_src"),
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(
+                    F.sum(
+                        F.col("rank") * F.col("weight") / F.col("w_src")
+                    ).alias("flow")
+                )
+            )
+            ranks = base.join(contribs, "id", "left").select(
+                "id",
+                "wout",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("flow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            if (it + 1) % 5 == 0 or it == iters - 1:
+                ranks = ranks.localCheckpoint(eager=True)
+        return ranks.select("id", "rank")
     ranks = base.select("id", "wout", F.lit(1.0).alias("rank"))
     for _ in range(iters):
         contribs = (
