@@ -52,6 +52,7 @@ UNPART_WINDOW_ALLOW = {
     "q_token_vocab": "chunk-offset table (partition-count-sized)",
     "q_ccnet_bucket": "chunk-offset table (partition-count-sized)",
     "q_spearman": "chunk-offset table (partition-count-sized)",
+    "q_theilsen": "chunk-offset table (partition-count-sized)",
     "q_skyline": "distinct-price-domain staircase",
     "q_kaplan_meier": "duration-histogram walk",
     "q_weighted_median": "price-histogram walk (per returnflag)",
