@@ -1541,14 +1541,16 @@ def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier counting per event type via the median absolute
     deviation — the heavy-tail-safe alternative to q_zscore_outlier's
     mean/stddev gate (one extreme value corrupts a z-score's own
-    baseline; it cannot move a median). Two grouped exact-percentile
-    aggregates (median, then median of absolute deviations) broadcast
-    back over the scan; swap `percentile` for `approx_percentile` at
-    extreme scale (same plan shape, mergeable sketch)."""
+    baseline; it cannot move a median). Two grouped exact medians
+    (values, then absolute deviations), each on the group-aware
+    bracketing-order-statistic kernel (r7: the builtin grouped
+    `percentile` buffered each event type's whole slice — a fifth of
+    the fact table — in one aggregation task), broadcast back over
+    the scan."""
+    from .kernels import chunked_group_quantiles
+
     e = load(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
-    )
+    med = chunked_group_quantiles(e, ["event_type"], "value", [(0.5, "med")])
     dev = (
         e.join(F.broadcast(med), "event_type")
         .select("event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev"))
@@ -1557,9 +1559,7 @@ def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # not three times (the cluster analogue is persist(DISK_ONLY))
         .localCheckpoint(eager=True)
     )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad")
-    )
+    mad = chunked_group_quantiles(dev, ["event_type"], "adev", [(0.5, "mad")])
     gate = F.col("adev") > F.lit(MAD_K * 1.4826) * F.col("mad")
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -2171,17 +2171,33 @@ def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     )
-    counts = kv.groupBy("e.key", "e.k").agg(F.count("*").alias("cnt"))
-    return counts.groupBy("key").agg(
+    counts = kv.groupBy("e.key", "e.k").agg(F.count("*").alias("cnt")).localCheckpoint(
+        eager=True
+    )
+    base = counts.groupBy("key").agg(
         F.count("*").alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
         F.max("cnt").alias("max_cnt"),
-        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_share"),
-        F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99"),
-        F.round(F.max("cnt") / F.expr("percentile(cnt, 0.5)"), 6).alias(
-            "skew_ratio"
-        ),
+    )
+    # the p50/p99 of per-key counts run on the group-aware bracketing-
+    # order-statistic kernel (r7): the count table is |keys| rows —
+    # tiny next to the fact table but still data-proportional, so the
+    # builtin grouped percentile's one-buffer-per-key-name plan is the
+    # first thing to break when the key domain grows with the data
+    from .kernels import chunked_group_quantiles
+
+    pcts = chunked_group_quantiles(
+        counts, ["key"], "cnt", [(0.5, "p50_raw"), (0.99, "p99_raw")]
+    )
+    return base.join(F.broadcast(pcts), "key").select(
+        "key",
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        F.round(F.col("max_cnt") / F.col("n_rows"), 6).alias("top_share"),
+        F.round("p50_raw", 6).alias("p50"),
+        F.round("p99_raw", 6).alias("p99"),
+        F.round(F.col("max_cnt") / F.col("p50_raw"), 6).alias("skew_ratio"),
     )
 
 

@@ -754,11 +754,22 @@ GROUP BY l_returnflag
 def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (t-digest-style sketch) with the exact
     value alongside (rows-only oracle: sketch results are
-    engine-specific; the envelope is asserted in tests)."""
+    engine-specific; the envelope is asserted in tests). The exact
+    arm runs on the distributed bracketing-order-statistic kernel
+    (r7) — the builtin exact `percentile` buffered each flag's whole
+    slice (a third of the fact table) in one task; the sketch arm is
+    the mergeable map-side aggregate it always was."""
+    from .kernels import chunked_group_quantiles
+
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    approx = li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+    )
+    exact = chunked_group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [(0.5, "exact_median")]
+    )
+    return approx.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag", "approx_median", "exact_median"
     )
 
 
@@ -1347,22 +1358,27 @@ def q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (equal-frequency) histogram of extended prices —
     the optimizer-statistics shape, complementing the equi-width
     q_histogram and the raw q_quantiles. NOT an ntile global sort:
-    the decile boundaries are ONE grouped exact-percentile aggregate
-    (swap to approx_percentile's mergeable sketch at extreme scale),
-    broadcast back as plan literals, and bucket assignment is a pure
-    comparison scan — the data is never globally sorted."""
+    the nine decile boundaries come from ONE pass of the distributed
+    bracketing-order-statistic kernel (r7: the builtin exact
+    `percentile` buffered the WHOLE price column in a single
+    aggregation task — the last data-proportional buffer in this
+    module), broadcast back as a 1-row scalar table, and bucket
+    assignment is a pure comparison scan — the data is never
+    globally sorted."""
+    from .kernels import chunked_exact_quantiles
+
     li = load(spark, sf_dir, "lineitem")
-    bounds = [i / 10.0 for i in range(1, 10)]
-    qs = li.agg(
-        F.expr(
-            f"percentile(l_extendedprice, array({', '.join(str(b) for b in bounds)}))"
-        ).alias("qs")
+    qs = chunked_exact_quantiles(
+        li,
+        "l_extendedprice",
+        [(i / 10.0, f"_q{i}") for i in range(1, 10)],
     )
     bucket = sum(
-        (F.col("l_extendedprice") > F.col("q")[i]).cast("int") for i in range(9)
+        (F.col("l_extendedprice") > F.col(f"_q{i}")).cast("int")
+        for i in range(1, 10)
     )
     return (
-        li.crossJoin(F.broadcast(qs.select(F.col("qs").alias("q"))))
+        li.crossJoin(F.broadcast(qs))
         .select(bucket.alias("bucket"), "l_extendedprice")
         .groupBy("bucket")
         .agg(

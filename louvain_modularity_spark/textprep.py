@@ -550,16 +550,20 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles per source (both engines use the same linear
     interpolation); IQR = 0 groups emit NULL rather than ±inf.
 
-    100 TB shape: exact percentiles need one shuffle of (source,
-    n_chars) — at extreme scale swap `percentile` for
-    `approx_percentile` (same plan shape, sketch-mergeable); the
-    per-source stats (4 doubles each) broadcast back over the
+    100 TB shape: the per-source medians/IQR come from the
+    group-aware bracketing-order-statistic kernel (r7: the builtin
+    grouped `percentile` buffered each source's whole length slice
+    in one aggregation task — data-proportional at corpus scale);
+    the per-source stats (3 doubles each) broadcast back over the
     documents scan."""
+    from .kernels import chunked_group_quantiles
+
     d = load(spark, sf_dir, "documents")
-    stats = d.groupBy("source").agg(
-        F.expr("percentile(n_chars, 0.5)").alias("med"),
-        F.expr("percentile(n_chars, 0.25)").alias("q1"),
-        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    stats = chunked_group_quantiles(
+        d,
+        ["source"],
+        "n_chars",
+        [(0.5, "med"), (0.25, "q1"), (0.75, "q3")],
     )
     return (
         d.join(F.broadcast(stats), "source")

@@ -53,6 +53,10 @@ UNPART_WINDOW_ALLOW = {
     "q_ccnet_bucket": "chunk-offset table (partition-count-sized)",
     "q_spearman": "chunk-offset table (partition-count-sized)",
     "q_theilsen": "chunk-offset table (partition-count-sized)",
+    "q_mad_outlier": "chunk-offset table (partition-count-sized)",
+    "q_skew_stats": "chunk-offset table (partition-count-sized)",
+    "q_robust_scale": "chunk-offset table (partition-count-sized)",
+    "q_approx_quantile": "chunk-offset table (partition-count-sized)",
     "q_skyline": "distinct-price-domain staircase",
     "q_kaplan_meier": "duration-histogram walk",
     "q_weighted_median": "price-histogram walk (per returnflag)",
