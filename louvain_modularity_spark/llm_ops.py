@@ -853,6 +853,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: tiled-GEMM block cap: a block's collect_list row and a tile's numpy
+#: sub-matrix both stay ≤ this many vectors regardless of corpus size
+#: (NB = ⌈n / cap⌉, floor 8 for tile parallelism on small inputs)
+DUP_EMB_BLOCK_VECS = 10_000
+
+
 def q_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.42) — the last
     rung of the dedup ladder, computed EXACTLY as a blocked similarity
@@ -874,17 +880,22 @@ def q_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     *work*; the scale levers are (a) doing that work as BLAS tiles
     instead of per-row interpreted expressions, (b) shuffling O(n·NB)
     block replicas instead of materializing n² join rows, and (c)
-    emitting only the hits. At 100 TB, NB scales so a block is ~10k
-    vectors (≈2.5 MB), and the approximate pre-filter (q_ann_lsh /
-    q_dedup_minhash) is the rung users reach for first.
+    emitting only the hits. NB is data-adaptive (r7): one count pins
+    a block at ≤ DUP_EMB_BLOCK_VECS vectors (≈2.5 MB of float32 at
+    dim 64), so the per-block collect_list row and the per-tile GEMM
+    stay memory-bounded no matter how the corpus grows — the output
+    is identical for ANY NB because each unordered pair lands in
+    exactly one (bi ≤ bj) tile. The approximate pre-filter
+    (q_ann_lsh / q_dedup_minhash) is the rung users reach for first.
 
     float64 GEMM reproduces the oracle's sequential-fold dot exactly on
     this data; the nearest cosine to the 0.42 threshold is 3.4e-5 away
     and to any round-6 midpoint 2.5e-9 (asserted in tests), so the
     summation-order difference can never flip a row.
     """
-    NB = 8
     emb = load(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    NB = max(8, -(-n_vecs // DUP_EMB_BLOCK_VECS))
     norm = _dot(F.col("embedding"), F.col("embedding"))
     blocks = (
         emb.select(

@@ -128,6 +128,25 @@ def test_dup_embedding_blocked_plan_and_margins(spark):
         assert round(cos, 6) == pytest.approx(r["cosine"], abs=1.1e-6)
 
 
+def test_dup_embedding_adaptive_blocks_agree(spark, monkeypatch):
+    """The tile grid must emit the identical pair set for ANY block
+    count: forcing the data-adaptive branch (tiny DUP_EMB_BLOCK_VECS →
+    NB well above the floor of 8) has to reproduce the default run
+    row-for-row, the same both-branches pin as Borůvka's contraction."""
+    from louvain_modularity_spark import llm_ops
+
+    base = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in llm_ops.q_dup_embedding(spark, SF_DIR).collect()
+    )
+    monkeypatch.setattr(llm_ops, "DUP_EMB_BLOCK_VECS", 37)
+    forced = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in llm_ops.q_dup_embedding(spark, SF_DIR).collect()
+    )
+    assert forced == base and base
+
+
 def test_documents_fixture_is_ascii(spark):
     """The multimodal oracles equate byte-level payload ops with
     character-level SQL (ascii/substring/strlen), which is only sound
