@@ -15,7 +15,9 @@ Design principles (see SURVEY.md §1.2, §4.2):
   physical plan. No RDDs, no custom Catalyst rules.
 - Iterative algorithms (Louvain, label propagation, connected
   components) are driver-side Python loops over DataFrame jobs with
-  ``localCheckpoint()`` per iteration to truncate lineage.
+  ``lineage_cut`` (session.py) per iteration to truncate lineage —
+  eager localCheckpoint locally, reliable checkpoint() when
+  ``spark.graft.checkpointDir`` points at a fault-tolerant store.
 - Python touches data only through Arrow-batched pandas UDFs.
 """
 

@@ -20,6 +20,8 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from .session import lineage_cut
+
 from .graph import _KARATE_SQL, _KARATE_W_SQL, symmetrize, vertices_of
 from .llm_ops import tokens_of
 from .sources import COPURCHASE_EDGES_SQL, copurchase_edges, karate_edges, load
@@ -910,7 +912,7 @@ def sssp_weighted(
     connected_components; lineage truncated per round. Round count is
     bounded by the hop diameter, not n.
     """
-    sym = symmetrize(edges).localCheckpoint(eager=True)
+    sym = symmetrize(edges).transform(lineage_cut)
     dist = spark.createDataFrame([(source, 0.0)], "id LONG, dist DOUBLE")
     for _ in range(max_hops):
         contrib = sym.join(
@@ -920,7 +922,7 @@ def sssp_weighted(
             dist.unionByName(contrib)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
     return dist
 
@@ -969,9 +971,9 @@ def personalized_pagerank(
     restart vector replaces the uniform teleport, which is what powers
     'related items' / local-community queries at scale. Assumes no
     dangling nodes (symmetrized input), matching the oracle."""
-    verts = vertices_of(edges).localCheckpoint(eager=True)
+    verts = vertices_of(edges).transform(lineage_cut)
     wout = edges.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("wout"))
-    base = verts.join(wout, "id").localCheckpoint(eager=True)
+    base = verts.join(wout, "id").transform(lineage_cut)
     restart = F.when(F.col("id") == source, 1.0).otherwise(0.0)
     ranks = base.select("id", "wout", restart.alias("r"))
     for _ in range(iters):
@@ -993,7 +995,7 @@ def personalized_pagerank(
                     + F.lit(alpha) * F.coalesce("flow", F.lit(0.0))
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
     return ranks.select("id", "r")
 
@@ -1557,7 +1559,7 @@ def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consumed by the MAD aggregate AND the final gate — checkpoint
         # so the events scan runs twice total (median pass + this),
         # not three times (the cluster analogue is persist(DISK_ONLY))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     mad = chunked_group_quantiles(dev, ["event_type"], "adev", [(0.5, "mad")])
     gate = F.col("adev") > F.lit(MAD_K * 1.4826) * F.col("mad")
@@ -1744,7 +1746,7 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = F.col("o_totalprice").cast("decimal(18,2)")
     per_key = o.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), F.sum(dec).alias("s")
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut)
     # the global mean rolls up from the (tiny, checkpointed) per-key
     # state — DECIMAL addition is associative, so this equals a direct
     # scan without paying for one
@@ -1808,7 +1810,7 @@ def q_freq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # both consumers (pair counts + basket total) read this once;
         # without the checkpoint Spark re-runs the scan+shuffle per
         # branch (no exchange reuse across the scalar crossJoin)
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     combos = F.expr(
         "flatten(transform(brands, (x, i) ->"
@@ -2171,9 +2173,7 @@ def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     )
-    counts = kv.groupBy("e.key", "e.k").agg(F.count("*").alias("cnt")).localCheckpoint(
-        eager=True
-    )
+    counts = kv.groupBy("e.key", "e.k").agg(F.count("*").alias("cnt")).transform(lineage_cut)
     base = counts.groupBy("key").agg(
         F.count("*").alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
@@ -2429,7 +2429,7 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     item_n = basket.groupBy(F.col("l_partkey").alias("item")).agg(
         F.count("*").alias("n_orders")

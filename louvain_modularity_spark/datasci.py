@@ -17,6 +17,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from .session import lineage_cut
+
 from .kernels import (
     _ntile_expr,
     chunked_global_rank,
@@ -64,7 +66,7 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     kc = (
         li.groupBy("l_partkey")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     hashed = kc.select(
         "cnt",
@@ -988,7 +990,7 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.datediff("o_orderdate", "mind").cast("long").alias("x"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("v"))
         .select("x", F.col("v").cast("double").alias("v"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     a = daily.select(F.col("x").alias("x1"), F.col("v").alias("v1"))
     b = daily.select(F.col("x").alias("x2"), F.col("v").alias("v2"))
@@ -1264,7 +1266,7 @@ def q_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     rows = cont.groupBy("c_mktsegment").agg(F.sum("n").alias("rn"))
     cols = cont.groupBy("o_orderpriority").agg(F.sum("n").alias("cn"))
@@ -1530,7 +1532,7 @@ def q_graph_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select("yr", "o_custkey", "l_suppkey")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     a = edges.select(
         F.col("yr").alias("y"),
@@ -2199,7 +2201,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     n_baskets = baskets.select("l_orderkey").distinct().count()
     singles = baskets.groupBy("p_brand").agg(F.count("*").alias("n1"))
@@ -2314,7 +2316,7 @@ def q_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus").isin("F", "O"))
         .select(F.col("o_orderstatus").alias("side"), "o_custkey")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     h = ((F.col("o_custkey") + 1) * HLL_A + HLL_B) % HLL_P
     hashed = o.select(
@@ -2856,7 +2858,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = (
         e.repartitionByRange(n_chunks, "c", "event_id")
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     w_pool_local = Window.partitionBy("pid").orderBy("c", "event_id")
     w_type_local = Window.partitionBy("pid", "event_type").orderBy("c", "event_id")

@@ -18,6 +18,8 @@ import uuid
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from .session import lineage_cut
+
 from .sources import (
     COPURCHASE_EDGES_SQL,
     KARATE_EDGELIST,
@@ -525,14 +527,14 @@ def pagerank(
     re-evaluates the un-truncated chain under each step's aggregate —
     the quadratic A/B recorded below). Returns (id, rank) with
     Σ rank = n (networkx-convention × n)."""
-    verts = vertices_of(edges).localCheckpoint(eager=True)
+    verts = vertices_of(edges).transform(lineage_cut)
     n = verts.count()
     if n == 0:
         return verts.select("id", F.lit(1.0).alias("rank"))
     wout = edges.groupBy(F.col("src").alias("id")).agg(
         F.sum("weight").alias("wout")
     )
-    base = verts.join(wout, "id", "left").localCheckpoint(eager=True)
+    base = verts.join(wout, "id", "left").transform(lineage_cut)
     has_dangling = not base.filter(F.col("wout").isNull()).isEmpty()
     if not has_dangling:
         ranks = base.select("id", "wout", F.lit(1.0).alias("rank"))
@@ -562,7 +564,7 @@ def pagerank(
                 ).alias("rank"),
             )
             if (it + 1) % 5 == 0 or it == iters - 1:
-                ranks = ranks.localCheckpoint(eager=True)
+                ranks = ranks.transform(lineage_cut)
         return ranks.select("id", "rank")
     ranks = base.select("id", "wout", F.lit(1.0).alias("rank"))
     for _ in range(iters):
@@ -603,7 +605,7 @@ def pagerank(
         # batch because its recurrence has no per-step scalar
         # aggregate; PageRank's dangling term is exactly such a
         # scalar, so the lineage must be cut where it is computed.
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.transform(lineage_cut)
     return ranks.select("id", "rank")
 
 
@@ -664,12 +666,12 @@ def core_numbers(spark: SparkSession, edges: DataFrame) -> DataFrame:
 
     100 TB shape: each peel is one map-side-combined degree aggregate
     + one broadcast anti-join of the (small) victim set against the
-    remaining edge list, with localCheckpoint lineage truncation per
+    remaining edge list, with lineage_cut truncation per
     peel; the surviving graph only shrinks, so late iterations are
     cheap. O(Σ per-level peels) rounds — the same superstep budget as
     the Pregel formulations of this algorithm."""
     sym = symmetrize(edges).filter(F.col("src") != F.col("dst"))
-    alive = sym.localCheckpoint(eager=True)
+    alive = sym.transform(lineage_cut)
     assigned: list[DataFrame] = []
     k = 1
     while True:
@@ -683,22 +685,20 @@ def core_numbers(spark: SparkSession, edges: DataFrame) -> DataFrame:
             assigned.append(
                 victims.select(
                     F.col("src").alias("id"), F.lit(k - 1).alias("core")
-                ).localCheckpoint(eager=True)
+                ).transform(lineage_cut)
             )
             v = F.broadcast(victims)
             alive = (
                 alive.join(v, "src", "left_anti")
                 .join(v.withColumnRenamed("src", "dst"), "dst", "left_anti")
                 .select("src", "dst", "weight")
-                .localCheckpoint(eager=True)
+                .transform(lineage_cut)
             )
         survivors = alive.select(F.col("src").alias("id")).distinct()
         if survivors.isEmpty():
             break
         assigned.append(
-            survivors.select("id", F.lit(k).alias("core")).localCheckpoint(
-                eager=True
-            )
+            survivors.select("id", F.lit(k).alias("core")).transform(lineage_cut)
         )
         k += 1
     if not assigned:
@@ -787,7 +787,7 @@ def bfs_hops(spark: SparkSession, edges: DataFrame, source: int = 0) -> DataFram
     sym = symmetrize(edges).filter(F.col("src") != F.col("dst")).persist()
     state = spark.createDataFrame(
         [(source, 0)], "id LONG, hops INT"
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut)
     frontier = state
     h = 0
     while True:
@@ -801,7 +801,7 @@ def bfs_hops(spark: SparkSession, edges: DataFrame, source: int = 0) -> DataFram
         )
         newly = reached.join(state, "id", "left_anti").select(
             "id", F.lit(h).cast("int").alias("hops")
-        ).localCheckpoint(eager=True)
+        ).transform(lineage_cut)
         if newly.isEmpty():
             break
         # re-checkpointing the unioned state each level was A/B-tested
@@ -810,7 +810,7 @@ def bfs_hops(spark: SparkSession, edges: DataFrame, source: int = 0) -> DataFram
         # betweenness at sf0.1) — the anti-join re-scans every level
         # frame per round, which costs more than the one sequential
         # rewrite it avoids — so the checkpointed union stays
-        state = state.unionByName(newly).localCheckpoint(eager=True)
+        state = state.unionByName(newly).transform(lineage_cut)
         frontier = newly
     sym.unpersist()
     return state
@@ -909,15 +909,15 @@ def strongly_connected_components(spark: SparkSession, edges: DataFrame) -> Data
     directed path — degrades to O(n), the algorithm's known bound).
     Convergence checks are 1-row counts, constant bytes to the driver.
     """
-    E = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    remaining = vertices_of(E).localCheckpoint(eager=True)
+    E = edges.select("src", "dst").distinct().transform(lineage_cut)
+    remaining = vertices_of(E).transform(lineage_cut)
     done: DataFrame | None = None
     while not remaining.isEmpty():
         ids = remaining.select("id")
         er = (
             E.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
         # 1. forward max-color fixpoint
         color = remaining.select("id", F.col("id").alias("color"))
@@ -929,7 +929,7 @@ def strongly_connected_components(spark: SparkSession, edges: DataFrame) -> Data
                 color.unionByName(msgs)
                 .groupBy("id")
                 .agg(F.max("color").alias("color"))
-                .localCheckpoint(eager=True)
+                .transform(lineage_cut)
             )
             changed = (
                 new.join(color.withColumnRenamed("color", "old"), "id")
@@ -941,9 +941,7 @@ def strongly_connected_components(spark: SparkSession, edges: DataFrame) -> Data
             if changed == 0:
                 break
         # 2. backward growth from roots within equal color
-        marked = color.filter(F.col("id") == F.col("color")).localCheckpoint(
-            eager=True
-        )
+        marked = color.filter(F.col("id") == F.col("color")).transform(lineage_cut)
         n_marked = marked.count()
         while True:
             msgs = er.join(
@@ -956,7 +954,7 @@ def strongly_connected_components(spark: SparkSession, edges: DataFrame) -> Data
                 .select("id", "color")
             )
             new_marked = (
-                marked.unionByName(grow).distinct().localCheckpoint(eager=True)
+                marked.unionByName(grow).distinct().transform(lineage_cut)
             )
             n_new = new_marked.count()
             if n_new == n_marked:
@@ -964,10 +962,8 @@ def strongly_connected_components(spark: SparkSession, edges: DataFrame) -> Data
             marked, n_marked = new_marked, n_new
         comp = marked.select("id", F.col("color").alias("scc"))
         done = comp if done is None else done.unionByName(comp)
-        done = done.localCheckpoint(eager=True)
-        remaining = remaining.join(marked.select("id"), "id", "left_anti").localCheckpoint(
-            eager=True
-        )
+        done = done.transform(lineage_cut)
+        remaining = remaining.join(marked.select("id"), "id", "left_anti").transform(lineage_cut)
     # canonical labels: scc = min member id
     relabel = done.groupBy("scc").agg(F.min("id").alias("scc_min"))
     return done.join(relabel, "scc").select("id", F.col("scc_min").alias("scc"))
@@ -1030,7 +1026,7 @@ def all_pairs_hops(
         symmetrize(edges)
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     verts = vertices_of(edges)
     seeds = (
@@ -1049,7 +1045,7 @@ def all_pairs_hops(
             dist.unionByName(contrib)
             .groupBy("source", "id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
     return dist
 
@@ -1140,7 +1136,7 @@ def betweenness(
         symmetrize(edges)
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     verts = vertices_of(edges)
     seeds = (
@@ -1154,7 +1150,7 @@ def betweenness(
         "id",
         F.lit(0).cast("int").alias("dist"),
         F.lit(1.0).alias("sigma"),
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut)
     frontier = state
     for h in range(1, max_hops + 1):
         msgs = frontier.join(sym.withColumnRenamed("src", "id"), "id").select(
@@ -1165,7 +1161,7 @@ def betweenness(
             .groupBy("source", "id")
             .agg(F.sum("sigma").alias("sigma"))
             .select("source", "id", F.lit(h).cast("int").alias("dist"), "sigma")
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
         if newly.isEmpty():
             break
@@ -1175,7 +1171,7 @@ def betweenness(
         # betweenness at sf0.1) — the anti-join re-scans every level
         # frame per round, which costs more than the one sequential
         # rewrite it avoids — so the checkpointed union stays
-        state = state.unionByName(newly).localCheckpoint(eager=True)
+        state = state.unionByName(newly).transform(lineage_cut)
         frontier = newly
     max_level = state.agg(F.max("dist")).collect()[0][0]
     # backward: per-level dependency accumulation. Brandes' δ(v) takes
@@ -1187,7 +1183,7 @@ def betweenness(
     by_level: dict[int, DataFrame] = {
         max_level: state.filter(F.col("dist") == max_level)
         .select("source", "id", "sigma", F.lit(0.0).alias("delta"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     }
     for level in range(max_level, 0, -1):
         deeper = by_level[level].select(
@@ -1223,7 +1219,7 @@ def betweenness(
                 F.col("sigma_v").alias("sigma"),
                 F.coalesce("d_new", F.lit(0.0)).alias("delta"),
             )
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
     delta = by_level[0]
     for level in range(1, max_level + 1):
@@ -1309,7 +1305,7 @@ def eigenvector_centrality(
     Scale shape: identical to pagerank/personalized_pagerank — cached
     static adjacency, per-round lineage truncation, state is one row
     per vertex."""
-    sym = symmetrize(edges).localCheckpoint(eager=True)
+    sym = symmetrize(edges).transform(lineage_cut)
     verts = vertices_of(edges)
     r = verts.select("id", F.lit(1.0).alias("r"))
     for i in range(iters):
@@ -1323,7 +1319,7 @@ def eigenvector_centrality(
         # makes the wall-clock all scheduling floor; a 6-deep
         # join/agg lineage is still far below planner limits
         if (i + 1) % 6 == 0 or i == iters - 1:
-            r = r.localCheckpoint(eager=True)
+            r = r.transform(lineage_cut)
     norm = r.agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm"))
     return r.crossJoin(norm).select("id", (F.col("r") / F.col("nrm")).alias("ev"))
 
@@ -1677,7 +1673,7 @@ def graph_coloring(
     prio = F.xxhash64(F.col("id"))
     state = vertices_of(sym).select(
         "id", F.lit(None).cast("int").alias("color")
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut)
     for _ in range(max_rounds):
         if state.filter(F.col("color").isNull()).limit(1).count() == 0:
             break
@@ -1710,7 +1706,7 @@ def graph_coloring(
                 )
                 .alias("color"),
             )
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
     sym.unpersist()
     return state
@@ -1741,7 +1737,7 @@ def k_truss(spark: SparkSession, edges: DataFrame, k: int) -> DataFrame:
         edges.filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     n = und.count()
     while n > 0:
@@ -1770,7 +1766,7 @@ def k_truss(spark: SparkSession, edges: DataFrame, k: int) -> DataFrame:
             und.join(support, ["a", "b"], "left")
             .filter(F.coalesce("support", F.lit(0)) >= k - 2)
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
         n_kept = kept.count()
         if n_kept == n:
@@ -1827,7 +1823,7 @@ def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact; only the final ratio is double. Nothing here is
     quadratic — at 100 TB this is two shuffles on the community key."""
     edges = copurchase_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    nodecom = _nation_communities(spark, sf_dir).localCheckpoint(eager=True)
+    nodecom = _nation_communities(spark, sf_dir).transform(lineage_cut)
     e2 = (
         edges.select("src", "dst", F.col("weight").cast("long").alias("w"))
         .join(
@@ -1844,7 +1840,7 @@ def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # four consumers (volume, cut, 2m, and the union's second leg)
         # — checkpoint so the co-purchase derivation joins run once
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     both_ends = e2.select(F.col("com_src").alias("com"), "w").unionByName(
         e2.select(F.col("com_dst").alias("com"), "w")
@@ -1935,7 +1931,7 @@ def q_partition_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     nij = (
         c.groupBy("pa", "pb")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     ai = nij.groupBy("pa").agg(F.sum("n").alias("a"))
     bj = nij.groupBy("pb").agg(F.sum("n").alias("b"))
@@ -2108,7 +2104,7 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
     e = edges.select(
         "src", "dst", F.col("weight").cast("double").alias("w")
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut)
     hubs = (
         e.select(F.col("src").alias("id"))
         .distinct()
@@ -2139,8 +2135,8 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the hubs materialization a single join over the pinned
             # auth (same values: checkpointing does not change the
             # expression, only where evaluation is cut)
-            auth = auth.localCheckpoint(eager=True)
-            hubs = _hubs_of(auth).localCheckpoint(eager=True)
+            auth = auth.transform(lineage_cut)
+            hubs = _hubs_of(auth).transform(lineage_cut)
             amax = auth.agg(F.max("auth").alias("m"))
             auth = auth.crossJoin(F.broadcast(amax)).select(
                 "id", (F.col("auth") / F.col("m")).alias("auth")
@@ -2247,14 +2243,14 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     comp = (
         e.select(F.col("u").alias("id"))
         .unionByName(e.select(F.col("v").alias("id")))
         .distinct()
         .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     chosen_all = e.limit(0)
     for _ in range(MST_MAX_ROUNDS):
@@ -2275,10 +2271,10 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("e.u", "e.v", "e.w")
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
         chosen_all = (
-            chosen_all.unionByName(best).distinct().localCheckpoint(eager=True)
+            chosen_all.unionByName(best).distinct().transform(lineage_cut)
         )
         # merge touching components: min-label propagation over the
         # chosen component edges (a pseudo-forest: ≤1 chosen edge per
@@ -2296,7 +2292,7 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least("cu", "cv").alias("a"), F.greatest("cu", "cv").alias("b")
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
         ce_rows = ce.count()
         if ce_rows <= MST_INLINE_MERGE_EDGES:
@@ -2325,13 +2321,13 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ce.unionByName(
                     ce.select(F.col("b").alias("a"), F.col("a").alias("b"))
                 )
-                .localCheckpoint(eager=True)
+                .transform(lineage_cut)
             )
             lbl = (
                 ce.select(F.col("a").alias("c"))
                 .distinct()
                 .select("c", F.col("c").alias("lbl"))
-                .localCheckpoint(eager=True)
+                .transform(lineage_cut)
             )
             while True:
                 nb = (
@@ -2352,7 +2348,7 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("lbl"), F.coalesce("mn", F.col("lbl"))
                         ).alias("lbl"),
                     )
-                    .localCheckpoint(eager=True)
+                    .transform(lineage_cut)
                 )
                 moved = (
                     new_lbl.select("c", F.col("lbl").alias("nl"))
@@ -2370,7 +2366,7 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "left",
             )
             .select("id", F.coalesce("newc", F.col("comp")).alias("comp"))
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
     return chosen_all.select("u", "v", "w")
 
@@ -2392,7 +2388,7 @@ def topo_layers(spark: SparkSession, edges: DataFrame) -> DataFrame:
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    layer = nodes.select("id", F.lit(0).alias("layer")).localCheckpoint(eager=True)
+    layer = nodes.select("id", F.lit(0).alias("layer")).transform(lineage_cut)
     while True:
         pushed = (
             edges.join(layer.withColumnRenamed("id", "src"), "src")
@@ -2405,7 +2401,7 @@ def topo_layers(spark: SparkSession, edges: DataFrame) -> DataFrame:
                 "id",
                 F.greatest("layer", F.coalesce("cand", F.lit(0))).alias("layer"),
             )
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
         changed = (
             merged.join(layer.withColumnRenamed("layer", "old"), "id")
@@ -2578,7 +2574,7 @@ def q_butterfly(spark: SparkSession, sf_dir: str) -> DataFrame:
         copurchase_edges(spark, sf_dir)
         .select("src", "dst")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     # d*(d-1) is always even, so summing BIGINT products then halving
     # with integer `div` is exact at any scale; `/` would accumulate

@@ -25,6 +25,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from .session import lineage_cut
+
 
 def chunked_global_rank(df: DataFrame, sort_cols, rank_name: str = "rn") -> DataFrame:
     """Global ROW_NUMBER over a TOTAL order ``sort_cols`` without a
@@ -44,7 +46,7 @@ def chunked_global_rank(df: DataFrame, sort_cols, rank_name: str = "rn") -> Data
     r = (
         df.repartitionByRange(n_chunks, *sort_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     w_local = Window.partitionBy("_pid").orderBy(*sort_cols)
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -77,7 +79,7 @@ def chunked_running_sum(
     r = (
         df.repartitionByRange(n_chunks, *sort_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     w_local = (
         Window.partitionBy("_pid")
@@ -133,7 +135,7 @@ def chunked_group_rank(
     r = (
         df.repartitionByRange(n_chunks, *(group_cols + list(sort_cols)))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     w_local = Window.partitionBy("_pid", *group_cols).orderBy(*sort_cols)
     w_off = (

@@ -16,6 +16,8 @@ import pandas as pd  # noqa: F401  (resolves pandas_udf string annotations)
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from .session import lineage_cut
+
 from .sources import load
 
 # ---------------------------------------------------------------------------
@@ -443,7 +445,7 @@ def dedup_minhash_pairs(d: DataFrame, max_bucket: int = 100) -> DataFrame:
         bands = bands.unionByName(extra)
     # bands is consumed three times below (hot-list aggregate, anti-join,
     # star pairs) and is tiny (4 longs/doc) — materialize it once
-    bands = bands.localCheckpoint(eager=True)
+    bands = bands.transform(lineage_cut)
     # oversized buckets are rare by construction (they are giant
     # duplicate clusters), so compute ONLY the hot-bucket list (one
     # map-side-combined aggregate) and broadcast it — cheaper than

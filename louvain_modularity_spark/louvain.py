@@ -31,6 +31,8 @@ from dataclasses import dataclass, field
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from .session import lineage_cut
+
 from .graph import (
     aggregate_parallel_edges,
     coarsen_edges,
@@ -563,7 +565,7 @@ def _one_level(
 
     Per round: 3 aggregate shuffles over E (w2c) / n (Σ_tot, degree) —
     the static symmetrized edge list and degree table are cached, so a
-    round only reshuffles the small per-node state. localCheckpoint
+    round only reshuffles the small per-node state. lineage_cut
     truncates lineage each round (plan depth would otherwise grow
     linearly and analysis time dominate).
     """
@@ -601,7 +603,7 @@ def _one_level(
         state = deg.select(
             "id", F.col("id").alias("community"), F.col("degree").alias("k")
         )
-    state = state.localCheckpoint(eager=True)
+    state = state.transform(lineage_cut)
     n_nodes = state.count()
 
     total_moves = 0
@@ -731,7 +733,7 @@ def _one_level(
             # below broadcast-joins the tiny checkpointed result, and a
             # fused single-checkpoint variant measured SLOWER (the
             # unmaterialized moves side loses its broadcast sizing)
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
         n_moves = moves.count()
         if n_moves > 0:
@@ -743,7 +745,7 @@ def _one_level(
                     F.coalesce("new_community", "community").alias("community"),
                     *carry,
                 )
-                .localCheckpoint(eager=True)
+                .transform(lineage_cut)
             )
         total_moves += n_moves
         if _VERBOSE:
@@ -876,7 +878,7 @@ def louvain_communities(
             salt_hubs=salt_hubs,
             hub_min_neighbors=hub_min_neighbors,
         )
-        level_assign = level_assign.localCheckpoint(eager=True)
+        level_assign = level_assign.transform(lineage_cut)
         if global_assign is None:
             global_assign = level_assign
         else:
@@ -884,7 +886,7 @@ def louvain_communities(
                 global_assign.withColumnRenamed("community", "prev")
                 .join(level_assign.withColumnRenamed("id", "prev"), "prev")
                 .select("id", "community")
-                .localCheckpoint(eager=True)
+                .transform(lineage_cut)
             )
         if directed:
             from .metrics import modularity_directed_df
@@ -907,9 +909,7 @@ def louvain_communities(
             edges.unpersist()
             break
         mod_prev = mod_new
-        coarse = coarsen_edges(edges, level_assign, directed=directed).localCheckpoint(
-            eager=True
-        )
+        coarse = coarsen_edges(edges, level_assign, directed=directed).transform(lineage_cut)
         edges.unpersist()
         edges = coarse
     if global_assign is None:
@@ -949,7 +949,7 @@ def label_propagation(
     ties broken by smallest label; same parity guard as Louvain."""
     sym = symmetrize(edges).filter(F.col("src") != F.col("dst")).persist()
     state = vertices_of(edges).select("id", F.col("id").alias("label"))
-    state = state.localCheckpoint(eager=True)
+    state = state.transform(lineage_cut)
     idle_rounds = 0
     for rnd in range(max_iter):
         lbl = state.select(F.col("id").alias("dst"), "label")
@@ -971,7 +971,7 @@ def label_propagation(
         new_state = (
             state.join(best, "id", "left")
             .select("id", F.coalesce("new_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
         changed = (
             new_state.join(
@@ -1037,9 +1037,9 @@ def connected_components_star(spark: SparkSession, edges: DataFrame) -> DataFram
             F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
-    verts = vertices_of(edges).localCheckpoint(eager=True)
+    verts = vertices_of(edges).transform(lineage_cut)
     if e.count() <= CC_INLINE_EDGES:
         parent: dict = {}
 
@@ -1074,7 +1074,7 @@ def connected_components_star(spark: SparkSession, edges: DataFrame) -> DataFram
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), m_large.alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
         # ---- small-star: group the (already point-to-smaller) edges
         #      by u; every v ∈ N_small(u) ∪ {u} links to
@@ -1090,7 +1090,7 @@ def connected_components_star(spark: SparkSession, edges: DataFrame) -> DataFram
             nbr_links.unionByName(self_links)
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
         if e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty():
             break
@@ -1116,7 +1116,7 @@ def connected_components(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """
     sym = symmetrize(edges).persist()
     state = vertices_of(edges).select("id", F.col("id").alias("component"))
-    state = state.localCheckpoint(eager=True)
+    state = state.transform(lineage_cut)
     while True:
         comp = state.select(F.col("id").alias("dst"), "component")
         msgs = (
@@ -1132,7 +1132,7 @@ def connected_components(spark: SparkSession, edges: DataFrame) -> DataFrame:
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
         changed = (
             new_state.join(state.select("id", F.col("component").alias("old")), "id")
@@ -1495,7 +1495,7 @@ def leiden_refine(
 
     100 TB shape: the CC loop runs on the intra-community EDGE SUBSET
     (strictly smaller than the graph), each round one join + one
-    map-side-combined min aggregate, localCheckpoint-truncated —
+    map-side-combined min aggregate, lineage_cut-truncated —
     identical machinery to connected_components. No collect of data;
     the assignment table is the only extra join input.
     """

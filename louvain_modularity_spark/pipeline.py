@@ -19,6 +19,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from .session import lineage_cut
+
 from .llm_ops import _DOT_SQL, ngram_jaccard_pairs, shingles_of
 from .louvain import connected_components
 from .sources import load
@@ -69,7 +71,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the dup-pair graph is minuscule next to the corpus; pin it so
         # downstream consumers don't re-run the inverted-index join
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     inline_threshold = 1_000_000
     n_pairs = edges.count()
@@ -737,7 +739,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # assigned feeds three plan branches (both self-join sides and
         # the final keep join); pin it so the broadcast-argmax corpus
         # pass runs once, not three times
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     a = assigned.select(
         F.col("cluster"),
@@ -845,7 +847,7 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
         .select("doc_id", "s.pos", "s.shingle")
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     hot = (
         sh.groupBy("shingle")
@@ -853,9 +855,7 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > SUBSTR_MAX_DF)
         .select("shingle")
     )
-    gated = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint(
-        eager=True
-    )
+    gated = sh.join(F.broadcast(hot), "shingle", "left_anti").transform(lineage_cut)
     a, b = gated.alias("a"), gated.alias("b")
     pairs = (
         a.join(b, "shingle")

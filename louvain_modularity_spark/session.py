@@ -37,6 +37,42 @@ def ensure_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: (app id, dir) pairs already applied via setCheckpointDir — the call
+#: creates the directory, so apply it once per session, not per cut
+_CKPT_DIRS_SET: set[tuple[str, str]] = set()
+
+
+def lineage_cut(df):
+    """Truncate a DataFrame's lineage — the per-round/per-level cut
+    every iterative algorithm here applies via ``.transform(lineage_cut)``.
+
+    Local mode (default): ``localCheckpoint(eager=True)`` — blocks live
+    on the one JVM, zero I/O, exactly what a single-machine run wants.
+
+    Cluster mode: localCheckpoint blocks die with the executor that
+    stored them, and a truncated lineage cannot recompute them — on a
+    1000-executor job one lost executor would fail the whole run. Set
+    ``spark.graft.checkpointDir`` (runtime conf) or the
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` env var to a reliable store
+    (HDFS/object store) and every cut becomes a fault-tolerant
+    ``checkpoint(eager=True)`` instead — same values, same
+    once-materialized semantics for nondeterministic plans, recoverable
+    partitions. One switch, zero call-site changes."""
+    spark = df.sparkSession
+    try:
+        ckpt_dir = spark.conf.get("spark.graft.checkpointDir", None)
+    except Exception:
+        ckpt_dir = None
+    ckpt_dir = ckpt_dir or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR", "")
+    if ckpt_dir:
+        key = (spark.sparkContext.applicationId, ckpt_dir)
+        if key not in _CKPT_DIRS_SET:
+            spark.sparkContext.setCheckpointDir(ckpt_dir)
+            _CKPT_DIRS_SET.add(key)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def get_spark(
     app_name: str = "louvain-modularity-spark",
     master: str | None = None,

@@ -15,6 +15,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from .session import lineage_cut
+
 from .llm_ops import _DOT_SQL, _dot, tokens_of
 from .sources import load
 
@@ -803,7 +805,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # vocabulary-sized; checkpointed so the scalar rollup and the
         # ratio table don't each re-run the corpus explode
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     scalars = counts.agg(
         F.count("*").alias("v"),
@@ -874,13 +876,13 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (vocab scalar; LM counts + final scoring join) — checkpoint both
     # so the explode and the lead window run exactly once (the cluster
     # analogue is persist(DISK_ONLY) on the same two tables)
-    t = tokens_of(d).filter(F.col("token") != "").localCheckpoint(eager=True)
+    t = tokens_of(d).filter(F.col("token") != "").transform(lineage_cut)
     w = Window.partitionBy("doc_id").orderBy("pos")
     bg = (
         t.withColumn("nxt", F.lead("token").over(w))
         .filter(F.col("nxt").isNotNull())
         .select("doc_id", "token", "nxt")
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     c12 = bg.groupBy("token", "nxt").agg(F.count("*").alias("c12"))
     c1 = bg.groupBy("token").agg(F.count("*").alias("c1"))
@@ -1054,7 +1056,7 @@ def _bpe_loop(spark: SparkSession, sf_dir: str):
                 "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
             ).alias("syms"),
         )
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     merges = []
     for rank in range(1, BPE_MERGES + 1):
@@ -1088,7 +1090,7 @@ def _bpe_loop(spark: SparkSession, sf_dir: str):
         )
         words = words.select(
             "word", "cnt", F.expr(fold).alias("syms")
-        ).localCheckpoint(eager=True)
+        ).transform(lineage_cut)
     return merges, words
 
 

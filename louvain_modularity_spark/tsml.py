@@ -17,6 +17,8 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from .session import lineage_cut
+
 from .sources import load
 
 # ---------------------------------------------------------------------------
@@ -55,7 +57,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
             ).alias("cents")
         )
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     a = daily.select(F.col("x").alias("xi"), F.col("cents").alias("vi"))
     w = F.pow(F.lit(2.0), F.lit(EWMA_HORIZON - 1) - (F.col("t.x") - F.col("xi"))).cast(
@@ -144,7 +146,7 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
             ).alias("cents")
         )
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     tot = daily.agg(
         F.count("*").alias("n"), F.sum("cents").cast("decimal(38,0)").alias("tot")
@@ -265,7 +267,7 @@ def q_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
             ).alias("cents")
         )
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     w = Window.orderBy("yy", "mm")
     cur = monthly.select(
@@ -450,7 +452,7 @@ def q_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     x, y = _grid_xy(F.col("c_custkey"))
     pts = c.select(
         F.col("c_custkey").alias("id"), x.alias("x"), y.alias("y")
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut)
     g = F.lit(GRID_RADIUS)
     left = pts.select(
         "id",
@@ -726,7 +728,7 @@ def q_geo_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cx", "cy")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     spread = counts.select(
         "n",
@@ -838,7 +840,7 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the histogram feeds BOTH the totals and the cumulative
         # window — checkpoint so the fact is scanned exactly once
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     tot = hist.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
@@ -1034,7 +1036,7 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     yg = ((F.col("c_custkey") * GRID_A2 + GRID_B2) % GRID_P) % GRID_SIZE
     pts = c.select(
         F.col("c_custkey").alias("id"), xg.alias("x"), yg.alias("y")
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut)
     g = F.lit(DBSCAN_EPS)
     left = pts.select(
         "id",
@@ -1067,7 +1069,7 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id") != F.col("id2"))
         .filter(dx * dx + dy * dy <= F.lit(DBSCAN_EPS * DBSCAN_EPS))
         .select("id", "id2")
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     ncount = pairs.groupBy("id").agg((F.count("*") + 1).alias("n_eps"))
     core = ncount.filter(F.col("n_eps") >= DBSCAN_MINPTS).select("id")
@@ -1087,7 +1089,7 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # isolated core points (no core neighbor in ε) form singleton clusters
     core_lab = core.join(comp, "id", "left").select(
         "id", F.coalesce("cluster", F.col("id")).alias("cluster"), F.lit(1).alias("is_core")
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut)
     border = (
         pairs.join(
             core_lab.select(F.col("id").alias("id2"), F.col("cluster")), "id2"
