@@ -90,6 +90,11 @@ HEADLINE = SHARED_R02 + [
     # merge over core cells)
     "q_hits",
     "q_dbscan",
+    # late-r7 add: the heaviest user of the bracketing-order-statistic
+    # quantile kernels (median of ~2.9M pairwise slopes over the
+    # chunked rank) — tracks the kernel family per-round now that every
+    # exact percentile in the registry runs on it
+    "q_theilsen",
 ]
 
 #: noisiest entries under this VM's CPU-steal (±30% swings on unchanged
