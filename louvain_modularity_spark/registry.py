@@ -58,10 +58,12 @@ def _modules():
 # before anything new is registered. The full three-round plan is pinned
 # below as data (_WINDOW_R06 / _WINDOW_R07 / _WINDOW_R08) and
 # held_queries() derives the outstanding set — no hand-synced prose list.
-# ROUND 7 STATUS: _WINDOW_R07 (== the plan pinned in round 6, unchanged
-# name-for-name per the r6 verdict's task 1) is the ACTIVE window;
-# all_queries() leads with it. Backlog after this window: the 9
-# _WINDOW_R08_LEAD names.
+# ROUND 8 STATUS: _WINDOW_R08 (== the plan pinned in round 7, executed
+# unchanged name-for-name per the r7 verdict's task 1) is the ACTIVE
+# window; all_queries() leads with it. Backlog after this window: NONE —
+# held_queries() returns [] and every registry query has a driver row
+# no older than round 6. The r5 freeze order therefore expires mid-r8;
+# the unfreeze decision is documented in SURVEY.md §2.31.
 #
 # Every oracle-backed entry is local DuckDB-parity green at
 # sf0.001+sf0.01 (tests/test_oracle_parity.py runs the driver's own
@@ -288,6 +290,27 @@ _WINDOW_R08_ROTATION = [
 
 _WINDOW_R08 = _WINDOW_R08_LEAD + _WINDOW_R08_ROTATION
 
+# Rows-only-by-contract entries inside the R08 window (no DuckDB
+# oracle; every one carries a local golden or invariant test):
+# q_leiden_refine (Leiden invariants vs the Louvain partition), the
+# r1 q_approx_quantile (bounded-error contract vs exact quantiles),
+# and the r2 dedup/ANN/Louvain iterative cohort whose outputs are
+# seed-deterministic but not SQL-expressible.
+_WINDOW_R08_ROWS_ONLY = [
+    "q_leiden_refine",
+    "q_approx_quantile",
+    "q_dedup_minhash",
+    "q_simhash",
+    "q_ann_lsh",
+    "q_louvain_directed",
+    "q_louvain_one_level",
+    "q_louvain_communities",
+    "q_louvain_distributed",
+    "q_louvain_dendrogram",
+    "q_seeded_order",
+    "q_label_propagation",
+]
+
 # Every query name that has appeared in a driver CORRECTNESS window,
 # rounds 1-5 (= union of CORRECTNESS_r0{1..5}.json keys; 193 names).
 # Frozen history — append-only as windows run.
@@ -361,22 +384,28 @@ def all_queries() -> dict[str, QueryFn]:
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         merged.update(mod.QUERIES)
-    missing = [n for n in _WINDOW_R07 if n not in merged]
+    missing = [n for n in _WINDOW_R08 if n not in merged]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R07}
+    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R08}
     out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
 
 
 def held_queries() -> list[str]:
     """Registered queries with no driver CORRECTNESS row once the
-    round-7 window runs — DERIVED from the registry minus every windowed
+    round-8 window runs — DERIVED from the registry minus every windowed
     name, replacing the hand-synced prose list the r5 verdict flagged
-    (What's wrong #2). test_coverage asserts this equals the pinned
-    R08 lead exactly, so any drift between plan and backlog fails
+    (What's wrong #2). After the r8 window this is EMPTY: the
+    never-windowed backlog is burned to zero. test_coverage asserts
+    exactly that, so any new registration without a window plan fails
     loudly."""
-    windowed = _EVER_WINDOWED_PRE_R06 | set(_WINDOW_R06) | set(_WINDOW_R07)
+    windowed = (
+        _EVER_WINDOWED_PRE_R06
+        | set(_WINDOW_R06)
+        | set(_WINDOW_R07)
+        | set(_WINDOW_R08)
+    )
     return sorted(n for n in all_queries() if n not in windowed)
 
 

@@ -46,43 +46,39 @@ def test_documented_counts_match_registry():
     )
 
 
-def test_r07_window_leads_registry():
+def test_r08_window_leads_registry():
     """The driver checks the first 50 registry entries; the pinned
-    round-7 window (pinned as data in round 6, executed unchanged in
-    round 7 per the r6 verdict's task 1) must lead the iteration order,
-    and every entry must be oracle-backed EXCEPT the four rows-only
-    ops deliberately spent on executes-under-driver evidence
-    (q_dbscan, q_pca_power, q_pq_ann, q_bpe_encode — each with a local
-    golden). All 50 must be first-timers (never in a CORRECTNESS window
-    before) — rounds 6-8 burn the never-windowed backlog to zero."""
+    round-8 window (pinned as data in round 7, executed unchanged in
+    round 8 per the r7 verdict's task 1: 9 backlog burns + 41
+    staleness-rotation re-greens) must lead the iteration order, and
+    every entry must be oracle-backed EXCEPT the pinned rows-only set
+    (q_leiden_refine plus the r1/r2 iterative cohort, each with a
+    local golden or invariant test)."""
     from louvain_modularity_spark.registry import (
-        _EVER_WINDOWED_PRE_R06,
-        _WINDOW_R06,
-        _WINDOW_R07,
-        _WINDOW_R07_ROWS_ONLY,
+        _WINDOW_R08,
+        _WINDOW_R08_ROWS_ONLY,
     )
 
     q, o = all_queries(), all_oracles()
-    assert list(q)[: len(_WINDOW_R07)] == _WINDOW_R07
-    assert len(_WINDOW_R07) == 50 == len(set(_WINDOW_R07))
-    not_backed = [n for n in _WINDOW_R07 if n not in o]
-    assert sorted(not_backed) == sorted(_WINDOW_R07_ROWS_ONLY), (
+    assert list(q)[: len(_WINDOW_R08)] == _WINDOW_R08
+    assert len(_WINDOW_R08) == 50 == len(set(_WINDOW_R08))
+    not_backed = [n for n in _WINDOW_R08 if n not in o]
+    assert sorted(not_backed) == sorted(_WINDOW_R08_ROWS_ONLY), (
         f"unplanned rows-only queries in driver window: "
-        f"{sorted(set(not_backed) - set(_WINDOW_R07_ROWS_ONLY))}"
+        f"{sorted(set(not_backed) - set(_WINDOW_R08_ROWS_ONLY))}"
     )
-    repeats = set(_WINDOW_R07) & (_EVER_WINDOWED_PRE_R06 | set(_WINDOW_R06))
-    assert not repeats, f"r07 window wastes slots on already-windowed: {sorted(repeats)}"
 
 
-def test_held_set_equals_pinned_r08_plan():
+def test_backlog_empty_after_r08_window():
     """The r5 verdict (What's wrong #2): the held-for-later inventory
     must be DERIVED, not a hand-synced prose comment. held_queries()
-    computes registry minus every windowed name; after the r7 window it
-    must equal the pinned round-8 lead exactly, the windows must be
-    mutually disjoint, and the full round-8 window (lead + staleness
-    rotation, pinned per the r6 verdict's task 5) must be 50 distinct
-    registered names whose rotation slots all come from the stale
-    r1/r2 cohort (subset of _EVER_WINDOWED_PRE_R06)."""
+    computes registry minus every windowed name; once the r8 window is
+    active the never-windowed backlog is zero — every registered query
+    has (or is about to get) a driver CORRECTNESS row. The windows must
+    be mutually disjoint and the rotation slots must all come from the
+    stale r1/r2 cohort (subset of _EVER_WINDOWED_PRE_R06). Any NEW
+    registration (post-unfreeze, SURVEY §2.31) must be added to a
+    window plan in the same commit or this fails."""
     from louvain_modularity_spark.registry import (
         _EVER_WINDOWED_PRE_R06,
         _WINDOW_R06,
@@ -94,11 +90,9 @@ def test_held_set_equals_pinned_r08_plan():
     )
 
     held = held_queries()
-    plan = sorted(_WINDOW_R08_LEAD)
-    assert held == plan, (
-        f"backlog/plan drift: held-not-planned="
-        f"{sorted(set(held) - set(plan))}, "
-        f"planned-not-held={sorted(set(plan) - set(held))}"
+    assert held == [], f"never-windowed backlog should be empty: {held}"
+    assert sorted(_WINDOW_R08_LEAD) == sorted(
+        set(_WINDOW_R08) - _EVER_WINDOWED_PRE_R06 - set(_WINDOW_R06) - set(_WINDOW_R07)
     )
     assert len(_WINDOW_R07) == 50 == len(set(_WINDOW_R07))
     assert len(_WINDOW_R08) == 50 == len(set(_WINDOW_R08))
