@@ -563,6 +563,13 @@ FROM packed GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+#: cogroup bucket cap: one bucket's pandas frame holds at most this
+#: many orders (n_buckets = ⌈n_orders / cap⌉, floor 64 for
+#: parallelism) — bounds the per-Python-call Arrow batch regardless of
+#: corpus size, mirroring DUP_EMB_BLOCK_VECS
+COGROUP_BUCKET_ORDERS = 10_000
+
+
 def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped-map Python surface (``groupBy().cogroup()
     .applyInPandas``): per-order reconciliation of the order header
@@ -587,7 +594,18 @@ def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket key gives a BOUNDED number of Python calls and a vectorized
     pandas groupby-merge over each bucket's orders inside the
     callback. Same per-order rows (outer merge keeps keys missing on
-    either side), same rollup, same oracle; measured 40 → ~2 s."""
+    either side), same rollup, same oracle; measured 40 → ~2 s.
+
+    The bucket COUNT scales with the order count (r8, the r7 ADVICE
+    medium: a fixed 64 made each bucket's pandas frame grow O(N/64) —
+    the unbounded single-task buffer class the kernel family
+    eliminates elsewhere): n_buckets = ⌈n_orders /
+    COGROUP_BUCKET_ORDERS⌉ with a floor of 64 for parallelism, so one
+    bucket's frame holds ≤ COGROUP_BUCKET_ORDERS orders (plus their
+    ~4× line items) at ANY corpus size — one driver-side count, the
+    same sizing idiom as q_dup_embedding's NB
+    (scripts/stress_adaptive.py measures both across two corpus
+    sizes)."""
     import pandas as pd
 
     o = load(spark, sf_dir, "orders").select(
@@ -632,7 +650,7 @@ def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    n_buckets = 64
+    n_buckets = max(64, -(-o.count() // COGROUP_BUCKET_ORDERS))
     per_key = (
         o.withColumn("b", F.pmod("o_orderkey", F.lit(n_buckets)))
         .groupBy("b")

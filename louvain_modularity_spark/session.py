@@ -41,6 +41,9 @@ def ensure_conf(spark: SparkSession) -> SparkSession:
 #: creates the directory, so apply it once per session, not per cut
 _CKPT_DIRS_SET: set[tuple[str, str]] = set()
 
+#: app ids already warned about unbounded checkpoint retention
+_CKPT_RETENTION_WARNED: set[str] = set()
+
 
 def lineage_cut(df):
     """Truncate a DataFrame's lineage — the per-round/per-level cut
@@ -57,7 +60,19 @@ def lineage_cut(df):
     (HDFS/object store) and every cut becomes a fault-tolerant
     ``checkpoint(eager=True)`` instead — same values, same
     once-materialized semantics for nondeterministic plans, recoverable
-    partitions. One switch, zero call-site changes."""
+    partitions. One switch, zero call-site changes.
+
+    Checkpoint RETENTION (r7 ADVICE): with ~104 cut sites and per-round
+    cuts inside iterative loops, the reliable arm writes every round's
+    full dataset to the store, and Spark only deletes those files when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
+    context-START conf the ContextCleaner reads once — it cannot be
+    flipped at runtime on an already-running session). :func:`get_spark`
+    sets it; for a harness-supplied session without it this emits a
+    one-time warning. Either way, point the switch at a PER-RUN
+    directory and delete it after the job — GC-driven cleanup is
+    best-effort (it frees nothing until the driver drops its last
+    DataFrame reference), not a retention policy."""
     spark = df.sparkSession
     try:
         ckpt_dir = spark.conf.get("spark.graft.checkpointDir", None)
@@ -65,10 +80,30 @@ def lineage_cut(df):
         ckpt_dir = None
     ckpt_dir = ckpt_dir or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR", "")
     if ckpt_dir:
-        key = (spark.sparkContext.applicationId, ckpt_dir)
+        sc = spark.sparkContext
+        key = (sc.applicationId, ckpt_dir)
         if key not in _CKPT_DIRS_SET:
-            spark.sparkContext.setCheckpointDir(ckpt_dir)
+            sc.setCheckpointDir(ckpt_dir)
             _CKPT_DIRS_SET.add(key)
+            cleans = (
+                sc.getConf()
+                .get("spark.cleaner.referenceTracking.cleanCheckpoints", "false")
+                .lower()
+            )
+            if cleans != "true" and sc.applicationId not in _CKPT_RETENTION_WARNED:
+                _CKPT_RETENTION_WARNED.add(sc.applicationId)
+                import warnings
+
+                warnings.warn(
+                    "reliable checkpointing is active but "
+                    "spark.cleaner.referenceTracking.cleanCheckpoints is "
+                    f"false on this context: every lineage cut retains its "
+                    f"files under {ckpt_dir} for the application lifetime. "
+                    "Use a per-run checkpoint dir and delete it after the "
+                    "job, or start the session with the cleaner conf set "
+                    "(get_spark does).",
+                    stacklevel=3,
+                )
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 
@@ -101,6 +136,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # reliable-checkpoint hygiene: let the ContextCleaner delete
+        # checkpoint files once their RDD is GC'd (context-START conf;
+        # see lineage_cut's retention note — still pair it with a
+        # per-run checkpoint dir on real clusters)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

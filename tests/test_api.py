@@ -104,3 +104,47 @@ def test_lineage_cut_reliable_checkpoint_agrees(spark, tmp_path):
     assert forced == base and base
     # the reliable arm really ran: checkpoint files exist on disk
     assert any((tmp_path / "ckpt").rglob("*"))
+
+
+def test_lineage_cut_checkpoint_retention_guard(spark, tmp_path, monkeypatch):
+    """The reliable arm's retention hygiene (r7 ADVICE): sessions built
+    by get_spark carry spark.cleaner.referenceTracking.cleanCheckpoints
+    =true (context-start conf), so no retention warning fires; on a
+    context WITHOUT it (harness-supplied sessions) lineage_cut warns
+    exactly once per app that checkpoint files accumulate for the
+    application lifetime."""
+    import warnings
+
+    import pyspark.sql.functions as F
+    from pyspark.conf import SparkConf
+
+    from louvain_modularity_spark import session as S
+
+    assert (
+        spark.sparkContext.getConf()
+        .get("spark.cleaner.referenceTracking.cleanCheckpoints", "false")
+        == "true"
+    )
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    # our own factory's session: no warning
+    spark.conf.set("spark.graft.checkpointDir", str(tmp_path / "a"))
+    try:
+        monkeypatch.setattr(S, "_CKPT_DIRS_SET", set())
+        monkeypatch.setattr(S, "_CKPT_RETENTION_WARNED", set())
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            S.lineage_cut(df)
+        # simulate a foreign context lacking the cleaner conf
+        monkeypatch.setattr(S, "_CKPT_DIRS_SET", set())
+        monkeypatch.setattr(S, "_CKPT_RETENTION_WARNED", set())
+        monkeypatch.setattr(
+            SparkConf, "get", lambda self, k, defaultValue=None: "false"
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            S.lineage_cut(df)
+            S.lineage_cut(df)  # once per app, not per cut
+        hits = [x for x in w if "cleanCheckpoints" in str(x.message)]
+        assert len(hits) == 1, [str(x.message) for x in w]
+    finally:
+        spark.conf.unset("spark.graft.checkpointDir")
