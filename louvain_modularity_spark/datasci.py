@@ -994,10 +994,17 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = daily.select(F.col("x").alias("x1"), F.col("v").alias("v1"))
     b = daily.select(F.col("x").alias("x2"), F.col("v").alias("v2"))
+    # keep the (x1, x2) pair identity: slopes tie heavily (~2.9M pairs
+    # over repeated daily values), and the rank kernel's contract
+    # requires a UNIQUE total order for balanced range chunks — the
+    # day pair is a deterministic tiebreak (r7 ADVICE; order
+    # statistics are tie-invariant, so values are unchanged)
     pairs = a.join(b, F.col("x2") > F.col("x1")).select(
         ((F.col("v2") - F.col("v1")) / (F.col("x2") - F.col("x1")).cast("double")).alias(
             "slope"
-        )
+        ),
+        "x1",
+        "x2",
     )
     # exact median WITHOUT the single-buffer percentile aggregate
     # (r7): Spark's exact `percentile` collects every slope into ONE
@@ -1007,7 +1014,9 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # middle order statistics: median = lo + g·(hi − lo) with g = 0.5
     # iff n is even (the same continuous-percentile interpolation both
     # engines define; for odd n the two picks coincide).
-    ranked = chunked_global_rank(pairs, [F.asc("slope")], "rn")
+    ranked = chunked_global_rank(
+        pairs, [F.asc("slope"), F.asc("x1"), F.asc("x2")], "rn"
+    )
     n_tbl = ranked.agg(F.count("*").alias("n"))
     mid = (
         ranked.crossJoin(F.broadcast(n_tbl))
