@@ -26,6 +26,7 @@ def _modules():
         metrics,
         multimodal,
         pipeline,
+        pysource,
         relational,
         streaming,
         textprep,
@@ -48,6 +49,7 @@ def _modules():
         tpch,
         datasci,
         tsml,
+        pysource,
     ]
 
 
@@ -311,6 +313,75 @@ _WINDOW_R08_ROWS_ONLY = [
     "q_label_propagation",
 ]
 
+# Round-9 window, pinned NOW (same one-round-ahead convention as
+# _WINDOW_R07/_WINDOW_R08): lead = the round-8 unfreeze batch
+# (SURVEY §2.31 — the five Python Data Source queries, four
+# oracle-backed + q_pyds_stream ALSO oracle-backed, so five SQL✓),
+# then a 45-slot staleness rotation clearing the next-oldest driver
+# evidence: the three r2 rows-only names deliberately dropped from the
+# r8 rotation (their goldens subsume the rows>0 check, but after r8
+# they become the oldest rows in any CORRECTNESS file) plus 42 of the
+# 49 r3 greens (alphabetical; the remaining 7 lead the r10 rotation).
+_WINDOW_R09_LEAD = [
+    "q_pyds_read",
+    "q_pyds_pushdown",
+    "q_pyds_arrow_read",
+    "q_pyds_write",
+    "q_pyds_stream",
+]
+
+_WINDOW_R09_ROTATION = [
+    # oldest tier: r2 rows-only, skipped by the r8 rotation
+    "q_sample_hash",
+    "q_stream_watermark",
+    "q_udf_pandas",
+    # r3 greens, alphabetical, first 42 of 49
+    "q_adamic_adar",
+    "q_assortativity",
+    "q_betweenness",
+    "q_bfs_hops",
+    "q_bm25",
+    "q_chunk_sliding",
+    "q_closeness",
+    "q_clustering_coeff",
+    "q_contamination",
+    "q_degree_dist",
+    "q_doc_fingerprint",
+    "q_dup_clusters",
+    "q_eigenvector",
+    "q_embedding_centroid",
+    "q_embedding_normalize",
+    "q_funnel",
+    "q_fuzzy_join",
+    "q_jaccard_nodes",
+    "q_join_bucketed",
+    "q_kmeans",
+    "q_length_filter",
+    "q_merge_upsert",
+    "q_ngram_counts",
+    "q_pack_sequences",
+    "q_personalized_pagerank",
+    "q_pii_scrub",
+    "q_repetition_ratio",
+    "q_retention_cohort",
+    "q_rollup_time",
+    "q_salted_join",
+    "q_scc",
+    "q_scd2_intervals",
+    "q_sessionize",
+    "q_sssp_weighted",
+    "q_stopword_remove",
+    "q_stream_file_sink",
+    "q_stream_foreach_batch",
+    "q_token_vocab",
+    "q_tpch_q10",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q3",
+]
+
+_WINDOW_R09 = _WINDOW_R09_LEAD + _WINDOW_R09_ROTATION
+
 # Every query name that has appeared in a driver CORRECTNESS window,
 # rounds 1-5 (= union of CORRECTNESS_r0{1..5}.json keys; 193 names).
 # Frozen history — append-only as windows run.
@@ -396,10 +467,11 @@ def held_queries() -> list[str]:
     """Registered queries with no driver CORRECTNESS row once the
     round-8 window runs — DERIVED from the registry minus every windowed
     name, replacing the hand-synced prose list the r5 verdict flagged
-    (What's wrong #2). After the r8 window this is EMPTY: the
-    never-windowed backlog is burned to zero. test_coverage asserts
-    exactly that, so any new registration without a window plan fails
-    loudly."""
+    (What's wrong #2). After the r8 window the pre-unfreeze backlog is
+    zero; the only held names are the round-8 unfreeze batch (SURVEY
+    §2.31), which the pinned _WINDOW_R09 leads with. test_coverage
+    asserts held == that lead exactly, so any new registration without
+    a window plan fails loudly."""
     windowed = (
         _EVER_WINDOWED_PRE_R06
         | set(_WINDOW_R06)

@@ -89,10 +89,30 @@ def test_backlog_empty_after_r08_window():
         held_queries,
     )
 
+    from louvain_modularity_spark.registry import (
+        _WINDOW_R09,
+        _WINDOW_R09_LEAD,
+        _WINDOW_R09_ROTATION,
+    )
+
     held = held_queries()
-    assert held == [], f"never-windowed backlog should be empty: {held}"
+    assert held == sorted(_WINDOW_R09_LEAD), (
+        f"held set must be exactly the pinned r9 lead (the §2.31 "
+        f"unfreeze batch): held-not-planned="
+        f"{sorted(set(held) - set(_WINDOW_R09_LEAD))}, "
+        f"planned-not-held={sorted(set(_WINDOW_R09_LEAD) - set(held))}"
+    )
     assert sorted(_WINDOW_R08_LEAD) == sorted(
         set(_WINDOW_R08) - _EVER_WINDOWED_PRE_R06 - set(_WINDOW_R06) - set(_WINDOW_R07)
+    )
+    # r9 plan shape: 50 distinct registered names; rotation slots are
+    # all previously-windowed (staleness re-greens), lead is all-new
+    assert len(_WINDOW_R09) == 50 == len(set(_WINDOW_R09))
+    assert not set(_WINDOW_R09) & set(_WINDOW_R08)
+    unknown_r09 = set(_WINDOW_R09) - set(all_queries())
+    assert not unknown_r09, f"r09 window names not registered: {sorted(unknown_r09)}"
+    assert set(_WINDOW_R09_ROTATION) <= (
+        _EVER_WINDOWED_PRE_R06 | set(_WINDOW_R06) | set(_WINDOW_R07)
     )
     assert len(_WINDOW_R07) == 50 == len(set(_WINDOW_R07))
     assert len(_WINDOW_R08) == 50 == len(set(_WINDOW_R08))
