@@ -354,6 +354,13 @@ def q_pyds_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate straight from orders, so any row lost or duplicated by
     the writer breaks the hash match."""
     _register(spark, JsonlSink)
+    # the JVM write path resolves Python data sources through the
+    # ACTIVE session's manager, not the DataFrame's own — under a
+    # multi-session test harness (spark.newSession per thread) the
+    # registration above would otherwise be invisible to .save()
+    spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+        spark._jsparkSession
+    )
     sink = tempfile.mkdtemp(prefix="graft_jsonl_")
     (
         load(spark, sf_dir, "orders")

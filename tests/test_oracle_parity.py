@@ -59,7 +59,18 @@ def _driver_green() -> set[str]:
 
 
 DRIVER_GREEN = _driver_green()
-BOTH_SCALES = sorted(set(ORACLES) - DRIVER_GREEN)
+
+#: queries whose result is provably identical at every scale factor —
+#: the pysource generator family reads NOTHING from sf_dir (the rows
+#: come from a seeded in-process generator), so a second-scale parity
+#: run re-verifies byte-identical inputs and adds no evidence
+SCALE_INDEPENDENT = {
+    "q_pyds_read",
+    "q_pyds_pushdown",
+    "q_pyds_arrow_read",
+    "q_pyds_stream",
+}
+BOTH_SCALES = sorted(set(ORACLES) - DRIVER_GREEN - SCALE_INDEPENDENT)
 
 #: in-flight comparisons; latency-bound, so well above core-count ÷ 1
 #: (raised 8 → 12 as the registry passed 250 queries, 12 → 16 as it
