@@ -29,6 +29,7 @@ shared storage; the local temp dir here stands in for it.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 from dataclasses import dataclass
@@ -113,6 +114,12 @@ class _SensorReader(DataSourceReader):
         return [InputPartition(p) for p in sorted(self.keep)]
 
     def read(self, partition):
+        if partition is None:
+            # Full pushdown pruning: partitions() returned [] and
+            # pyspark substitutes a single None partition for the one
+            # task it still launches — emit nothing (r8 ADVICE: this
+            # used to raise AttributeError on partition.value).
+            return
         base = partition.value * _ROWS_PER_PART
         for i in range(base, base + _ROWS_PER_PART):
             yield _gen_row(i)
@@ -346,37 +353,78 @@ FROM range({PYDS_N}) t(i)
 """
 
 
+def committed_files(sink: str) -> list[str]:
+    """The files a reader of a graft_jsonl sink may trust: exactly the
+    ones listed in the _SUCCESS manifest _JsonlWriter.commit wrote.
+    Orphan part files from failed or speculative task attempts sit in
+    the same directory but never appear in the manifest, so a
+    manifest-driven read is what makes the two-phase commit
+    exactly-once on the READ side too (r8 ADVICE: the old bare
+    `sink/*.jsonl` glob would have silently counted them)."""
+    with open(os.path.join(sink, "_SUCCESS")) as fh:
+        return [
+            os.path.join(sink, line.split("\t", 1)[0])
+            for line in fh
+            if line.strip()
+        ]
+
+
+def _ensure_jvm_active_session(spark: SparkSession) -> None:
+    """The JVM write path resolves Python data sources through the
+    ACTIVE session's manager, not the DataFrame's own — under a
+    multi-session test harness (spark.newSession per thread) a
+    registration on `spark` would otherwise be invisible to .save().
+    Probe the public API first and only then poke the private Spark-4
+    classic entry point, guarded: under Spark Connect there is no
+    `_jvm` at all, and the classic class may move across versions —
+    in both cases the common already-active path needs no poke."""
+    try:
+        active = SparkSession.getActiveSession()
+        if active is not None and active._jsparkSession == spark._jsparkSession:
+            return
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except AttributeError:
+        pass
+
+
 def q_pyds_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python Data Source WRITER round-trip: orders keys/priorities go
     out through the graft_jsonl sink (one file per task + driver-side
-    _SUCCESS commit), come back via spark.read.json with an explicit
-    schema, and aggregate per priority — the oracle computes the same
-    aggregate straight from orders, so any row lost or duplicated by
-    the writer breaks the hash match."""
+    _SUCCESS commit), come back via spark.read.json over the files the
+    MANIFEST lists (never a directory glob), and aggregate per
+    priority — the oracle computes the same aggregate straight from
+    orders, so any row lost or duplicated by the writer breaks the
+    hash match. The per-priority aggregate is ≤5 rows, so it is
+    materialized before the temp sink is removed (try/finally — the
+    r8 ADVICE leak) and re-wrapped with an explicit schema."""
     _register(spark, JsonlSink)
-    # the JVM write path resolves Python data sources through the
-    # ACTIVE session's manager, not the DataFrame's own — under a
-    # multi-session test harness (spark.newSession per thread) the
-    # registration above would otherwise be invisible to .save()
-    spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
-        spark._jsparkSession
-    )
+    _ensure_jvm_active_session(spark)
     sink = tempfile.mkdtemp(prefix="graft_jsonl_")
-    (
-        load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderpriority")
-        .write.format("graft_jsonl")
-        .option("path", sink)
-        .mode("append")
-        .save()
-    )
-    back = spark.read.schema("o_orderkey long, o_orderpriority string").json(
-        sink + "/*.jsonl"
-    )
-    return (
-        back.groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), F.sum("o_orderkey").alias("sum_keys"))
-        .orderBy("o_orderpriority")
+    try:
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.format("graft_jsonl")
+            .option("path", sink)
+            .mode("append")
+            .save()
+        )
+        back = spark.read.schema("o_orderkey long, o_orderpriority string").json(
+            committed_files(sink)
+        )
+        rows = (
+            back.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"), F.sum("o_orderkey").alias("sum_keys"))
+            .orderBy("o_orderpriority")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["o_orderpriority"], r["n_orders"], r["sum_keys"]) for r in rows],
+        "o_orderpriority string, n_orders bigint, sum_keys bigint",
     )
 
 

@@ -60,12 +60,14 @@ def _modules():
 # before anything new is registered. The full three-round plan is pinned
 # below as data (_WINDOW_R06 / _WINDOW_R07 / _WINDOW_R08) and
 # held_queries() derives the outstanding set — no hand-synced prose list.
-# ROUND 8 STATUS: _WINDOW_R08 (== the plan pinned in round 7, executed
-# unchanged name-for-name per the r7 verdict's task 1) is the ACTIVE
-# window; all_queries() leads with it. Backlog after this window: NONE —
-# held_queries() returns [] and every registry query has a driver row
-# no older than round 6. The r5 freeze order therefore expires mid-r8;
-# the unfreeze decision is documented in SURVEY.md §2.31.
+# ROUND 10 STATUS: _WINDOW_R09 (pinned in round 8; round 9 recorded
+# zero builder turns — a harness gap, see PROGRESS.jsonl r9 — so the
+# rotation lands one round late, in round 10) is the ACTIVE window;
+# all_queries() leads with it. It gives the five §2.31 pyds queries
+# their FIRST driver rows and re-greens the 45 stalest slots (3 r2
+# rows-only + 42 r3 greens). Backlog after this window: NONE —
+# held_queries() returns []. _WINDOW_R10 below pins the next rotation
+# (the 7 remaining r3 greens + the 43 alphabetically-first r4 greens).
 #
 # Every oracle-backed entry is local DuckDB-parity green at
 # sf0.001+sf0.01 (tests/test_oracle_parity.py runs the driver's own
@@ -382,6 +384,88 @@ _WINDOW_R09_ROTATION = [
 
 _WINDOW_R09 = _WINDOW_R09_LEAD + _WINDOW_R09_ROTATION
 
+# Rows-only-by-contract entries inside the R09 window: the three r2
+# names carried no DuckDB oracle by design (seeded sampling / event-time
+# watermark drop / pandas-UDF lane); each holds golden or invariant
+# pytest evidence. Everything else in the window — including all five
+# pyds leads — is oracle-backed SQL.
+_WINDOW_R09_ROWS_ONLY = [
+    "q_sample_hash",
+    "q_stream_watermark",
+    "q_udf_pandas",
+]
+
+# Round-10 window, pinned NOW (same one-round-ahead convention):
+# rotation-only — no new registrations this round (the §2.32 unfreeze
+# re-probe found spark-avro / transformWithState still environment-
+# gated; receipts in SURVEY.md §2.32) — clearing the next-stalest
+# driver evidence: the 7 r3 greens the r9 rotation's alphabetical cut
+# left over, then the 43 alphabetically-first of the 50 r4 greens (the
+# remaining 7 r4 names lead the r11 rotation).
+_WINDOW_R10 = [
+    # r3 remainder (last 7 of the 49, alphabetical)
+    "q_tpch_q4",
+    "q_triangle_count",
+    "q_udtf_tokens",
+    "q_unigram_surprise",
+    "q_unpivot_metrics",
+    "q_write_partitioned",
+    "q_zscore_outlier",
+    # r4 greens, alphabetical, first 43 of 50
+    "q_approx_topk",
+    "q_bipartite_project",
+    "q_entropy_tokens",
+    "q_filtered_agg",
+    "q_fn_date",
+    "q_fn_json",
+    "q_fn_map",
+    "q_fn_variant",
+    "q_gap_fill",
+    "q_harmonic_centrality",
+    "q_hll_sketch",
+    "q_join_asof",
+    "q_join_theta_range",
+    "q_kcore",
+    "q_latest_per_key",
+    "q_pagerank",
+    "q_pmi_cooccur",
+    "q_read_csv",
+    "q_read_json",
+    "q_read_orc",
+    "q_read_text_log",
+    "q_robust_scale",
+    "q_rolling_7d",
+    "q_semdedup",
+    "q_stats_agg",
+    "q_stream_dedup",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_stateful_count",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_tumbling",
+    "q_string_agg",
+    "q_time_weighted_avg",
+    "q_tpch_q1",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q19",
+    "q_tpch_q2",
+    "q_tpch_q21",
+    "q_tpch_q22",
+]
+
+# Rows-only-by-contract entries inside the R10 window: two approximate
+# sketches (error-bound pytest checks) plus the iterative k-core
+# peeling (networkx golden) — none SQL-expressible exactly.
+_WINDOW_R10_ROWS_ONLY = [
+    "q_approx_topk",
+    "q_hll_sketch",
+    "q_kcore",
+]
+
 # Every query name that has appeared in a driver CORRECTNESS window,
 # rounds 1-5 (= union of CORRECTNESS_r0{1..5}.json keys; 193 names).
 # Frozen history — append-only as windows run.
@@ -455,28 +539,28 @@ def all_queries() -> dict[str, QueryFn]:
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         merged.update(mod.QUERIES)
-    missing = [n for n in _WINDOW_R08 if n not in merged]
+    missing = [n for n in _WINDOW_R09 if n not in merged]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R08}
+    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R09}
     out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
 
 
 def held_queries() -> list[str]:
     """Registered queries with no driver CORRECTNESS row once the
-    round-8 window runs — DERIVED from the registry minus every windowed
+    round-9 window runs — DERIVED from the registry minus every windowed
     name, replacing the hand-synced prose list the r5 verdict flagged
-    (What's wrong #2). After the r8 window the pre-unfreeze backlog is
-    zero; the only held names are the round-8 unfreeze batch (SURVEY
-    §2.31), which the pinned _WINDOW_R09 leads with. test_coverage
-    asserts held == that lead exactly, so any new registration without
-    a window plan fails loudly."""
+    (What's wrong #2). With _WINDOW_R09 active (it leads with the five
+    §2.31 pyds queries, the last never-windowed names), the held set is
+    EMPTY. test_coverage asserts held == [], so any new registration
+    without a window plan fails loudly."""
     windowed = (
         _EVER_WINDOWED_PRE_R06
         | set(_WINDOW_R06)
         | set(_WINDOW_R07)
         | set(_WINDOW_R08)
+        | set(_WINDOW_R09)
     )
     return sorted(n for n in all_queries() if n not in windowed)
 

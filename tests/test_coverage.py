@@ -46,64 +46,54 @@ def test_documented_counts_match_registry():
     )
 
 
-def test_r08_window_leads_registry():
+def test_r09_window_leads_registry():
     """The driver checks the first 50 registry entries; the pinned
-    round-8 window (pinned as data in round 7, executed unchanged in
-    round 8 per the r7 verdict's task 1: 9 backlog burns + 41
-    staleness-rotation re-greens) must lead the iteration order, and
-    every entry must be oracle-backed EXCEPT the pinned rows-only set
-    (q_leiden_refine plus the r1/r2 iterative cohort, each with a
-    local golden or invariant test)."""
+    round-9 window (pinned as data in round 8; activated in round 10
+    because round 9 recorded zero builder turns — PROGRESS.jsonl r9)
+    must lead the iteration order: 5 pyds first-rows + 45 staleness
+    re-greens. Every entry must be oracle-backed EXCEPT the pinned
+    rows-only set (the three r2 names with golden/invariant tests)."""
     from louvain_modularity_spark.registry import (
-        _WINDOW_R08,
-        _WINDOW_R08_ROWS_ONLY,
+        _WINDOW_R09,
+        _WINDOW_R09_ROWS_ONLY,
     )
 
     q, o = all_queries(), all_oracles()
-    assert list(q)[: len(_WINDOW_R08)] == _WINDOW_R08
-    assert len(_WINDOW_R08) == 50 == len(set(_WINDOW_R08))
-    not_backed = [n for n in _WINDOW_R08 if n not in o]
-    assert sorted(not_backed) == sorted(_WINDOW_R08_ROWS_ONLY), (
+    assert list(q)[: len(_WINDOW_R09)] == _WINDOW_R09
+    assert len(_WINDOW_R09) == 50 == len(set(_WINDOW_R09))
+    not_backed = [n for n in _WINDOW_R09 if n not in o]
+    assert sorted(not_backed) == sorted(_WINDOW_R09_ROWS_ONLY), (
         f"unplanned rows-only queries in driver window: "
-        f"{sorted(set(not_backed) - set(_WINDOW_R08_ROWS_ONLY))}"
+        f"{sorted(set(not_backed) - set(_WINDOW_R09_ROWS_ONLY))}"
     )
 
 
-def test_backlog_empty_after_r08_window():
+def test_backlog_empty_after_r09_window():
     """The r5 verdict (What's wrong #2): the held-for-later inventory
     must be DERIVED, not a hand-synced prose comment. held_queries()
-    computes registry minus every windowed name; once the r8 window is
-    active the never-windowed backlog is zero — every registered query
-    has (or is about to get) a driver CORRECTNESS row. The windows must
-    be mutually disjoint and the rotation slots must all come from the
-    stale r1/r2 cohort (subset of _EVER_WINDOWED_PRE_R06). Any NEW
-    registration (post-unfreeze, SURVEY §2.31) must be added to a
-    window plan in the same commit or this fails."""
+    computes registry minus every windowed name; with _WINDOW_R09
+    active (its lead is the five §2.31 pyds queries — the last
+    never-windowed names) the held set is EMPTY. The windows must be
+    mutually disjoint, rotation slots must all be previously-windowed
+    re-greens, and the pinned _WINDOW_R10 must cover the next-stalest
+    cohort. Any NEW registration must be added to a window plan in the
+    same commit or this fails."""
     from louvain_modularity_spark.registry import (
         _EVER_WINDOWED_PRE_R06,
         _WINDOW_R06,
         _WINDOW_R07,
         _WINDOW_R08,
-        _WINDOW_R08_LEAD,
-        _WINDOW_R08_ROTATION,
-        held_queries,
-    )
-
-    from louvain_modularity_spark.registry import (
         _WINDOW_R09,
         _WINDOW_R09_LEAD,
         _WINDOW_R09_ROTATION,
+        _WINDOW_R10,
+        held_queries,
     )
 
     held = held_queries()
-    assert held == sorted(_WINDOW_R09_LEAD), (
-        f"held set must be exactly the pinned r9 lead (the §2.31 "
-        f"unfreeze batch): held-not-planned="
-        f"{sorted(set(held) - set(_WINDOW_R09_LEAD))}, "
-        f"planned-not-held={sorted(set(_WINDOW_R09_LEAD) - set(held))}"
-    )
-    assert sorted(_WINDOW_R08_LEAD) == sorted(
-        set(_WINDOW_R08) - _EVER_WINDOWED_PRE_R06 - set(_WINDOW_R06) - set(_WINDOW_R07)
+    assert held == [], (
+        f"registered queries with no window plan: {held} — add them to "
+        f"a pinned window in the same commit"
     )
     # r9 plan shape: 50 distinct registered names; rotation slots are
     # all previously-windowed (staleness re-greens), lead is all-new
@@ -114,17 +104,31 @@ def test_backlog_empty_after_r08_window():
     assert set(_WINDOW_R09_ROTATION) <= (
         _EVER_WINDOWED_PRE_R06 | set(_WINDOW_R06) | set(_WINDOW_R07)
     )
+    assert not set(_WINDOW_R09_LEAD) & (
+        _EVER_WINDOWED_PRE_R06
+        | set(_WINDOW_R06)
+        | set(_WINDOW_R07)
+        | set(_WINDOW_R08)
+    )
+    # r10 plan shape: rotation-only (SURVEY §2.32 re-froze the
+    # registry), 50 distinct, disjoint from r9, every name a
+    # previously-windowed re-green
+    assert len(_WINDOW_R10) == 50 == len(set(_WINDOW_R10))
+    assert not set(_WINDOW_R10) & set(_WINDOW_R09)
+    unknown_r10 = set(_WINDOW_R10) - set(all_queries())
+    assert not unknown_r10, f"r10 window names not registered: {sorted(unknown_r10)}"
+    assert set(_WINDOW_R10) <= (
+        _EVER_WINDOWED_PRE_R06 | set(_WINDOW_R06) | set(_WINDOW_R07) | set(_WINDOW_R08)
+    )
+    from louvain_modularity_spark.registry import _WINDOW_R10_ROWS_ONLY
+
+    assert sorted(n for n in _WINDOW_R10 if n not in all_oracles()) == sorted(
+        _WINDOW_R10_ROWS_ONLY
+    ), "r10 rows-only pin out of sync with the registry's oracle map"
     assert len(_WINDOW_R07) == 50 == len(set(_WINDOW_R07))
     assert len(_WINDOW_R08) == 50 == len(set(_WINDOW_R08))
-    assert len(_WINDOW_R08_LEAD) == 9 == len(set(_WINDOW_R08_LEAD))
     assert not set(_WINDOW_R07) & set(_WINDOW_R08)
     assert not set(_WINDOW_R07) & set(_WINDOW_R06)
-    # rotation slots re-verify stale r1/r2 greens, never-windowed names
-    # must all be in the lead — no wasted or double-counted slot
-    assert set(_WINDOW_R08_ROTATION) <= _EVER_WINDOWED_PRE_R06
-    assert not set(_WINDOW_R08_LEAD) & (_EVER_WINDOWED_PRE_R06 | set(_WINDOW_R06) | set(_WINDOW_R07))
-    unknown_r08 = set(_WINDOW_R08) - set(all_queries())
-    assert not unknown_r08, f"r08 window names not registered: {sorted(unknown_r08)}"
     # historical frozen set stays consistent with the registry: every
     # name in it is still registered (no silent rename/removal)
     unknown = _EVER_WINDOWED_PRE_R06 - set(all_queries())

@@ -126,3 +126,105 @@ def test_pyds_write_roundtrip_from_orders(spark):
         .collect()
     }
     assert got == want
+
+
+def test_full_pushdown_prune_yields_empty_not_crash(spark):
+    """r8 ADVICE (medium): a filter that prunes EVERY partition made
+    partitions() return [] — pyspark substitutes [None] and the old
+    read(None) raised AttributeError on partition.value. The guarded
+    reader must return an empty result instead. `part` only spans
+    0..PYDS_PARTS-1, so part > PYDS_PARTS-1 empties the keep set."""
+    _register(spark, SensorSource)
+    empty = (
+        spark.read.format("graft_sensors")
+        .load()
+        .filter(F.col("part") > PYDS_PARTS - 1)
+    )
+    assert empty.count() == 0
+    # and an aggregate over the empty scan still plans + runs
+    assert (
+        empty.agg(F.count("*").alias("n")).first().n == 0
+    )
+
+
+def test_writer_abort_removes_partials_and_no_success():
+    """The 2PC abort path (r8 task 4): unit-call write() to produce
+    task files, then abort() — every partial file must be removed and
+    no _SUCCESS manifest written."""
+    from pyspark.sql import Row
+
+    from louvain_modularity_spark.pysource import _JsonlWriter
+
+    sink = tempfile.mkdtemp(prefix="pyds_abort_")
+    try:
+        w = _JsonlWriter({"path": sink})
+        msgs = [
+            w.write(iter([Row(k=i, v=i * 2) for i in range(10 * t, 10 * t + 10)]))
+            for t in range(3)
+        ]
+        assert len(glob.glob(f"{sink}/part-*.jsonl")) == 3
+        w.abort(msgs)
+        assert glob.glob(f"{sink}/part-*.jsonl") == []
+        assert not os.path.exists(os.path.join(sink, "_SUCCESS"))
+    finally:
+        import shutil
+
+        shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_manifest_read_back_excludes_orphan_files(spark):
+    """Exactly-once on the READ side (r8 ADVICE): a part file left by
+    a failed/speculative task attempt sits in the sink dir but is NOT
+    in the _SUCCESS manifest — committed_files() must exclude it,
+    where the old bare `sink/*.jsonl` glob would have counted it."""
+    from louvain_modularity_spark.pysource import committed_files
+
+    _register(spark, JsonlSink)
+    sink = tempfile.mkdtemp(prefix="pyds_orphan_")
+    try:
+        df = spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ).repartition(2)
+        df.write.format("graft_jsonl").option("path", sink).mode("append").save()
+        # simulate an orphaned attempt: valid JSONL, never committed
+        orphan = os.path.join(sink, "part-deadbeef-orphan.jsonl")
+        with open(orphan, "w") as fh:
+            fh.write('{"k": 999, "v": 999}\n')
+        files = committed_files(sink)
+        assert orphan not in files and len(files) == 2
+        back = spark.read.schema("k long, v long").json(files)
+        assert back.count() == 50
+        assert back.filter(F.col("k") == 999).count() == 0
+    finally:
+        import shutil
+
+        shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_pyds_write_cleans_up_temp_sink(spark, monkeypatch):
+    """The mkdtemp sink dir used to leak every q_pyds_write call (r8
+    ADVICE); the try/finally must remove it even though the returned
+    DataFrame stays usable (the ≤5-row aggregate is materialized
+    before cleanup)."""
+    import louvain_modularity_spark.pysource as pysource
+
+    made = []
+    real = tempfile.mkdtemp
+
+    def spy(*args, **kwargs):
+        p = real(*args, **kwargs)
+        made.append(p)
+        return p
+
+    monkeypatch.setattr(pysource.tempfile, "mkdtemp", spy)
+    out = pysource.q_pyds_write(spark, SF_DIR)
+    sinks = [p for p in made if "graft_jsonl_" in p]
+    assert len(sinks) == 1
+    assert not os.path.exists(sinks[0])
+    # DataFrame survives the cleanup: schema + content intact
+    assert [f.name for f in out.schema.fields] == [
+        "o_orderpriority",
+        "n_orders",
+        "sum_keys",
+    ]
+    assert out.count() > 0
