@@ -1,0 +1,93 @@
+"""Derive the next driver-window rotation from CORRECTNESS history.
+
+The correctness driver verifies the FIRST 50 entries of
+``registry.all_queries()`` each round; windows are pinned one round
+ahead as ``_WINDOW_RNN`` data. The rotation policy (r5 verdict onward)
+is mechanical: after the active window runs, re-green the 50 names
+whose latest driver CORRECTNESS row is OLDEST, ties broken
+alphabetically. This tool computes that list so the next round's pin
+is derived, not hand-synced — the same de-prose-ification
+held_queries() got in r5.
+
+Usage:
+    python scripts/window_plan.py            # print the next-50 plan
+    python scripts/window_plan.py --check    # verify the pinned
+        _WINDOW_R10 equals the derived plan (exit 1 on drift)
+
+Assumes the ACTIVE window (_WINDOW_R09) refreshes before the next one
+runs, i.e. its names drop to the bottom of the staleness order.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from louvain_modularity_spark import registry  # noqa: E402
+
+WINDOW_SIZE = 50
+
+
+def latest_driver_round() -> dict[str, int]:
+    """query name -> most recent round with a driver CORRECTNESS row."""
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r0*(\d+)\.json$", path).group(1))
+        with open(path) as fh:
+            data = json.load(fh)
+        for name in data.get("queries", data):
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def next_window(active: list[str] | None = None) -> list[str]:
+    """The 50 stalest names once the active window refreshes."""
+    if active is None:
+        # the active window IS the head of the registry iteration
+        # order — derive it so this tool needs no per-round edit
+        active = list(registry.all_queries())[:WINDOW_SIZE]
+    latest = latest_driver_round()
+    # names the active window is about to refresh sort last
+    horizon = 1 + max(latest.values(), default=0)
+    for name in active:
+        latest[name] = horizon
+    # never-windowed names (none today; guard for future unfreezes)
+    for name in registry.all_queries():
+        latest.setdefault(name, -1)
+    order = sorted(latest, key=lambda n: (latest[n], n))
+    return order[:WINDOW_SIZE]
+
+
+def pinned_next_window() -> tuple[str, list[str]]:
+    """The highest-numbered _WINDOW_RNN pin in the registry — the one
+    planned for the NEXT round (no per-round edit needed here)."""
+    names = sorted(
+        (a for a in dir(registry) if re.fullmatch(r"_WINDOW_R\d+", a)),
+        key=lambda a: int(a[len("_WINDOW_R"):]),
+    )
+    return names[-1], getattr(registry, names[-1])
+
+
+def main() -> int:
+    plan = next_window()
+    if "--check" in sys.argv:
+        attr, pinned = pinned_next_window()
+        if sorted(pinned) != sorted(plan):
+            extra = sorted(set(pinned) - set(plan))
+            miss = sorted(set(plan) - set(pinned))
+            print(f"DRIFT in {attr}: pinned-not-derived={extra} derived-not-pinned={miss}")
+            return 1
+        print(f"OK: pinned {attr} matches the derived {len(plan)}-name plan")
+        return 0
+    latest = latest_driver_round()
+    for name in plan:
+        print(f"{name}  # last driver row: r{latest.get(name, '-')}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -993,3 +993,26 @@ def test_group_topk_windows_use_window_group_limit(spark):
     for fn in (q_sample_stratified, q_data_mix, q_reservoir_group, q_ndcg):
         plan = _plan_of(fn, spark)
         assert "WindowGroupLimit" in plan, (fn.__name__, plan)
+
+
+def test_pinned_r10_window_matches_derived_staleness_plan():
+    """The rotation policy is mechanical — re-green the 50 names whose
+    latest driver CORRECTNESS row is oldest (ties alphabetical) once
+    the active window refreshes. scripts/window_plan.py derives that
+    list from the CORRECTNESS_r*.json history; the pinned _WINDOW_R10
+    must equal it, so the next-round pin can never be hand-sync
+    drifted (the held_queries() de-prose-ification, applied to window
+    planning)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "window_plan", "/root/repo/scripts/window_plan.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    attr, pinned = mod.pinned_next_window()
+    assert sorted(mod.next_window()) == sorted(pinned), (
+        f"{attr} drifted from the derived staleness plan — run "
+        f"`python scripts/window_plan.py` and re-pin"
+    )
