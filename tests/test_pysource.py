@@ -228,3 +228,32 @@ def test_pyds_write_cleans_up_temp_sink(spark, monkeypatch):
         "sum_keys",
     ]
     assert out.count() > 0
+
+
+def test_stream_restart_resumes_offset_no_duplication(spark, tmp_path):
+    """Exactly-once across a query RESTART: two availableNow runs over
+    the same checkpoint must emit the domain exactly once — the second
+    run finds the committed offset at PYDS_N and appends zero rows.
+    This is the adversarial case for the stream reader's 'must
+    lose/duplicate nothing across offset pulls' contract (a reader
+    whose initialOffset ignored the checkpoint would double every
+    row; one that advanced offsets non-deterministically would drop
+    or replay a chunk)."""
+    _register(spark, SensorStreamSource)
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):
+        q = (
+            spark.readStream.format("graft_sensors_stream")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "availableNow run did not finish"
+    back = spark.read.parquet(sink)
+    assert back.count() == PYDS_N
+    assert back.select("i").distinct().count() == PYDS_N
