@@ -990,11 +990,27 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded hash-Bernoulli sample (~10%): membership depends only on
     (seed, doc_id), so the sample is stable under reprocessing and
     across cluster sizes — the correct way to subsample 100 TB
-    reproducibly. rows-only oracle (xxhash64 is engine-side)."""
+    reproducibly. The scramble is the q_data_mix Knuth multiplicative
+    hash (exact 64-bit integer arithmetic in any engine) with the seed
+    folded in additively, so the SELECTION itself is oracle-exact —
+    the id is masked to 31 bits before the multiply to stay inside
+    int64 ((2^31-1)*2654435761 + seed < 2^63-1)."""
     d = load(spark, sf_dir, "documents")
-    return d.filter(
-        F.pmod(F.xxhash64(F.lit(42), F.col("doc_id")), F.lit(100)) < 10
-    ).select("doc_id", "lang", "source")
+    scramble = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761)
+        + F.lit(42),
+        F.lit(4294967296),
+    )
+    return d.filter(F.pmod(scramble, F.lit(100)) < 10).select(
+        "doc_id", "lang", "source"
+    )
+
+
+ORACLE_SAMPLE_HASH = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE (((doc_id % 2147483648) * 2654435761 + 42) % 4294967296) % 100 < 10
+"""
 
 
 def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1086,6 +1102,24 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(builtin, 6).alias("norm_builtin"),
         F.round(F.abs(l2_norm("embedding") - builtin), 9).alias("diff"),
     )
+
+
+#: Value-exact oracle for the UDF lane: DuckDB recomputes the L2 norm
+#: once (sequential double fold — parity with both the numpy row sum
+#: and the _dot fold verified empirically at sf0.001/0.01/0.1) and the
+#: constant diff column asserts the Arrow UDF matched the builtin to
+#: < 5e-10 on every row — a hash mismatch here means the two Spark-side
+#: computations diverged, which is exactly what the query exists to
+#: cross-check.
+ORACLE_UDF_PANDAS = """
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm_udf,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm_builtin,
+       CAST(0 AS DOUBLE) AS diff
+FROM embeddings
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1426,7 +1460,7 @@ ORACLES = {
     "q_train_split": ORACLE_TRAIN_SPLIT,
     "q_sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "q_data_mix": ORACLE_DATA_MIX,
-    # q_sample_hash: rows-only (xxhash64-seeded membership)
-    # rows-only: q_dedup_minhash / q_simhash (xxhash64-based),
-    # q_udf_pandas (self-validating cross-check)
+    "q_sample_hash": ORACLE_SAMPLE_HASH,
+    "q_udf_pandas": ORACLE_UDF_PANDAS,
+    # rows-only: q_dedup_minhash / q_simhash (xxhash64-based)
 }

@@ -384,15 +384,17 @@ _WINDOW_R09_ROTATION = [
 
 _WINDOW_R09 = _WINDOW_R09_LEAD + _WINDOW_R09_ROTATION
 
-# Rows-only-by-contract entries inside the R09 window: the three r2
-# names carried no DuckDB oracle by design (seeded sampling / event-time
-# watermark drop / pandas-UDF lane); each holds golden or invariant
-# pytest evidence. Everything else in the window — including all five
-# pyds leads — is oracle-backed SQL.
+# Rows-only-by-contract entries inside the R09 window. Originally the
+# three r2 names; round 10 upgraded two of them to value-exact DuckDB
+# oracles (q_sample_hash now selects via the q_data_mix Knuth-hash
+# scramble — engine-parity integer arithmetic instead of engine-side
+# xxhash64; q_udf_pandas gained a list_sum norm recomputation whose
+# constant diff column asserts the UDF-vs-builtin cross-check), so only
+# the event-time watermark drop — whose output genuinely depends on
+# batch boundaries — remains rows-only. Everything else in the window,
+# including all five pyds leads, is oracle-backed SQL.
 _WINDOW_R09_ROWS_ONLY = [
-    "q_sample_hash",
     "q_stream_watermark",
-    "q_udf_pandas",
 ]
 
 # Round-10 window, pinned NOW (same one-round-ahead convention):

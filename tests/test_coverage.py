@@ -52,7 +52,8 @@ def test_r09_window_leads_registry():
     because round 9 recorded zero builder turns — PROGRESS.jsonl r9)
     must lead the iteration order: 5 pyds first-rows + 45 staleness
     re-greens. Every entry must be oracle-backed EXCEPT the pinned
-    rows-only set (the three r2 names with golden/invariant tests)."""
+    rows-only set (after the r10 upgrades of q_sample_hash and
+    q_udf_pandas, only the watermark query — SURVEY §2.33)."""
     from louvain_modularity_spark.registry import (
         _WINDOW_R09,
         _WINDOW_R09_ROWS_ONLY,
