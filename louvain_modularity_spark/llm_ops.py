@@ -378,20 +378,65 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 """
 
-#: minhash configuration: 16 permutations → 4 bands × 4 rows
+def parity_hash32(col):
+    """Engine-parity 32-bit string hash: the first 8 hex chars of md5,
+    parsed as an integer — bit-identical in Spark
+    (``conv(substring(md5(x),1,8),16,10)``) and DuckDB
+    (``('0x' || substr(md5(x),1,8))::BIGINT``), so hash-derived
+    SELECTIONS (minhash sketches, simhash fingerprints) are value-exact
+    oracle-checkable. md5 costs a few× more than xxhash64 per call but
+    stays a JVM codegen expression (no Python worker, same shuffle
+    shape); a 100 TB deployment that does not need cross-engine
+    reproducibility can swap the hash back in this one helper. Many
+    production dedup pipelines keep the verifiable hash: fingerprints
+    that reproduce on ANY engine are themselves a durability feature."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+#: DuckDB twin of parity_hash32 (format with c=<column expr>)
+PARITY_HASH32_SQL = "('0x' || substr(md5({c}), 1, 8))::BIGINT"
+
+#: minhash configuration: 16 permutations → 4 bands × 4 rows, affine
+#: universal-hash family over the Mersenne prime 2^31-1: mh_i =
+#: (a_i·h31 + b_i) mod P with h31 the parity hash masked to 31 bits —
+#: every product stays < 2^62, so the arithmetic is exact int64 in any
+#: engine and the sketch itself is oracle-reproducible
 MINHASH_PERMS = 16
 MINHASH_BANDS = 4
+MINHASH_P = 2147483647
+
+
+def _minhash_perm_consts() -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) affine coefficients (LCG-derived,
+    seedless of wall clock — same discipline as _lsh_planes)."""
+    out, state = [], 0x5DEECE66D
+    for _ in range(MINHASH_PERMS):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (state >> 16) % (MINHASH_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (state >> 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+MINHASH_PERM_CONSTS = _minhash_perm_consts()
 
 
 def minhash_sketches_wide(df: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, mh0..mh15): k-min sketch via xxhash64(perm, shingle),
-    one column per permutation — a single map-side-combined groupBy, no
-    16× row explosion."""
-    sh = shingles_of(df, k)
+    """(doc_id, mh0..mh15): k-min sketch, one column per permutation —
+    a single map-side-combined groupBy, no 16× row explosion. Each
+    permutation is an affine transform of the ONE parity base hash
+    (r10: replaced 16 seeded xxhash64 calls; 1 md5 + 16 int64 FMAs per
+    shingle, and the sketch becomes engine-reproducible)."""
+    sh = shingles_of(df, k).withColumn(
+        "h31", parity_hash32(F.col("shingle")) % F.lit(2147483648)
+    )
     return sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
-            for i in range(MINHASH_PERMS)
+            F.min((F.lit(a) * F.col("h31") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"mh{i}"
+            )
+            for i, (a, b) in enumerate(MINHASH_PERM_CONSTS)
         ]
     )
 
@@ -411,13 +456,19 @@ def dedup_minhash_pairs(d: DataFrame, max_bucket: int = 100) -> DataFrame:
     candidates; output the estimated Jaccard (fraction of matching
     minhashes).
 
-    rows-only oracle: xxhash64 has no DuckDB twin; the estimate is
-    cross-checked against exact q_ngram_jaccard in tests.
+    Oracle: value-exact SQL (r10 upgrade) — the affine-over-parity-hash
+    sketch reproduces in DuckDB, so the oracle recomputes sketches,
+    band buckets, AND estimates; the estimate is additionally
+    cross-checked against exact q_ngram_jaccard in tests. The oracle
+    uses uncapped in-bucket pairing, which equals the capped output
+    whenever no bucket exceeds ``max_bucket`` (true at every test
+    scale; the cap path is pinned by a synthetic-skew test).
 
-    100 TB shape: sketches are 16 longs/doc; band hashes are computed
-    column-wise in fixed perm order (deterministic — no collect_list
-    ordering hazards); the candidate join happens inside
-    hash-partitioned (band, band_hash) buckets — never O(n²).
+    100 TB shape: sketches are 16 longs/doc; the bucket key is the
+    band's raw 4-minhash tuple in fixed perm order (deterministic — no
+    collect_list ordering hazards, and no band-hash collisions at all);
+    the candidate join happens inside hash-partitioned
+    (band, r0..r3) buckets — never O(n²).
 
     Skew bound: a bucket holding ``s`` docs emits s² pairs, and a giant
     bucket is a giant *duplicate cluster* (e.g. 1M copies of one
@@ -432,40 +483,39 @@ def dedup_minhash_pairs(d: DataFrame, max_bucket: int = 100) -> DataFrame:
     mh = minhash_sketches_wide(d).persist()
     band_dfs = []
     for b in range(MINHASH_BANDS):
-        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        cols = [f"mh{b * rows_per_band + j}" for j in range(rows_per_band)]
         band_dfs.append(
             mh.select(
                 "doc_id",
                 F.lit(b).alias("band"),
-                F.xxhash64(*cols).alias("band_hash"),
+                *[F.col(c).alias(f"r{j}") for j, c in enumerate(cols)],
             )
         )
     bands = band_dfs[0]
     for extra in band_dfs[1:]:
         bands = bands.unionByName(extra)
     # bands is consumed three times below (hot-list aggregate, anti-join,
-    # star pairs) and is tiny (4 longs/doc) — materialize it once
+    # star pairs) and is tiny (5 longs/doc) — materialize it once
     bands = bands.transform(lineage_cut)
+    key = ["band", "r0", "r1", "r2", "r3"]
     # oversized buckets are rare by construction (they are giant
     # duplicate clusters), so compute ONLY the hot-bucket list (one
     # map-side-combined aggregate) and broadcast it — cheaper than
     # tagging every row with its bucket size via a window sort
     big = (
-        bands.groupBy("band", "band_hash")
+        bands.groupBy(*key)
         .agg(F.count("*").alias("bucket_sz"), F.min("doc_id").alias("rep"))
         .filter(F.col("bucket_sz") > max_bucket)
     )
-    small = bands.join(
-        F.broadcast(big.select("band", "band_hash")), ["band", "band_hash"], "left_anti"
-    )
+    small = bands.join(F.broadcast(big.select(*key)), key, "left_anti")
     pairs_small = (
         small.alias("x")
-        .join(small.alias("y"), ["band", "band_hash"])
+        .join(small.alias("y"), key)
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
     )
     pairs_big = (
-        bands.join(F.broadcast(big), ["band", "band_hash"])
+        bands.join(F.broadcast(big), key)
         .filter(F.col("doc_id") != F.col("rep"))
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
@@ -499,9 +549,67 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_minhash_pairs(load(spark, sf_dir, "documents"))
 
 
+def _oracle_dedup_minhash() -> str:
+    """DuckDB replica of the full minhash pipeline: shingles → parity
+    base hash → 16 affine permutation minima → per-band 4-tuple bucket
+    join → distinct candidates → matching-perm estimate. Uncapped
+    pairing (== the capped Spark output while no bucket exceeds
+    max_bucket, which holds at every test scale)."""
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    mins = ",\n    ".join(
+        f"MIN(({a} * h31 + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERM_CONSTS)
+    )
+    band_joins = "\n    UNION\n    ".join(
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM mh a JOIN mh b ON "
+        + " AND ".join(
+            f"a.mh{b * rows_per_band + j} = b.mh{b * rows_per_band + j}"
+            for j in range(rows_per_band)
+        )
+        + " AND a.doc_id < b.doc_id"
+        for b in range(MINHASH_BANDS)
+    )
+    match_sum = "\n         + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_PERMS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             unnest(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)) AS i
+      FROM documents
+    )
+  )
+  WHERE shingle <> ''
+),
+hashed AS (
+  SELECT doc_id,
+         {PARITY_HASH32_SQL.format(c='shingle')} % 2147483648 AS h31
+  FROM sh
+),
+mh AS (
+  SELECT doc_id,
+    {mins}
+  FROM hashed GROUP BY doc_id
+),
+cand AS (
+    {band_joins}
+)
+SELECT c.doc_a, c.doc_b,
+       ({match_sum}) / 16.0 AS est_jaccard
+FROM cand c JOIN mh a ON a.doc_id = c.doc_a JOIN mh b ON b.doc_id = c.doc_b
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document from tf-weighted token hashes
-    (rows-only: xxhash64-based). Near-dup candidates = small Hamming
+    (r10: token hash is parity_hash32, so the fingerprint — not just
+    its shape — is oracle-exact). Near-dup candidates = small Hamming
     distance; at scale, bucket by bit-bands like minhash.
 
     Shuffle shape: the 32 bit-votes are 32 conditional-sum columns in
@@ -515,7 +623,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", F.xxhash64("token"))
+        .withColumn("h", parity_hash32(F.col("token")))
     )
     votes = [
         F.sum(
@@ -533,6 +641,36 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tf.groupBy("doc_id").agg(*votes).select("doc_id", sim.alias("simhash"))
+
+
+def _oracle_simhash() -> str:
+    """DuckDB replica of the SimHash fingerprint: tokenize → tf →
+    parity token hash → 32 bit-votes → sign-bit reassembly."""
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS v{i}"
+        for i in range(32)
+    )
+    bits = "\n       + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32)
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf,
+         {PARITY_HASH32_SQL.format(c='token')} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY doc_id, token
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id,
+       {bits} AS simhash
+FROM votes
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -804,10 +942,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets at Hamming distance 1 (sign bits near the hyperplane flip
     easily, so adjacent buckets hold most of the missed neighbors).
 
-    rows-only oracle (the plane constants are engine-side); recall vs
-    brute force asserted in tests. Scale path: the corpus is
-    hash-partitioned by bucket; a query touches n_planes+1 partitions.
-    """
+    Oracle: value-exact SQL (r10 upgrade) — the plane constants are
+    exact decimal literals embeddable in the oracle, and both engines
+    compute the sign-bit dot products with the same sequential double
+    fold (_dot ↔ _DOT_SQL, the pairing q_sim_topk's driver-green hash
+    already proves), so bucket assignment, probing, and ranking all
+    reproduce. Recall vs brute force additionally asserted in tests.
+    Scale path: the corpus is hash-partitioned by bucket; a query
+    touches n_planes+1 partitions."""
     emb = load(spark, sf_dir, "embeddings")
     planes = _lsh_planes()
     n_planes = len(planes)
@@ -853,6 +995,50 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+def _oracle_ann_lsh() -> str:
+    """DuckDB replica of the multi-probe LSH: the 4 hyperplanes are
+    embedded as exact decimal literals, the sign-bit bucket and probe
+    set (self + 4 Hamming-1 neighbors via xor) reproduce the Spark
+    plan, and cosine ranking reuses the ORACLE_SIM_TOPK fold."""
+    planes = _lsh_planes()
+
+    def dot_plane(p):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        return _DOT_SQL.format(a=lit, b="embedding")
+
+    bucket = "\n         + ".join(
+        f"(CASE WHEN {dot_plane(p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         {_DOT_SQL.format(a='embedding', b='embedding')} AS n2,
+         {bucket} AS bucket
+  FROM embeddings
+),
+qs AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2,
+         unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                 xor(bucket, 4), xor(bucket, 8)]) AS probe
+  FROM base WHERE vec_id % 50 = 0
+),
+cand AS (
+  SELECT q.query_id, b.vec_id,
+         {_DOT_SQL.format(a='q.q_emb', b='b.embedding')} / SQRT(q.q_n2 * b.n2) AS cos
+  FROM qs q JOIN base b ON b.bucket = q.probe
+  WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       CAST(rnk AS INTEGER) AS rnk, ROUND(cos, 6) AS cosine
+FROM (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM cand
+) t WHERE rnk <= 3
+"""
 
 
 #: tiled-GEMM block cap: a block's collect_list row and a tile's numpy
@@ -1462,5 +1648,7 @@ ORACLES = {
     "q_data_mix": ORACLE_DATA_MIX,
     "q_sample_hash": ORACLE_SAMPLE_HASH,
     "q_udf_pandas": ORACLE_UDF_PANDAS,
-    # rows-only: q_dedup_minhash / q_simhash (xxhash64-based)
+    "q_dedup_minhash": _oracle_dedup_minhash(),
+    "q_simhash": _oracle_simhash(),
+    "q_ann_lsh": _oracle_ann_lsh(),
 }
