@@ -459,11 +459,14 @@ _WINDOW_R10 = [
     "q_tpch_q22",
 ]
 
-# Rows-only-by-contract entries inside the R10 window: two approximate
-# sketches (error-bound pytest checks) plus the iterative k-core
-# peeling (networkx golden) — none SQL-expressible exactly.
+# Rows-only-by-contract entries inside the R10 window: the HLL sketch
+# (engine-specific estimates, error-bound pytest check) and the
+# iterative k-core peeling (networkx golden) — neither SQL-expressible
+# exactly. q_approx_topk left this list in the r10 oracle-upgrade
+# batch: with maxItemsTracked ≫ vocab the sketch is exact and the
+# rank-20/21 boundary is tie-free at every fixture (gap asserted in
+# tests/test_coverage.py so drift fails locally, never at the driver).
 _WINDOW_R10_ROWS_ONLY = [
-    "q_approx_topk",
     "q_hll_sketch",
     "q_kcore",
 ]

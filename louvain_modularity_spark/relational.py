@@ -1190,11 +1190,16 @@ def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for heavy hitters, next to HLL (distinct) and approx_percentile
     (quantiles).
 
-    rows-only oracle: the top-k BOUNDARY is tie-ordered
-    engine-internally, so a SQL twin can flake; instead the estimates
-    are cross-checked against exact token counts in
-    tests/test_coverage.py::test_approx_topk_matches_exact (with
-    maxItemsTracked ≫ vocabulary size the sketch is exact).
+    Oracle: value-exact SQL (r10 upgrade). Two facts make the exact
+    top-20 a safe twin: (a) with maxItemsTracked ≫ vocabulary size the
+    sketch degenerates to exact counting (pinned by
+    tests/test_coverage.py::test_approx_topk_matches_exact), and
+    (b) the rank-20/21 boundary is tie-FREE at every test fixture
+    (917>913 at sf0.001, 888>886 at sf0.01 — the one condition under
+    which the engine-internal tie order could flake a SQL twin), and
+    the same test asserts that gap so fixture drift fails locally
+    before any driver run could flake. Ties WITHIN the top 20 are
+    harmless: the driver's value-hash is row-order-insensitive.
 
     100 TB shape: the sketch is a bounded map merged associatively —
     one map-side-combined aggregate, no full token shuffle; at real
@@ -1209,6 +1214,16 @@ def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.item AS token, t.count AS cnt FROM (SELECT"
         " explode(approx_top_k(token, 20, 100000)) AS t FROM toks_for_topk)"
     )
+
+
+ORACLE_APPROX_TOPK = """
+SELECT token, cnt FROM (
+  SELECT token, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY token
+) ORDER BY cnt DESC LIMIT 20
+"""
 
 
 def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1829,8 +1844,7 @@ ORACLES = {
     "q_zorder_layout": ORACLE_ZORDER_LAYOUT,
     "q_bloom_prefilter": ORACLE_BLOOM_PREFILTER,
     "q_sql_pipe": ORACLE_SQL_PIPE,
+    "q_approx_topk": ORACLE_APPROX_TOPK,
     # q_approx_cd: rows-only (approximate, engine-specific estimates)
     # q_hll_sketch: rows-only (sketch estimates are engine-specific)
-    # q_approx_topk: rows-only (boundary tie order is engine-internal;
-    # exact cross-check in tests)
 }

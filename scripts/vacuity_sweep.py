@@ -17,7 +17,7 @@ genuinely passes everything at tiny SF). Unadjudicated findings exit
 nonzero so CI-style runs fail loudly.
 
 Usage: python scripts/vacuity_sweep.py [--json out.json]
-Runtime: DuckDB only (no Spark session) — ~20 s for 284 oracles x 2
+Runtime: DuckDB only (no Spark session) — ~20 s for 285 oracles x 2
 scales.
 """
 

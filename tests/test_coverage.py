@@ -410,6 +410,23 @@ def test_approx_topk_matches_exact(spark):
     floor = min(got.values())
     missing_higher = [t for t, n in exact.items() if n > floor and t not in got]
     assert not missing_higher, missing_higher
+    # The r10 SQL oracle (ORACLE_APPROX_TOPK) is safe ONLY while the
+    # rank-20/21 boundary is tie-free — the one condition under which
+    # the sketch's engine-internal tie order could flake an exact
+    # top-20 twin. Assert the gap at BOTH driver scales (DuckDB-side,
+    # cheap) so testdata drift fails here, never in a driver window.
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        counts = [
+            n
+            for (n,) in duckdb.sql(
+                "SELECT COUNT(*) AS n FROM (SELECT unnest(string_split(text,' ')) t"
+                f" FROM read_parquet('{sf}/documents.parquet'))"
+                " WHERE t <> '' GROUP BY t ORDER BY n DESC LIMIT 21"
+            ).fetchall()
+        ]
+        assert counts[19] > counts[20], (sf, counts[18:21])
 
 
 def test_best_move_is_max_aggregate_not_window(spark):

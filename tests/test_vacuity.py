@@ -2,7 +2,7 @@
 task 3): every DuckDB oracle must return a non-vacuous result at both
 test scales, so a hash-green CORRECTNESS row can never again be an
 empty-vs-empty match (the pre-r8 q_grid_join failure mode). DuckDB
-only — no Spark session — ~13 s for 284 oracles x 2 scales."""
+only — no Spark session — ~13 s for 285 oracles x 2 scales."""
 
 import importlib.util
 
