@@ -18,6 +18,34 @@ def test_udf_pandas_matches_builtin(spark):
     assert max_diff is not None and max_diff < 1e-6
 
 
+def test_parity_hash32_cross_engine_pin(spark):
+    """The r10 oracle-upgrade batch (minhash/simhash/sample_hash)
+    stands on parity_hash32 producing the SAME integer in Spark and
+    DuckDB. Pin both engines against hardcoded known values so a
+    version drift in either md5/conv/hex-cast path localizes here
+    instead of surfacing as an opaque oracle hash mismatch."""
+    import duckdb
+
+    from louvain_modularity_spark.llm_ops import (
+        PARITY_HASH32_SQL,
+        parity_hash32,
+    )
+
+    # md5('hello') = 5d41402a... → 0x5d41402a = 1564557354
+    want = {"hello": 1564557354, "": 3558706393, "a b c": 116422158}
+    rows = (
+        spark.createDataFrame([(s,) for s in want], "s string")
+        .select("s", parity_hash32(F.col("s")).alias("h"))
+        .collect()
+    )
+    assert {r["s"]: r["h"] for r in rows} == want
+    for s, h in want.items():
+        got = duckdb.sql(
+            "SELECT " + PARITY_HASH32_SQL.format(c=f"'{s}'")
+        ).fetchone()[0]
+        assert got == h, (s, got, h)
+
+
 def test_minhash_estimates_track_exact_jaccard(spark):
     """For every minhash candidate pair, the estimate must be within
     0.35 of the exact n-gram Jaccard (16 perms → wide but bounded)."""
