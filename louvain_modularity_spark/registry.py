@@ -65,7 +65,10 @@ def _modules():
 # rotation lands one round late, in round 10) is the ACTIVE window;
 # all_queries() leads with it. It gives the five §2.31 pyds queries
 # their FIRST driver rows and re-greens the 45 stalest slots (3 r2
-# rows-only + 42 r3 greens). Backlog after this window: NONE —
+# rows-only + 42 r3 greens; mid-round the r10 oracle-upgrade batch —
+# SURVEY §2.33 — gave two of the three r2 names value-exact oracles,
+# so q_sample_hash and q_udf_pandas get their first HASH rows in this
+# very window). Backlog after this window: NONE —
 # held_queries() returns []. _WINDOW_R10 below pins the next rotation
 # (the 7 remaining r3 greens + the 43 alphabetically-first r4 greens).
 #
