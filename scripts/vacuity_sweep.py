@@ -9,7 +9,11 @@ neighbor pairs at small SF and the hash match was empty-vs-empty).
 This sweep runs every DuckDB oracle at sf0.001 AND sf0.01 and flags:
   - zero rows at a scale, or
   - exactly one row whose every cell is degenerate (NULL / 0 / "" /
-    NaN / empty list) — a constant a broken query could also emit.
+    NaN / empty list) — a constant a broken query could also emit, or
+  - two or more rows that are ALL identical — a result with no
+    per-key variation verifies almost nothing about the operator
+    (registry-wide scan before adding this detector: zero hits, so it
+    landed with an empty adjudication list).
 
 Findings must either be fixed or adjudicated below with a reason the
 emptiness is CORRECT for that fixture (e.g. a data-quality gate that
@@ -70,6 +74,8 @@ def _self_check(con) -> None:
     assert all(_degenerate(c) for c in row)
     ok = con.execute("SELECT 42, 'x'").fetchall()[0]
     assert not all(_degenerate(c) for c in ok)
+    dup = con.execute("SELECT 7 FROM range(3)").fetchall()
+    assert len(dup) >= 2 and len({repr(r) for r in dup}) == 1
 
 
 def sweep() -> dict:
@@ -97,6 +103,15 @@ def sweep() -> dict:
                         "sf": sf_name,
                         "kind": "one_degenerate_row",
                         "detail": repr(rows[0])[:200],
+                    }
+                )
+            elif len(rows) >= 2 and len({repr(r) for r in rows}) == 1:
+                findings.append(
+                    {
+                        "query": name,
+                        "sf": sf_name,
+                        "kind": "identical_rows",
+                        "detail": f"{len(rows)} copies of {rows[0]!r}"[:200],
                     }
                 )
         con.close()
