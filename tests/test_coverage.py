@@ -821,6 +821,22 @@ def test_survivorship_aggregate_only(spark):
     assert "max_by" in plan or "HashAggregate" in plan, plan
 
 
+def test_dedup_minhash_bucketed_join_no_python(spark):
+    """The r10 parity-hash rewrite must keep the operator's 100 TB
+    contract: candidates meet ONLY inside hash-partitioned
+    (band, 4-minhash-tuple) buckets (equi joins — never a cartesian /
+    nested-loop pair space), the hot-bucket star-cap list arrives
+    broadcast, and the whole pipeline stays JVM-side (md5+conv+affine
+    transforms are codegen expressions, not Python)."""
+    from louvain_modularity_spark.llm_ops import q_dedup_minhash
+
+    plan = _plan_of(q_dedup_minhash, spark)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # star-cap anti/equi joins
+
+
 def test_grid_join_equi_cell_never_cartesian(spark):
     """The planar distance join must meet candidates ONLY inside
     hash-partitioned grid-cell buckets: an equi hash join on the cell
