@@ -60,17 +60,15 @@ def _modules():
 # before anything new is registered. The full three-round plan is pinned
 # below as data (_WINDOW_R06 / _WINDOW_R07 / _WINDOW_R08) and
 # held_queries() derives the outstanding set — no hand-synced prose list.
-# ROUND 10 STATUS: _WINDOW_R09 (pinned in round 8; round 9 recorded
-# zero builder turns — a harness gap, see PROGRESS.jsonl r9 — so the
-# rotation lands one round late, in round 10) is the ACTIVE window;
-# all_queries() leads with it. It gives the five §2.31 pyds queries
-# their FIRST driver rows and re-greens the 45 stalest slots (3 r2
-# rows-only + 42 r3 greens; mid-round the r10 oracle-upgrade batch —
-# SURVEY §2.33 — gave two of the three r2 names value-exact oracles,
-# so q_sample_hash and q_udf_pandas get their first HASH rows in this
-# very window). Backlog after this window: NONE —
-# held_queries() returns []. _WINDOW_R10 below pins the next rotation
-# (the 7 remaining r3 greens + the 43 alphabetically-first r4 greens).
+# ROUND 11 STATUS: _WINDOW_R10 (pinned in round 10) is the ACTIVE
+# window; all_queries() leads with it. Rotation-only — re-greens the
+# 50 stalest slots (7 r3 + 43 r4 greens), including q_approx_topk's
+# FIRST hash row (its exact-twin oracle landed in the r10 upgrade
+# batch, SURVEY §2.33). Backlog: NONE — held_queries() returns [].
+# _WINDOW_R11 below pins the next rotation, derived by
+# scripts/window_plan.py with the oracle-upgrade staleness rule
+# (r10 verdict task 2): q_ann_lsh / q_dedup_minhash / q_simhash lead
+# because their value-exact oracles postdate their last driver rows.
 #
 # Every oracle-backed entry is local DuckDB-parity green at
 # sf0.001+sf0.01 (tests/test_oracle_parity.py runs the driver's own
@@ -474,6 +472,82 @@ _WINDOW_R10_ROWS_ONLY = [
     "q_kcore",
 ]
 
+# Round-11 window, pinned NOW (same one-round-ahead convention),
+# derived by scripts/window_plan.py WITH the r10-verdict-task-2 rule:
+# an oracle upgrade resets staleness, so the three names whose
+# value-exact oracles (SURVEY §2.33, parity_hash32 batch) landed AFTER
+# their last driver row lead — their r9 rows are no_oracle and the
+# contract's hard rows+schema+hash signal has never run for them.
+# Then the staleness rotation proper: the 7 remaining r4 greens and
+# 40 alphabetically-first r5 greens. Rotation-only — the §2.34 r11
+# unfreeze re-probe found spark-avro / protobuf still absent
+# (receipts in SURVEY.md §2.34); registry stays at 307.
+_WINDOW_R11 = [
+    # oracle-upgraded in r10, never driver-hash-checked (maximal
+    # staleness under the window_plan.py ORACLE_UPGRADED rule)
+    "q_ann_lsh",
+    "q_dedup_minhash",
+    "q_simhash",
+    # r4 remainder (last 7 of the 50, alphabetical)
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_window_laglead",
+    "q_window_ntile",
+    "q_write_shards",
+    # r5 greens, alphabetical, first 40
+    "q_adjacency_pivot",
+    "q_agg_distinct",
+    "q_agg_groupby",
+    "q_approx_cd",
+    "q_betweenness_sampled",
+    "q_coarsen_edges",
+    "q_cross_small",
+    "q_cube",
+    "q_dedup_exact",
+    "q_default_weight",
+    "q_degree_inout",
+    "q_degree_weighted",
+    "q_eccentricity",
+    "q_edge_agg_parallel",
+    "q_edges_from_relational",
+    "q_filter_pred",
+    "q_fn_array",
+    "q_fn_cond",
+    "q_fn_math",
+    "q_fn_string",
+    "q_fn_struct",
+    "q_graph_size_m",
+    "q_grouping_sets",
+    "q_grouping_sets_explicit",
+    "q_join_broadcast",
+    "q_join_full_outer",
+    "q_join_inner",
+    "q_join_outer",
+    "q_join_semi_anti",
+    "q_lateral_topk",
+    "q_membership_rollup",
+    "q_null_semantics",
+    "q_pivot_status",
+    "q_quantiles",
+    "q_read_edgelist",
+    "q_read_merge_schema",
+    "q_scan_parquet",
+    "q_selfloop_filter",
+    "q_set_ops",
+    "q_sort_limit",
+]
+
+# Rows-only-by-contract entries inside the R11 window: the sampled
+# approximate closeness/diameter sketch (seed-order dependent) and
+# sampled Brandes betweenness (source-sample dependent) — neither
+# SQL-expressible exactly; both carry networkx-golden pytest evidence.
+_WINDOW_R11_ROWS_ONLY = [
+    "q_approx_cd",
+    "q_betweenness_sampled",
+]
+
 # Every query name that has appeared in a driver CORRECTNESS window,
 # rounds 1-5 (= union of CORRECTNESS_r0{1..5}.json keys; 193 names).
 # Frozen history — append-only as windows run.
@@ -547,28 +621,29 @@ def all_queries() -> dict[str, QueryFn]:
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         merged.update(mod.QUERIES)
-    missing = [n for n in _WINDOW_R09 if n not in merged]
+    missing = [n for n in _WINDOW_R10 if n not in merged]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R09}
+    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R10}
     out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
 
 
 def held_queries() -> list[str]:
     """Registered queries with no driver CORRECTNESS row once the
-    round-9 window runs — DERIVED from the registry minus every windowed
+    active window runs — DERIVED from the registry minus every windowed
     name, replacing the hand-synced prose list the r5 verdict flagged
-    (What's wrong #2). With _WINDOW_R09 active (it leads with the five
-    §2.31 pyds queries, the last never-windowed names), the held set is
-    EMPTY. test_coverage asserts held == [], so any new registration
-    without a window plan fails loudly."""
+    (What's wrong #2). Every name has had driver evidence since the r9
+    window ran (round 10): the held set is EMPTY and all windows since
+    are staleness re-greens. test_coverage asserts held == [], so any
+    new registration without a window plan fails loudly."""
     windowed = (
         _EVER_WINDOWED_PRE_R06
         | set(_WINDOW_R06)
         | set(_WINDOW_R07)
         | set(_WINDOW_R08)
         | set(_WINDOW_R09)
+        | set(_WINDOW_R10)
     )
     return sorted(n for n in all_queries() if n not in windowed)
 

@@ -9,13 +9,22 @@ alphabetically. This tool computes that list so the next round's pin
 is derived, not hand-synced — the same de-prose-ification
 held_queries() got in r5.
 
+Round-11 refinement (r10 verdict task 2): an ORACLE UPGRADE resets
+staleness. When a query gains a value-exact DuckDB oracle AFTER its
+latest driver row (so that row is still a weak rows-only check), the
+contract's hard signal — rows+schema+hash — has never run for it.
+Round-vintage staleness alone would queue such names behind 100+
+older hash-greens; instead they sort FIRST (maximal staleness, before
+every dated row, tied with never-windowed names).
+
 Usage:
     python scripts/window_plan.py            # print the next-50 plan
-    python scripts/window_plan.py --check    # verify the pinned
-        _WINDOW_R10 equals the derived plan (exit 1 on drift)
+    python scripts/window_plan.py --check    # verify the highest
+        pinned _WINDOW_RNN equals the derived plan (exit 1 on drift)
 
-Assumes the ACTIVE window (_WINDOW_R09) refreshes before the next one
-runs, i.e. its names drop to the bottom of the staleness order.
+Assumes the ACTIVE window (the head of the registry iteration order)
+refreshes before the next one runs, i.e. its names drop to the bottom
+of the staleness order.
 """
 
 from __future__ import annotations
@@ -30,6 +39,19 @@ sys.path.insert(0, "/root/repo")
 from louvain_modularity_spark import registry  # noqa: E402
 
 WINDOW_SIZE = 50
+
+# query -> round in which its oracle was added/upgraded to value-exact
+# (SURVEY §2.33). A driver row OLDER than this round pre-dates the
+# oracle, so the query has never been hash-checked by the driver and
+# sorts maximally stale. Append-only, one entry per upgrade batch.
+ORACLE_UPGRADED = {
+    "q_sample_hash": 10,
+    "q_udf_pandas": 10,
+    "q_dedup_minhash": 10,
+    "q_simhash": 10,
+    "q_ann_lsh": 10,
+    "q_approx_topk": 10,
+}
 
 
 def latest_driver_round() -> dict[str, int]:
@@ -51,6 +73,13 @@ def next_window(active: list[str] | None = None) -> list[str]:
         # order — derive it so this tool needs no per-round edit
         active = list(registry.all_queries())[:WINDOW_SIZE]
     latest = latest_driver_round()
+    # an oracle upgrade invalidates older (rows-only) driver evidence:
+    # the query has never been HASH-checked, so it sorts maximally
+    # stale — applied BEFORE the active-window override, because the
+    # active window is about to produce a fresh hash row
+    for name, rnd in ORACLE_UPGRADED.items():
+        if latest.get(name, 0) < rnd:
+            latest[name] = -1
     # names the active window is about to refresh sort last
     horizon = 1 + max(latest.values(), default=0)
     for name in active:

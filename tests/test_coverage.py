@@ -46,39 +46,37 @@ def test_documented_counts_match_registry():
     )
 
 
-def test_r09_window_leads_registry():
+def test_r10_window_leads_registry():
     """The driver checks the first 50 registry entries; the pinned
-    round-9 window (pinned as data in round 8; activated in round 10
-    because round 9 recorded zero builder turns — PROGRESS.jsonl r9)
-    must lead the iteration order: 5 pyds first-rows + 45 staleness
-    re-greens. Every entry must be oracle-backed EXCEPT the pinned
-    rows-only set (after the r10 upgrades of q_sample_hash and
-    q_udf_pandas, only the watermark query — SURVEY §2.33)."""
+    round-10 window must lead the iteration order: 50 staleness
+    re-greens (7 r3 + 43 r4), including q_approx_topk's first hash
+    row. Every entry must be oracle-backed EXCEPT the pinned
+    rows-only set (the HLL sketch and iterative k-core)."""
     from louvain_modularity_spark.registry import (
-        _WINDOW_R09,
-        _WINDOW_R09_ROWS_ONLY,
+        _WINDOW_R10,
+        _WINDOW_R10_ROWS_ONLY,
     )
 
     q, o = all_queries(), all_oracles()
-    assert list(q)[: len(_WINDOW_R09)] == _WINDOW_R09
-    assert len(_WINDOW_R09) == 50 == len(set(_WINDOW_R09))
-    not_backed = [n for n in _WINDOW_R09 if n not in o]
-    assert sorted(not_backed) == sorted(_WINDOW_R09_ROWS_ONLY), (
+    assert list(q)[: len(_WINDOW_R10)] == _WINDOW_R10
+    assert len(_WINDOW_R10) == 50 == len(set(_WINDOW_R10))
+    not_backed = [n for n in _WINDOW_R10 if n not in o]
+    assert sorted(not_backed) == sorted(_WINDOW_R10_ROWS_ONLY), (
         f"unplanned rows-only queries in driver window: "
-        f"{sorted(set(not_backed) - set(_WINDOW_R09_ROWS_ONLY))}"
+        f"{sorted(set(not_backed) - set(_WINDOW_R10_ROWS_ONLY))}"
     )
 
 
-def test_backlog_empty_after_r09_window():
+def test_backlog_empty_after_r10_window():
     """The r5 verdict (What's wrong #2): the held-for-later inventory
     must be DERIVED, not a hand-synced prose comment. held_queries()
-    computes registry minus every windowed name; with _WINDOW_R09
-    active (its lead is the five §2.31 pyds queries — the last
-    never-windowed names) the held set is EMPTY. The windows must be
-    mutually disjoint, rotation slots must all be previously-windowed
-    re-greens, and the pinned _WINDOW_R10 must cover the next-stalest
-    cohort. Any NEW registration must be added to a window plan in the
-    same commit or this fails."""
+    computes registry minus every windowed name; every registered name
+    has had driver evidence since round 10, so the held set is EMPTY.
+    The windows must be mutually disjoint, rotation slots must all be
+    previously-windowed re-greens, and the pinned _WINDOW_R11 must
+    cover the next-stalest cohort (oracle-upgrade rule first — see
+    scripts/window_plan.py ORACLE_UPGRADED). Any NEW registration must
+    be added to a window plan in the same commit or this fails."""
     from louvain_modularity_spark.registry import (
         _EVER_WINDOWED_PRE_R06,
         _WINDOW_R06,
@@ -88,6 +86,7 @@ def test_backlog_empty_after_r09_window():
         _WINDOW_R09_LEAD,
         _WINDOW_R09_ROTATION,
         _WINDOW_R10,
+        _WINDOW_R11,
         held_queries,
     )
 
@@ -126,6 +125,28 @@ def test_backlog_empty_after_r09_window():
     assert sorted(n for n in _WINDOW_R10 if n not in all_oracles()) == sorted(
         _WINDOW_R10_ROWS_ONLY
     ), "r10 rows-only pin out of sync with the registry's oracle map"
+    # r11 plan shape: rotation-only (SURVEY §2.34 re-froze the
+    # registry), 50 distinct, disjoint from r10, every name a
+    # previously-windowed re-green
+    assert len(_WINDOW_R11) == 50 == len(set(_WINDOW_R11))
+    assert not set(_WINDOW_R11) & set(_WINDOW_R10)
+    unknown_r11 = set(_WINDOW_R11) - set(all_queries())
+    assert not unknown_r11, f"r11 window names not registered: {sorted(unknown_r11)}"
+    assert set(_WINDOW_R11) <= (
+        _EVER_WINDOWED_PRE_R06
+        | set(_WINDOW_R06)
+        | set(_WINDOW_R07)
+        | set(_WINDOW_R08)
+        | set(_WINDOW_R09)
+    )
+    from louvain_modularity_spark.registry import _WINDOW_R11_ROWS_ONLY
+
+    assert sorted(n for n in _WINDOW_R11 if n not in all_oracles()) == sorted(
+        _WINDOW_R11_ROWS_ONLY
+    ), "r11 rows-only pin out of sync with the registry's oracle map"
+    # the oracle-upgrade staleness rule is in effect: the three names
+    # whose oracles postdate their last driver row lead the r11 pin
+    assert _WINDOW_R11[:3] == ["q_ann_lsh", "q_dedup_minhash", "q_simhash"]
     assert len(_WINDOW_R07) == 50 == len(set(_WINDOW_R07))
     assert len(_WINDOW_R08) == 50 == len(set(_WINDOW_R08))
     assert not set(_WINDOW_R07) & set(_WINDOW_R08)
