@@ -858,6 +858,30 @@ def test_dedup_minhash_bucketed_join_no_python(spark):
     assert "BroadcastHashJoin" in plan, plan  # star-cap anti/equi joins
 
 
+def test_dedup_minhash_no_persisted_rdd_outlives_call(spark, tmp_path):
+    """r10 verdict What's-wrong #2: the sketch table used to be a bare
+    .persist() with no unpersist, so repeated library calls in a
+    long-lived session accumulated pinned executor blocks. It now
+    routes through lineage_cut; under a configured checkpointDir every
+    cut is a reliable checkpoint (files, not cached blocks), so the
+    call must add ZERO entries to the context's persistent-RDD map —
+    asserted across two back-to-back invocations."""
+    from louvain_modularity_spark.llm_ops import q_dedup_minhash
+
+    jsc = spark.sparkContext._jsc.sc()
+    spark.conf.set("spark.graft.checkpointDir", str(tmp_path / "ckpt"))
+    try:
+        before = jsc.getPersistentRDDs().size()
+        for _ in range(2):
+            q_dedup_minhash(spark, "/root/testdata/sf0.001").collect()
+        after = jsc.getPersistentRDDs().size()
+    finally:
+        spark.conf.unset("spark.graft.checkpointDir")
+    assert after == before, (
+        f"dedup_minhash_pairs leaked {after - before} persisted RDD(s)"
+    )
+
+
 def test_grid_join_equi_cell_never_cartesian(spark):
     """The planar distance join must meet candidates ONLY inside
     hash-partitioned grid-cell buckets: an equi hash join on the cell
