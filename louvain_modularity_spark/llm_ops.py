@@ -486,8 +486,12 @@ def dedup_minhash_pairs(d: DataFrame, max_bucket: int = 100) -> DataFrame:
     # in a long-lived service (r10 verdict What's-wrong #2) — its
     # storage is released by the ContextCleaner when the DataFrame is
     # dropped (local mode) or lives as cleanable checkpoint files
-    # under spark.graft.checkpointDir (cluster mode).
-    mh = minhash_sketches_wide(d).transform(lineage_cut)
+    # under spark.graft.checkpointDir (cluster mode). eager=False: the
+    # first consumer is the bands EAGER cut below, which materializes
+    # mh in the same job — an eager cut here would scan documents twice
+    # (measured +1.1 s at sf0.1 in-harness, the one >spread mover of
+    # the r11 bench pair).
+    mh = lineage_cut(minhash_sketches_wide(d), eager=False)
     band_dfs = []
     for b in range(MINHASH_BANDS):
         cols = [f"mh{b * rows_per_band + j}" for j in range(rows_per_band)]

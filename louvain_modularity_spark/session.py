@@ -45,9 +45,16 @@ _CKPT_DIRS_SET: set[tuple[str, str]] = set()
 _CKPT_RETENTION_WARNED: set[str] = set()
 
 
-def lineage_cut(df):
+def lineage_cut(df, eager: bool = True):
     """Truncate a DataFrame's lineage — the per-round/per-level cut
     every iterative algorithm here applies via ``.transform(lineage_cut)``.
+
+    ``eager=False`` defers materialization to the first consuming job
+    (no separate checkpoint job): right when the cut DataFrame's first
+    consumer is ITSELF an eager cut in the same plan (the minhash
+    sketch → bands chain), where an eager cut would scan the input
+    twice. Storage/cleanup semantics are unchanged — ContextCleaner-
+    released blocks locally, cleanable files under checkpointDir.
 
     Local mode (default): ``localCheckpoint(eager=True)`` — blocks live
     on the one JVM, zero I/O, exactly what a single-machine run wants.
@@ -104,8 +111,8 @@ def lineage_cut(df):
                     "(get_spark does).",
                     stacklevel=3,
                 )
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def get_spark(

@@ -877,7 +877,11 @@ def test_dedup_minhash_no_persisted_rdd_outlives_call(spark, tmp_path):
         after = jsc.getPersistentRDDs().size()
     finally:
         spark.conf.unset("spark.graft.checkpointDir")
-    assert after == before, (
+    # <= not ==: the ContextCleaner may concurrently release entries
+    # REGISTERED by earlier tests (local-arm checkpoint marks are
+    # persist-registered at plan time); the contract here is only that
+    # this call adds none of its own
+    assert after <= before, (
         f"dedup_minhash_pairs leaked {after - before} persisted RDD(s)"
     )
 
