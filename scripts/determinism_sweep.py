@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+"""Registry-wide determinism / partition-invariance audit.
+
+A hash-green CORRECTNESS row proves Spark == DuckDB *at the driver's
+partitioning*. This sweep makes the stronger distributed-correctness
+claim auditable: every query's RESULT VALUES must be invariant to how
+the engine happens to split the data — scan split size, shuffle
+partition count, and Arrow batch boundaries. On a 1000-executor
+cluster none of those knobs are under the query author's control, so a
+partition-SENSITIVE result is a latent 100 TB correctness bug even
+when the local fixture happens to hash green (classic culprits:
+``first()`` without ordering, ``rand(seed)`` — whose stream is seeded
+per-partition — ``monotonically_increasing_id``, per-batch state
+inside a pandas UDF, float reduction order surfacing through an
+unrounded output column).
+
+Every registry query runs twice at sf0.001:
+
+  pass A: the session defaults (the same shape the driver uses), and
+  pass B: perturbed  —  shuffle.partitions 32 -> 7,
+          files.maxPartitionBytes -> 256 KB (more scan splits),
+          leafNodeDefaultParallelism -> 3,
+          arrow.maxRecordsPerBatch -> 64 (different pandas-UDF batch
+          boundaries).
+
+Results are canonicalized exactly like the local oracle check (column
+order by name, row order by stringified values) and compared
+cell-by-cell:
+
+  - byte-identical            -> OK
+  - equal after rounding floats to 6 significant digits -> ROUNDOFF
+    (reported, not a failure: pure float reduction-order noise below
+    any driver-hash-visible rounding)
+  - anything else             -> FINDING; must be fixed or adjudicated
+    in ALLOW below with the reason the variance is inherent to the
+    operator's contract. Unadjudicated findings exit nonzero.
+
+Usage: python scripts/determinism_sweep.py [--json out.json] [name ...]
+Runtime: one local Spark session, 307 queries x 2 passes at sf0.001.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+from oracle_check import _canon  # noqa: E402
+
+from louvain_modularity_spark.registry import all_queries  # noqa: E402
+from louvain_modularity_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: perturbed engine shape for pass B (session-level confs only, so one
+#: JVM serves both passes; restored after every query so a failure
+#: mid-sweep cannot leak the perturbation into pass A of the next one)
+PERTURB = {
+    "spark.sql.shuffle.partitions": "7",
+    "spark.sql.files.maxPartitionBytes": str(256 * 1024),
+    "spark.sql.leafNodeDefaultParallelism": "3",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
+}
+
+#: Adjudicated partition-SENSITIVE queries: name -> reason the
+#: variance is inherent to the operator's documented contract (each
+#: must also carry the caveat in its docstring). Only listed names may
+#: stay flagged without failing the sweep.
+ALLOW: dict[str, str] = {
+    # (empty until the first sweep run surfaces candidates)
+}
+
+
+def _round_sig(v: float, sig: int = 6) -> float:
+    if v == 0 or math.isnan(v) or math.isinf(v):
+        return v
+    return round(v, sig - 1 - int(math.floor(math.log10(abs(v)))))
+
+
+def _round_cell(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return _round_sig(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_round_cell(x) for x in v)
+    return v
+
+
+def _canon_pair(cols, rows, rounded: bool):
+    if rounded:
+        rows = [tuple(_round_cell(c) for c in r) for r in rows]
+    return _canon(cols, rows)
+
+
+def _run(spark, fn, sf_dir):
+    df = fn(spark, sf_dir)
+    return df.columns, [tuple(r) for r in df.collect()]
+
+
+def _compare(a, b):
+    """-> 'identical' | 'roundoff' | mismatch message."""
+    (a_cols, a_rows), (b_cols, b_rows) = a, b
+    if sorted(a_cols) != sorted(b_cols):
+        return f"column mismatch A={sorted(a_cols)} B={sorted(b_cols)}"
+    if len(a_rows) != len(b_rows):
+        return f"row count mismatch A={len(a_rows)} B={len(b_rows)}"
+    _, ca = _canon_pair(a_cols, a_rows, rounded=False)
+    _, cb = _canon_pair(b_cols, b_rows, rounded=False)
+    if ca == cb:
+        return "identical"
+    _, ra = _canon_pair(a_cols, a_rows, rounded=True)
+    _, rb = _canon_pair(b_cols, b_rows, rounded=True)
+    if ra == rb:
+        return "roundoff"
+    diffs = sum(1 for x, y in zip(ra, rb) if x != y)
+    first = next((i, x, y) for i, (x, y) in enumerate(zip(ra, rb)) if x != y)
+    return f"{diffs} differing rows after 6-sig-digit rounding; first at sorted row {first[0]}: A={first[1]} B={first[2]}"
+
+
+def _self_check(spark) -> None:
+    """Canary: the perturbation must actually change the engine shape,
+    and the comparator must catch a known partition-sensitive value —
+    otherwise the whole sweep could pass vacuously."""
+    from pyspark.sql import functions as F
+
+    # leaf parallelism is pre-shuffle, so AQE coalescing cannot mask
+    # whether pass B's confs actually took effect on plan shape
+    saved = {k: spark.conf.get(k, None) for k in PERTURB}
+    n_a = spark.sql("SELECT id FROM range(100)").rdd.getNumPartitions()
+    for k, v in PERTURB.items():
+        spark.conf.set(k, v)
+    n_b = spark.sql("SELECT id FROM range(100)").rdd.getNumPartitions()
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+    assert n_a != n_b, f"perturbation did not change leaf plan shape ({n_a} == {n_b})"
+    # monotonically_increasing_id encodes the partition id: the SAME
+    # logical query over different input splits must be flagged
+    sens_a = ([("r",)], [(r[0],) for r in spark.range(0, 64, 1, 2).select(F.monotonically_increasing_id().alias("r")).collect()])
+    sens_b = ([("r",)], [(r[0],) for r in spark.range(0, 64, 1, 5).select(F.monotonically_increasing_id().alias("r")).collect()])
+    assert _compare((["r"], sens_a[1]), (["r"], sens_b[1])) not in ("identical", "roundoff")
+    # and pure roundoff must be classed as roundoff, not a finding
+    assert _compare((["x"], [(0.1 + 0.2,)]), (["x"], [(0.3,)])) == "roundoff"
+
+
+def sweep(spark, names=None, verbose: bool = True) -> dict:
+    """Run the audit over `names` (default: whole registry) on an
+    existing session; returns the summary dict (see main)."""
+    queries = all_queries()
+    if not names:
+        names = list(queries)
+    _self_check(spark)
+    base = {k: spark.conf.get(k, None) for k in PERTURB}
+
+    results: dict[str, str] = {}
+    findings: list[str] = []
+    roundoff: list[str] = []
+    t_start = time.time()
+    for i, name in enumerate(names, 1):
+        fn = queries[name]
+        t0 = time.time()
+        try:
+            a = _run(spark, fn, SF_DIR)
+            for k, v in PERTURB.items():
+                spark.conf.set(k, v)
+            try:
+                b = _run(spark, fn, SF_DIR)
+            finally:
+                for k, v in base.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+            verdict = _compare(a, b)
+        except Exception as e:  # noqa: BLE001 — audit must report, not die
+            verdict = f"ERROR {type(e).__name__}: {e}"
+        results[name] = verdict
+        tag = "ok"
+        if verdict == "roundoff":
+            roundoff.append(name)
+            tag = "ROUNDOFF"
+        elif verdict != "identical":
+            if name in ALLOW:
+                tag = f"allowed ({ALLOW[name]})"
+            else:
+                findings.append(name)
+                tag = "FINDING"
+        if verbose:
+            print(f"[{i}/{len(names)}] {name}: {tag} [{time.time()-t0:.1f}s]", flush=True)
+            if tag == "FINDING":
+                print(f"    {verdict}", flush=True)
+
+    stale_allow = sorted(set(ALLOW) - {n for n, v in results.items() if v not in ("identical", "roundoff")})
+    return {
+        "checked": len(results),
+        "identical": sum(1 for v in results.values() if v == "identical"),
+        "roundoff": sorted(roundoff),
+        "allowed": sorted(n for n in ALLOW if n in results and results[n] not in ("identical", "roundoff")),
+        "findings": {n: results[n] for n in findings},
+        "stale_allow_entries": stale_allow if len(results) == len(queries) else [],
+        "wall_s": round(time.time() - t_start, 1),
+        "results": results,
+    }
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    names = [a for a in argv if not a.startswith("--")]
+    spark = get_spark("determinism-sweep")
+    summary = sweep(spark, names or None)
+    results = summary.pop("results")
+    findings = list(summary["findings"])
+    stale_allow = summary["stale_allow_entries"]
+    print(json.dumps({k: v for k, v in summary.items() if k != "findings"}, indent=2))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"summary": summary, "results": results}, f, indent=2, sort_keys=True)
+    if findings:
+        print(f"UNADJUDICATED FINDINGS ({len(findings)}):")
+        for n in findings:
+            print(f"  {n}: {results[n]}")
+        return 1
+    if stale_allow:
+        print(f"STALE ALLOW ENTRIES (no longer variant): {stale_allow}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
