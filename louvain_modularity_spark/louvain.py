@@ -746,6 +746,12 @@ def _one_level(
                     *carry,
                 )
                 .transform(lineage_cut)
+                # a lazy (eager=False) cut here — deferring state
+                # materialization into the next round's moves job —
+                # measured a wash at sf0.1 (warm same-boot alternating
+                # A/B, r11: eager min 20.06 s vs lazy 20.92 s,
+                # identical outputs); kept eager for the bounded-plan
+                # guarantee on the break-without-idle-round exit
             )
         total_moves += n_moves
         if _VERBOSE:
