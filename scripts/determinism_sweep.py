@@ -58,10 +58,19 @@ SF_DIR = "/root/testdata/sf0.001"
 
 #: perturbed engine shape for pass B (session-level confs only, so one
 #: JVM serves both passes; restored after every query so a failure
-#: mid-sweep cannot leak the perturbation into pass A of the next one)
+#: mid-sweep cannot leak the perturbation into pass A of the next one).
+#: The knobs were VERIFIED to change real plan shapes at sf0.001, not
+#: just assumed: 16 KB splits + zero open cost turn the one-file
+#: lineitem scan into 8 tasks (256 KB left it at 1 — the file is
+#: 117 KB and openCostInBytes pads each file to ~4 MB), and AQE
+#: partition coalescing must be OFF or it folds both passes' tiny
+#: shuffles back to ONE partition and the 7-vs-32 difference never
+#: reaches execution. The canary asserts both facts every run.
 PERTURB = {
     "spark.sql.shuffle.partitions": "7",
-    "spark.sql.files.maxPartitionBytes": str(256 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(16 * 1024),
+    "spark.sql.files.openCostInBytes": "0",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
     "spark.sql.leafNodeDefaultParallelism": "3",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
 }
@@ -128,19 +137,32 @@ def _self_check(spark) -> None:
     otherwise the whole sweep could pass vacuously."""
     from pyspark.sql import functions as F
 
-    # leaf parallelism is pre-shuffle, so AQE coalescing cannot mask
-    # whether pass B's confs actually took effect on plan shape
+    # the perturbation must actually reach EXECUTED shapes for the
+    # three lanes that matter — parquet scan splits, post-shuffle
+    # partition count (AQE coalescing would mask it), and leaf
+    # parallelism — or the whole sweep is comparing a shape to itself
     saved = {k: spark.conf.get(k, None) for k in PERTURB}
-    n_a = spark.sql("SELECT id FROM range(100)").rdd.getNumPartitions()
+    li = f"{SF_DIR}/lineitem.parquet"
+    scan_a = spark.read.parquet(li).rdd.getNumPartitions()
+    agg_a = (
+        spark.read.parquet(li).groupBy("l_orderkey").count().rdd.getNumPartitions()
+    )
+    leaf_a = spark.sql("SELECT id FROM range(100)").rdd.getNumPartitions()
     for k, v in PERTURB.items():
         spark.conf.set(k, v)
-    n_b = spark.sql("SELECT id FROM range(100)").rdd.getNumPartitions()
+    scan_b = spark.read.parquet(li).rdd.getNumPartitions()
+    agg_b = (
+        spark.read.parquet(li).groupBy("l_orderkey").count().rdd.getNumPartitions()
+    )
+    leaf_b = spark.sql("SELECT id FROM range(100)").rdd.getNumPartitions()
     for k, v in saved.items():
         if v is None:
             spark.conf.unset(k)
         else:
             spark.conf.set(k, v)
-    assert n_a != n_b, f"perturbation did not change leaf plan shape ({n_a} == {n_b})"
+    assert scan_a != scan_b, f"scan split shape unchanged ({scan_a} == {scan_b})"
+    assert agg_a != agg_b, f"post-shuffle shape unchanged ({agg_a} == {agg_b})"
+    assert leaf_a != leaf_b, f"leaf plan shape unchanged ({leaf_a} == {leaf_b})"
     # monotonically_increasing_id encodes the partition id: the SAME
     # logical query over different input splits must be flagged
     sens_a = ([("r",)], [(r[0],) for r in spark.range(0, 64, 1, 2).select(F.monotonically_increasing_id().alias("r")).collect()])
