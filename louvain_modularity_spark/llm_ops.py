@@ -844,13 +844,28 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ccos = _dot(F.col("c_emb"), F.col("embedding")) / F.sqrt(
         F.col("c_n2") * F.col("n2")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    # nearest-centroid assignment as a map-side-combinable max_by
+    # argmax, NOT a row_number window: the broadcast crossJoin emits
+    # each vector's K centroid rows contiguously in its own scan
+    # partition, so the partial aggregate collapses N·K rows to N
+    # BEFORE any shuffle — the window variant shuffled and sorted the
+    # full N·K candidate table by vec_id (measured on the 50k-vector
+    # clustered stress corpus: 192 s -> 56 s end-to-end, identical
+    # output; scripts/stress_ann.py). Tie order matches the window it
+    # replaced and the CTE oracle: highest ccos, then smallest
+    # cent_id (via -cent_id in the comparison struct); embedding/n2
+    # ride along inside the max_by payload.
     assign = (
         base.crossJoin(F.broadcast(cent))
         .withColumn("ccos", ccos)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "n2", "cent_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("embedding", "n2", "cent_id"),
+                F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc")),
+            ).alias("sel")
+        )
+        .select("vec_id", "sel.embedding", "sel.n2", "sel.cent_id")
     )
     qs = base.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
         F.col("vec_id").alias("query_id"),
