@@ -14,14 +14,18 @@ per-partition — ``monotonically_increasing_id``, per-batch state
 inside a pandas UDF, float reduction order surfacing through an
 unrounded output column).
 
-Every registry query runs twice at sf0.001:
+Every registry query runs twice at sf0.001 (or --sf-dir):
 
   pass A: the session defaults (the same shape the driver uses), and
-  pass B: perturbed  —  shuffle.partitions 32 -> 7,
-          files.maxPartitionBytes -> 256 KB (more scan splits),
+  pass B: perturbed  —  shuffle.partitions 32 -> 7 with AQE partition
+          coalescing OFF (or tiny shuffles fold back to one partition
+          in both passes), files.maxPartitionBytes -> 16 KB at zero
+          openCostInBytes (real multi-split file scans — 256 KB left
+          the 117 KB lineitem file at ONE split),
           leafNodeDefaultParallelism -> 3,
           arrow.maxRecordsPerBatch -> 64 (different pandas-UDF batch
           boundaries).
+  The canary asserts each knob changes EXECUTED partition counts.
 
 Results are canonicalized exactly like the local oracle check (column
 order by name, row order by stringified values) and compared
@@ -35,7 +39,8 @@ cell-by-cell:
     in ALLOW below with the reason the variance is inherent to the
     operator's contract. Unadjudicated findings exit nonzero.
 
-Usage: python scripts/determinism_sweep.py [--json out.json] [name ...]
+Usage: python scripts/determinism_sweep.py [--json out.json]
+       [--sf-dir /root/testdata/sf0.01] [name ...]
 Runtime: one local Spark session, 307 queries x 2 passes at sf0.001.
 """
 
@@ -172,7 +177,7 @@ def _self_check(spark) -> None:
     assert _compare((["x"], [(0.1 + 0.2,)]), (["x"], [(0.3,)])) == "roundoff"
 
 
-def sweep(spark, names=None, verbose: bool = True) -> dict:
+def sweep(spark, names=None, verbose: bool = True, sf_dir: str = SF_DIR) -> dict:
     """Run the audit over `names` (default: whole registry) on an
     existing session; returns the summary dict (see main)."""
     queries = all_queries()
@@ -189,11 +194,11 @@ def sweep(spark, names=None, verbose: bool = True) -> dict:
         fn = queries[name]
         t0 = time.time()
         try:
-            a = _run(spark, fn, SF_DIR)
+            a = _run(spark, fn, sf_dir)
             for k, v in PERTURB.items():
                 spark.conf.set(k, v)
             try:
-                b = _run(spark, fn, SF_DIR)
+                b = _run(spark, fn, sf_dir)
             finally:
                 for k, v in base.items():
                     if v is None:
@@ -239,9 +244,14 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    sf_dir = SF_DIR
+    if "--sf-dir" in argv:
+        i = argv.index("--sf-dir")
+        sf_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     names = [a for a in argv if not a.startswith("--")]
     spark = get_spark("determinism-sweep")
-    summary = sweep(spark, names or None)
+    summary = sweep(spark, names or None, sf_dir=sf_dir)
     results = summary.pop("results")
     findings = list(summary["findings"])
     stale_allow = summary["stale_allow_entries"]

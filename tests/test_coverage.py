@@ -1099,3 +1099,35 @@ def test_pinned_r10_window_matches_derived_staleness_plan():
         f"{attr} drifted from the derived staleness plan — run "
         f"`python scripts/window_plan.py` and re-pin"
     )
+
+
+def test_ann_ivf_assignment_is_aggregate_not_window(spark):
+    """r11: the nearest-centroid assignment must stay a map-side-
+    combinable max_by argmax. The row_number variant it replaced
+    shuffled and sorted the full N x K crossJoin by vec_id — at 100 TB
+    that is a corpus-times-centroids shuffle; the aggregate collapses
+    to N rows before any exchange. Exactly two Window operators may
+    remain (the bounded per-query probe top-2 and result top-3)."""
+    from louvain_modularity_spark.llm_ops import q_ann_ivf
+
+    root = (
+        q_ann_ivf(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+    )
+
+    def children(n):
+        ch = n.children()
+        return [ch.apply(i) for i in range(ch.size())]
+
+    def walk(n):
+        yield n
+        if n.nodeName().startswith("AdaptiveSparkPlan"):
+            yield from walk(n.initialPlan())
+            return
+        for c in children(n):
+            yield from walk(c)
+
+    names = [n.nodeName() for n in walk(root)]
+    assert names.count("Window") == 2, names
+    assert "max_by" in root.toString()
