@@ -157,8 +157,15 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "sw_lang")
         .agg(F.count("*").alias("hits"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("sw_lang"))
-    best = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # per-doc winner as a map-side-combinable max_by (r11): same tie
+    # order the window had — most hits, then lexicographically first
+    # language via min_by on the (negated-hits, lang) struct
+    best = hits.groupBy("doc_id").agg(
+        F.min_by("sw_lang", F.struct((-F.col("hits")).alias("nh"), "sw_lang")).alias(
+            "sw_lang"
+        ),
+        F.max("hits").alias("hits"),  # the winner's count, by definition
+    )
     return d.select("doc_id", "lang").join(best, "doc_id", "left").select(
         "doc_id",
         F.col("lang").alias("actual_lang"),

@@ -964,15 +964,21 @@ def label_propagation(
             .groupBy(F.col("src").alias("id"), "label")
             .agg(F.sum("weight").alias("w"))
         )
-        w = Window.partitionBy("id").orderBy(F.desc("w"), F.asc("label"))
+        # per-node winning label as a map-side-combinable max_by
+        # (r11): same tie order the row_number window had — highest
+        # vote weight, then smallest label
         best = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            votes.groupBy("id")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("w"), (-F.col("label")).alias("nl"))
+                ).alias("new_label")
+            )
             .filter(
                 F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(2))
                 == F.lit(rnd % 2)
             )
-            .select("id", F.col("label").alias("new_label"))
+            .select("id", "new_label")
         )
         new_state = (
             state.join(best, "id", "left")

@@ -747,13 +747,23 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_c = _dot(F.col("c_emb"), F.col("embedding")) / F.sqrt(
         F.col("c_n2") * F.col("n2")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    # nearest-centroid assignment as a map-side-combinable max_by
+    # argmax (r11, same move as q_ann_ivf): the row_number window it
+    # replaces shuffled + sorted the full N·K crossJoin by vec_id;
+    # the aggregate collapses each vector's K contiguous centroid
+    # rows to one before any exchange. Tie order unchanged: highest
+    # cosine, then smallest cent_id (via -cent_id in the struct).
     assigned = (
         base.crossJoin(F.broadcast(cents))
         .withColumn("cos_c", cos_c)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "n2", F.col("cent_id").alias("cluster"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("embedding", "n2", F.col("cent_id").alias("cluster")),
+                F.struct(F.col("cos_c"), (-F.col("cent_id")).alias("nc")),
+            ).alias("sel")
+        )
+        .select("vec_id", "sel.embedding", "sel.n2", "sel.cluster")
         # assigned feeds three plan branches (both self-join sides and
         # the final keep join); pin it so the broadcast-argmax corpus
         # pass runs once, not three times

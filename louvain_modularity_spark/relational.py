@@ -692,13 +692,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, which is fine operationally but not hash-checkable — a
     row_number window makes the choice deterministic in both engines."""
     li = load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_partkey", "l_suppkey").orderBy(
-        "l_orderkey", "l_linenumber"
-    )
+    # keeper selection as a map-side-combinable min_by (r11): the
+    # row_number window shuffled EVERY lineitem row by (partkey,
+    # suppkey) and sorted each group; the aggregate collapses a
+    # group's rows to its (orderkey, linenumber)-least survivor
+    # inside the scan partition, so only one row per key reaches the
+    # exchange — the shape an exact-dedup pass over 100 TB needs.
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min_by(
+                F.struct("l_orderkey", "l_linenumber", "l_quantity"),
+                F.struct("l_orderkey", "l_linenumber"),
+            ).alias("sel")
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            "sel.l_orderkey",
+            "sel.l_linenumber",
+            "sel.l_quantity",
+        )
     )
 
 
