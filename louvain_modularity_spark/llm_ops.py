@@ -795,11 +795,17 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
     )
     votes = knn.groupBy("query_id", "label").agg(F.count("*").alias("votes"))
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    # majority label as a map-side max_by (r11, argmax-not-window):
+    # same tie order the window had — most votes, then smallest label
     return (
-        votes.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") == 1)
-        .select("query_id", F.col("label").alias("pred_label"), "votes")
+        votes.groupBy("query_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("label").alias("pred_label"), "votes"),
+                F.struct(F.col("votes"), (-F.col("label")).alias("nl")),
+            ).alias("sel")
+        )
+        .select("query_id", "sel.pred_label", "sel.votes")
     )
 
 
