@@ -318,7 +318,7 @@ def ngram_jaccard_pairs(d: DataFrame, max_df: int = 100) -> DataFrame:
     hot shingles. On the test corpus max df < max_df, so the output is
     bit-identical to the uncapped join (oracle unchanged); the cap is
     exercised by a synthetic-skew test."""
-    sh = shingles_of(d).persist()
+    sh = lineage_cut(shingles_of(d), eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     hot = (
         sh.groupBy("shingle")
@@ -848,7 +848,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests."""
     emb = load(spark, sf_dir, "embeddings")
     norm = _dot(F.col("embedding"), F.col("embedding"))
-    base = emb.select("vec_id", "embedding", norm.alias("n2")).persist()
+    base = lineage_cut(
+        emb.select("vec_id", "embedding", norm.alias("n2")), eager=False
+    )
     cent = base.filter(F.pmod("vec_id", F.lit(100)) == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("c_emb"),
@@ -998,9 +1000,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = (_dot(plane_col, F.col("embedding")) > 0).cast("long") * (2 ** p)
         bucket = bit if bucket is None else bucket + bit
     norm = _dot(F.col("embedding"), F.col("embedding"))
-    base = emb.select(
-        "vec_id", "embedding", norm.alias("n2"), bucket.alias("bucket")
-    ).persist()
+    base = lineage_cut(
+        emb.select("vec_id", "embedding", norm.alias("n2"), bucket.alias("bucket")),
+        eager=False,
+    )
     probes = F.array(
         F.col("bucket"),
         *[
@@ -1133,7 +1136,7 @@ def q_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("blk")
         .agg(F.collect_list(F.struct("vec_id", "embedding", "n2")).alias("vecs"))
-        .persist()
+        .transform(lambda df: lineage_cut(df, eager=False))
     )
     grid = spark.range(NB).select(F.col("id").cast("int").alias("bi")).withColumn(
         "bj", F.explode(F.sequence(F.col("bi"), F.lit(NB - 1)))
@@ -1423,7 +1426,7 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection is computed once per unordered pair, then emitted in
     both directions against each side's own shingle-set size."""
     d = load(spark, sf_dir, "documents")
-    sh = shingles_of(d).persist()
+    sh = lineage_cut(shingles_of(d), eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .graph import degree_weighted, mod10_assignment, vertices_of
+from .session import lineage_cut
 from .sources import COPURCHASE_EDGES_SQL, copurchase_edges, karate_edges
 
 # golden karate partition (FIXTURES.md §3.1, seed=2 sequential reference)
@@ -198,7 +199,7 @@ SELECT m, intra, sumk2 FROM mm, ii, kk
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q of the G1 co-purchase graph under the deterministic id%10
     assignment (G2) at γ=1."""
-    edges = copurchase_edges(spark, sf_dir).persist()
+    edges = lineage_cut(copurchase_edges(spark, sf_dir), eager=False)
     return modularity_df(edges, mod10_assignment(edges), gamma=1.0)
 
 
