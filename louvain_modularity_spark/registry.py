@@ -60,15 +60,16 @@ def _modules():
 # before anything new is registered. The full three-round plan is pinned
 # below as data (_WINDOW_R06 / _WINDOW_R07 / _WINDOW_R08) and
 # held_queries() derives the outstanding set — no hand-synced prose list.
-# ROUND 11 STATUS: _WINDOW_R10 (pinned in round 10) is the ACTIVE
-# window; all_queries() leads with it. Rotation-only — re-greens the
-# 50 stalest slots (7 r3 + 43 r4 greens), including q_approx_topk's
-# FIRST hash row (its exact-twin oracle landed in the r10 upgrade
-# batch, SURVEY §2.33). Backlog: NONE — held_queries() returns [].
-# _WINDOW_R11 below pins the next rotation, derived by
-# scripts/window_plan.py with the oracle-upgrade staleness rule
-# (r10 verdict task 2): q_ann_lsh / q_dedup_minhash / q_simhash lead
-# because their value-exact oracles postdate their last driver rows.
+# ROUND 12 STATUS: _WINDOW_R11 (pinned in round 11) is the ACTIVE
+# window; all_queries() leads with it. It leads with q_ann_lsh /
+# q_dedup_minhash / q_simhash — the three names whose value-exact
+# oracles (r10 upgrade batch, SURVEY §2.33) postdate their last driver
+# rows, so they get their FIRST rows+schema+hash rows this round —
+# then rotates the 7 remaining r4 greens and 40 alphabetically-first
+# r5 greens. Backlog: NONE — held_queries() returns [].
+# _WINDOW_R12 below pins the next rotation, derived by
+# scripts/window_plan.py (10 r5 remainders + 40 alphabetically-first
+# r6 greens; no oracle upgrades outstanding).
 #
 # Every oracle-backed entry is local DuckDB-parity green at
 # sf0.001+sf0.01 (tests/test_oracle_parity.py runs the driver's own
@@ -548,6 +549,82 @@ _WINDOW_R11_ROWS_ONLY = [
     "q_betweenness_sampled",
 ]
 
+# Round-12 window, pinned NOW (same one-round-ahead convention),
+# derived by scripts/window_plan.py: q_butterfly_sampled — the ONE
+# r12 registration (the r11-verdict-task-6 sampled twin of
+# q_butterfly, oracle-backed because its hash-deterministic edge
+# sample reproduces bit-identically in DuckDB) — leads under the
+# never-windowed rule, then pure round-vintage staleness: the 10
+# remaining r5 greens and the 39 alphabetically-first r6 greens.
+# Otherwise rotation-only — the §2.36 r12 unfreeze re-probe receipts
+# are in SURVEY.md; registry grows 307 → 308 (286 SQL✓).
+_WINDOW_R12 = [
+    # never driver-windowed: registered r12 (sampled butterfly twin)
+    "q_butterfly_sampled",
+    # r5 remainder (last 10 of the 50, alphabetical)
+    "q_subquery_scalar",
+    "q_symmetrize",
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_tpch_q9",
+    "q_union_by_name",
+    "q_window_frame",
+    "q_window_rank",
+    "q_write_edgelist",
+    # r6 greens, alphabetical, first 39
+    "q_ab_ttest",
+    "q_attribution",
+    "q_auc_rank",
+    "q_bigram_lm",
+    "q_bloom_prefilter",
+    "q_bpe_learn",
+    "q_ccnet_bucket",
+    "q_cdc_apply",
+    "q_conductance",
+    "q_containment",
+    "q_count_min",
+    "q_decayed_count",
+    "q_diff_snapshot",
+    "q_dsir_weights",
+    "q_equi_depth_hist",
+    "q_expectations",
+    "q_feature_hash",
+    "q_fn_try",
+    "q_freq_pairs",
+    "q_gaps_islands",
+    "q_gopher_quality",
+    "q_graph_coloring",
+    "q_hits",
+    "q_incremental_agg",
+    "q_interval_overlap",
+    "q_ktruss",
+    "q_label_noise",
+    "q_mad_outlier",
+    "q_markov_transitions",
+    "q_mode_agg",
+    "q_mst_boruvka",
+    "q_partition_nmi",
+    "q_profile_columns",
+    "q_random_walk",
+    "q_recursive_cte",
+    "q_reservoir_group",
+    "q_rfm",
+    "q_running_distinct",
+    "q_seasonal_baseline",
+]
+
+# Rows-only-by-contract entries inside the R12 window: greedy graph
+# coloring and BPE merge learning (iteration-order dependent), k-truss
+# peeling and Borůvka MSF (networkx goldens) — none SQL-expressible
+# exactly; all four carry golden/invariant pytest evidence.
+_WINDOW_R12_ROWS_ONLY = [
+    "q_bpe_learn",
+    "q_graph_coloring",
+    "q_ktruss",
+    "q_mst_boruvka",
+]
+
 # Every query name that has appeared in a driver CORRECTNESS window,
 # rounds 1-5 (= union of CORRECTNESS_r0{1..5}.json keys; 193 names).
 # Frozen history — append-only as windows run.
@@ -621,22 +698,24 @@ def all_queries() -> dict[str, QueryFn]:
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         merged.update(mod.QUERIES)
-    missing = [n for n in _WINDOW_R10 if n not in merged]
+    missing = [n for n in _WINDOW_R11 if n not in merged]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R10}
+    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R11}
     out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
 
 
 def held_queries() -> list[str]:
-    """Registered queries with no driver CORRECTNESS row once the
-    active window runs — DERIVED from the registry minus every windowed
-    name, replacing the hand-synced prose list the r5 verdict flagged
-    (What's wrong #2). Every name has had driver evidence since the r9
-    window ran (round 10): the held set is EMPTY and all windows since
-    are staleness re-greens. test_coverage asserts held == [], so any
-    new registration without a window plan fails loudly."""
+    """Registered queries with NO WINDOW PLAN — derived from the
+    registry minus every windowed name (pinned future windows
+    included), replacing the hand-synced prose list the r5 verdict
+    flagged (What's wrong #2). Every name has had driver evidence
+    since the r9 window ran (round 10) except names pinned into the
+    not-yet-run _WINDOW_R12 (the r12 q_butterfly_sampled
+    registration leads it, per the window_plan.py never-windowed
+    rule): the held set is EMPTY. test_coverage asserts held == [],
+    so any new registration without a window plan fails loudly."""
     windowed = (
         _EVER_WINDOWED_PRE_R06
         | set(_WINDOW_R06)
@@ -644,6 +723,8 @@ def held_queries() -> list[str]:
         | set(_WINDOW_R08)
         | set(_WINDOW_R09)
         | set(_WINDOW_R10)
+        | set(_WINDOW_R11)
+        | set(_WINDOW_R12)
     )
     return sorted(n for n in all_queries() if n not in windowed)
 

@@ -136,10 +136,16 @@ def _compare(a, b):
     return f"{diffs} differing rows after 6-sig-digit rounding; first at sorted row {first[0]}: A={first[1]} B={first[2]}"
 
 
-def _self_check(spark) -> None:
+def _self_check(spark, sf_dir: str = SF_DIR) -> None:
     """Canary: the perturbation must actually change the engine shape,
     and the comparator must catch a known partition-sensitive value —
-    otherwise the whole sweep could pass vacuously."""
+    otherwise the whole sweep could pass vacuously. Runs against the
+    CALLER's sf_dir (r11 ADVICE: the module-level default used to be
+    hard-wired, so --sf-dir sweeps canaried the wrong fixture); the
+    scan-split assertion is file-size-aware since a file at or under
+    one perturbed split would trivially read one split both ways."""
+    import os
+
     from pyspark.sql import functions as F
 
     # the perturbation must actually reach EXECUTED shapes for the
@@ -147,7 +153,12 @@ def _self_check(spark) -> None:
     # partition count (AQE coalescing would mask it), and leaf
     # parallelism — or the whole sweep is comparing a shape to itself
     saved = {k: spark.conf.get(k, None) for k in PERTURB}
-    li = f"{SF_DIR}/lineitem.parquet"
+    li = f"{sf_dir}/lineitem.parquet"
+    split_b = int(PERTURB["spark.sql.files.maxPartitionBytes"])
+    assert os.path.getsize(li) >= 2 * split_b, (
+        f"{li} too small ({os.path.getsize(li)} B) to exercise the "
+        f"{split_b} B scan-split perturbation — canary would be vacuous"
+    )
     scan_a = spark.read.parquet(li).rdd.getNumPartitions()
     agg_a = (
         spark.read.parquet(li).groupBy("l_orderkey").count().rdd.getNumPartitions()
@@ -183,7 +194,7 @@ def sweep(spark, names=None, verbose: bool = True, sf_dir: str = SF_DIR) -> dict
     queries = all_queries()
     if not names:
         names = list(queries)
-    _self_check(spark)
+    _self_check(spark, sf_dir)
     base = {k: spark.conf.get(k, None) for k in PERTURB}
 
     results: dict[str, str] = {}

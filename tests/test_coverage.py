@@ -46,24 +46,26 @@ def test_documented_counts_match_registry():
     )
 
 
-def test_r10_window_leads_registry():
+def test_r11_window_leads_registry():
     """The driver checks the first 50 registry entries; the pinned
-    round-10 window must lead the iteration order: 50 staleness
-    re-greens (7 r3 + 43 r4), including q_approx_topk's first hash
-    row. Every entry must be oracle-backed EXCEPT the pinned
-    rows-only set (the HLL sketch and iterative k-core)."""
+    round-11 window must lead the iteration order: q_ann_lsh /
+    q_dedup_minhash / q_simhash first (their value-exact oracles
+    postdate their last driver rows — first hash rows this round),
+    then 47 staleness re-greens (7 r4 + 40 r5). Every entry must be
+    oracle-backed EXCEPT the pinned rows-only set (sampled
+    closeness/diameter and sampled Brandes betweenness)."""
     from louvain_modularity_spark.registry import (
-        _WINDOW_R10,
-        _WINDOW_R10_ROWS_ONLY,
+        _WINDOW_R11,
+        _WINDOW_R11_ROWS_ONLY,
     )
 
     q, o = all_queries(), all_oracles()
-    assert list(q)[: len(_WINDOW_R10)] == _WINDOW_R10
-    assert len(_WINDOW_R10) == 50 == len(set(_WINDOW_R10))
-    not_backed = [n for n in _WINDOW_R10 if n not in o]
-    assert sorted(not_backed) == sorted(_WINDOW_R10_ROWS_ONLY), (
+    assert list(q)[: len(_WINDOW_R11)] == _WINDOW_R11
+    assert len(_WINDOW_R11) == 50 == len(set(_WINDOW_R11))
+    not_backed = [n for n in _WINDOW_R11 if n not in o]
+    assert sorted(not_backed) == sorted(_WINDOW_R11_ROWS_ONLY), (
         f"unplanned rows-only queries in driver window: "
-        f"{sorted(set(not_backed) - set(_WINDOW_R10_ROWS_ONLY))}"
+        f"{sorted(set(not_backed) - set(_WINDOW_R11_ROWS_ONLY))}"
     )
 
 
@@ -87,6 +89,7 @@ def test_backlog_empty_after_r10_window():
         _WINDOW_R09_ROTATION,
         _WINDOW_R10,
         _WINDOW_R11,
+        _WINDOW_R12,
         held_queries,
     )
 
@@ -147,6 +150,29 @@ def test_backlog_empty_after_r10_window():
     # the oracle-upgrade staleness rule is in effect: the three names
     # whose oracles postdate their last driver row lead the r11 pin
     assert _WINDOW_R11[:3] == ["q_ann_lsh", "q_dedup_minhash", "q_simhash"]
+    # r12 plan shape: 50 distinct, disjoint from r11, led by the one
+    # never-windowed r12 registration (q_butterfly_sampled, the
+    # r11-verdict-task-6 sampled twin) per the window_plan.py
+    # never-windowed rule; every other slot a previously-windowed
+    # re-green (10 r5 + 39 r6)
+    assert len(_WINDOW_R12) == 50 == len(set(_WINDOW_R12))
+    assert not set(_WINDOW_R12) & set(_WINDOW_R11)
+    unknown_r12 = set(_WINDOW_R12) - set(all_queries())
+    assert not unknown_r12, f"r12 window names not registered: {sorted(unknown_r12)}"
+    assert _WINDOW_R12[0] == "q_butterfly_sampled"
+    assert set(_WINDOW_R12) - {"q_butterfly_sampled"} <= (
+        _EVER_WINDOWED_PRE_R06
+        | set(_WINDOW_R06)
+        | set(_WINDOW_R07)
+        | set(_WINDOW_R08)
+        | set(_WINDOW_R09)
+        | set(_WINDOW_R10)
+    )
+    from louvain_modularity_spark.registry import _WINDOW_R12_ROWS_ONLY
+
+    assert sorted(n for n in _WINDOW_R12 if n not in all_oracles()) == sorted(
+        _WINDOW_R12_ROWS_ONLY
+    ), "r12 rows-only pin out of sync with the registry's oracle map"
     assert len(_WINDOW_R07) == 50 == len(set(_WINDOW_R07))
     assert len(_WINDOW_R08) == 50 == len(set(_WINDOW_R08))
     assert not set(_WINDOW_R07) & set(_WINDOW_R08)
@@ -1129,5 +1155,11 @@ def test_ann_ivf_assignment_is_aggregate_not_window(spark):
             yield from walk(c)
 
     names = [n.nodeName() for n in walk(root)]
-    assert names.count("Window") == 2, names
+    assert names.count("Window") == 2, (
+        "q_ann_ivf plan-shape pin (r11 argmax-not-window): the N x K "
+        "centroid assignment must be a max_by aggregate, with exactly "
+        "the two BOUNDED windows left (per-query probe top-2, result "
+        "top-3). If you added a legitimate window, update this pin; if "
+        f"not, an argmax regressed to a window. Plan nodes: {names}"
+    )
     assert "max_by" in root.toString()

@@ -2,7 +2,7 @@
 registry-wide determinism sweep (scripts/determinism_sweep.py) runs in
 the suite so a partition-SENSITIVE result — first() without ordering,
 per-partition rand() streams, pandas-UDF per-batch state — cannot land
-silently. The full 307-query sweep is the audit script; this gate
+silently. The full 308-query sweep is the audit script; this gate
 keeps one representative per engine lane (hash agg, window, pandas
 UDF, mapInPandas, seeded sampling, banded dedup join, streaming batch,
 iterative graph) inside the pytest budget."""
