@@ -712,10 +712,63 @@ def core_numbers(spark: SparkSession, edges: DataFrame) -> DataFrame:
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Core numbers of the karate fixture (rows-only: iterative
-    peeling has no SQL twin; golden-checked against networkx
-    core_number in tests/test_coverage.py::test_kcore_golden)."""
+    """Core numbers of the karate fixture (oracle: the peel unrolled
+    as MATERIALIZED CTEs — _oracle_kcore; networkx core_number golden
+    in tests/test_coverage.py::test_kcore_golden)."""
     return core_numbers(spark, karate_edges(spark))
+
+
+#: unroll budget for _oracle_kcore — karate's max core is 4 (networkx
+#: golden), so level 5 peels to empty; the deepest measured inner
+#: fixpoint is 3 steps (level 5), and the peel operator is idempotent
+#: at fixpoint, so the +2 margin can only re-produce the same set
+KCORE_LEVELS = 5
+KCORE_STEPS = 5
+
+
+def _oracle_kcore() -> str:
+    """Unrolled-CTE k-core oracle (the q_pagerank unrolling pattern
+    applied to a peel): the level-k core is the UNIQUE maximal
+    subgraph of minimum degree k, and one peel step — keep edges whose
+    both endpoints currently have degree ≥ k — is exactly
+    core_numbers' inner iteration, idempotent once the fixpoint is
+    reached. So a FIXED fixture makes the 'data-dependent fixpoint'
+    fixed-step unrollable: KCORE_STEPS peels per level over-cover the
+    measured depth, levels chain (level k starts from level k−1's
+    fixpoint, as the DataFrame loop's carried `alive` does), and
+    core(v) = max k among the levels v survives."""
+    parts = [
+        f"e AS MATERIALIZED ({_KARATE_SQL})",
+        "a1_0 AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst"
+        " UNION ALL SELECT dst, src FROM e WHERE src <> dst)",
+    ]
+    survivors = []
+    for k in range(1, KCORE_LEVELS + 1):
+        for i in range(1, KCORE_STEPS + 1):
+            prev = f"a{k}_{i - 1}"
+            parts.append(
+                f"a{k}_{i} AS MATERIALIZED ("
+                f"SELECT src, dst FROM {prev}"
+                f" WHERE src IN (SELECT src FROM {prev}"
+                f" GROUP BY src HAVING COUNT(*) >= {k})"
+                f" AND dst IN (SELECT src FROM {prev}"
+                f" GROUP BY src HAVING COUNT(*) >= {k}))"
+            )
+        if k < KCORE_LEVELS:
+            parts.append(
+                f"a{k + 1}_0 AS MATERIALIZED"
+                f" (SELECT src, dst FROM a{k}_{KCORE_STEPS})"
+            )
+        survivors.append(
+            f"SELECT DISTINCT src AS id, {k} AS core FROM a{k}_{KCORE_STEPS}"
+        )
+    union = " UNION ALL ".join(survivors)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, CAST(MAX(core) AS INTEGER) AS core"
+        f" FROM ({union}) GROUP BY id"
+    )
 
 
 def jaccard_node_pairs(edges: DataFrame, max_deg: int = 1000) -> DataFrame:
@@ -1776,11 +1829,59 @@ def k_truss(spark: SparkSession, edges: DataFrame, k: int) -> DataFrame:
 
 
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-truss of the karate graph (rows-only: the peel runs to a
-    data-dependent fixpoint, not fixed-step unrollable in SQL;
-    networkx ``k_truss`` golden pins the exact edge set in
-    tests/test_graph_algs.py)."""
+    """4-truss of the karate graph (oracle: the peel unrolled as
+    MATERIALIZED CTEs — _oracle_ktruss; networkx ``k_truss`` golden
+    pins the exact edge set in tests/test_graph_algs.py)."""
     return k_truss(spark, karate_edges(spark), KTRUSS_K).orderBy("a", "b")
+
+
+#: unroll budget for _oracle_ktruss — karate's 4-truss peel reaches
+#: its fixpoint in 3 rounds (measured, incl. the confirming round);
+#: the peel operator is idempotent at fixpoint, so the +2 margin can
+#: only re-produce the same edge set
+KTRUSS_ROUNDS = 5
+
+
+def _oracle_ktruss() -> str:
+    """Unrolled-CTE k-truss oracle (the _oracle_kcore argument, one
+    notch up): the k-truss is the UNIQUE maximal subgraph where every
+    edge closes ≥ k−2 triangles, and one peel round — recount support
+    on the surviving canonical a<b edge set, drop edges below k−2 —
+    is exactly k_truss's loop body, idempotent at fixpoint. A fixed
+    fixture therefore admits a fixed KTRUSS_ROUNDS unroll; each round
+    is the same edge-iterator triangle join the DataFrame plan runs."""
+    parts = [
+        f"e AS MATERIALIZED ({_KARATE_SQL})",
+        "u0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,"
+        " GREATEST(src, dst) AS b FROM e WHERE src <> dst)",
+    ]
+    for i in range(1, KTRUSS_ROUNDS + 1):
+        prev = f"u{i - 1}"
+        parts.append(
+            f"tri{i} AS MATERIALIZED ("
+            f"SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM {prev} e1"
+            f" JOIN {prev} e2 ON e2.a = e1.a AND e2.b > e1.b"
+            f" JOIN {prev} e3 ON e3.a = e1.b AND e3.b = e2.b)"
+        )
+        parts.append(
+            f"sup{i} AS MATERIALIZED ("
+            f"SELECT a, b, COUNT(*) AS s FROM ("
+            f"SELECT x AS a, y AS b FROM tri{i}"
+            f" UNION ALL SELECT x AS a, z AS b FROM tri{i}"
+            f" UNION ALL SELECT y AS a, z AS b FROM tri{i}"
+            f") GROUP BY a, b)"
+        )
+        parts.append(
+            f"u{i} AS MATERIALIZED ("
+            f"SELECT u.a, u.b FROM {prev} u"
+            f" LEFT JOIN sup{i} s ON s.a = u.a AND s.b = u.b"
+            f" WHERE COALESCE(s.s, 0) >= {KTRUSS_K - 2})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT a, b FROM u{KTRUSS_ROUNDS}"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2810,14 +2911,16 @@ UNION ALL SELECT 'json', n_edges, total_weight FROM agg
     "q_recursive_cte": _oracle_recursive_cte(),
     "q_topo_layers": ORACLE_TOPO_LAYERS,
     # rows-only: q_mst_boruvka (data-dependent Borůvka fixpoint;
-    # networkx minimum-spanning-forest golden in tests)
-    # rows-only: q_ktruss (data-dependent peel fixpoint; networkx
-    # k_truss golden), q_write_edgelist (sink round-trip), q_adjacency_pivot
-    # (dynamic pivot columns), q_kcore (peeling runs until a data-
-    # dependent fixpoint — not fixed-step unrollable; networkx
-    # core_number golden in tests), q_betweenness_sampled (estimator;
-    # rank-correlation + state-bound asserted in tests, exact twin is
-    # oracle-checked)
+    # networkx minimum-spanning-forest golden in tests),
+    # q_graph_coloring (priority rounds are data-dependent and the
+    # smallest-absent-color step has no tractable unroll),
+    # q_betweenness_sampled (estimator; rank-correlation +
+    # state-bound asserted in tests, exact twin is oracle-checked).
+    # q_kcore / q_ktruss moved OFF this list in r12: their peels reach
+    # UNIQUE fixpoints and the peel step is idempotent there, so a
+    # fixed fixture admits a fixed-step unroll (see _oracle_kcore).
+    "q_kcore": _oracle_kcore(),
+    "q_ktruss": _oracle_ktruss(),
     "q_rich_club": _oracle_rich_club(),
     "q_butterfly": ORACLE_BUTTERFLY,
     "q_butterfly_sampled": ORACLE_BUTTERFLY_SAMPLED,

@@ -78,11 +78,11 @@ def _modules():
 # floor, from-scratch DBSCAN, Leiden invariants).
 
 # Rows-only-by-contract entries inside the R06 window (no DuckDB oracle;
-# each has a local golden): q_ktruss (networkx), q_graph_coloring
-# (properness/determinism), q_mst_boruvka (networkx MSF weight),
-# q_bpe_learn (exact pure-Python merge list).
+# each has a local golden): q_graph_coloring (properness/determinism),
+# q_mst_boruvka (networkx MSF weight), q_bpe_learn (exact pure-Python
+# merge list). q_ktruss left this list in r12 with an unrolled-CTE
+# oracle (graph._oracle_ktruss — the peel fixpoint is unique).
 _WINDOW_ROWS_ONLY = [
-    "q_ktruss",
     "q_graph_coloring",
     "q_mst_boruvka",
     "q_bpe_learn",
@@ -462,15 +462,16 @@ _WINDOW_R10 = [
 ]
 
 # Rows-only-by-contract entries inside the R10 window: the HLL sketch
-# (engine-specific estimates, error-bound pytest check) and the
-# iterative k-core peeling (networkx golden) — neither SQL-expressible
-# exactly. q_approx_topk left this list in the r10 oracle-upgrade
-# batch: with maxItemsTracked ≫ vocab the sketch is exact and the
-# rank-20/21 boundary is tie-free at every fixture (gap asserted in
-# tests/test_coverage.py so drift fails locally, never at the driver).
+# (engine-specific estimates, error-bound pytest check) — not
+# SQL-expressible exactly. q_approx_topk left this list in the r10
+# oracle-upgrade batch: with maxItemsTracked ≫ vocab the sketch is
+# exact and the rank-20/21 boundary is tie-free at every fixture (gap
+# asserted in tests/test_coverage.py so drift fails locally, never at
+# the driver). q_kcore left in r12: the peel fixpoint is unique and
+# the peel step idempotent there, so the fixed fixture admits an
+# unrolled-CTE oracle (graph._oracle_kcore).
 _WINDOW_R10_ROWS_ONLY = [
     "q_hll_sketch",
-    "q_kcore",
 ]
 
 # Round-11 window, pinned NOW (same one-round-ahead convention),
@@ -554,13 +555,21 @@ _WINDOW_R11_ROWS_ONLY = [
 # r12 registration (the r11-verdict-task-6 sampled twin of
 # q_butterfly, oracle-backed because its hash-deterministic edge
 # sample reproduces bit-identically in DuckDB) — leads under the
-# never-windowed rule, then pure round-vintage staleness: the 10
-# remaining r5 greens and the 39 alphabetically-first r6 greens.
+# never-windowed rule, tied with q_kcore and q_ktruss whose r12
+# unrolled-peel oracle upgrades reset their staleness (window_plan
+# ORACLE_UPGRADED rule — their rows-only driver rows pre-date the
+# oracles), then pure round-vintage staleness: the 10 remaining r5
+# greens and the 37 alphabetically-first r6 greens.
 # Otherwise rotation-only — the §2.36 r12 unfreeze re-probe receipts
-# are in SURVEY.md; registry grows 307 → 308 (286 SQL✓).
+# are in SURVEY.md; registry grows 307 → 308 (288 SQL✓ after the
+# §2.37 kcore/ktruss upgrades).
 _WINDOW_R12 = [
     # never driver-windowed: registered r12 (sampled butterfly twin)
     "q_butterfly_sampled",
+    # oracle-upgraded r12 (unrolled-peel CTEs): latest driver rows are
+    # rows-only, so they sort maximally stale until hash-checked
+    "q_kcore",
+    "q_ktruss",
     # r5 remainder (last 10 of the 50, alphabetical)
     "q_subquery_scalar",
     "q_symmetrize",
@@ -598,7 +607,6 @@ _WINDOW_R12 = [
     "q_hits",
     "q_incremental_agg",
     "q_interval_overlap",
-    "q_ktruss",
     "q_label_noise",
     "q_mad_outlier",
     "q_markov_transitions",
@@ -611,17 +619,17 @@ _WINDOW_R12 = [
     "q_reservoir_group",
     "q_rfm",
     "q_running_distinct",
-    "q_seasonal_baseline",
 ]
 
 # Rows-only-by-contract entries inside the R12 window: greedy graph
-# coloring and BPE merge learning (iteration-order dependent), k-truss
-# peeling and Borůvka MSF (networkx goldens) — none SQL-expressible
-# exactly; all four carry golden/invariant pytest evidence.
+# coloring and BPE merge learning (iteration-order dependent) and
+# Borůvka MSF (networkx golden) — none SQL-expressible exactly; all
+# three carry golden/invariant pytest evidence. q_ktruss left this
+# list in r12: its peel fixpoint is unique, so it gained an
+# unrolled-CTE oracle (graph._oracle_ktruss) alongside q_kcore.
 _WINDOW_R12_ROWS_ONLY = [
     "q_bpe_learn",
     "q_graph_coloring",
-    "q_ktruss",
     "q_mst_boruvka",
 ]
 

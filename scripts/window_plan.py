@@ -51,6 +51,8 @@ ORACLE_UPGRADED = {
     "q_simhash": 10,
     "q_ann_lsh": 10,
     "q_approx_topk": 10,
+    "q_kcore": 12,
+    "q_ktruss": 12,
 }
 
 
