@@ -1766,10 +1766,114 @@ def graph_coloring(
 
 
 def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy coloring of karate (rows-only: round count is
-    data-dependent; properness + determinism + Δ+1 bound asserted in
-    tests/test_graph_algs.py)."""
+    """Greedy coloring of karate (oracle: the Jones–Plassmann rounds
+    unrolled as CTEs over a pure-Python XXH64 priority table —
+    _oracle_graph_coloring; properness + determinism + Δ+1 bound
+    asserted in tests/test_graph_algs.py)."""
     return graph_coloring(spark, karate_edges(spark)).orderBy("id")
+
+
+# XXH64 primes (Yann Collet's public xxHash spec,
+# github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md)
+_XXH64_P1 = 11400714785074694791
+_XXH64_P2 = 14029467366897019727
+_XXH64_P3 = 1609587929392839161
+_XXH64_P4 = 9650029242287828579
+_XXH64_P5 = 2870177450012600261
+_U64 = (1 << 64) - 1
+
+
+def _xxh64_long(v: int, seed: int = 42) -> int:
+    """XXH64 of ONE 64-bit integer, per the published spec's short-
+    input path (len=8: no stripe loop, one 8-byte lane, avalanche) —
+    exactly what Spark's ``F.xxhash64(longCol)`` computes with its
+    default seed 42 (catalyst XxHash64 → hashLong). Pinned equal to
+    the engine for the whole fixture id range in
+    tests/test_graph_algs.py::test_python_xxh64_matches_spark."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _U64
+
+    h = (seed + _XXH64_P5 + 8) & _U64
+    k1 = rotl((v & _U64) * _XXH64_P2 & _U64, 31) * _XXH64_P1 & _U64
+    h = (rotl(h ^ k1, 27) * _XXH64_P1 + _XXH64_P4) & _U64
+    h ^= h >> 33
+    h = (h * _XXH64_P2) & _U64
+    h ^= h >> 29
+    h = (h * _XXH64_P3) & _U64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+#: unroll budget for _oracle_graph_coloring — the karate fixture
+#: colors in 8 synchronized Jones–Plassmann rounds under the XXH64
+#: priorities (measured); a round is idempotent once every vertex is
+#: colored, so the +4 margin can only re-produce the same state
+COLORING_ROUNDS = 12
+
+#: karate node-id range for the inlined priority table
+_KARATE_N = 34
+
+
+def _oracle_graph_coloring() -> str:
+    """Unrolled-CTE Jones–Plassmann oracle: the sync round — a vertex
+    whose XXH64 priority beats every uncolored neighbor's takes the
+    smallest color absent among its colored neighbors — is a
+    deterministic function of the previous state, so the fixed fixture
+    admits a fixed COLORING_ROUNDS unroll (the _oracle_kcore
+    argument). The priority table is inlined VALUES computed by the
+    spec-faithful _xxh64_long, sidestepping the one engine-specific
+    expression DuckDB lacks."""
+    prio_rows = ", ".join(
+        f"({i}, CAST({_xxh64_long(i)} AS BIGINT))" for i in range(_KARATE_N)
+    )
+    parts = [
+        f"e AS MATERIALIZED ({_KARATE_SQL})",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM e WHERE src <> dst"
+        " UNION ALL SELECT dst, src FROM e WHERE src <> dst))",
+        f"pr(id, h) AS (VALUES {prio_rows})",
+        "verts AS (SELECT DISTINCT src AS id FROM sym)",
+        "st0 AS (SELECT id, CAST(NULL AS INTEGER) AS color FROM verts)",
+    ]
+    for i in range(1, COLORING_ROUNDS + 1):
+        p = f"st{i - 1}"
+        parts.append(
+            f"mx{i} AS (SELECT s.src AS id, MAX(p.h) AS mx FROM sym s"
+            f" JOIN {p} t ON t.id = s.dst AND t.color IS NULL"
+            f" JOIN pr p ON p.id = s.dst GROUP BY s.src)"
+        )
+        parts.append(
+            f"used{i} AS (SELECT DISTINCT s.src AS id, t.color AS c"
+            f" FROM sym s JOIN {p} t ON t.id = s.dst"
+            f" WHERE t.color IS NOT NULL)"
+        )
+        parts.append(
+            f"nu{i} AS (SELECT v.id, COUNT(u.c) AS n FROM verts v"
+            f" LEFT JOIN used{i} u ON u.id = v.id GROUP BY v.id)"
+        )
+        parts.append(
+            f"cand{i} AS (SELECT id, UNNEST(range(0, n + 1)) AS x FROM nu{i})"
+        )
+        parts.append(
+            f"sac{i} AS (SELECT c.id, MIN(c.x) AS c FROM cand{i} c"
+            f" LEFT JOIN used{i} u ON u.id = c.id AND u.c = c.x"
+            f" WHERE u.id IS NULL GROUP BY c.id)"
+        )
+        parts.append(
+            f"st{i} AS MATERIALIZED (SELECT t.id,"
+            f" CASE WHEN t.color IS NOT NULL THEN t.color"
+            f" WHEN m.id IS NULL OR p.h > m.mx THEN CAST(s.c AS INTEGER)"
+            f" END AS color"
+            f" FROM {p} t JOIN pr p ON p.id = t.id"
+            f" LEFT JOIN mx{i} m ON m.id = t.id"
+            f" LEFT JOIN sac{i} s ON s.id = t.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, color FROM st{COLORING_ROUNDS}"
+    )
 
 
 #: truss order for the karate-fixture k-truss query
@@ -2912,15 +3016,16 @@ UNION ALL SELECT 'json', n_edges, total_weight FROM agg
     "q_topo_layers": ORACLE_TOPO_LAYERS,
     # rows-only: q_mst_boruvka (data-dependent Borůvka fixpoint;
     # networkx minimum-spanning-forest golden in tests),
-    # q_graph_coloring (priority rounds are data-dependent and the
-    # smallest-absent-color step has no tractable unroll),
     # q_betweenness_sampled (estimator; rank-correlation +
     # state-bound asserted in tests, exact twin is oracle-checked).
-    # q_kcore / q_ktruss moved OFF this list in r12: their peels reach
-    # UNIQUE fixpoints and the peel step is idempotent there, so a
-    # fixed fixture admits a fixed-step unroll (see _oracle_kcore).
+    # q_kcore / q_ktruss / q_graph_coloring moved OFF this list in
+    # r12: the peels reach UNIQUE fixpoints (idempotent steps) and
+    # the coloring rounds are deterministic functions of the prior
+    # state, so the fixed fixture admits fixed-step unrolls (see
+    # _oracle_kcore / _oracle_graph_coloring).
     "q_kcore": _oracle_kcore(),
     "q_ktruss": _oracle_ktruss(),
+    "q_graph_coloring": _oracle_graph_coloring(),
     "q_rich_club": _oracle_rich_club(),
     "q_butterfly": ORACLE_BUTTERFLY,
     "q_butterfly_sampled": ORACLE_BUTTERFLY_SAMPLED,

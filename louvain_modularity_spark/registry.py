@@ -78,12 +78,12 @@ def _modules():
 # floor, from-scratch DBSCAN, Leiden invariants).
 
 # Rows-only-by-contract entries inside the R06 window (no DuckDB oracle;
-# each has a local golden): q_graph_coloring (properness/determinism),
-# q_mst_boruvka (networkx MSF weight), q_bpe_learn (exact pure-Python
-# merge list). q_ktruss left this list in r12 with an unrolled-CTE
-# oracle (graph._oracle_ktruss — the peel fixpoint is unique).
+# each has a local golden): q_mst_boruvka (networkx MSF weight),
+# q_bpe_learn (exact pure-Python merge list). q_ktruss and
+# q_graph_coloring left this list in r12 with unrolled-CTE oracles
+# (graph._oracle_ktruss / graph._oracle_graph_coloring — unique peel
+# fixpoint; deterministic sync rounds over an inlined XXH64 table).
 _WINDOW_ROWS_ONLY = [
-    "q_graph_coloring",
     "q_mst_boruvka",
     "q_bpe_learn",
 ]
@@ -154,9 +154,10 @@ _WINDOW_R06 = [
 # Tie-hazard audit (r5 verdict #6, round 6): every row_number()/LIMIT
 # site across the 54 held oracles carries a deterministic total-order
 # tiebreak (secondary unique key, GROUP BY key, or DISTINCT-before-
-# LIMIT as in q_kmv_sketch); no q_gap_fill-class sf-dependent tie found.
+# LIMIT as in q_kmv_sketch); no q_gap_fill-class sf-dependent tie
+# found. q_dbscan left this list in r12: its one iterative step is an
+# exact recursive-CTE closure in DuckDB (tsml.ORACLE_DBSCAN).
 _WINDOW_R07_ROWS_ONLY = [
-    "q_dbscan",
     "q_pca_power",
     "q_pq_ann",
     "q_bpe_encode",
@@ -566,8 +567,11 @@ _WINDOW_R11_ROWS_ONLY = [
 _WINDOW_R12 = [
     # never driver-windowed: registered r12 (sampled butterfly twin)
     "q_butterfly_sampled",
-    # oracle-upgraded r12 (unrolled-peel CTEs): latest driver rows are
-    # rows-only, so they sort maximally stale until hash-checked
+    # oracle-upgraded r12 (unrolled-peel / unrolled-round CTEs and the
+    # recursive-CTE dbscan closure): latest driver rows are rows-only,
+    # so they sort maximally stale until hash-checked
+    "q_dbscan",
+    "q_graph_coloring",
     "q_kcore",
     "q_ktruss",
     # r5 remainder (last 10 of the 50, alphabetical)
@@ -603,7 +607,6 @@ _WINDOW_R12 = [
     "q_freq_pairs",
     "q_gaps_islands",
     "q_gopher_quality",
-    "q_graph_coloring",
     "q_hits",
     "q_incremental_agg",
     "q_interval_overlap",
@@ -618,18 +621,18 @@ _WINDOW_R12 = [
     "q_recursive_cte",
     "q_reservoir_group",
     "q_rfm",
-    "q_running_distinct",
 ]
 
-# Rows-only-by-contract entries inside the R12 window: greedy graph
-# coloring and BPE merge learning (iteration-order dependent) and
-# Borůvka MSF (networkx golden) — none SQL-expressible exactly; all
-# three carry golden/invariant pytest evidence. q_ktruss left this
-# list in r12: its peel fixpoint is unique, so it gained an
-# unrolled-CTE oracle (graph._oracle_ktruss) alongside q_kcore.
+# Rows-only-by-contract entries inside the R12 window: BPE merge
+# learning (iteration-order dependent) and Borůvka MSF (networkx
+# golden) — neither SQL-expressible exactly; both carry
+# golden/invariant pytest evidence. q_ktruss / q_graph_coloring left
+# this list in r12: the truss peel fixpoint is unique and the
+# Jones–Plassmann rounds are deterministic on the fixed fixture, so
+# both gained unrolled-CTE oracles (graph._oracle_ktruss /
+# graph._oracle_graph_coloring) alongside q_kcore and q_dbscan.
 _WINDOW_R12_ROWS_ONLY = [
     "q_bpe_learn",
-    "q_graph_coloring",
     "q_mst_boruvka",
 ]
 

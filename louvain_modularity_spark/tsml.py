@@ -1050,11 +1050,12 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed engine must not). Noise reported as cluster −1.
 
     100 TB shape: ε-graph work is Σ_cell density² like every grid
-    join; CC runs on the CORE subgraph only, O(cluster diameter)
-    rounds of min-propagation; border attachment is one aggregate.
-    Rows-only for the driver (iterative CC isn't fixed-step SQL);
-    correctness pinned by the from-scratch Python DBSCAN golden in
-    tests/test_analytics.py with the same tie rules.
+    join; CC runs on the CORE subgraph only, O(log n) star-contraction
+    rounds; border attachment is one aggregate. Oracle: ORACLE_DBSCAN
+    — the same pipeline with the CC step as a recursive-CTE transitive
+    closure (min-id per component is the unique fixpoint, so no unroll
+    constant is needed); the from-scratch Python DBSCAN golden in
+    tests/test_analytics.py pins the same tie rules independently.
     """
     from .louvain import connected_components_star
 
@@ -1142,6 +1143,55 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLE_DBSCAN = f"""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS id,
+         ((c_custkey * {GRID_A1} + {GRID_B1}) % {GRID_P}) % {GRID_SIZE} AS x,
+         ((c_custkey * {GRID_A2} + {GRID_B2}) % {GRID_P}) % {GRID_SIZE} AS y
+  FROM customer
+), pairs AS MATERIALIZED (
+  -- the grid join's 3x3 probe is an EXACT eps-neighbor join (cell
+  -- width = eps), so a direct distance self-join is value-identical
+  SELECT a.id AS id, b.id AS id2
+  FROM pts a JOIN pts b ON a.id <> b.id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {DBSCAN_EPS * DBSCAN_EPS}
+), core AS MATERIALIZED (
+  SELECT id FROM pairs GROUP BY id HAVING COUNT(*) + 1 >= {DBSCAN_MINPTS}
+), core_adj AS MATERIALIZED (
+  SELECT p.id AS src, p.id2 AS dst FROM pairs p
+  JOIN core c1 ON c1.id = p.id JOIN core c2 ON c2.id = p.id2
+), reach(a, b) AS (
+  -- transitive closure of the core-core eps-graph: runs to the TRUE
+  -- fixpoint (UNION dedup terminates it), so MIN(b) per a is exactly
+  -- the min-id component label connected_components_star converges to
+  SELECT id, id FROM core
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN core_adj e ON e.src = r.b
+), core_lab AS MATERIALIZED (
+  SELECT a AS id, MIN(b) AS cluster, 1 AS is_core FROM reach GROUP BY a
+), border AS (
+  SELECT p.id, MIN(cl.cluster) AS cluster, 0 AS is_core
+  FROM pairs p JOIN core_lab cl ON cl.id = p.id2
+  WHERE p.id NOT IN (SELECT id FROM core)
+  GROUP BY p.id
+), labeled AS (
+  SELECT id, cluster, is_core FROM core_lab
+  UNION ALL SELECT id, cluster, is_core FROM border
+), everything AS (
+  SELECT id, cluster, is_core FROM labeled
+  UNION ALL
+  SELECT id, -1 AS cluster, 0 AS is_core FROM pts
+  WHERE id NOT IN (SELECT id FROM labeled)
+)
+SELECT cluster,
+       CAST(SUM(is_core) AS BIGINT) AS n_core,
+       CAST(SUM(1 - is_core) AS BIGINT) AS n_border,
+       COUNT(*) AS n_total
+FROM everything GROUP BY cluster
+"""
+
+
 QUERIES = {
     "q_ewma": q_ewma,
     "q_cusum": q_cusum,
@@ -1153,8 +1203,6 @@ QUERIES = {
     "q_geo_density": q_geo_density,
     "q_rolling_median": q_rolling_median,
     "q_mom_yoy": q_mom_yoy,
-    # rows-only: q_dbscan (iterative connected components, not
-    # fixed-step SQL; pure-Python DBSCAN golden in tests)
     "q_dbscan": q_dbscan,
     "q_ohlc_bars": q_ohlc_bars,
 }
@@ -1170,5 +1218,10 @@ ORACLES = {
     "q_geo_density": ORACLE_GEO_DENSITY,
     "q_rolling_median": ORACLE_ROLLING_MEDIAN,
     "q_mom_yoy": ORACLE_MOM_YOY,
+    # q_dbscan left the rows-only list in r12: every step is
+    # deterministic (min-id CC labels, min-cluster border rule) and
+    # the one iterative step — connected components — is an exact
+    # recursive-CTE transitive closure in DuckDB, no unroll needed
+    "q_dbscan": ORACLE_DBSCAN,
     "q_ohlc_bars": ORACLE_OHLC_BARS,
 }

@@ -53,6 +53,8 @@ ORACLE_UPGRADED = {
     "q_approx_topk": 10,
     "q_kcore": 12,
     "q_ktruss": 12,
+    "q_graph_coloring": 12,
+    "q_dbscan": 12,
 }
 
 

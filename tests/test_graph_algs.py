@@ -254,6 +254,26 @@ def test_graph_coloring_proper_and_deterministic(spark):
     assert len(set(colors.values())) <= max_deg + 1
 
 
+def test_python_xxh64_matches_spark(spark):
+    """The coloring oracle inlines priorities computed by the pure-
+    Python XXH64 (graph._xxh64_long); pin it bit-equal to the engine's
+    ``F.xxhash64`` (seed 42, LongType path) over the whole karate id
+    range plus adversarial values — any drift would silently reorder
+    the oracle's priorities."""
+    from pyspark.sql import functions as F
+
+    from louvain_modularity_spark.graph import _KARATE_N, _xxh64_long
+
+    vals = list(range(_KARATE_N)) + [-1, -(2**63), 2**63 - 1, 123456789012345]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v LONG")
+        .select("v", F.xxhash64("v").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert _xxh64_long(r["v"]) == r["h"], r["v"]
+
+
 def test_mst_boruvka_matches_networkx(spark):
     """Distributed Borůvka vs networkx minimum_spanning_edges on the
     sf0.001 co-purchase graph: total weight and edge count are unique
