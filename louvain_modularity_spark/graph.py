@@ -1805,6 +1805,122 @@ def _xxh64_long(v: int, seed: int = 42) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def _xxh64_int_unsigned(i: int, seed: int) -> int:
+    """XXH64 of ONE 32-bit int (the spec's 4-byte tail lane), UNSIGNED
+    result — the hashInt step Spark chains for multi-column
+    ``xxhash64(a, b, …)``, where each column's hash seeds the next.
+    Unsigned so it composes as a seed without sign juggling."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _U64
+
+    h = (seed + _XXH64_P5 + 4) & _U64
+    h ^= ((i & 0xFFFFFFFF) * _XXH64_P1) & _U64
+    h = (rotl(h, 23) * _XXH64_P2 + _XXH64_P3) & _U64
+    h ^= h >> 33
+    h = (h * _XXH64_P2) & _U64
+    h ^= h >> 29
+    h = (h * _XXH64_P3) & _U64
+    h ^= h >> 32
+    return h
+
+
+# --- XXH64 as a DuckDB SQL expression chain ---------------------------------
+# DuckDB BIGINT/UBIGINT multiplication raises on overflow instead of
+# wrapping, so every mod-2^64 product runs in HUGEINT with an explicit
+# 32-bit split (keeping intermediates < 2^97, inside HUGEINT range);
+# XOR hops through UBIGINT (native 64-bit bit ops); rotation exploits
+# that the two shifted halves are bit-disjoint, so | becomes +. Layers
+# are emitted as chained CTE columns, not one unreadable mega-expr.
+
+_M64 = 1 << 64
+
+
+def _sql_mul64(a: str, b: int) -> str:
+    """(a * b) mod 2^64 for a HUGEINT-domain expr and a constant."""
+    return (
+        f"(((({a}) % 4294967296) * {b}"
+        f" + (((({a}) // 4294967296) * {b}) % 4294967296) * 4294967296)"
+        f" % {_M64})"
+    )
+
+
+def _sql_rotl64(a: str, r: int) -> str:
+    return f"(((({a}) * {1 << r}) % {_M64}) + (({a}) // {1 << (64 - r)}))"
+
+
+def _sql_xor64(a: str, b: str) -> str:
+    return (
+        f"CAST(xor(CAST(({a}) AS UBIGINT), CAST(({b}) AS UBIGINT)) AS HUGEINT)"
+    )
+
+
+def _sql_shr64(a: str, n: int) -> str:
+    return f"(({a}) // {1 << n})"
+
+
+def _sql_signed64(a: str) -> str:
+    """Reinterpret an unsigned [0, 2^64) expr as Spark's signed long."""
+    return (
+        f"CAST(CASE WHEN ({a}) >= {1 << 63} THEN ({a}) - {_M64}"
+        f" ELSE ({a}) END AS BIGINT)"
+    )
+
+
+def _xxh64_fmix_layers(tag: str, h: str):
+    yield f"{tag}_f0", _sql_xor64(h, _sql_shr64(h, 33))
+    yield f"{tag}_f1", _sql_mul64(f"{tag}_f0", _XXH64_P2)
+    yield f"{tag}_f2", _sql_xor64(f"{tag}_f1", _sql_shr64(f"{tag}_f1", 29))
+    yield f"{tag}_f3", _sql_mul64(f"{tag}_f2", _XXH64_P3)
+    yield tag, _sql_xor64(f"{tag}_f3", _sql_shr64(f"{tag}_f3", 32))
+
+
+def _xxh64_long_sql_layers(tag: str, v_col: str, seed_expr: str) -> list:
+    """(column, expr) layers computing _xxh64_long(v_col, seed_expr)
+    UNSIGNED; v_col is a signed BIGINT column, seed_expr an unsigned
+    HUGEINT-domain expr (a constant or an earlier hash column)."""
+    u = f"((CAST({v_col} AS HUGEINT) % {_M64} + {_M64}) % {_M64})"
+    layers = [
+        (f"{tag}_k0", _sql_mul64(u, _XXH64_P2)),
+        (f"{tag}_k1", _sql_mul64(_sql_rotl64(f"{tag}_k0", 31), _XXH64_P1)),
+        (f"{tag}_h0", f"((({seed_expr}) + {_XXH64_P5 + 8}) % {_M64})"),
+        (
+            f"{tag}_h1",
+            f"((({_sql_mul64(_sql_rotl64(_sql_xor64(f'{tag}_h0', f'{tag}_k1'), 27), _XXH64_P1)})"
+            f" + {_XXH64_P4}) % {_M64})",
+        ),
+    ]
+    layers.extend(_xxh64_fmix_layers(tag, f"{tag}_h1"))
+    return layers
+
+
+def _xxh64_int_sql_layers(tag: str, i_const: int, seed_expr: str) -> list:
+    """(column, expr) layers for the 4-byte lane with a CONSTANT input
+    and a per-row seed (the multi-column chaining step)."""
+    k = ((i_const & 0xFFFFFFFF) * _XXH64_P1) % _M64
+    layers = [
+        (f"{tag}_h0", f"((({seed_expr}) + {_XXH64_P5 + 4}) % {_M64})"),
+        (
+            f"{tag}_h1",
+            f"((({_sql_mul64(_sql_rotl64(_sql_xor64(f'{tag}_h0', str(k)), 23), _XXH64_P2)})"
+            f" + {_XXH64_P3}) % {_M64})",
+        ),
+    ]
+    layers.extend(_xxh64_fmix_layers(tag, f"{tag}_h1"))
+    return layers
+
+
+def _sql_layers_to_ctes(base_cte: str, layers: list, prefix: str):
+    """Chain (column, expr) layers into CTE strings; returns
+    (cte_sql_fragments, final_cte_name)."""
+    ctes, prev = [], base_cte
+    for i, (name, expr) in enumerate(layers):
+        nxt = f"{prefix}{i}"
+        ctes.append(f"{nxt} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = nxt
+    return ctes, prev
+
+
 #: unroll budget for _oracle_graph_coloring — the karate fixture
 #: colors in 8 synchronized Jones–Plassmann rounds under the XXH64
 #: priorities (measured); a round is idempotent once every vertex is

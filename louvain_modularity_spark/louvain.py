@@ -34,6 +34,11 @@ from pyspark.sql import DataFrame, SparkSession
 from .session import lineage_cut
 
 from .graph import (
+    _sql_layers_to_ctes,
+    _sql_signed64,
+    _xxh64_int_sql_layers,
+    _xxh64_int_unsigned,
+    _xxh64_long_sql_layers,
     aggregate_parallel_edges,
     coarsen_edges,
     degree_weighted,
@@ -1457,8 +1462,9 @@ def q_seeded_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the distributed-rank kernel (r7 — the old global row_number
     window put every vertex in one sorted partition; the hash column
     is materialized first so the chunk assignment and the local sort
-    rank the identical values). rows-only: xxhash64 has no DuckDB
-    twin."""
+    rank the identical values). Oracle: _oracle_seeded_order — the
+    'xxhash64 has no DuckDB twin' claim fell in r12 to the
+    HUGEINT-arithmetic XXH64 expression chain (graph.py)."""
     from .kernels import chunked_global_rank
 
     edges = copurchase_edges(spark, sf_dir)
@@ -1470,9 +1476,97 @@ def q_seeded_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", "visit_rank")
 
 
+#: Spark evaluates ``xxhash64(lit(42) INT, id LONG)`` as
+#: hashInt(42, seed=42) → that hash seeds hashLong(id, ·); the first
+#: step is input-independent, so it folds to one Python constant
+_SEEDED_ORDER_INNER_SEED = _xxh64_int_unsigned(42, 42)
+
+
+def _oracle_seeded_order() -> str:
+    """xxhash64(42, id) re-expressed as the HUGEINT XXH64 chain, then
+    the same total order (h signed, id) ranked by ROW_NUMBER — the
+    chunked-rank kernel's prefix-stitch equals a global row_number by
+    construction, so one window IS the oracle twin."""
+    layers = _xxh64_long_sql_layers(
+        "h", "id", str(_SEEDED_ORDER_INNER_SEED)
+    )
+    hctes, last = _sql_layers_to_ctes("verts", layers, "x")
+    joined = ",\n".join(hctes)
+    return f"""
+WITH e AS ({COPURCHASE_EDGES_SQL}),
+verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+{joined}
+SELECT id, ROW_NUMBER() OVER (ORDER BY {_sql_signed64("h")}, id)
+       AS visit_rank
+FROM {last}
+"""
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label propagation communities on G1 (rows-only + invariants)."""
+    """Label propagation communities on G1 (oracle:
+    _oracle_label_propagation — all 8 synchronized rounds unrolled;
+    invariant tests unchanged)."""
     return label_propagation(spark, copurchase_edges(spark, sf_dir), max_iter=8)
+
+
+#: q_label_propagation's fixed budget — the oracle unrolls exactly
+#: this many synchronized rounds. The engine's early break (two
+#: consecutive idle rounds) only skips PROVABLY idle rounds: once both
+#: hash-parity classes pass unchanged on the same state, every later
+#: round recomputes identical votes, so running all rounds is
+#: value-identical by induction.
+LPA_ORACLE_ROUNDS = 8
+
+
+def _oracle_label_propagation() -> str:
+    """Unrolled-CTE synchronous LPA oracle: per round, per-node
+    argmax-vote (highest summed incident weight, then smallest label —
+    the max_by struct order as ROW_NUMBER QUALIFY), gated to the
+    round's xxhash64 parity class, computed by the same HUGEINT XXH64
+    chain the seeded-order oracle uses (hashLong(id, 42) seeding
+    hashInt(1, ·), low bit). Unlike the karate unrolls this needs NO
+    fixture calibration: the round count is the query's own fixed
+    max_iter."""
+    layers = _xxh64_long_sql_layers("hl", "id", "42")
+    layers += _xxh64_int_sql_layers("hp", 1, "hl")
+    hctes, last = _sql_layers_to_ctes("verts", layers, "p")
+    parts = [
+        f"e AS MATERIALIZED ({COPURCHASE_EDGES_SQL})",
+        "sym AS MATERIALIZED ("
+        "SELECT src, dst, weight FROM e WHERE src <> dst"
+        " UNION ALL SELECT dst AS src, src AS dst, weight FROM e"
+        " WHERE src <> dst)",
+        "verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
+        *hctes,
+        f"par AS MATERIALIZED (SELECT id, CAST(hp % 2 AS INTEGER) AS p"
+        f" FROM {last})",
+        "st0 AS (SELECT id, id AS label FROM verts)",
+    ]
+    for r in range(1, LPA_ORACLE_ROUNDS + 1):
+        gate = (r - 1) % 2
+        parts.append(
+            f"v{r} AS (SELECT s.src AS id, t.label, SUM(s.weight) AS w"
+            f" FROM sym s JOIN st{r - 1} t ON t.id = s.dst"
+            f" GROUP BY s.src, t.label)"
+        )
+        parts.append(
+            f"b{r} AS (SELECT id, label AS nl FROM v{r}"
+            f" QUALIFY ROW_NUMBER() OVER"
+            f" (PARTITION BY id ORDER BY w DESC, label ASC) = 1)"
+        )
+        parts.append(
+            f"st{r} AS MATERIALIZED (SELECT t.id,"
+            f" COALESCE(g.nl, t.label) AS label"
+            f" FROM st{r - 1} t LEFT JOIN ("
+            f"SELECT b.id, b.nl FROM b{r} b"
+            f" JOIN par ON par.id = b.id AND par.p = {gate}) g"
+            f" ON g.id = t.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, label FROM st{LPA_ORACLE_ROUNDS}"
+    )
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1599,6 +1693,10 @@ ORACLES = {
     "q_best_move": ORACLE_BEST_MOVE,
     "q_connected_components": _oracle_connected_components(),
     # rows-only: q_louvain_one_level / q_louvain_communities /
-    # q_louvain_dendrogram (parallel move order is engine-defined),
-    # q_seeded_order (xxhash64), q_label_propagation (iterative)
+    # q_louvain_dendrogram (parallel move order is engine-defined).
+    # q_seeded_order and q_label_propagation left this list in r12:
+    # xxhash64 gained a DuckDB twin (graph.py's HUGEINT XXH64 chain),
+    # and sync-LPA's round budget is the query's own fixed max_iter.
+    "q_seeded_order": _oracle_seeded_order(),
+    "q_label_propagation": _oracle_label_propagation(),
 }

@@ -567,13 +567,16 @@ _WINDOW_R11_ROWS_ONLY = [
 _WINDOW_R12 = [
     # never driver-windowed: registered r12 (sampled butterfly twin)
     "q_butterfly_sampled",
-    # oracle-upgraded r12 (unrolled-peel / unrolled-round CTEs and the
-    # recursive-CTE dbscan closure): latest driver rows are rows-only,
-    # so they sort maximally stale until hash-checked
+    # oracle-upgraded r12 (unrolled-peel / unrolled-round CTEs, the
+    # recursive-CTE dbscan closure, and the HUGEINT XXH64 chain):
+    # latest driver rows are rows-only, so they sort maximally stale
+    # until hash-checked
     "q_dbscan",
     "q_graph_coloring",
     "q_kcore",
     "q_ktruss",
+    "q_label_propagation",
+    "q_seeded_order",
     # r5 remainder (last 10 of the 50, alphabetical)
     "q_subquery_scalar",
     "q_symmetrize",
@@ -619,8 +622,6 @@ _WINDOW_R12 = [
     "q_profile_columns",
     "q_random_walk",
     "q_recursive_cte",
-    "q_reservoir_group",
-    "q_rfm",
 ]
 
 # Rows-only-by-contract entries inside the R12 window: BPE merge

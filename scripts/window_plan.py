@@ -55,6 +55,8 @@ ORACLE_UPGRADED = {
     "q_ktruss": 12,
     "q_graph_coloring": 12,
     "q_dbscan": 12,
+    "q_seeded_order": 12,
+    "q_label_propagation": 12,
 }
 
 

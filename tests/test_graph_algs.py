@@ -264,14 +264,33 @@ def test_python_xxh64_matches_spark(spark):
 
     from louvain_modularity_spark.graph import _KARATE_N, _xxh64_long
 
+    from louvain_modularity_spark.graph import _xxh64_int_unsigned
+
+    M64 = 1 << 64
+
+    def sgn(u):
+        return u - M64 if u >= 1 << 63 else u
+
     vals = list(range(_KARATE_N)) + [-1, -(2**63), 2**63 - 1, 123456789012345]
     rows = (
         spark.createDataFrame([(v,) for v in vals], "v LONG")
-        .select("v", F.xxhash64("v").alias("h"))
+        .select(
+            "v",
+            F.xxhash64("v").alias("h"),
+            # the two multi-column chains the louvain oracles rebuild:
+            # hashInt(42, 42) seeding hashLong(v, .) and
+            # hashLong(v, 42) seeding hashInt(1, .)
+            F.xxhash64(F.lit(42), F.col("v")).alias("h42v"),
+            F.xxhash64(F.col("v"), F.lit(1)).alias("hv1"),
+        )
         .collect()
     )
+    inner = _xxh64_int_unsigned(42, 42)
     for r in rows:
         assert _xxh64_long(r["v"]) == r["h"], r["v"]
+        assert _xxh64_long(r["v"], inner) == r["h42v"], r["v"]
+        hl = _xxh64_long(r["v"], 42) % M64
+        assert sgn(_xxh64_int_unsigned(1, hl)) == r["hv1"], r["v"]
 
 
 def test_mst_boruvka_matches_networkx(spark):
