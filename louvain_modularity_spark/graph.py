@@ -1427,7 +1427,9 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the rank-correlation test on a known graph
     (tests/test_graph_algs.py::test_sampled_betweenness_rank_correlates);
     this query exists so the BENCH headline times the plan a 100 TB
-    run would execute, not 34-node job-launch overhead."""
+    run would execute, not 34-node job-launch overhead. Oracle:
+    _oracle_betweenness_sampled (r12) — the engine's own
+    level-synchronous σ/δ shape unrolled over the fixed hop budget."""
     edges = copurchase_edges(spark, sf_dir)
     srcs = [
         r["id"]
@@ -1437,6 +1439,84 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return betweenness(spark, edges, COPURCHASE_MAX_HOPS, sources=srcs)
+
+
+def _oracle_betweenness_sampled() -> str:
+    """Unrolled level-synchronous Brandes oracle for the SAMPLED
+    estimator (r12): unlike ORACLE_BETWEENNESS's walk-enumeration
+    identity — exponential off the 34-node fixture — this mirrors the
+    engine's own polynomial two-pass shape: COPURCHASE_MAX_HOPS
+    forward σ levels (anti-joined against the cumulative reached set,
+    so over-unrolling past the true eccentricity yields empty levels),
+    then the δ recurrence δ(v) = Σ_w σ_v/σ_w·(1+δ_w) unrolled from the
+    deepest level inward (an empty level contributes nothing, exactly
+    like the engine's max_level cut). Same per-row arithmetic and the
+    same 6-dp emission rounding; the Brandes–Pich n/k scale is the
+    same scalar expression."""
+    K = BETWEENNESS_SAMPLE_K
+    H = COPURCHASE_MAX_HOPS
+    parts = [
+        f"e AS MATERIALIZED ({COPURCHASE_EDGES_SQL})",
+        # copurchase edges are canonical customer→supplier rows, so
+        # symmetrize = both directions once (matches the engine's
+        # non-deduplicating symmetrize on this input)
+        "sym AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst"
+        " UNION ALL SELECT dst AS src, src AS dst FROM e WHERE src <> dst)",
+        "verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
+        f"seeds AS (SELECT id FROM verts ORDER BY id LIMIT {K})",
+        "st0 AS MATERIALIZED (SELECT id AS source, id, 0 AS dist,"
+        " CAST(1.0 AS DOUBLE) AS sigma FROM seeds)",
+        "f0 AS (SELECT * FROM st0)",
+    ]
+    for h in range(1, H + 1):
+        parts.append(
+            f"n{h} AS MATERIALIZED ("
+            f"SELECT m.source, m.id, {h} AS dist, SUM(m.sigma) AS sigma"
+            f" FROM (SELECT f.source, s.dst AS id, f.sigma"
+            f" FROM f{h - 1} f JOIN sym s ON s.src = f.id) m"
+            f" LEFT JOIN st{h - 1} st ON st.source = m.source"
+            f" AND st.id = m.id"
+            f" WHERE st.id IS NULL GROUP BY m.source, m.id)"
+        )
+        parts.append(
+            f"st{h} AS MATERIALIZED (SELECT * FROM st{h - 1}"
+            f" UNION ALL SELECT * FROM n{h})"
+        )
+        parts.append(f"f{h} AS (SELECT * FROM n{h})")
+    parts.append(
+        f"d{H} AS (SELECT source, id, sigma, CAST(0.0 AS DOUBLE) AS delta"
+        f" FROM st{H} WHERE dist = {H})"
+    )
+    for lvl in range(H - 1, -1, -1):
+        parts.append(
+            f"c{lvl} AS (SELECT u.source, u.id,"
+            f" SUM(u.sigma / w.sigma_w * (1.0 + w.delta_w)) AS d_new"
+            f" FROM (SELECT source, id, sigma FROM st{H}"
+            f" WHERE dist = {lvl}) u"
+            f" JOIN (SELECT d.source, s.src AS id, d.sigma AS sigma_w,"
+            f" d.delta AS delta_w"
+            f" FROM d{lvl + 1} d JOIN sym s ON s.dst = d.id) w"
+            f" ON w.source = u.source AND w.id = u.id"
+            f" GROUP BY u.source, u.id)"
+        )
+        parts.append(
+            f"d{lvl} AS MATERIALIZED (SELECT u.source, u.id, u.sigma,"
+            f" COALESCE(c.d_new, 0.0) AS delta"
+            f" FROM (SELECT source, id, sigma FROM st{H}"
+            f" WHERE dist = {lvl}) u"
+            f" LEFT JOIN c{lvl} c ON c.source = u.source AND c.id = u.id)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM d{lvl}" for lvl in range(H + 1))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id, ROUND(SUM(delta)
+       * ((SELECT CAST(COUNT(*) AS DOUBLE) FROM verts) / {K}.0)
+       / 2.0, 6) AS betweenness
+FROM ({union}) WHERE source <> id GROUP BY id
+"""
+    )
 
 
 def harmonic_centrality(
@@ -3142,6 +3222,7 @@ UNION ALL SELECT 'json', n_edges, total_weight FROM agg
     "q_kcore": _oracle_kcore(),
     "q_ktruss": _oracle_ktruss(),
     "q_graph_coloring": _oracle_graph_coloring(),
+    "q_betweenness_sampled": _oracle_betweenness_sampled(),
     "q_rich_club": _oracle_rich_club(),
     "q_butterfly": ORACLE_BUTTERFLY,
     "q_butterfly_sampled": ORACLE_BUTTERFLY_SAMPLED,

@@ -546,9 +546,12 @@ _WINDOW_R11 = [
 # approximate closeness/diameter sketch (seed-order dependent) and
 # sampled Brandes betweenness (source-sample dependent) — neither
 # SQL-expressible exactly; both carry networkx-golden pytest evidence.
+# q_betweenness_sampled left this list in r12 — the engine's own
+# level-synchronous Brandes shape unrolls polynomially in SQL
+# (graph._oracle_betweenness_sampled), unlike the exact oracle's
+# walk-enumeration identity — so the ACTIVE window now hash-checks it.
 _WINDOW_R11_ROWS_ONLY = [
     "q_approx_cd",
-    "q_betweenness_sampled",
 ]
 
 # Round-12 window, pinned NOW (same one-round-ahead convention),

@@ -57,6 +57,9 @@ ORACLE_UPGRADED = {
     "q_dbscan": 12,
     "q_seeded_order": 12,
     "q_label_propagation": 12,
+    # in the ACTIVE r11 window when upgraded, so its first hash row
+    # lands in CORRECTNESS_r12 and the entry is immediately satisfied
+    "q_betweenness_sampled": 12,
 }
 
 

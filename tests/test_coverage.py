@@ -53,7 +53,9 @@ def test_r11_window_leads_registry():
     postdate their last driver rows — first hash rows this round),
     then 47 staleness re-greens (7 r4 + 40 r5). Every entry must be
     oracle-backed EXCEPT the pinned rows-only set (sampled
-    closeness/diameter and sampled Brandes betweenness)."""
+    closeness/diameter; sampled Brandes betweenness left the set in
+    r12 when its level-synchronous shape gained an unrolled oracle,
+    so the active window hash-checks it this round)."""
     from louvain_modularity_spark.registry import (
         _WINDOW_R11,
         _WINDOW_R11_ROWS_ONLY,
