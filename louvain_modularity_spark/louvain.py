@@ -1406,11 +1406,127 @@ FROM (
 
 
 def q_louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One full phase-1 sweep on G1 (rows-only: parallel move order is
-    engine-defined; invariants asserted in tests)."""
+    """One full phase-1 sweep on G1 (oracle:
+    _oracle_louvain_one_level — the synchronized parity-alternating
+    rounds ARE deterministic, so they unroll; invariants asserted in
+    tests)."""
     edges = copurchase_edges(spark, sf_dir)
     assignment, _ = _one_level(spark, edges, gamma=1.0, seed=1, max_sweeps=6)
     return assignment
+
+
+#: q_louvain_one_level's fixed budget — the oracle unrolls exactly
+#: this many rounds, gating each behind the engine's two break rules
+ONE_LEVEL_ORACLE_SWEEPS = 6
+
+
+def _oracle_louvain_one_level() -> str:
+    """Unrolled-CTE oracle for the distributed Louvain level. The old
+    'parallel move order is engine-defined' justification was wrong
+    for THIS query: _one_level is synchronized (each round moves one
+    xxhash64-parity class, argmax with a total tie order), so round r
+    is a deterministic function of round r−1 and the fixed max_sweeps
+    budget unrolls like LPA's. The two early breaks (two idle rounds;
+    two consecutive low-move rounds — which can exit with PENDING
+    moves, so a naive full unroll would diverge) are replicated as
+    single-row flag CTEs that gate each round's move application.
+
+    Float story: weights are integer-valued doubles, so every SUM
+    (w2c, k, Σ_tot, m) is exact; the ΔQ expression then mirrors the
+    engine's literal-m operator tree term for term, making each
+    candidate's gain bit-identical, and the argmax tie order
+    (delta DESC, community ASC) matches the max_by struct."""
+    parts = [
+        f"e AS MATERIALIZED ({COPURCHASE_EDGES_SQL})",
+        "sym AS MATERIALIZED (SELECT src, dst, weight FROM e"
+        " WHERE src <> dst"
+        " UNION ALL SELECT dst AS src, src AS dst, weight FROM e"
+        " WHERE src <> dst)",
+        "mm AS (SELECT CAST(SUM(weight) AS DOUBLE) AS m FROM e)",
+        # degree_weighted: both endpoints of every edge row
+        "deg AS MATERIALIZED (SELECT id, SUM(weight) AS k FROM ("
+        "SELECT src AS id, weight FROM e"
+        " UNION ALL SELECT dst AS id, weight FROM e) GROUP BY id)",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        "st0 AS MATERIALIZED (SELECT id, id AS community, k FROM deg)",
+        "fl0 AS (SELECT TRUE AS alive, 0 AS idle, 0 AS low)",
+    ]
+    # per-node parity: pmod(xxhash64(id LONG, seed=1 INT), 2) — the
+    # same two-step chain as the LPA oracle
+    layers = _xxh64_long_sql_layers("hl", "id", "42")
+    layers += _xxh64_int_sql_layers("hp", 1, "hl")
+    hctes, last = _sql_layers_to_ctes("deg", layers, "px")
+    parts.extend(hctes)
+    parts.append(
+        f"par AS MATERIALIZED (SELECT id, CAST(hp % 2 AS INTEGER) AS p"
+        f" FROM {last})"
+    )
+    m = "(SELECT m FROM mm)"
+    for r in range(ONE_LEVEL_ORACLE_SWEEPS):
+        parts.append(
+            f"sa{r} AS (SELECT s.* FROM sym s"
+            f" JOIN par ON par.id = s.src AND par.p = {r % 2})"
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT s.src AS id, t.community,"
+            f" SUM(s.weight) AS w2c FROM sa{r} s"
+            f" JOIN st{r} t ON t.id = s.dst GROUP BY s.src, t.community)"
+        )
+        parts.append(
+            f"sg{r} AS (SELECT community, SUM(k) AS sigma_tot"
+            f" FROM st{r} GROUP BY community)"
+        )
+        parts.append(
+            f"nd{r} AS (SELECT t.id, t.community AS own_com, t.k,"
+            f" COALESCE(w.w2c, 0.0) AS w2c_own,"
+            f" sg.sigma_tot AS sigma_own"
+            f" FROM st{r} t"
+            f" LEFT JOIN w{r} w ON w.id = t.id AND w.community = t.community"
+            f" JOIN sg{r} sg ON sg.community = t.community)"
+        )
+        gain = (
+            f"-1.0 * n.w2c_own / {m}"
+            f" + 1.0 * (n.sigma_own - n.k) * n.k / (2.0 * {m} * {m})"
+            f" + w.w2c / {m}"
+            f" - 1.0 * sg.sigma_tot * n.k / (2.0 * {m} * {m})"
+        )
+        parts.append(
+            f"mv{r} AS MATERIALIZED ("
+            f"SELECT id, community AS new_community FROM ("
+            f"SELECT w.id, w.community, {gain} AS delta"
+            f" FROM w{r} w"
+            f" JOIN nd{r} n ON n.id = w.id AND w.community <> n.own_com"
+            f" JOIN sg{r} sg ON sg.community = w.community)"
+            f" WHERE delta > 1.0 / (4.0 * {m} * {m})"
+            f" QUALIFY ROW_NUMBER() OVER"
+            f" (PARTITION BY id ORDER BY delta DESC, community ASC) = 1)"
+        )
+        parts.append(
+            f"st{r + 1} AS MATERIALIZED (SELECT t.id,"
+            f" COALESCE(g.new_community, t.community) AS community, t.k"
+            f" FROM st{r} t LEFT JOIN ("
+            f"SELECT * FROM mv{r} WHERE (SELECT alive FROM fl{r})) g"
+            f" ON g.id = t.id)"
+        )
+        low_cond = f"nm < GREATEST(1, (SELECT n FROM nn) // 50)"
+        parts.append(
+            f"fl{r + 1} AS (SELECT"
+            f" CASE WHEN NOT alive THEN FALSE ELSE NOT ("
+            f" (CASE WHEN nm = 0 THEN idle + 1 ELSE 0 END) >= 2"
+            f" OR ({r} >= 1 AND"
+            f" (CASE WHEN {low_cond} THEN low + 1 ELSE 0 END) >= 2)"
+            f" ) END AS alive,"
+            f" CASE WHEN NOT alive THEN idle"
+            f" WHEN nm = 0 THEN idle + 1 ELSE 0 END AS idle,"
+            f" CASE WHEN NOT alive THEN low"
+            f" WHEN {low_cond} THEN low + 1 ELSE 0 END AS low"
+            f" FROM fl{r}, (SELECT COUNT(*) AS nm FROM mv{r}) x)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, community FROM st{ONE_LEVEL_ORACLE_SWEEPS}"
+    )
 
 
 def q_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1699,4 +1815,5 @@ ORACLES = {
     # and sync-LPA's round budget is the query's own fixed max_iter.
     "q_seeded_order": _oracle_seeded_order(),
     "q_label_propagation": _oracle_label_propagation(),
+    "q_louvain_one_level": _oracle_louvain_one_level(),
 }

@@ -579,6 +579,7 @@ _WINDOW_R12 = [
     "q_kcore",
     "q_ktruss",
     "q_label_propagation",
+    "q_louvain_one_level",
     "q_seeded_order",
     # r5 remainder (last 10 of the 50, alphabetical)
     "q_subquery_scalar",
@@ -624,7 +625,6 @@ _WINDOW_R12 = [
     "q_partition_nmi",
     "q_profile_columns",
     "q_random_walk",
-    "q_recursive_cte",
 ]
 
 # Rows-only-by-contract entries inside the R12 window: BPE merge

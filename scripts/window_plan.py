@@ -60,6 +60,7 @@ ORACLE_UPGRADED = {
     # in the ACTIVE r11 window when upgraded, so its first hash row
     # lands in CORRECTNESS_r12 and the entry is immediately satisfied
     "q_betweenness_sampled": 12,
+    "q_louvain_one_level": 12,
 }
 
 
