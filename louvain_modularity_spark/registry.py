@@ -66,10 +66,13 @@ def _modules():
 # oracles (r10 upgrade batch, SURVEY §2.33) postdate their last driver
 # rows, so they get their FIRST rows+schema+hash rows this round —
 # then rotates the 7 remaining r4 greens and 40 alphabetically-first
-# r5 greens. Backlog: NONE — held_queries() returns [].
+# r5 greens (q_betweenness_sampled among them was oracle-upgraded
+# MID-round-12, SURVEY §2.37, so its row this round is a hash row).
+# Backlog: NONE — held_queries() returns [].
 # _WINDOW_R12 below pins the next rotation, derived by
-# scripts/window_plan.py (10 r5 remainders + 40 alphabetically-first
-# r6 greens; no oracle upgrades outstanding).
+# scripts/window_plan.py (the seven remaining §2.37 oracle-upgraded
+# names + q_butterfly_sampled lead, then 10 r5 remainders + 32
+# alphabetically-first r6 greens).
 #
 # Every oracle-backed entry is local DuckDB-parity green at
 # sf0.001+sf0.01 (tests/test_oracle_parity.py runs the driver's own
