@@ -1963,7 +1963,15 @@ def _xxh64_long_sql_layers(tag: str, v_col: str, seed_expr: str) -> list:
     layers = [
         (f"{tag}_k0", _sql_mul64(u, _XXH64_P2)),
         (f"{tag}_k1", _sql_mul64(_sql_rotl64(f"{tag}_k0", 31), _XXH64_P1)),
-        (f"{tag}_h0", f"((({seed_expr}) + {_XXH64_P5 + 8}) % {_M64})"),
+        # explicit HUGEINT on the seed: a plain int literal in
+        # [2^62, 2^63) parses as INT64 and the +P5 addition would
+        # overflow BEFORE the mod (found by the hypothesis sweep in
+        # tests/test_property.py; the shipped constants happened to
+        # dodge it)
+        (
+            f"{tag}_h0",
+            f"((CAST({seed_expr} AS HUGEINT) + {_XXH64_P5 + 8}) % {_M64})",
+        ),
         (
             f"{tag}_h1",
             f"((({_sql_mul64(_sql_rotl64(_sql_xor64(f'{tag}_h0', f'{tag}_k1'), 27), _XXH64_P1)})"
@@ -1979,7 +1987,10 @@ def _xxh64_int_sql_layers(tag: str, i_const: int, seed_expr: str) -> list:
     and a per-row seed (the multi-column chaining step)."""
     k = ((i_const & 0xFFFFFFFF) * _XXH64_P1) % _M64
     layers = [
-        (f"{tag}_h0", f"((({seed_expr}) + {_XXH64_P5 + 4}) % {_M64})"),
+        (
+            f"{tag}_h0",
+            f"((CAST({seed_expr} AS HUGEINT) + {_XXH64_P5 + 4}) % {_M64})",
+        ),
         (
             f"{tag}_h1",
             f"((({_sql_mul64(_sql_rotl64(_sql_xor64(f'{tag}_h0', str(k)), 23), _XXH64_P2)})"

@@ -225,3 +225,46 @@ def test_chunked_kernels_match_windows(spark, raw):
         for r in chunked_group_rank(df, ["grp"], order, "rn").collect()
     }
     assert got_grp == want_grp
+
+
+@given(
+    vals=st.lists(
+        st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=24, unique=True
+    ),
+    seed=st.integers(0, 2**64 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_xxh64_sql_layers_match_python(vals, seed):
+    """The HUGEINT XXH64 expression chain (the engine-twin DuckDB
+    primitive behind the seeded-order / LPA / one-level oracles) must
+    equal the Spark-pinned pure-Python implementation for ARBITRARY
+    int64 inputs and ARBITRARY 64-bit seeds — both the 8-byte lane and
+    the chained 4-byte lane (per-row seeding, the multi-column
+    xxhash64 composition). DuckDB-only: no Spark round-trip, so the
+    example budget can be generous."""
+    import duckdb
+
+    from louvain_modularity_spark.graph import (
+        _sql_layers_to_ctes,
+        _xxh64_int_sql_layers,
+        _xxh64_int_unsigned,
+        _xxh64_long_sql_layers,
+        _xxh64_long,
+    )
+
+    M64 = 1 << 64
+    layers = _xxh64_long_sql_layers("hl", "v", str(seed))
+    layers += _xxh64_int_sql_layers("hi", 7, "hl")
+    ctes, last = _sql_layers_to_ctes("t", layers, "x")
+    rows_sql = ", ".join(f"(CAST({v} AS BIGINT))" for v in vals)
+    sql = (
+        f"WITH t(v) AS (VALUES {rows_sql}), "
+        + ",\n".join(ctes)
+        + f" SELECT v, hl, hi FROM {last}"
+    )
+    got = duckdb.connect().execute(sql).fetchall()
+    assert len(got) == len(vals)
+    for v, hl, hi in got:
+        exp_l = _xxh64_long(int(v), seed) % M64
+        assert int(hl) == exp_l, (v, seed, "long lane")
+        assert int(hi) == _xxh64_int_unsigned(7, exp_l), (v, seed, "int lane")
