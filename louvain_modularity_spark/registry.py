@@ -562,14 +562,15 @@ _WINDOW_R11_ROWS_ONLY = [
 # r12 registration (the r11-verdict-task-6 sampled twin of
 # q_butterfly, oracle-backed because its hash-deterministic edge
 # sample reproduces bit-identically in DuckDB) — leads under the
-# never-windowed rule, tied with q_kcore and q_ktruss whose r12
-# unrolled-peel oracle upgrades reset their staleness (window_plan
+# never-windowed rule, tied with the seven §2.37 oracle-upgraded
+# names whose r12 upgrades reset their staleness (window_plan
 # ORACLE_UPGRADED rule — their rows-only driver rows pre-date the
-# oracles), then pure round-vintage staleness: the 10 remaining r5
-# greens and the 37 alphabetically-first r6 greens.
+# oracles; the eighth upgrade, q_betweenness_sampled, sits in the
+# ACTIVE r11 window), then pure round-vintage staleness: the 10
+# remaining r5 greens and the 32 alphabetically-first r6 greens.
 # Otherwise rotation-only — the §2.36 r12 unfreeze re-probe receipts
-# are in SURVEY.md; registry grows 307 → 308 (288 SQL✓ after the
-# §2.37 kcore/ktruss upgrades).
+# are in SURVEY.md; registry grows 307 → 308 (294 SQL✓ after the
+# §2.37 upgrade batch).
 _WINDOW_R12 = [
     # never driver-windowed: registered r12 (sampled butterfly twin)
     "q_butterfly_sampled",
