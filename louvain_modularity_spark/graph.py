@@ -1507,12 +1507,16 @@ def _oracle_betweenness_sampled() -> str:
             f" LEFT JOIN c{lvl} c ON c.source = u.source AND c.id = u.id)"
         )
     union = " UNION ALL ".join(f"SELECT * FROM d{lvl}" for lvl in range(H + 1))
+    # the engine divides by len(srcs) = min(K, n) — on a graph with
+    # fewer than K vertices the seed list is every vertex and the
+    # scale is exactly 1.0, so the divisor must shrink with it
+    k_actual = f"CAST(LEAST({K}, (SELECT COUNT(*) FROM verts)) AS DOUBLE)"
     return (
         "WITH "
         + ",\n".join(parts)
         + f"""
 SELECT id, ROUND(SUM(delta)
-       * ((SELECT CAST(COUNT(*) AS DOUBLE) FROM verts) / {K}.0)
+       * ((SELECT CAST(COUNT(*) AS DOUBLE) FROM verts) / {k_actual})
        / 2.0, 6) AS betweenness
 FROM ({union}) WHERE source <> id GROUP BY id
 """

@@ -1451,16 +1451,10 @@ def _oracle_louvain_one_level() -> str:
         "st0 AS MATERIALIZED (SELECT id, id AS community, k FROM deg)",
         "fl0 AS (SELECT TRUE AS alive, 0 AS idle, 0 AS low)",
     ]
-    # per-node parity: pmod(xxhash64(id LONG, seed=1 INT), 2) — the
-    # same two-step chain as the LPA oracle
-    layers = _xxh64_long_sql_layers("hl", "id", "42")
-    layers += _xxh64_int_sql_layers("hp", 1, "hl")
-    hctes, last = _sql_layers_to_ctes("deg", layers, "px")
+    # per-node parity: the shared engine-twin chain (_parity_sql_ctes)
+    hctes, par_cte = _parity_sql_ctes("deg", "px")
     parts.extend(hctes)
-    parts.append(
-        f"par AS MATERIALIZED (SELECT id, CAST(hp % 2 AS INTEGER) AS p"
-        f" FROM {last})"
-    )
+    parts.append(f"par AS (SELECT id, p FROM {par_cte})")
     m = "(SELECT m FROM mm)"
     for r in range(ONE_LEVEL_ORACLE_SWEEPS):
         parts.append(
@@ -1598,6 +1592,24 @@ def q_seeded_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEEDED_ORDER_INNER_SEED = _xxh64_int_unsigned(42, 42)
 
 
+def _parity_sql_ctes(base_cte: str, prefix: str) -> tuple[list, str]:
+    """CTE fragments computing the engine's per-node move-parity
+    class — ``pmod(xxhash64(id LONG, lit(1) INT), 2)`` = hashLong(id,
+    42) seeding hashInt(1, ·), low bit — over ``base_cte``'s ``id``
+    column. ONE definition shared by the LPA and louvain-one-level
+    oracles so the two can never silently disagree on which nodes
+    move each round; returns (cte_fragments, final_cte) with the
+    parity in column ``p`` of the returned ``{prefix}par`` CTE."""
+    layers = _xxh64_long_sql_layers("hl", "id", "42")
+    layers += _xxh64_int_sql_layers("hp", 1, "hl")
+    hctes, last = _sql_layers_to_ctes(base_cte, layers, prefix)
+    hctes.append(
+        f"{prefix}par AS MATERIALIZED"
+        f" (SELECT id, CAST(hp % 2 AS INTEGER) AS p FROM {last})"
+    )
+    return hctes, f"{prefix}par"
+
+
 def _oracle_seeded_order() -> str:
     """xxhash64(42, id) re-expressed as the HUGEINT XXH64 chain, then
     the same total order (h signed, id) ranked by ROW_NUMBER — the
@@ -1643,9 +1655,7 @@ def _oracle_label_propagation() -> str:
     hashInt(1, ·), low bit). Unlike the karate unrolls this needs NO
     fixture calibration: the round count is the query's own fixed
     max_iter."""
-    layers = _xxh64_long_sql_layers("hl", "id", "42")
-    layers += _xxh64_int_sql_layers("hp", 1, "hl")
-    hctes, last = _sql_layers_to_ctes("verts", layers, "p")
+    hctes, par_cte = _parity_sql_ctes("verts", "px")
     parts = [
         f"e AS MATERIALIZED ({COPURCHASE_EDGES_SQL})",
         "sym AS MATERIALIZED ("
@@ -1654,8 +1664,7 @@ def _oracle_label_propagation() -> str:
         " WHERE src <> dst)",
         "verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
         *hctes,
-        f"par AS MATERIALIZED (SELECT id, CAST(hp % 2 AS INTEGER) AS p"
-        f" FROM {last})",
+        f"par AS (SELECT id, p FROM {par_cte})",
         "st0 AS (SELECT id, id AS label FROM verts)",
     ]
     for r in range(1, LPA_ORACLE_ROUNDS + 1):

@@ -262,9 +262,11 @@ def test_python_xxh64_matches_spark(spark):
     the oracle's priorities."""
     from pyspark.sql import functions as F
 
-    from louvain_modularity_spark.graph import _KARATE_N, _xxh64_long
-
-    from louvain_modularity_spark.graph import _xxh64_int_unsigned
+    from louvain_modularity_spark.graph import (
+        _KARATE_N,
+        _xxh64_int_unsigned,
+        _xxh64_long,
+    )
 
     M64 = 1 << 64
 
