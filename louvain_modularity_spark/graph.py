@@ -762,6 +762,13 @@ def _oracle_kcore() -> str:
         survivors.append(
             f"SELECT DISTINCT src AS id, {k} AS core FROM a{k}_{KCORE_STEPS}"
         )
+    # core-0 floor: every vertex of the loop-free graph appears with
+    # core 0, so a vertex that survives NO level (impossible while the
+    # fixture's min degree is >= 1, but latent if it ever gains a
+    # degree-0-after-loop-removal vertex) still gets a row — matching
+    # core_numbers' "peeled at level k -> core k-1" floor instead of
+    # silently dropping it (r12 ADVICE)
+    survivors.append("SELECT DISTINCT src AS id, 0 AS core FROM a1_0")
     union = " UNION ALL ".join(survivors)
     return (
         "WITH "

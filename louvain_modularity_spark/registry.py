@@ -60,19 +60,19 @@ def _modules():
 # before anything new is registered. The full three-round plan is pinned
 # below as data (_WINDOW_R06 / _WINDOW_R07 / _WINDOW_R08) and
 # held_queries() derives the outstanding set — no hand-synced prose list.
-# ROUND 12 STATUS: _WINDOW_R11 (pinned in round 11) is the ACTIVE
-# window; all_queries() leads with it. It leads with q_ann_lsh /
-# q_dedup_minhash / q_simhash — the three names whose value-exact
-# oracles (r10 upgrade batch, SURVEY §2.33) postdate their last driver
-# rows, so they get their FIRST rows+schema+hash rows this round —
-# then rotates the 7 remaining r4 greens and 40 alphabetically-first
-# r5 greens (q_betweenness_sampled among them was oracle-upgraded
-# MID-round-12, SURVEY §2.37, so its row this round is a hash row).
+# ROUND 13 STATUS: _WINDOW_R12 (pinned in round 12) is the ACTIVE
+# window; all_queries() leads with it. It leads with
+# q_butterfly_sampled (registered r12, never driver-sampled) and the
+# seven §2.37 oracle-upgraded names (q_dbscan, q_graph_coloring,
+# q_kcore, q_ktruss, q_label_propagation, q_louvain_one_level,
+# q_seeded_order) whose value-exact oracles postdate their last
+# driver rows — all eight get their FIRST rows+schema+hash rows this
+# round — then rotates the 10 remaining r5 greens and the 32
+# alphabetically-first r6 greens.
 # Backlog: NONE — held_queries() returns [].
-# _WINDOW_R12 below pins the next rotation, derived by
-# scripts/window_plan.py (the seven remaining §2.37 oracle-upgraded
-# names + q_butterfly_sampled lead, then 10 r5 remainders + 32
-# alphabetically-first r6 greens).
+# _WINDOW_R13 below pins the next rotation, derived by
+# scripts/window_plan.py (pure round-vintage staleness: the 16
+# remaining r6 greens, then the 34 alphabetically-first r7 greens).
 #
 # Every oracle-backed entry is local DuckDB-parity green at
 # sf0.001+sf0.01 (tests/test_oracle_parity.py runs the driver's own
@@ -596,7 +596,7 @@ _WINDOW_R12 = [
     "q_window_frame",
     "q_window_rank",
     "q_write_edgelist",
-    # r6 greens, alphabetical, first 39
+    # r6 greens, alphabetical, first 32 (1 new + 7 upgraded + 10 r5 + 32 = 50)
     "q_ab_ttest",
     "q_attribution",
     "q_auc_rank",
@@ -642,6 +642,78 @@ _WINDOW_R12 = [
 _WINDOW_R12_ROWS_ONLY = [
     "q_bpe_learn",
     "q_mst_boruvka",
+]
+
+# Round-13 window, pinned NOW (same one-round-ahead convention),
+# derived by scripts/window_plan.py: rotation-only — no r13
+# registrations, no oracle upgrades outrunning driver rows once the
+# active R12 window hash-checks the §2.37 batch — so the plan is pure
+# round-vintage staleness: the 16 remaining r6 greens (alphabetical
+# from q_recursive_cte), then the 34 alphabetically-first r7 greens.
+_WINDOW_R13 = [
+    # r6 remainder (last 16 of the 50, alphabetical)
+    "q_recursive_cte",
+    "q_reservoir_group",
+    "q_rfm",
+    "q_running_distinct",
+    "q_seasonal_baseline",
+    "q_session_paths",
+    "q_skew_stats",
+    "q_skyline",
+    "q_sorted_neighborhood",
+    "q_stream_metrics",
+    "q_substring_dup",
+    "q_target_encode",
+    "q_train_split",
+    "q_weighted_median",
+    "q_window_cume",
+    "q_zorder_layout",
+    # r7 greens, alphabetical, first 34 (16 + 34 = 50)
+    "q_allocation",
+    "q_anova",
+    "q_arrow_batch",
+    "q_assoc_rules",
+    "q_autocorr",
+    "q_benford",
+    "q_bin_pack",
+    "q_bollinger",
+    "q_bpe_encode",
+    "q_butterfly",
+    "q_cogroup_udf",
+    "q_cohort_ltv",
+    "q_collation",
+    "q_crosstab_chi2",
+    "q_cusum",
+    "q_e2e_curation",
+    "q_ewma",
+    "q_gini",
+    "q_graph_drift",
+    "q_histogram_2d",
+    "q_interval_merge",
+    "q_item_cf",
+    "q_kaplan_meier",
+    "q_kmv_sketch",
+    "q_mann_whitney",
+    "q_neighbor_agg",
+    "q_nested_prune",
+    "q_null_imputation",
+    "q_ohlc_bars",
+    "q_one_hot",
+    "q_pareto_abc",
+    "q_pca_power",
+    "q_pq_ann",
+    "q_quantile_normalize",
+]
+
+# Rows-only-by-contract entries inside the R13 window: BPE encoding
+# (depends on the driver-sequenced merge list), power-iteration PCA
+# (driver numpy eigh tail), and PQ ANN (sketch internals; recall-floor
+# golden in pytest). All three declared since their registration
+# rounds; none SQL-expressible exactly.
+_WINDOW_R13_ROWS_ONLY = [
+    "q_bpe_encode",
+    "q_pca_power",
+    "q_pq_ann",
 ]
 
 # Every query name that has appeared in a driver CORRECTNESS window,
@@ -717,10 +789,10 @@ def all_queries() -> dict[str, QueryFn]:
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         merged.update(mod.QUERIES)
-    missing = [n for n in _WINDOW_R11 if n not in merged]
+    missing = [n for n in _WINDOW_R12 if n not in merged]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R11}
+    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R12}
     out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
 
@@ -729,12 +801,10 @@ def held_queries() -> list[str]:
     """Registered queries with NO WINDOW PLAN — derived from the
     registry minus every windowed name (pinned future windows
     included), replacing the hand-synced prose list the r5 verdict
-    flagged (What's wrong #2). Every name has had driver evidence
-    since the r9 window ran (round 10) except names pinned into the
-    not-yet-run _WINDOW_R12 (the r12 q_butterfly_sampled
-    registration leads it, per the window_plan.py never-windowed
-    rule): the held set is EMPTY. test_coverage asserts held == [],
-    so any new registration without a window plan fails loudly."""
+    flagged (What's wrong #2). Every registered name has had driver
+    evidence since the r12 window ran (round 13): the held set is
+    EMPTY. test_coverage asserts held == [], so any new registration
+    without a window plan fails loudly."""
     windowed = (
         _EVER_WINDOWED_PRE_R06
         | set(_WINDOW_R06)
@@ -744,6 +814,7 @@ def held_queries() -> list[str]:
         | set(_WINDOW_R10)
         | set(_WINDOW_R11)
         | set(_WINDOW_R12)
+        | set(_WINDOW_R13)
     )
     return sorted(n for n in all_queries() if n not in windowed)
 

@@ -46,28 +46,27 @@ def test_documented_counts_match_registry():
     )
 
 
-def test_r11_window_leads_registry():
+def test_r12_window_leads_registry():
     """The driver checks the first 50 registry entries; the pinned
-    round-11 window must lead the iteration order: q_ann_lsh /
-    q_dedup_minhash / q_simhash first (their value-exact oracles
-    postdate their last driver rows — first hash rows this round),
-    then 47 staleness re-greens (7 r4 + 40 r5). Every entry must be
-    oracle-backed EXCEPT the pinned rows-only set (sampled
-    closeness/diameter; sampled Brandes betweenness left the set in
-    r12 when its level-synchronous shape gained an unrolled oracle,
-    so the active window hash-checks it this round)."""
+    round-12 window must lead the iteration order: q_butterfly_sampled
+    first (registered r12, never driver-sampled), then the seven
+    §2.37 oracle-upgraded names (value-exact oracles postdate their
+    last driver rows — first hash rows this round), then 42 staleness
+    re-greens (10 r5 + 32 r6). Every entry must be oracle-backed
+    EXCEPT the pinned rows-only set (BPE merge learning, Borůvka
+    MSF)."""
     from louvain_modularity_spark.registry import (
-        _WINDOW_R11,
-        _WINDOW_R11_ROWS_ONLY,
+        _WINDOW_R12,
+        _WINDOW_R12_ROWS_ONLY,
     )
 
     q, o = all_queries(), all_oracles()
-    assert list(q)[: len(_WINDOW_R11)] == _WINDOW_R11
-    assert len(_WINDOW_R11) == 50 == len(set(_WINDOW_R11))
-    not_backed = [n for n in _WINDOW_R11 if n not in o]
-    assert sorted(not_backed) == sorted(_WINDOW_R11_ROWS_ONLY), (
+    assert list(q)[: len(_WINDOW_R12)] == _WINDOW_R12
+    assert len(_WINDOW_R12) == 50 == len(set(_WINDOW_R12))
+    not_backed = [n for n in _WINDOW_R12 if n not in o]
+    assert sorted(not_backed) == sorted(_WINDOW_R12_ROWS_ONLY), (
         f"unplanned rows-only queries in driver window: "
-        f"{sorted(set(not_backed) - set(_WINDOW_R11_ROWS_ONLY))}"
+        f"{sorted(set(not_backed) - set(_WINDOW_R12_ROWS_ONLY))}"
     )
 
 
@@ -77,7 +76,7 @@ def test_backlog_empty_after_r10_window():
     computes registry minus every windowed name; every registered name
     has had driver evidence since round 10, so the held set is EMPTY.
     The windows must be mutually disjoint, rotation slots must all be
-    previously-windowed re-greens, and the pinned _WINDOW_R11 must
+    previously-windowed re-greens, and the pinned _WINDOW_R13 must
     cover the next-stalest cohort (oracle-upgrade rule first — see
     scripts/window_plan.py ORACLE_UPGRADED). Any NEW registration must
     be added to a window plan in the same commit or this fails."""
@@ -156,7 +155,7 @@ def test_backlog_empty_after_r10_window():
     # never-windowed r12 registration (q_butterfly_sampled, the
     # r11-verdict-task-6 sampled twin) per the window_plan.py
     # never-windowed rule; every other slot a previously-windowed
-    # re-green (10 r5 + 39 r6)
+    # re-green (7 oracle-upgraded + 10 r5 + 32 r6)
     assert len(_WINDOW_R12) == 50 == len(set(_WINDOW_R12))
     assert not set(_WINDOW_R12) & set(_WINDOW_R11)
     unknown_r12 = set(_WINDOW_R12) - set(all_queries())
@@ -175,6 +174,30 @@ def test_backlog_empty_after_r10_window():
     assert sorted(n for n in _WINDOW_R12 if n not in all_oracles()) == sorted(
         _WINDOW_R12_ROWS_ONLY
     ), "r12 rows-only pin out of sync with the registry's oracle map"
+    # r13 plan shape: rotation-only (no r13 registrations), 50
+    # distinct, disjoint from r12, every name a previously-windowed
+    # re-green (16 r6 remainders + 34 alphabetically-first r7 greens)
+    from louvain_modularity_spark.registry import (
+        _WINDOW_R13,
+        _WINDOW_R13_ROWS_ONLY,
+    )
+
+    assert len(_WINDOW_R13) == 50 == len(set(_WINDOW_R13))
+    assert not set(_WINDOW_R13) & set(_WINDOW_R12)
+    unknown_r13 = set(_WINDOW_R13) - set(all_queries())
+    assert not unknown_r13, f"r13 window names not registered: {sorted(unknown_r13)}"
+    assert set(_WINDOW_R13) <= (
+        _EVER_WINDOWED_PRE_R06
+        | set(_WINDOW_R06)
+        | set(_WINDOW_R07)
+        | set(_WINDOW_R08)
+        | set(_WINDOW_R09)
+        | set(_WINDOW_R10)
+        | set(_WINDOW_R11)
+    )
+    assert sorted(n for n in _WINDOW_R13 if n not in all_oracles()) == sorted(
+        _WINDOW_R13_ROWS_ONLY
+    ), "r13 rows-only pin out of sync with the registry's oracle map"
     assert len(_WINDOW_R07) == 50 == len(set(_WINDOW_R07))
     assert len(_WINDOW_R08) == 50 == len(set(_WINDOW_R08))
     assert not set(_WINDOW_R07) & set(_WINDOW_R08)
