@@ -792,8 +792,11 @@ def q_pq_ann(
     recall@10 of the PQ candidate list against the exact L2 top-10
     computed in the same scan. Output: (query_id, recall_at_10).
 
-    rows-only: codebooks come from iterative k-means; recall ≥ floor,
-    code-range, and determinism invariants are pinned in
+    Oracle: _oracle_pq_ann (r13) — the deterministic Lloyd training
+    unrolls as chained CTEs; every float hazard is an argmin/rank
+    decision and the margins are audited in
+    tests/test_llm_ops.py::test_pq_ann_oracle_margins. Recall ≥
+    floor, code-range, and determinism invariants remain pinned in
     tests/test_llm_ops.py.
 
     100 TB shape: encoding is one shuffle-free scan against K·d
@@ -890,6 +893,133 @@ def q_pq_ann(
                 F.sum(F.col("in_pq") * F.col("in_exact")) / F.lit(float(PQ_TOPK))
             ).alias("recall_at_10")
         )
+    )
+
+
+#: the shipped embeddings tables are d=64; the static oracle SQL pins
+#: this (the query discovers dim at runtime). Guarded loudly:
+#: tests/test_llm_ops.py::test_pq_ann_oracle_margins asserts the
+#: fixture dim equals this constant before trusting the oracle.
+PQ_DIM = 64
+
+
+def _oracle_pq_ann(m: int = PQ_M, kk: int = PQ_K, iters: int = 5) -> str:
+    """Unrolled-CTE oracle for q_pq_ann (r13, the §2.37 technique
+    applied to sketch TRAINING): the 5 Lloyd iterations of the
+    per-subspace codebook k-means are deterministic (fixed vec_id<256
+    sample, init = the 16 smallest-vec_id rows, argmin ties to the
+    lowest codeword — numpy argmin keeps the first minimum, mirrored
+    as ROW_NUMBER ORDER BY d, k; empty clusters keep their previous
+    centroid, mirrored as COALESCE over a LEFT JOIN), so each
+    iteration is a pure function of the previous codebook and the
+    fixed budget unrolls like LPA's rounds.
+
+    Float story — decision-level, audited, not bitwise-assumed: the
+    engine trains in numpy (pairwise-summation means) while this SQL
+    trains in DuckDB (sequential AVG), so centroid low bits MAY
+    differ; every place a low-bit difference could change the OUTPUT
+    is an argmin/rank decision, and
+    tests/test_llm_ops.py::test_pq_ann_oracle_margins recomputes all
+    of them (5 iterations x 256 training assignments x 8 subspaces,
+    the corpus encode argmins, and the est/exact top-10 rank
+    boundaries) asserting each margin clears float noise by >1e-9 or
+    is an exact tie between identical candidates (which both engines
+    break identically, by codeword id / vec_id). The exact-distance
+    arm involves no numpy values at all: both engines left-fold the
+    same doubles in the same order. The final recall values are
+    sums-of-ten divided by 10.0 — identical doubles by construction
+    once the top-10 sets agree."""
+    sub = PQ_DIM // m
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}),"
+            f" p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+            f" * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+        )
+
+    parts = [
+        f"js AS (SELECT unnest(range(0, {m})) AS j)",
+        f"dims AS (SELECT unnest(range(1, {sub + 1})) AS i)",
+        # corpus split into per-subspace DOUBLE subvectors (1-based
+        # slicing; the FLOAT->DOUBLE widening is exact)
+        f"csub AS MATERIALIZED (SELECT vec_id, j,"
+        f" list_transform(range(1, {sub + 1}),"
+        f"  i -> CAST(embedding[j * {sub} + i] AS DOUBLE)) AS sv"
+        f" FROM embeddings, js)",
+        f"tsub AS MATERIALIZED"
+        f" (SELECT * FROM csub WHERE vec_id < {PQ_TRAIN_IDS})",
+        # init = the kk smallest-vec_id sample rows (xs[:kk])
+        f"c0 AS MATERIALIZED (SELECT j, k, sv AS c FROM ("
+        f" SELECT j, sv, ROW_NUMBER() OVER"
+        f"  (PARTITION BY j ORDER BY vec_id) - 1 AS k FROM tsub)"
+        f" WHERE k < {kk})",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT vec_id, j, k FROM ("
+            f" SELECT t.vec_id, t.j, c.k, ROW_NUMBER() OVER"
+            f"  (PARTITION BY t.vec_id, t.j"
+            f"   ORDER BY {dist('t.sv', 'c.c')}, c.k) AS rn"
+            f" FROM tsub t JOIN c{p} c USING (j)) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{t} AS (SELECT j, k, list(v ORDER BY i) AS c FROM ("
+            f" SELECT a.j, a.k, d.i, AVG(t.sv[d.i]) AS v"
+            f" FROM a{t} a JOIN tsub t USING (vec_id, j), dims d"
+            f" GROUP BY a.j, a.k, d.i) GROUP BY j, k)"
+        )
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT c.j, c.k,"
+            f" COALESCE(m.c, c.c) AS c"
+            f" FROM c{p} c LEFT JOIN m{t} m USING (j, k))"
+        )
+    parts.append(
+        f"codes AS MATERIALIZED (SELECT vec_id, j, k AS code FROM ("
+        f" SELECT s.vec_id, s.j, c.k, ROW_NUMBER() OVER"
+        f"  (PARTITION BY s.vec_id, s.j"
+        f"   ORDER BY {dist('s.sv', 'c.c')}, c.k) AS rn"
+        f" FROM csub s JOIN c{iters} c USING (j)) WHERE rn = 1)"
+    )
+    parts.append(
+        f"qsub AS (SELECT vec_id AS qid, j, sv FROM csub"
+        f" WHERE vec_id < {PQ_QUERIES})"
+    )
+    parts.append(
+        f"lut AS MATERIALIZED (SELECT q.qid, c.j, c.k,"
+        f" {dist('q.sv', 'c.c')} AS d"
+        f" FROM qsub q JOIN c{iters} c USING (j))"
+    )
+    parts.append(
+        "est AS (SELECT l.qid, co.vec_id,"
+        " list_sum(list(l.d ORDER BY l.j)) AS est"
+        " FROM codes co JOIN lut l ON l.j = co.j AND l.k = co.code"
+        " GROUP BY l.qid, co.vec_id)"
+    )
+    parts.append(
+        "ex AS (SELECT q.vec_id AS qid, e.vec_id, "
+        + dist(
+            "list_transform(e.embedding, v -> CAST(v AS DOUBLE))",
+            "list_transform(q.embedding, v -> CAST(v AS DOUBLE))",
+        )
+        + f" AS exact FROM embeddings e CROSS JOIN"
+        f" (SELECT * FROM embeddings WHERE vec_id < {PQ_QUERIES}) q)"
+    )
+    parts.append(
+        f"fl AS (SELECT qid,"
+        f" CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY est, vec_id)"
+        f"  <= {PQ_TOPK} AS INT) AS in_pq,"
+        f" CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY exact, vec_id)"
+        f"  <= {PQ_TOPK} AS INT) AS in_exact"
+        f" FROM est JOIN ex USING (qid, vec_id))"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(qid AS INT) AS query_id,"
+        f" SUM(in_pq * in_exact) / {float(PQ_TOPK)} AS recall_at_10"
+        f" FROM fl GROUP BY qid"
     )
 
 
@@ -3132,4 +3262,5 @@ ORACLES = {
     "q_wilcoxon": ORACLE_WILCOXON,
     "q_quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
     "q_kmv_sketch": ORACLE_KMV_SKETCH,
+    "q_pq_ann": _oracle_pq_ann(),
 }

@@ -646,11 +646,15 @@ _WINDOW_R12_ROWS_ONLY = [
 
 # Round-13 window, pinned NOW (same one-round-ahead convention),
 # derived by scripts/window_plan.py: rotation-only — no r13
-# registrations, no oracle upgrades outrunning driver rows once the
-# active R12 window hash-checks the §2.37 batch — so the plan is pure
-# round-vintage staleness: the 16 remaining r6 greens (alphabetical
-# from q_recursive_cte), then the 34 alphabetically-first r7 greens.
+# registrations — 16 remaining r6 greens + 34 alphabetically-first r7
+# greens. q_pq_ann leads: its value-exact oracle landed mid-round-13
+# (SURVEY §2.40) AFTER this pin was derived, and the upgrade rule
+# sorts it maximally stale; it was ALREADY in this set by r7
+# staleness, so the set is unchanged (window_plan --check stays
+# green) and its first rows+schema+hash driver row lands in r14.
 _WINDOW_R13 = [
+    # oracle-upgraded mid-r13 (r7 rows-only row predates the oracle)
+    "q_pq_ann",
     # r6 remainder (last 16 of the 50, alphabetical)
     "q_recursive_cte",
     "q_reservoir_group",
@@ -701,19 +705,17 @@ _WINDOW_R13 = [
     "q_one_hot",
     "q_pareto_abc",
     "q_pca_power",
-    "q_pq_ann",
     "q_quantile_normalize",
 ]
 
 # Rows-only-by-contract entries inside the R13 window: BPE encoding
-# (depends on the driver-sequenced merge list), power-iteration PCA
-# (driver numpy eigh tail), and PQ ANN (sketch internals; recall-floor
-# golden in pytest). All three declared since their registration
-# rounds; none SQL-expressible exactly.
+# (depends on the driver-sequenced merge list) and power-iteration PCA
+# (driver numpy eigh tail). Both declared since their registration
+# rounds; neither SQL-expressible exactly. (q_pq_ann left this list in
+# r13: its Lloyd training unrolled as the _oracle_pq_ann CTE chain.)
 _WINDOW_R13_ROWS_ONLY = [
     "q_bpe_encode",
     "q_pca_power",
-    "q_pq_ann",
 ]
 
 # Every query name that has appeared in a driver CORRECTNESS window,

@@ -61,6 +61,7 @@ ORACLE_UPGRADED = {
     # lands in CORRECTNESS_r12 and the entry is immediately satisfied
     "q_betweenness_sampled": 12,
     "q_louvain_one_level": 12,
+    "q_pq_ann": 13,
 }
 
 

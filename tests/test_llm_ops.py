@@ -300,6 +300,113 @@ def test_pq_ann_recall_and_determinism(spark):
     assert r1 == r2
 
 
+def test_pq_ann_oracle_margins():
+    """Decision-gap audit backing the r13 q_pq_ann oracle
+    (_oracle_pq_ann): the engine trains codebooks in numpy while the
+    oracle trains them in DuckDB SQL, so centroid LOW BITS may differ
+    (pairwise vs sequential summation). The oracle is value-exact iff
+    no argmin/rank decision sits inside that noise. This audit
+    recomputes EVERY such decision at both oracle scales and asserts
+    each margin clears 1e-9 (relative) — or is an exact tie between
+    identical candidates, which both engines break the same way
+    (lowest codeword id / lowest vec_id). No Spark session needed:
+    the hazards live entirely in the numpy-vs-SQL training twin.
+
+    Decisions audited per scale: 5 Lloyd iterations x |train| x M
+    subspace assignments, |corpus| x M encode argmins, and per query
+    the est top-10 rank boundary (10th vs 11th candidate)."""
+    import duckdb
+    import numpy as np
+
+    from louvain_modularity_spark.datasci import (
+        PQ_DIM,
+        PQ_K,
+        PQ_M,
+        PQ_QUERIES,
+        PQ_TOPK,
+        PQ_TRAIN_IDS,
+        _pq_codebooks,  # noqa: F401  (geometry contract lives there)
+    )
+    from conftest import SF01_DIR
+
+    sub = PQ_DIM // PQ_M
+
+    def min_margin(d2, cents):
+        """Smallest (2nd-best − best) gap over rows; exact ties must
+        be between bit-identical centroids."""
+        order = np.argsort(d2, axis=1, kind="stable")
+        best, second = order[:, 0], order[:, 1]
+        gaps = d2[np.arange(len(d2)), second] - d2[np.arange(len(d2)), best]
+        rel = gaps / np.maximum(1.0, d2[np.arange(len(d2)), best])
+        tied = np.nonzero(gaps == 0.0)[0]
+        for i in tied:
+            assert np.array_equal(cents[best[i]], cents[second[i]]), (
+                "exact argmin tie between DIFFERENT centroids"
+            )
+        nz = rel[gaps > 0.0]
+        return float(nz.min()) if len(nz) else 1.0
+
+    for sf_dir in (SF_DIR, SF01_DIR):
+        rows = duckdb.sql(
+            f"SELECT vec_id, embedding FROM"
+            f" read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+        ids = np.array([r[0] for r in rows])
+        x = np.array([r[1] for r in rows], dtype=np.float64)
+        assert x.shape[1] == PQ_DIM, (
+            f"fixture dim {x.shape[1]} != PQ_DIM {PQ_DIM}: "
+            "_oracle_pq_ann's static SQL no longer matches the data"
+        )
+        tr = x[ids < PQ_TRAIN_IDS]
+        worst = 1.0
+        books = []
+        for j in range(PQ_M):
+            xs = tr[:, j * sub : (j + 1) * sub]
+            c = xs[:PQ_K].copy()
+            for _ in range(5):
+                d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                worst = min(worst, min_margin(d2, c))
+                a = d2.argmin(axis=1)
+                for k in range(PQ_K):
+                    mk = xs[a == k]
+                    if len(mk):
+                        c[k] = mk.mean(axis=0)
+            books.append(c)
+        codes = np.zeros((len(x), PQ_M), dtype=int)
+        for j in range(PQ_M):
+            xs = x[:, j * sub : (j + 1) * sub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            worst = min(worst, min_margin(d2, books[j]))
+            codes[:, j] = d2.argmin(axis=1)
+        for qi in range(PQ_QUERIES):
+            qv = x[ids == qi][0]
+            lut = np.array(
+                [
+                    [
+                        ((books[j][k] - qv[j * sub : (j + 1) * sub]) ** 2).sum()
+                        for k in range(PQ_K)
+                    ]
+                    for j in range(PQ_M)
+                ]
+            )
+            est = lut[np.arange(PQ_M)[None, :], codes].sum(axis=1)
+            order = np.lexsort((ids, est))
+            lo, hi = order[PQ_TOPK - 1], order[PQ_TOPK]
+            gap = est[hi] - est[lo]
+            if gap == 0.0:
+                # identical code tuples → bit-equal est inside EACH
+                # engine → the vec_id tiebreak decides identically
+                assert np.array_equal(codes[lo], codes[hi]), (
+                    "est tie at the top-k boundary between different codes"
+                )
+            else:
+                worst = min(worst, gap / max(1.0, est[lo]))
+        assert worst > 1e-9, (
+            f"{sf_dir}: tightest decision margin {worst:.3e} is inside "
+            "float noise — the numpy/SQL training twin may diverge"
+        )
+
+
 def test_bpe_encode_matches_python_golden(spark):
     """q_bpe_encode's top-20 subword stats must equal a pure-Python
     re-derivation: learn the same merges, apply them left-to-right
