@@ -646,15 +646,19 @@ _WINDOW_R12_ROWS_ONLY = [
 
 # Round-13 window, pinned NOW (same one-round-ahead convention),
 # derived by scripts/window_plan.py: rotation-only — no r13
-# registrations — 16 remaining r6 greens + 34 alphabetically-first r7
-# greens. q_pq_ann leads: its value-exact oracle landed mid-round-13
-# (SURVEY §2.40) AFTER this pin was derived, and the upgrade rule
-# sorts it maximally stale; it was ALREADY in this set by r7
-# staleness, so the set is unchanged (window_plan --check stays
-# green) and its first rows+schema+hash driver row lands in r14.
+# registrations — led by the TWO mid-round-13 oracle upgrades (SURVEY
+# §2.40: q_pq_ann's Lloyd unroll; q_stream_watermark's calibrated
+# watermark cut), whose value-exact oracles postdate their last
+# driver rows so the upgrade rule sorts them maximally stale, then 16
+# remaining r6 greens + 33 alphabetically-first r7 greens. q_pq_ann
+# was already in the set by r7 staleness; admitting
+# q_stream_watermark displaced the alphabetically-last r7 entry
+# (q_quantile_normalize, hash-green since r7, rotates next). Both
+# upgrades get their first rows+schema+hash driver rows in r14.
 _WINDOW_R13 = [
-    # oracle-upgraded mid-r13 (r7 rows-only row predates the oracle)
+    # oracle-upgraded mid-r13 (rows-only driver rows predate the oracles)
     "q_pq_ann",
+    "q_stream_watermark",
     # r6 remainder (last 16 of the 50, alphabetical)
     "q_recursive_cte",
     "q_reservoir_group",
@@ -705,7 +709,6 @@ _WINDOW_R13 = [
     "q_one_hot",
     "q_pareto_abc",
     "q_pca_power",
-    "q_quantile_normalize",
 ]
 
 # Rows-only-by-contract entries inside the R13 window: BPE encoding

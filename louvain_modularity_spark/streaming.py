@@ -441,9 +441,20 @@ WHERE c.event_type = 'click'
 
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data handling surface: watermarked tumbling count in APPEND
-    mode — only windows the watermark has passed are emitted (rows-only
-    oracle; the drop semantics are pinned by tests/test_streaming.py
-    with crafted two-batch late data)."""
+    mode — only windows the watermark has passed are emitted.
+
+    Oracle: ORACLE_STREAM_WATERMARK (r13). The old rows-only reason
+    ("emission depends on final-batch watermark advancement") was
+    over-broad: under availableNow the TOTAL emitted set after
+    termination is batch-count-independent — each window is appended
+    exactly once, when the global watermark (max event time seen −
+    delay) first passes its end — so the final table is the pure cut
+    {windows : window_end <= max(ts) − 10min}. The boundary INclusive
+    rule (window_end == watermark → EMITTED) was calibrated
+    empirically with a crafted parquet and is pinned by
+    tests/test_streaming.py::test_watermark_append_boundary so a
+    Spark semantics change fails the pin loudly rather than flaking
+    the oracle."""
     ev = stream_events(spark, sf_dir)
     agg = (
         ev.withWatermark("ts_ltz", "10 minutes")
@@ -455,6 +466,25 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(spark, agg, "append")
+
+
+#: append-mode emission = the watermark cut {window_end <= max(ts) −
+#: delay}; the <= (boundary-inclusive) rule is the calibrated Spark
+#: behavior, pinned by test_watermark_append_boundary
+ORACLE_STREAM_WATERMARK = f"""
+WITH wm AS (
+  SELECT MAX(epoch_us(ts)) - 600000000 AS wm FROM events
+),
+w AS (
+  SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS window_start_us,
+         count(*) AS n_events
+  FROM events
+  GROUP BY 1
+)
+SELECT window_start_us, n_events
+FROM w, wm
+WHERE window_start_us + {HOUR_US} <= wm.wm
+"""
 
 
 def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,6 +748,5 @@ ORACLES = {
     "q_stream_foreach_batch": ORACLE_STREAM_FOREACH_BATCH,
     "q_stream_metrics": ORACLE_STREAM_METRICS,
     "q_stream_topk": ORACLE_STREAM_TOPK,
-    # rows-only: q_stream_watermark (append-mode emission depends on
-    # final-batch watermark advancement; semantics pinned in tests)
+    "q_stream_watermark": ORACLE_STREAM_WATERMARK,
 }

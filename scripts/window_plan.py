@@ -62,6 +62,7 @@ ORACLE_UPGRADED = {
     "q_betweenness_sampled": 12,
     "q_louvain_one_level": 12,
     "q_pq_ann": 13,
+    "q_stream_watermark": 13,
 }
 
 

@@ -60,6 +60,53 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert out.get(0, 0) == 1, f"late row leaked into finalized window: {emitted}"
 
 
+def test_watermark_append_boundary(spark, tmp_path):
+    """Pin the boundary rule ORACLE_STREAM_WATERMARK (r13) depends on:
+    append mode emits a window when window_end <= watermark —
+    INCLUSIVE at exact equality. Three crafted single-batch sources
+    place the final watermark (max ts − 10 min) exactly ON the hour-0
+    window's end, 1 µs before it, and 1 µs after it; only the
+    just-before case may withhold the window. If a Spark upgrade ever
+    flips this to strict-less-than, this test fails loudly and the
+    oracle's <= must flip with it."""
+    from louvain_modularity_spark.streaming import run_to_table
+
+    ten_min_us = 600_000_000
+
+    def emitted_windows(case: str, max_ts_us: int) -> dict[int, int]:
+        src = str(tmp_path / f"src_{case}")
+        ns = lambda us: us * 1000  # noqa: E731
+        _write_batch(
+            spark,
+            src,
+            [
+                (1, ns(100), 1),
+                (2, ns(HOUR_US // 2), 1),
+                (3, ns(HOUR_US + 100), 1),
+                (4, ns(max_ts_us), 1),
+            ],
+        )
+        agg = (
+            spark.readStream.schema("event_id LONG, ts LONG, user_id LONG")
+            .parquet(src)
+            .withColumn("ts_ltz", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ts_ltz", "10 minutes")
+            .groupBy(F.window("ts_ltz", "1 hour"))
+            .agg(F.count("*").alias("n"))
+            .select(F.unix_micros("window.start").alias("ws"), "n")
+        )
+        return {
+            r["ws"]: r["n"] for r in run_to_table(spark, agg, "append").collect()
+        }
+
+    at = emitted_windows("eq", HOUR_US + ten_min_us)
+    below = emitted_windows("below", HOUR_US + ten_min_us - 1)
+    above = emitted_windows("above", HOUR_US + ten_min_us + 1)
+    assert at.get(0) == 2, f"wm==end must EMIT (<= rule), got {at}"
+    assert 0 not in below, f"wm<end must withhold, got {below}"
+    assert above.get(0) == 2, f"wm>end must emit, got {above}"
+
+
 def test_stream_equals_batch_tumbling(spark):
     """availableNow streaming result == batch computation on the same
     data (the §2.11 equivalence that underpins the oracle checks)."""
