@@ -71,8 +71,9 @@ def _modules():
 # alphabetically-first r6 greens.
 # Backlog: NONE — held_queries() returns [].
 # _WINDOW_R13 below pins the next rotation, derived by
-# scripts/window_plan.py (pure round-vintage staleness: the 16
-# remaining r6 greens, then the 34 alphabetically-first r7 greens).
+# scripts/window_plan.py (the two mid-r13 oracle upgrades first —
+# SURVEY §2.40 — then the 16 remaining r6 greens and the 32
+# alphabetically-first r7 greens).
 #
 # Every oracle-backed entry is local DuckDB-parity green at
 # sf0.001+sf0.01 (tests/test_oracle_parity.py runs the driver's own

@@ -176,7 +176,9 @@ def test_backlog_empty_after_r10_window():
     ), "r12 rows-only pin out of sync with the registry's oracle map"
     # r13 plan shape: rotation-only (no r13 registrations), 50
     # distinct, disjoint from r12, every name a previously-windowed
-    # re-green (16 r6 remainders + 34 alphabetically-first r7 greens)
+    # re-green: the two mid-r13 oracle upgrades lead (q_pq_ann,
+    # q_stream_watermark — SURVEY §2.40), then 16 r6 remainders + 32
+    # alphabetically-first r7 greens
     from louvain_modularity_spark.registry import (
         _WINDOW_R13,
         _WINDOW_R13_ROWS_ONLY,
