@@ -554,9 +554,11 @@ _WINDOW_R11 = [
 # level-synchronous Brandes shape unrolls polynomially in SQL
 # (graph._oracle_betweenness_sampled), unlike the exact oracle's
 # walk-enumeration identity — so the ACTIVE window now hash-checks it.
-_WINDOW_R11_ROWS_ONLY = [
-    "q_approx_cd",
-]
+# (q_approx_cd left this list in r13: at fixture cardinality the
+# HLL++ estimate is pure linear counting, re-expressed exactly as
+# _oracle_approx_cd — so the pin is now empty. Kept for the r11
+# historical shape assertions.)
+_WINDOW_R11_ROWS_ONLY: list = []
 
 # Round-12 window, pinned NOW (same one-round-ahead convention),
 # derived by scripts/window_plan.py: q_butterfly_sampled — the ONE
@@ -658,6 +660,7 @@ _WINDOW_R12_ROWS_ONLY = [
 # upgrades get their first rows+schema+hash driver rows in r14.
 _WINDOW_R13 = [
     # oracle-upgraded mid-r13 (rows-only driver rows predate the oracles)
+    "q_approx_cd",
     "q_pq_ann",
     "q_stream_watermark",
     # r6 remainder (last 16 of the 50, alphabetical)
@@ -709,17 +712,16 @@ _WINDOW_R13 = [
     "q_ohlc_bars",
     "q_one_hot",
     "q_pareto_abc",
-    "q_pca_power",
 ]
 
 # Rows-only-by-contract entries inside the R13 window: BPE encoding
-# (depends on the driver-sequenced merge list) and power-iteration PCA
-# (driver numpy eigh tail). Both declared since their registration
-# rounds; neither SQL-expressible exactly. (q_pq_ann left this list in
-# r13: its Lloyd training unrolled as the _oracle_pq_ann CTE chain.)
+# (depends on the driver-sequenced merge list), declared since its
+# registration round. (q_pq_ann left this list in r13 — its Lloyd
+# training unrolled as the _oracle_pq_ann CTE chain; q_pca_power left
+# the WINDOW when the third r13 upgrade, q_approx_cd, took a lead
+# slot — it rotates next round with its numpy-eigh reason intact.)
 _WINDOW_R13_ROWS_ONLY = [
     "q_bpe_encode",
-    "q_pca_power",
 ]
 
 # Every query name that has appeared in a driver CORRECTNESS window,

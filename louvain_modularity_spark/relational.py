@@ -171,14 +171,72 @@ GROUP BY l_returnflag
 def q_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct (HyperLogLog++) per event_type.
 
-    rows-only oracle: HLL estimates are engine-specific. The exact
-    count is emitted alongside so tests can assert the ±5% envelope.
+    Oracle: _oracle_approx_cd (r13). The old "HLL estimates are
+    engine-specific" reason was over-broad AT THIS CARDINALITY: the
+    fixture groups (15/150 distinct users) sit deep in HLL++'s
+    LINEAR-COUNTING branch, where the estimate is a pure function of
+    how many of the m=512 registers are touched — no rho maxima, no
+    bias tables — and Spark's exact conventions were pinned
+    empirically (tests/test_coverage.py::test_approx_cd_linear_
+    counting_regime): register = top 9 bits of xxhash64(user_id, 42),
+    estimate = round(512·ln(512/V)). The regime guard in that test
+    fails loudly if a fixture change ever pushes a group toward the
+    branch boundary. The exact count is emitted alongside so tests
+    can assert the ±5% envelope.
     """
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+#: HLL++ geometry behind Spark's default relativeSD=0.05, pinned
+#: empirically (probe in test_approx_cd_linear_counting_regime):
+#: m = 2^9 registers, register index = top 9 bits of the unsigned
+#: xxhash64(user_id, seed 42)
+HLL_M = 512
+#: 2^55 — dividing the unsigned 64-bit hash by this yields the top
+#: 9 bits (DuckDB HUGEINT has no shift, so the oracle divides)
+HLL_IDX_DIV = 1 << 55
+#: regime guard ceiling: every convention candidate the probe could
+#: not reject keeps linear counting through AT LEAST n≈1280 (2.5·m);
+#: the guard asserts per-group distinct counts stay ≤ this far-lower
+#: line so the oracle can never silently cross the branch
+HLL_LC_SAFE_N = 400
+
+
+def _oracle_approx_cd() -> str:
+    """Linear-counting twin of Spark's HLL++ at fixture cardinality:
+    distinct (event_type, user_id) → the r12 XXH64 HUGEINT chain
+    (graph.py) → top-9-bit register index → V = m − touched →
+    round(m·ln(m/V)). Bit-exact because every step is integer except
+    the final ln/round, where Java's floor(x+0.5) and DuckDB's
+    half-away-from-zero agree for positive non-half values (exact
+    .5 is unreachable for m·ln(m/V) doubles). If a group ever touched
+    all 512 registers the LN argument hits 0 and DuckDB errors —
+    loud, and the regime guard trips long before."""
+    from .graph import _sql_layers_to_ctes, _xxh64_long_sql_layers
+
+    layers = _xxh64_long_sql_layers("h", "user_id", "42")
+    hctes, last = _sql_layers_to_ctes("du", layers, "x")
+    joined = ",\n".join(hctes)
+    return f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+{joined},
+reg AS (
+  SELECT event_type,
+         COUNT(DISTINCT (h // {HLL_IDX_DIV})) AS touched,
+         COUNT(*) AS exact_users
+  FROM {last}
+  GROUP BY event_type
+)
+SELECT event_type,
+       CAST(ROUND({HLL_M}.0 * LN({HLL_M}.0 / ({HLL_M} - touched)))
+            AS BIGINT) AS approx_users,
+       CAST(exact_users AS BIGINT) AS exact_users
+FROM reg
+"""
 
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1823,6 +1881,7 @@ ORACLES = {
     "q_quantiles": ORACLE_QUANTILES,
     "q_histogram": ORACLE_HISTOGRAM,
     # q_approx_quantile: rows-only (sketch estimates are engine-specific)
+    "q_approx_cd": _oracle_approx_cd(),
     "q_filter_pred": ORACLE_FILTER_PRED,
     "q_agg_groupby": ORACLE_AGG_GROUPBY,
     "q_agg_distinct": ORACLE_AGG_DISTINCT,

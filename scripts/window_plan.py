@@ -63,6 +63,7 @@ ORACLE_UPGRADED = {
     "q_louvain_one_level": 12,
     "q_pq_ann": 13,
     "q_stream_watermark": 13,
+    "q_approx_cd": 13,
 }
 
 

@@ -422,6 +422,58 @@ def test_hll_sketch_accuracy(spark):
         assert abs(got[k] - want) <= max(1, 0.02 * want), (k, got[k], want)
 
 
+def test_approx_cd_linear_counting_regime(spark):
+    """Regime guard + convention pin backing the r13 q_approx_cd
+    oracle (_oracle_approx_cd): Spark's HLL++ at default rsd=0.05 was
+    probed empirically — m=512 registers, register = top 9 bits of
+    the unsigned xxhash64(user_id, seed 42), linear counting
+    round(m·ln(m/V)) — matching at n=15/150/1000 and on rounding-
+    discriminating sets (n=24..27, frac ≥ .5). The oracle is valid
+    only while every group stays in the linear-counting branch, so
+    this test asserts, at BOTH oracle scales: (a) per-group distinct
+    counts ≤ HLL_LC_SAFE_N (far below every candidate branch
+    boundary ~2.5·m), and (b) the pure-Python twin of that formula
+    equals Spark's estimate exactly for every group. A fixture change
+    drifting toward the branch boundary, or a Spark upgrade changing
+    the hash/rounding, fails HERE loudly instead of flaking the
+    oracle."""
+    import math
+
+    import pyspark.sql.functions as FF
+
+    from louvain_modularity_spark.graph import _xxh64_long
+    from louvain_modularity_spark.relational import (
+        HLL_LC_SAFE_N,
+        HLL_M,
+        q_approx_cd,
+    )
+    from louvain_modularity_spark.sources import load
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = {
+            r["event_type"]: (r["approx_users"], r["exact_users"])
+            for r in q_approx_cd(spark, sf_dir).collect()
+        }
+        e = load(spark, sf_dir, "events")
+        rows = e.select("event_type", "user_id").distinct().collect()
+        users: dict[str, list[int]] = {}
+        for r in rows:
+            users.setdefault(r["event_type"], []).append(r["user_id"])
+        assert set(got) == set(users)
+        for et, uids in users.items():
+            n = len(uids)
+            assert n <= HLL_LC_SAFE_N, (
+                f"{sf_dir}/{et}: {n} distinct users approaches the "
+                f"linear-counting boundary — re-derive the oracle"
+            )
+            touched = {
+                (_xxh64_long(u, 42) & ((1 << 64) - 1)) >> 55 for u in uids
+            }
+            lc = HLL_M * math.log(HLL_M / (HLL_M - len(touched)))
+            twin = math.floor(lc + 0.5)  # Java Math.round
+            assert got[et] == (twin, n), (sf_dir, et, got[et], twin, n)
+
+
 def test_dup_clusters_inline_matches_distributed(spark):
     """The union-find inline tail of q_dup_clusters must produce the
     same min-id components as the distributed CC path on the same
