@@ -177,6 +177,24 @@ def main() -> None:
     bench_all = os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1"
     names = list(queries) if bench_all else HEADLINE
 
+    # sweep mode burns the per-table cold tax (first parquet scan +
+    # schema merge) BEFORE timing starts: the r13 sweep showed the
+    # first query of a cold session reads ~2x its warm cost, which
+    # produced a spurious 1.97x flag on whatever the window rotation
+    # put at the registry head (SCALE §7). Headline mode is untouched
+    # for round-over-round comparability.
+    if bench_all:
+        t0 = time.time()
+        for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+            spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).limit(
+                1
+            ).write.mode("overwrite").format("noop").save()
+        print(
+            f"  sweep_warmup: {time.time() - t0:.2f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+
     # min of 2 runs per query: this box is a shared VM with spiky CPU
     # steal (identical code measured 54 s and 241 s an hour apart); the
     # min absorbs steal spikes and per-query codegen compile — the
