@@ -473,6 +473,26 @@ def test_approx_cd_linear_counting_regime(spark):
             twin = math.floor(lc + 0.5)  # Java Math.round
             assert got[et] == (twin, n), (sf_dir, et, got[et], twin, n)
 
+    # adversarial id-universe check: the fixture's user_ids are small
+    # positives, so a sign/width convention bug in the twin could hide
+    # until a fixture regeneration breaks the DRIVER row instead of
+    # this test. Negative, LONG_MIN/MAX-adjacent, and dense-low ids
+    # must all match Spark too (still n=60 << m, LC regime).
+    adversarial = (
+        [-(1 << 62) + i for i in range(20)]
+        + [(1 << 62) + i * 7 for i in range(20)]
+        + list(range(-10, 10))
+    )
+    df = spark.createDataFrame([(v,) for v in adversarial], "v LONG")
+    got_adv = df.agg(
+        FF.approx_count_distinct("v").alias("a")
+    ).collect()[0]["a"]
+    touched = {
+        (_xxh64_long(v, 42) & ((1 << 64) - 1)) >> 55 for v in adversarial
+    }
+    lc = HLL_M * math.log(HLL_M / (HLL_M - len(touched)))
+    assert got_adv == math.floor(lc + 0.5), (got_adv, lc)
+
 
 def test_dup_clusters_inline_matches_distributed(spark):
     """The union-find inline tail of q_dup_clusters must produce the
