@@ -212,6 +212,23 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
+    # boot-class anchors (SCALE.md §7, r14): round-over-round
+    # adjudication needs BOTH dimensions of this VM's boot lottery —
+    # the scheduler floors above (job launch / shuffle-stage cost) AND
+    # single-core execution speed, which floor-matched boots can still
+    # differ on by ±15% for hybrid-tail queries. The two speed anchors
+    # are fixed stable-code headline entries: q_join_broadcast (pure
+    # JVM micro — codegen + broadcast build, no Python) and
+    # q_pca_power (Arrow mapInPandas moment pass — the Python/Arrow
+    # tail). Read a round's numbers against a prior round by matching
+    # all four anchors first; a mover whose anchors moved with it is
+    # the boot, not the code.
+    anchors = {
+        "job_floor_sec": job_floor_sec,
+        "shuffle_floor_sec": shuffle_floor_sec,
+        "jvm_micro_sec": timings.get("q_join_broadcast"),
+        "python_tail_sec": timings.get("q_pca_power"),
+    }
     print(
         json.dumps(
             {
@@ -224,6 +241,7 @@ def main() -> None:
                 ),
                 "job_floor_sec": job_floor_sec,
                 "shuffle_floor_sec": shuffle_floor_sec,
+                "anchors": anchors,
                 "sf": sf,
             }
         )

@@ -60,20 +60,16 @@ def _modules():
 # before anything new is registered. The full three-round plan is pinned
 # below as data (_WINDOW_R06 / _WINDOW_R07 / _WINDOW_R08) and
 # held_queries() derives the outstanding set — no hand-synced prose list.
-# ROUND 13 STATUS: _WINDOW_R12 (pinned in round 12) is the ACTIVE
-# window; all_queries() leads with it. It leads with
-# q_butterfly_sampled (registered r12, never driver-sampled) and the
-# seven §2.37 oracle-upgraded names (q_dbscan, q_graph_coloring,
-# q_kcore, q_ktruss, q_label_propagation, q_louvain_one_level,
-# q_seeded_order) whose value-exact oracles postdate their last
-# driver rows — all eight get their FIRST rows+schema+hash rows this
-# round — then rotates the 10 remaining r5 greens and the 32
-# alphabetically-first r6 greens.
+# ROUND 14 STATUS: _WINDOW_R13 (pinned in round 13) is the ACTIVE
+# window; all_queries() leads with it. It leads with the three
+# mid-r13 oracle upgrades (q_approx_cd, q_pq_ann, q_stream_watermark
+# — SURVEY §2.40) whose value-exact oracles postdate their last
+# driver rows — all three get their FIRST rows+schema+hash rows this
+# round — then rotates the 16 remaining r6 greens and the 31
+# alphabetically-first r7 greens.
 # Backlog: NONE — held_queries() returns [].
-# _WINDOW_R13 below pins the next rotation, derived by
-# scripts/window_plan.py (the two mid-r13 oracle upgrades first —
-# SURVEY §2.40 — then the 16 remaining r6 greens and the 32
-# alphabetically-first r7 greens).
+# _WINDOW_R14 below pins the next rotation, derived by
+# scripts/window_plan.py.
 #
 # Every oracle-backed entry is local DuckDB-parity green at
 # sf0.001+sf0.01 (tests/test_oracle_parity.py runs the driver's own
@@ -653,7 +649,7 @@ _WINDOW_R12_ROWS_ONLY = [
 # §2.40: q_pq_ann's Lloyd unroll; q_stream_watermark's calibrated
 # watermark cut), whose value-exact oracles postdate their last
 # driver rows so the upgrade rule sorts them maximally stale, then 16
-# remaining r6 greens + 33 alphabetically-first r7 greens. q_pq_ann
+# remaining r6 greens + 31 alphabetically-first r7 greens. q_pq_ann
 # was already in the set by r7 staleness; admitting
 # q_stream_watermark displaced the alphabetically-last r7 entry
 # (q_quantile_normalize, hash-green since r7, rotates next). Both
@@ -680,7 +676,7 @@ _WINDOW_R13 = [
     "q_weighted_median",
     "q_window_cume",
     "q_zorder_layout",
-    # r7 greens, alphabetical, first 34 (16 + 34 = 50)
+    # r7 greens, alphabetical, first 31 (3 + 16 + 31 = 50)
     "q_allocation",
     "q_anova",
     "q_arrow_batch",
@@ -722,6 +718,86 @@ _WINDOW_R13 = [
 # slot — it rotates next round with its numpy-eigh reason intact.)
 _WINDOW_R13_ROWS_ONLY = [
     "q_bpe_encode",
+]
+
+# Round-14 window, pinned NOW (same one-round-ahead convention),
+# derived by scripts/window_plan.py: rotation-only — no r14
+# registrations and no mid-r14 oracle upgrades at pin time — pure
+# round-vintage staleness: the 17 remaining r7 greens (q_pca_power,
+# displaced from the r13 lead by q_approx_cd, rotates here with its
+# numpy-eigh rows-only reason intact; q_quantile_normalize, displaced
+# alphabetically in r13 by the q_stream_watermark upgrade, leads the
+# r7 tail) + the 33 alphabetically-first r9 names.
+_WINDOW_R14 = [
+    # r7 remainder (last 17 of the 50, alphabetical)
+    "q_pca_power",
+    "q_quantile_normalize",
+    "q_read_xml",
+    "q_rich_club",
+    "q_sketch_union",
+    "q_spearman",
+    "q_sql_pipe",
+    "q_stream_join_outer",
+    "q_stream_topk",
+    "q_survivorship",
+    "q_temporal_graph",
+    "q_theilsen",
+    "q_topo_layers",
+    "q_trend_fit",
+    "q_url_parse",
+    "q_wilcoxon",
+    "q_window_nth",
+    # r9 greens, alphabetical, first 33 (17 + 33 = 50)
+    "q_ann_ivf",
+    "q_approx_quantile",
+    "q_best_move",
+    "q_calibration",
+    "q_com_totals",
+    "q_connected_components",
+    "q_data_mix",
+    "q_dedup_doc_exact",
+    "q_delta_q",
+    "q_delta_q_directed",
+    "q_dup_embedding",
+    "q_frame_sample",
+    "q_geo_density",
+    "q_grid_join",
+    "q_histogram",
+    "q_intra_inter_edges",
+    "q_is_partition",
+    "q_knn_label",
+    "q_ks_test",
+    "q_lang_id",
+    "q_lang_stats",
+    "q_leiden_refine",
+    "q_louvain_communities",
+    "q_louvain_dendrogram",
+    "q_louvain_directed",
+    "q_louvain_distributed",
+    "q_modularity",
+    "q_modularity_directed",
+    "q_mom_yoy",
+    "q_multimodal_features",
+    "q_multimodal_meta",
+    "q_ndcg",
+    "q_neighbor_com_weights",
+]
+
+# Rows-only-by-contract entries inside the R14 window: the Louvain
+# family's in-driver sequential tails at oracle scales
+# (inline_threshold 50k > the sf0.01 graph), PCA's numpy-eigh golden
+# (eigengap λ2/λ1 ≈ 0.987 → ~1800 power steps, not unrollable), and
+# approx_quantile (GK compress/merge internals are merge-order
+# sensitive — r14 re-probe receipt in SURVEY §2.42). Each carries
+# golden/invariant pytest evidence.
+_WINDOW_R14_ROWS_ONLY = [
+    "q_approx_quantile",
+    "q_leiden_refine",
+    "q_louvain_communities",
+    "q_louvain_dendrogram",
+    "q_louvain_directed",
+    "q_louvain_distributed",
+    "q_pca_power",
 ]
 
 # Every query name that has appeared in a driver CORRECTNESS window,
@@ -797,10 +873,10 @@ def all_queries() -> dict[str, QueryFn]:
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         merged.update(mod.QUERIES)
-    missing = [n for n in _WINDOW_R12 if n not in merged]
+    missing = [n for n in _WINDOW_R13 if n not in merged]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R12}
+    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R13}
     out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
 
@@ -823,6 +899,7 @@ def held_queries() -> list[str]:
         | set(_WINDOW_R11)
         | set(_WINDOW_R12)
         | set(_WINDOW_R13)
+        | set(_WINDOW_R14)
     )
     return sorted(n for n in all_queries() if n not in windowed)
 

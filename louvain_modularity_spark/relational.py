@@ -824,13 +824,23 @@ GROUP BY l_returnflag
 
 
 def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (t-digest-style sketch) with the exact
-    value alongside (rows-only oracle: sketch results are
-    engine-specific; the envelope is asserted in tests). The exact
-    arm runs on the distributed bracketing-order-statistic kernel
-    (r7) — the builtin exact `percentile` buffered each flag's whole
-    slice (a third of the fact table) in one task; the sketch arm is
-    the mergeable map-side aggregate it always was."""
+    """Approximate percentiles (Greenwald–Khanna sketch) with the
+    exact value alongside. DECLARED rows-only, re-affirmed by the r14
+    probe (SURVEY §2.42): the estimate is a function of physical
+    partitioning — repartition(7)/repartition(13, col) each shift the
+    per-flag value at both oracle scales — so a value-exact oracle
+    would pin single-input-split file-layout luck (coalesce(1)
+    reproduces today's value bit-for-bit) and flake on any
+    maxPartitionBytes / row-group / fetch-order change. The contract
+    GK actually keeps under EVERY layout is the rank guarantee
+    |rank(est) − 0.5(n−1)| ≤ n/1000 + 1, pinned at both oracle scales
+    and under an adversarial re-layout by
+    tests/test_analytics.py::test_approx_quantile_gk_envelope_under_any_layout.
+    The exact arm runs on the distributed
+    bracketing-order-statistic kernel (r7) — the builtin exact
+    `percentile` buffered each flag's whole slice (a third of the
+    fact table) in one task; the sketch arm is the mergeable
+    map-side aggregate it always was."""
     from .kernels import chunked_group_quantiles
 
     li = load(spark, sf_dir, "lineitem")

@@ -412,12 +412,21 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(spark, joined, "append")
 
 
+#: global watermark = min over the two stream-side watermarks, each
+#: the per-stream max event time FLOORED TO MS (Spark's
+#: EventTimeStatsAccum tracks eventTime/1000; floor is monotonic so
+#: flooring the LEAST equals LEAST of the floors) minus the delay.
+#: Unlike ORACLE_STREAM_WATERMARK's whole-hour cut, the null-emission
+#: condition below compares RAW sub-ms click timestamps against wm,
+#: so the ms floor is load-bearing here: an unmatched click whose
+#: ts+1h lands inside the 999 µs floor band would be emitted by an
+#: unfloored oracle but withheld by Spark (r14, ADVICE follow-on).
 ORACLE_STREAM_JOIN_OUTER = """
 WITH wm AS (
-  SELECT LEAST(
+  SELECT (LEAST(
     (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'click'),
     (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
-  ) - 600000000 AS wm
+  ) // 1000) * 1000 - 600000000 AS wm
 )
 SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
        epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
@@ -445,11 +454,17 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: ORACLE_STREAM_WATERMARK (r13). The old rows-only reason
     ("emission depends on final-batch watermark advancement") was
-    over-broad: under availableNow the TOTAL emitted set after
-    termination is batch-count-independent — each window is appended
-    exactly once, when the global watermark (max event time seen −
-    delay) first passes its end — so the final table is the pure cut
-    {windows : window_end <= max(ts) − 10min}. The boundary INclusive
+    over-broad FOR THIS ENGINE'S STAGING: stream_events stages ONE
+    parquet file, so availableNow runs a single batch — the watermark
+    is 0 while every row is aggregated, no row is late-dropped, and
+    the final table is the pure cut
+    {windows : window_end <= max(ts) − 10min}. The oracle's validity
+    is scoped to that single-file/single-batch staging (r14, ADVICE):
+    in a multi-batch run the emitted WINDOW SET is still the same cut,
+    but per-window n_events could undercount — rows below the
+    already-advanced watermark are dropped before aggregation. If
+    stream_events ever stages multiple files, re-derive (pin
+    maxFilesPerTrigger or drop the oracle). The boundary INclusive
     rule (window_end == watermark → EMITTED) was calibrated
     empirically with a crafted parquet and is pinned by
     tests/test_streaming.py::test_watermark_append_boundary so a
@@ -470,10 +485,17 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: append-mode emission = the watermark cut {window_end <= max(ts) −
 #: delay}; the <= (boundary-inclusive) rule is the calibrated Spark
-#: behavior, pinned by test_watermark_append_boundary
+#: behavior, pinned by test_watermark_append_boundary. The `// 1000 *
+#: 1000` mirrors Spark's per-event ms floor (EventTimeStatsAccum
+#: tracks eventTime/1000; max of floors = floor of max). For THIS
+#: query the floor is provably decision-neutral — window_end + delay
+#: is always a whole ms (hour windows, 10-min delay), and for
+#: whole-ms X: floor_ms(max) >= X  <=>  max >= X — so it exists only
+#: to stay faithful to the engine if the window spec ever gains
+#: sub-ms boundaries (r14, ADVICE).
 ORACLE_STREAM_WATERMARK = f"""
 WITH wm AS (
-  SELECT MAX(epoch_us(ts)) - 600000000 AS wm FROM events
+  SELECT (MAX(epoch_us(ts)) // 1000) * 1000 - 600000000 AS wm FROM events
 ),
 w AS (
   SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS window_start_us,

@@ -467,6 +467,85 @@ def test_chunked_quantiles_match_builtin_percentile(spark):
         assert got_g == want_g, n
 
 
+def test_approx_quantile_gk_envelope_under_any_layout(spark):
+    """The golden evidence behind q_approx_quantile's DECLARED
+    rows-only status, plus the r14 oracle-rejection receipt (SURVEY
+    §2.42, the q_hll_sketch discipline applied to GK).
+
+    The r14 probe showed the estimate is a function of PHYSICAL
+    PARTITIONING, not of the data multiset: on the same lineitem
+    data, repartition(7) and repartition(13, col) each change the
+    per-flag median estimate at both oracle scales. Today's driver
+    byte-stability is single-input-split luck (the sf0.001/sf0.01
+    lineitem parquet reads as ONE partition, so insertion order is
+    file order — coalesce(1) reproduces the default layout's value
+    bit-for-bit); any maxPartitionBytes / row-group change silently
+    shifts the value, and reducer fetch order is a second landmine
+    at real partition counts. So NO value-exact oracle — the
+    contract worth pinning is the one GK actually makes and keeps
+    under EVERY layout: a rank guarantee.
+
+    For approx_percentile(x, 0.5, 1000) over n rows, the returned
+    value is a data element whose rank r satisfies
+    |r − 0.5·(n−1)| ≤ n/1000 + 1. Asserted per flag at both oracle
+    scales, for the query's own output AND for a 7-partition
+    adversarial re-layout of the same data (the mergeable-sketch
+    contract a 1000-executor run relies on)."""
+    import pyspark.sql.functions as F
+
+    from louvain_modularity_spark.relational import q_approx_quantile
+    from louvain_modularity_spark.sources import load
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice"
+        )
+        vals: dict[str, list[float]] = {}
+        for r in li.collect():
+            vals.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+        for v in vals.values():
+            v.sort()
+
+        def check(est: dict[str, float], label: str) -> None:
+            assert set(est) == set(vals), (label, est)
+            for flag, e in est.items():
+                v = vals[flag]
+                n = len(v)
+                # GK returns an actual data element...
+                import bisect
+
+                lo = bisect.bisect_left(v, e)
+                hi = bisect.bisect_right(v, e) - 1
+                assert lo <= hi, (label, flag, e, "estimate not a data element")
+                # ...whose rank is within the relative-error band
+                target = 0.5 * (n - 1)
+                band = n / 1000.0 + 1
+                dist = min(abs(lo - target), abs(hi - target))
+                assert dist <= band, (label, flag, e, dist, band)
+
+        check(
+            {
+                r["l_returnflag"]: r["approx_median"]
+                for r in q_approx_quantile(spark, sf_dir).collect()
+            },
+            f"{sf_dir}:query",
+        )
+        check(
+            {
+                r["l_returnflag"]: r["m"]
+                for r in li.repartition(7)
+                .groupBy("l_returnflag")
+                .agg(
+                    F.expr(
+                        "approx_percentile(l_extendedprice, 0.5, 1000)"
+                    ).alias("m")
+                )
+                .collect()
+            },
+            f"{sf_dir}:repartition7",
+        )
+
+
 def test_grid_join_pair_set_matches_brute_nonempty(spark):
     """q_grid_join's full in-radius pair set vs a pure-Python brute
     O(n²) twin at sf0.001, asserted as EXACT set equality on non-empty

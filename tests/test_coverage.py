@@ -46,27 +46,26 @@ def test_documented_counts_match_registry():
     )
 
 
-def test_r12_window_leads_registry():
+def test_r13_window_leads_registry():
     """The driver checks the first 50 registry entries; the pinned
-    round-12 window must lead the iteration order: q_butterfly_sampled
-    first (registered r12, never driver-sampled), then the seven
-    §2.37 oracle-upgraded names (value-exact oracles postdate their
-    last driver rows — first hash rows this round), then 42 staleness
-    re-greens (10 r5 + 32 r6). Every entry must be oracle-backed
-    EXCEPT the pinned rows-only set (BPE merge learning, Borůvka
-    MSF)."""
+    round-13 window must lead the iteration order: the three mid-r13
+    oracle upgrades first (q_approx_cd, q_pq_ann, q_stream_watermark —
+    value-exact oracles postdate their last driver rows, so their
+    first hash rows land this round), then 47 staleness re-greens
+    (16 r6 + 31 r7). Every entry must be oracle-backed EXCEPT the
+    pinned rows-only set (BPE encoding)."""
     from louvain_modularity_spark.registry import (
-        _WINDOW_R12,
-        _WINDOW_R12_ROWS_ONLY,
+        _WINDOW_R13,
+        _WINDOW_R13_ROWS_ONLY,
     )
 
     q, o = all_queries(), all_oracles()
-    assert list(q)[: len(_WINDOW_R12)] == _WINDOW_R12
-    assert len(_WINDOW_R12) == 50 == len(set(_WINDOW_R12))
-    not_backed = [n for n in _WINDOW_R12 if n not in o]
-    assert sorted(not_backed) == sorted(_WINDOW_R12_ROWS_ONLY), (
+    assert list(q)[: len(_WINDOW_R13)] == _WINDOW_R13
+    assert len(_WINDOW_R13) == 50 == len(set(_WINDOW_R13))
+    not_backed = [n for n in _WINDOW_R13 if n not in o]
+    assert sorted(not_backed) == sorted(_WINDOW_R13_ROWS_ONLY), (
         f"unplanned rows-only queries in driver window: "
-        f"{sorted(set(not_backed) - set(_WINDOW_R12_ROWS_ONLY))}"
+        f"{sorted(set(not_backed) - set(_WINDOW_R13_ROWS_ONLY))}"
     )
 
 
@@ -200,6 +199,28 @@ def test_backlog_empty_after_r10_window():
     assert sorted(n for n in _WINDOW_R13 if n not in all_oracles()) == sorted(
         _WINDOW_R13_ROWS_ONLY
     ), "r13 rows-only pin out of sync with the registry's oracle map"
+    # r14 plan shape: rotation-only (no r14 registrations), 50
+    # distinct, disjoint from r13, every name a previously-windowed
+    # re-green: 17 r7 remainders + 33 alphabetically-first r9 names
+    from louvain_modularity_spark.registry import (
+        _WINDOW_R14,
+        _WINDOW_R14_ROWS_ONLY,
+    )
+
+    assert len(_WINDOW_R14) == 50 == len(set(_WINDOW_R14))
+    assert not set(_WINDOW_R14) & set(_WINDOW_R13)
+    unknown_r14 = set(_WINDOW_R14) - set(all_queries())
+    assert not unknown_r14, f"r14 window names not registered: {sorted(unknown_r14)}"
+    assert set(_WINDOW_R14) <= (
+        _EVER_WINDOWED_PRE_R06
+        | set(_WINDOW_R06)
+        | set(_WINDOW_R07)
+        | set(_WINDOW_R08)
+        | set(_WINDOW_R09)
+    )
+    assert sorted(n for n in _WINDOW_R14 if n not in all_oracles()) == sorted(
+        _WINDOW_R14_ROWS_ONLY
+    ), "r14 rows-only pin out of sync with the registry's oracle map"
     assert len(_WINDOW_R07) == 50 == len(set(_WINDOW_R07))
     assert len(_WINDOW_R08) == 50 == len(set(_WINDOW_R08))
     assert not set(_WINDOW_R07) & set(_WINDOW_R08)
