@@ -30,7 +30,7 @@ SF_DIR = "/root/testdata/sf0.001"
 ALLOW = {
     # probe/scalar crossJoins: one side is a 1-row aggregate or a
     # bounded probe/centroid set, broadcast by construction
-    ("q_fuzzy_join", "BroadcastNestedLoopJoin"): "probe side is the broadcast 8-name set; corpus never shuffles",
+    ("q_fuzzy_join", "BroadcastNestedLoopJoin"): "probe side (p_partkey % 97, sf-proportional but broadcast-sized at every test scale) is the build side; corpus never shuffles. Output itself is quadratic (SCALE.md §8) — the NLJ is the declared semantics, not an accident",
     ("q_cross_small", "CartesianProduct"): "the operator's PURPOSE: 5x5 region pairs, both sides dimension tables",
     ("q_cross_small", "BroadcastNestedLoopJoin"): "same 5-row dimension pair, broadcast build side",
     ("q_join_theta_range", "BroadcastNestedLoopJoin"): "theta join against broadcast 7-row band table",
