@@ -48,7 +48,16 @@ def main() -> int:
                 "shuffle_floor_sec": d.get("shuffle_floor_sec"),
             },
         )
-        print(f"{label}: total={d['value']} n={len(d['queries'])} anchors={anchors}")
+        print(
+            f"{label}: sf={d.get('sf')} total={d['value']} "
+            f"n={len(d['queries'])} anchors={anchors}"
+        )
+    if old.get("sf") != new.get("sf"):
+        print(
+            f"WARNING: comparing different scales (sf {old.get('sf')} vs "
+            f"{new.get('sf')}) — ratios include the data-size ratio, not "
+            f"just code/boot drift"
+        )
 
     oq, nq = old["queries"], new["queries"]
     both = sorted(set(oq) & set(nq))
@@ -61,9 +70,11 @@ def main() -> int:
     flagged = []
     for name in both:
         o, n = oq[name], nq[name]
-        if max(o, n) < args.min_sec or o == 0:
+        if max(o, n) < args.min_sec:
             continue
-        r = n / o
+        # a 0.000 old reading with a real new one is an infinite-ratio
+        # mover, not a skip (the docstring's flag contract)
+        r = n / o if o else float("inf")
         if r > args.flag or r < 1 / args.flag:
             flagged.append((r, name, o, n))
     flagged.sort(reverse=True)
