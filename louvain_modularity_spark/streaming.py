@@ -365,12 +365,15 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks that never convert are emitted with NULLs once the
     watermark proves no match can still arrive. The outer-null
     emission rule is the part an engine must get right, and the
-    oracle pins it: a click emits NULL iff click_ts + 1 h <
-    final_watermark, where final_watermark = least(max click ts,
-    max purchase ts) − 10 min (the global watermark is the MIN across
-    sources of max-event-time − delay, and Spark's trailing no-data
-    batch evicts state up to it). Matched rows are the inner-join
-    rows. 100 TB shape: join state is bounded by the watermark ±
+    oracle pins the CALIBRATED rule (r14): a click emits NULL iff
+    ceil_ms(click_ts) + 1 h < final_watermark, where final_watermark
+    = floor_ms(least(max click ts, max purchase ts)) − 10 min — the
+    global watermark is the MIN across sources of max-event-time −
+    delay, tracked at ms precision (watermark side rounds down,
+    state-cleanup side rounds up), and Spark's trailing no-data batch
+    evicts state up to it; the ±1 µs boundary behavior is pinned by
+    tests/test_streaming.py::test_stream_join_outer_eviction_boundary.
+    Matched rows are the inner-join rows. 100 TB shape: join state is bounded by the watermark ±
     range bound exactly as in q_stream_stream_join; the outer rows
     add no state — eviction emits them as state expires."""
     clicks = (
@@ -412,15 +415,22 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(spark, joined, "append")
 
 
-#: global watermark = min over the two stream-side watermarks, each
-#: the per-stream max event time FLOORED TO MS (Spark's
-#: EventTimeStatsAccum tracks eventTime/1000; floor is monotonic so
-#: flooring the LEAST equals LEAST of the floors) minus the delay.
-#: Unlike ORACLE_STREAM_WATERMARK's whole-hour cut, the null-emission
-#: condition below compares RAW sub-ms click timestamps against wm,
-#: so the ms floor is load-bearing here: an unmatched click whose
-#: ts+1h lands inside the 999 µs floor band would be emitted by an
-#: unfloored oracle but withheld by Spark (r14, ADVICE follow-on).
+#: Null-emission rule, CALIBRATED empirically over 10 crafted probe
+#: points (r14, tests/test_streaming.py::
+#: test_stream_join_outer_eviction_boundary): an unmatched click is
+#: emitted iff   ceil_ms(click_ts) + 1 h  <  wm   (strict), with
+#: wm = floor_ms(LEAST(max click ts, max purchase ts)) − 10 min.
+#: Both ms roundings are load-bearing because the condition compares
+#: RAW sub-ms event timestamps: Spark tracks event-time stats and the
+#: join's state-cleanup predicate at ms precision, so the watermark
+#: side rounds DOWN (floor of the max; floor is monotonic so flooring
+#: the LEAST equals LEAST of the floors) while the click side rounds
+#: UP (a sub-ms click is conservatively kept until the watermark
+#: clears its whole next ms). An oracle using raw µs on either side
+#: flips rows whose click_ts+1h lands inside the 999 µs band below
+#: wm — a fixture-regeneration landmine, since fixture timestamps
+#: carry sub-ms µs (r14; the r13 tumbling-window oracle's floor was
+#: decision-neutral, this one is not).
 ORACLE_STREAM_JOIN_OUTER = """
 WITH wm AS (
   SELECT (LEAST(
@@ -444,7 +454,7 @@ WHERE c.event_type = 'click'
     WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
       AND epoch_us(p.ts) >= epoch_us(c.ts)
       AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000)
-  AND epoch_us(c.ts) + 3600000000 < wm.wm
+  AND ((epoch_us(c.ts) + 999) // 1000) * 1000 + 3600000000 < wm.wm
 """
 
 

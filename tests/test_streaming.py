@@ -107,6 +107,96 @@ def test_watermark_append_boundary(spark, tmp_path):
     assert above.get(0) == 2, f"wm>end must emit, got {above}"
 
 
+def test_stream_join_outer_eviction_boundary(spark, tmp_path):
+    """Pin the CALIBRATED outer-null emission rule ORACLE_STREAM_JOIN_OUTER
+    (r14) depends on: an unmatched click is emitted iff
+
+        ceil_ms(click_ts) + 1 h  <  wm        (strict)
+        wm = floor_ms(least(max click, max purchase)) − 10 min
+
+    i.e. the join's state-cleanup predicate works at MS precision with
+    the watermark side rounded DOWN and the state side rounded UP —
+    discovered by a 10-point probe sweep (r14): ±1 ms clears the
+    boundary as expected, but a click 1 µs below the µs-exact boundary
+    is WITHHELD (the µs-precision rule the oracle previously used
+    would emit it). Six cases, each a crafted 3-row source (the probed
+    click, a far click that raises the click-side max, and one
+    other-user purchase that sets the watermark): the two whole-ms
+    boundary cases, the −1 µs near-miss, the two sub-ms ceil
+    discriminators, and the sub-ms watermark-floor discriminator. If a
+    Spark upgrade changes the rounding or strictness, this fails
+    loudly and the oracle's expression must move with it."""
+    from louvain_modularity_spark.streaming import run_to_table
+
+    HOUR = 3_600_000_000
+    TENMIN = 600_000_000
+    BASE = 1_000 * HOUR  # away from the epoch edge
+
+    def probe(case: str, ts_c_us: int, max_p_us: int) -> bool:
+        src = str(tmp_path / f"src_{case}")
+        rows = [
+            (1, (BASE + ts_c_us) * 1000, 10, "click"),
+            (2, (BASE + max_p_us + 2 * HOUR) * 1000, 11, "click"),
+            (3, (BASE + max_p_us) * 1000, 99, "purchase"),
+        ]
+        spark.createDataFrame(
+            rows, "event_id LONG, ts LONG, user_id LONG, event_type STRING"
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        ev = (
+            spark.readStream.schema(
+                "event_id LONG, ts LONG, user_id LONG, event_type STRING"
+            )
+            .parquet(src)
+            .withColumn("ts_ltz", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts_ltz").alias("click_ltz"),
+            )
+            .withWatermark("click_ltz", "10 minutes")
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts_ltz").alias("purchase_ltz"),
+            )
+            .withWatermark("purchase_ltz", "10 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user_id AND purchase_ltz >= click_ltz AND "
+                "purchase_ltz <= click_ltz + INTERVAL 1 HOUR"
+            ),
+            "left_outer",
+        )
+        out = run_to_table(spark, joined, "append").collect()
+        return 1 in {r["click_id"] for r in out if r["purchase_id"] is None}
+
+    W = 20 * HOUR  # whole-ms purchase-side max
+    wm = W - TENMIN
+    # whole-ms click exactly ON the boundary: ceil(c)+1h == wm -> withhold
+    assert not probe("eq", wm - HOUR, W), "wm==bound must WITHHOLD (strict <)"
+    # whole-ms click 1 ms below: emit
+    assert probe("m1ms", wm - HOUR - 1000, W), "1ms below must emit"
+    # sub-ms click 1 us below the µs-exact boundary: ceil rounds it back
+    # to the boundary -> withhold (the case a µs-precision oracle gets wrong)
+    assert not probe("m1us", wm - HOUR - 1, W), "1us below must WITHHOLD (ms ceil)"
+    # sub-ms ceil discriminators: c+1h = wm-1ms-1us emits (ceil lands
+    # 1 ms clear), c+1h = wm-999us is withheld (ceil lands ON wm)
+    assert probe("ceilA", wm - HOUR - 1000 - 1, W)
+    assert not probe("ceilB", wm - HOUR - 999, W)
+    # watermark-floor discriminator: purchase max carries +999 us; a
+    # whole-ms click whose c+1h equals the FLOORED wm must be withheld
+    # (an unfloored watermark would emit it)
+    assert not probe("floorC", wm - HOUR, W + 999)
+
+
 def test_stream_equals_batch_tumbling(spark):
     """availableNow streaming result == batch computation on the same
     data (the §2.11 equivalence that underpins the oracle checks)."""
