@@ -60,15 +60,15 @@ def _modules():
 # before anything new is registered. The full three-round plan is pinned
 # below as data (_WINDOW_R06 / _WINDOW_R07 / _WINDOW_R08) and
 # held_queries() derives the outstanding set — no hand-synced prose list.
-# ROUND 14 STATUS: _WINDOW_R13 (pinned in round 13) is the ACTIVE
-# window; all_queries() leads with it. It leads with the three
-# mid-r13 oracle upgrades (q_approx_cd, q_pq_ann, q_stream_watermark
-# — SURVEY §2.40) whose value-exact oracles postdate their last
-# driver rows — all three get their FIRST rows+schema+hash rows this
-# round — then rotates the 16 remaining r6 greens and the 31
-# alphabetically-first r7 greens.
+# ROUND 15 STATUS: _WINDOW_R14 (pinned in round 14) is the ACTIVE
+# window; all_queries() leads with it. It leads with the 17-query
+# r7-vintage staleness cohort (the oldest driver rows in the
+# registry — q_pca_power, q_theilsen, q_spearman, q_wilcoxon,
+# q_stream_join_outer et al.; note q_stream_join_outer's r14
+# eviction-boundary oracle recalibration makes its refresh doubly
+# valuable), then the 33 alphabetically-first r9 greens.
 # Backlog: NONE — held_queries() returns [].
-# _WINDOW_R14 below pins the next rotation, derived by
+# _WINDOW_R15 below pins the next rotation, derived by
 # scripts/window_plan.py.
 #
 # Every oracle-backed entry is local DuckDB-parity green at
@@ -800,6 +800,71 @@ _WINDOW_R14_ROWS_ONLY = [
     "q_pca_power",
 ]
 
+# Round-15 window, pinned in round 15 (derived by
+# scripts/window_plan.py after _WINDOW_R14 went active): rotation-only
+# re-greens — the 11 remaining r9-vintage names (alphabetically after
+# the 33 the r14 window took), then the 39 alphabetically-first
+# r10-vintage names. Every entry is oracle-backed: the rows-only pin
+# below is EMPTY for the first time since the windows began.
+_WINDOW_R15 = [
+    # r9 remainder (last 11 of the r9 cohort, alphabetical)
+    "q_ngram_jaccard",
+    "q_partition_quality",
+    "q_quality_score",
+    "q_resolution_sweep",
+    "q_rolling_median",
+    "q_sample_stratified",
+    "q_sim_topk",
+    "q_text_tokens",
+    "q_tfidf",
+    "q_token_count",
+    "q_winsorize",
+    # r10 greens, alphabetical, first 39 (11 + 39 = 50)
+    "q_adamic_adar",
+    "q_assortativity",
+    "q_betweenness",
+    "q_bfs_hops",
+    "q_bm25",
+    "q_chunk_sliding",
+    "q_closeness",
+    "q_clustering_coeff",
+    "q_contamination",
+    "q_degree_dist",
+    "q_doc_fingerprint",
+    "q_dup_clusters",
+    "q_eigenvector",
+    "q_embedding_centroid",
+    "q_embedding_normalize",
+    "q_funnel",
+    "q_fuzzy_join",
+    "q_jaccard_nodes",
+    "q_join_bucketed",
+    "q_kmeans",
+    "q_length_filter",
+    "q_merge_upsert",
+    "q_ngram_counts",
+    "q_pack_sequences",
+    "q_personalized_pagerank",
+    "q_pii_scrub",
+    "q_pyds_arrow_read",
+    "q_pyds_pushdown",
+    "q_pyds_read",
+    "q_pyds_stream",
+    "q_pyds_write",
+    "q_repetition_ratio",
+    "q_retention_cohort",
+    "q_rollup_time",
+    "q_salted_join",
+    "q_sample_hash",
+    "q_scc",
+    "q_scd2_intervals",
+    "q_sessionize",
+]
+
+# Rows-only-by-contract entries inside the R15 window: NONE — all 50
+# names carry value-exact DuckDB oracles.
+_WINDOW_R15_ROWS_ONLY: list[str] = []
+
 # Every query name that has appeared in a driver CORRECTNESS window,
 # rounds 1-5 (= union of CORRECTNESS_r0{1..5}.json keys; 193 names).
 # Frozen history — append-only as windows run.
@@ -873,10 +938,10 @@ def all_queries() -> dict[str, QueryFn]:
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         merged.update(mod.QUERIES)
-    missing = [n for n in _WINDOW_R13 if n not in merged]
+    missing = [n for n in _WINDOW_R14 if n not in merged]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R13}
+    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R14}
     out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
 
@@ -900,6 +965,7 @@ def held_queries() -> list[str]:
         | set(_WINDOW_R12)
         | set(_WINDOW_R13)
         | set(_WINDOW_R14)
+        | set(_WINDOW_R15)
     )
     return sorted(n for n in all_queries() if n not in windowed)
 

@@ -1,0 +1,287 @@
+"""Boundary-calibration probes for the streaming oracles (r15).
+
+The r14 eviction-boundary find (ORACLE_STREAM_JOIN_OUTER: Spark's
+event-time machinery is ms-precision with ASYMMETRIC rounding) proved
+the class is real: any oracle that compares event time against a
+watermark, window edge, or gap boundary may silently disagree with the
+engine inside a sub-ms band, and fixture timestamps carry sub-ms µs.
+This tool extends the same crafted ±1 ms / ±1 µs probe treatment to
+every remaining streaming oracle and prints the engine's observed
+decision at each point, so the rule can be pinned in
+tests/test_streaming.py and receipted in SURVEY §2.45.
+
+Probe inventory (one per boundary class; the queries sharing a class
+inherit the receipt):
+
+  P1  tumbling-window ASSIGNMENT edge — is `F.window(ts, '1 hour')`
+      pure µs arithmetic with [start, end) semantics, or does the ms
+      machinery leak into assignment?  Probes: hour edge −1 µs / exact
+      / +1 µs, plus a sub-ms straddle.  Consumers: q_stream_tumbling,
+      q_stream_sliding, q_stream_topk, q_stream_metrics,
+      q_stream_watermark (window term), their oracles' `ts_us % width`.
+  P2  session GAP edge — `session_window(ts, '30 minutes')`: does an
+      event at exactly last+gap start a NEW session (oracle's `>=`),
+      and is the emitted session end exactly last+gap at µs precision
+      (oracle's MAX(ts_us)+GAP)?  Probes: gap −1 µs / exact / +1 µs,
+      sub-ms event end.  Consumer: q_stream_session.
+  P3  stream-stream INNER join range bound — are the join-condition
+      comparisons µs-exact (`>=`/`<=` on TimestampType), i.e. the ms
+      rounding is confined to the state-cleanup/watermark predicates
+      probed in r14?  Probes: purchase at click+1h −1 µs / exact /
+      +1 µs.  Consumer: q_stream_stream_join (and the matched half of
+      q_stream_join_outer).
+  P4  dropDuplicatesWithinWatermark horizon — informational two-batch
+      probe: batch 1 advances the watermark; batch 2 replays a key
+      whose state expired below the watermark.  The ORACLE does not
+      depend on this (single-file staging ⇒ single batch ⇒ global
+      DISTINCT); the probe documents what multi-batch staging would
+      change.  Consumer: q_stream_dedup's scoping receipt.
+
+Usage:  python scripts/probe_stream_boundaries.py
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from louvain_modularity_spark.session import get_spark  # noqa: E402
+from louvain_modularity_spark.streaming import run_to_table  # noqa: E402
+
+HOUR_US = 3_600_000_000
+GAP_US = 1_800_000_000
+BASE_US = 1_000 * HOUR_US  # away from the epoch edge
+
+
+def _stream(spark, src: str, schema: str):
+    ev = spark.readStream.schema(schema).parquet(src)
+    return ev.withColumn("ts_ltz", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _write(spark, src: str, rows, schema: str):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+
+def probe_window_assignment(spark, root: str) -> None:
+    print("== P1: tumbling window assignment edge (F.window, 1 hour) ==")
+    schema = "event_id LONG, ts LONG, user_id LONG"
+    cases = {
+        "edge-1us": BASE_US + HOUR_US - 1,
+        "edge": BASE_US + HOUR_US,
+        "edge+1us": BASE_US + HOUR_US + 1,
+        "subms(+999us)": BASE_US + HOUR_US + 999,
+    }
+    for name, ts_us in cases.items():
+        src = f"{root}/p1_{name.replace('+', 'p').replace('(', '').replace(')', '')}"
+        _write(spark, src, [(1, ts_us * 1000, 1)], schema)
+        agg = (
+            _stream(spark, src, schema)
+            .withWatermark("ts_ltz", "10 minutes")
+            .groupBy(F.window("ts_ltz", "1 hour"))
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.unix_micros("window.start").alias("ws"),
+                F.unix_micros("window.end").alias("we"),
+            )
+        )
+        r = run_to_table(spark, agg, "complete").collect()[0]
+        oracle_ws = ts_us - ts_us % HOUR_US
+        print(
+            f"  ts=BASE+1h{name[4:] or '+0'}: engine window=[{r['ws'] - BASE_US:+d}us,"
+            f" {r['we'] - BASE_US:+d}us) rel BASE; oracle ws offset"
+            f" {oracle_ws - BASE_US:+d}us -> {'AGREE' if r['ws'] == oracle_ws else 'DISAGREE'}"
+        )
+
+
+def probe_session_gap(spark, root: str) -> None:
+    print("== P2: session_window gap edge (30 minutes) ==")
+    schema = "event_id LONG, ts LONG, user_id LONG"
+    cases = {
+        "gap-1us": GAP_US - 1,
+        "gap": GAP_US,
+        "gap+1us": GAP_US + 1,
+    }
+    for name, diff in cases.items():
+        src = f"{root}/p2_{name.replace('+', 'p')}"
+        t0, t1 = BASE_US, BASE_US + diff
+        _write(spark, src, [(1, t0 * 1000, 7), (2, t1 * 1000, 7)], schema)
+        agg = (
+            _stream(spark, src, schema)
+            .withWatermark("ts_ltz", "10 minutes")
+            .groupBy(F.session_window("ts_ltz", "30 minutes"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.unix_micros("session_window.start").alias("ss"),
+                F.unix_micros("session_window.end").alias("se"),
+                "n",
+            )
+        )
+        rows = sorted(
+            run_to_table(spark, agg, "complete").collect(), key=lambda r: r["ss"]
+        )
+        ends = [(r["ss"] - BASE_US, r["se"] - BASE_US, r["n"]) for r in rows]
+        # oracle rule: new session iff diff >= gap; end = last + gap
+        oracle_sessions = 2 if diff >= GAP_US else 1
+        print(
+            f"  diff=gap{name[3:] or '+0'}: engine {len(rows)} session(s)"
+            f" {ends} (us rel BASE); oracle {oracle_sessions} ->"
+            f" {'AGREE' if len(rows) == oracle_sessions else 'DISAGREE'}"
+        )
+    # sub-ms session end: single event with +999 µs — end must be
+    # ts+gap at µs precision for the oracle's MAX(ts_us)+GAP to hold
+    src = f"{root}/p2_subms"
+    t0 = BASE_US + 999
+    _write(spark, src, [(1, t0 * 1000, 7)], schema)
+    agg = (
+        _stream(spark, src, schema)
+        .withWatermark("ts_ltz", "10 minutes")
+        .groupBy(F.session_window("ts_ltz", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros("session_window.start").alias("ss"),
+            F.unix_micros("session_window.end").alias("se"),
+        )
+    )
+    r = run_to_table(spark, agg, "complete").collect()[0]
+    exact = (r["ss"], r["se"]) == (t0, t0 + GAP_US)
+    print(
+        f"  sub-ms end: start off {r['ss'] - t0:+d}us, end off"
+        f" {r['se'] - (t0 + GAP_US):+d}us from (ts, ts+gap) ->"
+        f" {'US-EXACT' if exact else 'ROUNDED'}"
+    )
+
+
+def probe_inner_join_range(spark, root: str) -> None:
+    print("== P3: stream-stream INNER join range bound (click+1h) ==")
+    schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING"
+    cases = {
+        "bound-1us": HOUR_US - 1,
+        "bound": HOUR_US,
+        "bound+1us": HOUR_US + 1,
+        "bound(subms click +999us)": None,  # handled below
+    }
+    for name, diff in cases.items():
+        src = f"{root}/p3_{name.replace('+', 'p').replace('(', '').replace(')', '').replace(' ', '_')}"
+        if diff is None:
+            c_us, p_us = BASE_US + 999, BASE_US + 999 + HOUR_US
+        else:
+            c_us, p_us = BASE_US, BASE_US + diff
+        rows = [
+            (1, c_us * 1000, 10, "click"),
+            (2, p_us * 1000, 10, "purchase"),
+        ]
+        _write(spark, src, rows, schema)
+        ev = _stream(spark, src, schema)
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts_ltz").alias("click_ltz"),
+            )
+            .withWatermark("click_ltz", "10 minutes")
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts_ltz").alias("purchase_ltz"),
+            )
+            .withWatermark("purchase_ltz", "10 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user_id AND purchase_ltz >= click_ltz AND "
+                "purchase_ltz <= click_ltz + INTERVAL 1 HOUR"
+            ),
+        )
+        n = run_to_table(spark, joined, "append").count()
+        oracle = 1 if (p_us - c_us) <= HOUR_US else 0
+        print(
+            f"  purchase at click+{name}: engine matches={n}, oracle"
+            f" {oracle} -> {'AGREE' if n == oracle else 'DISAGREE'}"
+        )
+
+
+def probe_dedup_horizon(spark, root: str) -> None:
+    print("== P4: dropDuplicatesWithinWatermark two-batch horizon (informational) ==")
+    schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING"
+    src, ckpt = f"{root}/p4_src", f"{root}/p4_ckpt"
+    # batch 1: key (7, click) at BASE, plus a row far ahead that will
+    # advance the watermark well past BASE+10min at batch-2 planning
+    _write(
+        spark,
+        src,
+        [
+            (1, BASE_US * 1000, 7, "click"),
+            (2, (BASE_US + 5 * HOUR_US) * 1000, 8, "view"),
+        ],
+        schema,
+    )
+    emitted: list[tuple[int, str]] = []
+
+    def _run():
+        dd = (
+            _stream(spark, src, schema)
+            .withWatermark("ts_ltz", "10 minutes")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        q = (
+            dd.writeStream.foreachBatch(
+                lambda df, _bid: emitted.extend(
+                    (r["user_id"], r["event_type"]) for r in df.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run()
+    first = list(emitted)
+    # batch 2: REPLAY key (7, click) with a fresh in-watermark ts —
+    # its batch-1 state row expired below the advanced watermark, so
+    # a second emission is expected (at-least-once across horizons)
+    spark.createDataFrame(
+        [(3, (BASE_US + 5 * HOUR_US) * 1000, 7, "click")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run()
+    dup = emitted.count((7, "click"))
+    print(
+        f"  batch1 emitted {sorted(first)}; after horizon replay key"
+        f" (7,click) emitted {dup}x total -> "
+        + (
+            "re-emits once state expires (multi-batch staging would "
+            "BREAK the DISTINCT oracle; single-file staging receipt "
+            "stands)"
+            if dup > 1
+            else "suppressed even across the horizon (stronger than "
+            "documented; DISTINCT oracle safe either way under "
+            "single-batch staging)"
+        )
+    )
+
+
+def main() -> int:
+    spark = get_spark()
+    with tempfile.TemporaryDirectory(dir="/root/repo/.tmp") as root:
+        probe_window_assignment(spark, root)
+        probe_session_gap(spark, root)
+        probe_inner_join_range(spark, root)
+        probe_dedup_horizon(spark, root)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -46,26 +46,26 @@ def test_documented_counts_match_registry():
     )
 
 
-def test_r13_window_leads_registry():
+def test_r14_window_leads_registry():
     """The driver checks the first 50 registry entries; the pinned
-    round-13 window must lead the iteration order: the three mid-r13
-    oracle upgrades first (q_approx_cd, q_pq_ann, q_stream_watermark —
-    value-exact oracles postdate their last driver rows, so their
-    first hash rows land this round), then 47 staleness re-greens
-    (16 r6 + 31 r7). Every entry must be oracle-backed EXCEPT the
-    pinned rows-only set (BPE encoding)."""
+    round-14 window must lead the iteration order: the 17-query
+    r7-vintage staleness cohort first (the oldest driver rows in the
+    registry), then the 33 alphabetically-first r9 greens. Every
+    entry must be oracle-backed EXCEPT the pinned rows-only set
+    (the Louvain family's in-driver tails, PCA's numpy-eigh golden,
+    approx_quantile's GK rejection receipt)."""
     from louvain_modularity_spark.registry import (
-        _WINDOW_R13,
-        _WINDOW_R13_ROWS_ONLY,
+        _WINDOW_R14,
+        _WINDOW_R14_ROWS_ONLY,
     )
 
     q, o = all_queries(), all_oracles()
-    assert list(q)[: len(_WINDOW_R13)] == _WINDOW_R13
-    assert len(_WINDOW_R13) == 50 == len(set(_WINDOW_R13))
-    not_backed = [n for n in _WINDOW_R13 if n not in o]
-    assert sorted(not_backed) == sorted(_WINDOW_R13_ROWS_ONLY), (
+    assert list(q)[: len(_WINDOW_R14)] == _WINDOW_R14
+    assert len(_WINDOW_R14) == 50 == len(set(_WINDOW_R14))
+    not_backed = [n for n in _WINDOW_R14 if n not in o]
+    assert sorted(not_backed) == sorted(_WINDOW_R14_ROWS_ONLY), (
         f"unplanned rows-only queries in driver window: "
-        f"{sorted(set(not_backed) - set(_WINDOW_R13_ROWS_ONLY))}"
+        f"{sorted(set(not_backed) - set(_WINDOW_R14_ROWS_ONLY))}"
     )
 
 
@@ -221,6 +221,31 @@ def test_backlog_empty_after_r10_window():
     assert sorted(n for n in _WINDOW_R14 if n not in all_oracles()) == sorted(
         _WINDOW_R14_ROWS_ONLY
     ), "r14 rows-only pin out of sync with the registry's oracle map"
+    # r15 plan shape: rotation-only (no r15 registrations), 50
+    # distinct, disjoint from r14, every name a previously-windowed
+    # re-green: 11 r9 remainders + 39 alphabetically-first r10 names;
+    # all 50 oracle-backed (first empty rows-only pin)
+    from louvain_modularity_spark.registry import (
+        _WINDOW_R15,
+        _WINDOW_R15_ROWS_ONLY,
+    )
+
+    assert len(_WINDOW_R15) == 50 == len(set(_WINDOW_R15))
+    assert not set(_WINDOW_R15) & set(_WINDOW_R14)
+    unknown_r15 = set(_WINDOW_R15) - set(all_queries())
+    assert not unknown_r15, f"r15 window names not registered: {sorted(unknown_r15)}"
+    assert set(_WINDOW_R15) <= (
+        _EVER_WINDOWED_PRE_R06
+        | set(_WINDOW_R06)
+        | set(_WINDOW_R07)
+        | set(_WINDOW_R08)
+        | set(_WINDOW_R09)
+        | set(_WINDOW_R10)
+    )
+    assert sorted(n for n in _WINDOW_R15 if n not in all_oracles()) == sorted(
+        _WINDOW_R15_ROWS_ONLY
+    ), "r15 rows-only pin out of sync with the registry's oracle map"
+    assert _WINDOW_R15_ROWS_ONLY == []
     assert len(_WINDOW_R07) == 50 == len(set(_WINDOW_R07))
     assert len(_WINDOW_R08) == 50 == len(set(_WINDOW_R08))
     assert not set(_WINDOW_R07) & set(_WINDOW_R08)
