@@ -161,9 +161,17 @@ GROUP BY 1, 2
 
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows per user (30-minute inactivity gap): an event at
-    exactly last + 30min starts a NEW session (window is
-    [first, last + gap))."""
+    """Session windows per user (30-minute inactivity gap). Split rule
+    CALIBRATED by ±1 µs probes (r15, scripts/probe_stream_boundaries.py
+    P2): an event at exactly last + 30min is MERGED into the session —
+    the split is STRICT (diff > gap); sessions merge while
+    next_start <= prev_end = last + gap, and the emitted end is
+    last + gap at full µs precision (no ms rounding anywhere in
+    session assignment/merge). The pre-r15 oracle split at >= — wrong
+    at exact equality, green only because no fixture user has two
+    events exactly 30 min apart (0 pairs at all three scales,
+    measured); pinned by
+    tests/test_streaming.py::test_session_gap_boundary."""
     ev = stream_events(spark, sf_dir)
     agg = (
         ev.withWatermark("ts_ltz", "10 minutes")
@@ -179,12 +187,15 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(spark, agg, "complete")
 
 
+#: split is STRICT > (not >=): Spark merges an event at exactly
+#: last + gap into the session — calibrated r15, see
+#: q_stream_session's docstring and test_session_gap_boundary
 ORACLE_STREAM_SESSION = f"""
 WITH marked AS (
   SELECT user_id, epoch_us(ts) AS ts_us,
          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
-                   >= {GAP_30M_US}
+                   > {GAP_30M_US}
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ),

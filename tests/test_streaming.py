@@ -197,6 +197,145 @@ def test_stream_join_outer_eviction_boundary(spark, tmp_path):
     assert not probe("floorC", wm - HOUR, W + 999)
 
 
+def test_window_assignment_boundary(spark, tmp_path):
+    """Pin the r15 P1 calibration (scripts/probe_stream_boundaries.py):
+    tumbling-window ASSIGNMENT is pure µs arithmetic with [start, end)
+    semantics — an event at exactly the hour edge opens the NEW
+    window, 1 µs before stays in the old one, and sub-ms offsets do
+    not leak the ms event-time machinery into assignment. This is the
+    rule every `ts_us - ts_us % width` oracle term depends on
+    (tumbling / sliding / topk / metrics / watermark)."""
+    from louvain_modularity_spark.streaming import run_to_table
+
+    base = 1_000 * HOUR_US
+
+    def window_start(case: str, ts_us: int) -> int:
+        src = str(tmp_path / f"src_{case}")
+        _write_batch(spark, src, [(1, ts_us * 1000, 1)])
+        agg = (
+            spark.readStream.schema("event_id LONG, ts LONG, user_id LONG")
+            .parquet(src)
+            .withColumn("ts_ltz", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ts_ltz", "10 minutes")
+            .groupBy(F.window("ts_ltz", "1 hour"))
+            .agg(F.count("*").alias("n"))
+            .select(F.unix_micros("window.start").alias("ws"))
+        )
+        return run_to_table(spark, agg, "complete").collect()[0]["ws"]
+
+    assert window_start("below", base + HOUR_US - 1) == base
+    assert window_start("eq", base + HOUR_US) == base + HOUR_US
+    assert window_start("above", base + HOUR_US + 1) == base + HOUR_US
+    assert window_start("subms", base + HOUR_US + 999) == base + HOUR_US
+
+
+def test_session_gap_boundary(spark, tmp_path):
+    """Pin the r15 P2 calibration (scripts/probe_stream_boundaries.py):
+    session_window's split is STRICT — two events exactly 30 min apart
+    MERGE into one session (the pre-r15 oracle split at >=, wrong at
+    exact equality), 30 min + 1 µs splits, and the emitted session end
+    is last + gap at full µs precision (the oracle's MAX(ts_us)+GAP
+    term). If a Spark upgrade flips the merge rule or rounds session
+    ends to ms, this fails loudly and ORACLE_STREAM_SESSION must move
+    with it."""
+    from louvain_modularity_spark.streaming import run_to_table
+
+    base = 1_000 * HOUR_US
+    gap = 1_800_000_000
+
+    def sessions(case: str, ts_list: list[int]) -> list[tuple[int, int, int]]:
+        src = str(tmp_path / f"src_{case}")
+        _write_batch(
+            spark, src, [(i, ts * 1000, 7) for i, ts in enumerate(ts_list)]
+        )
+        agg = (
+            spark.readStream.schema("event_id LONG, ts LONG, user_id LONG")
+            .parquet(src)
+            .withColumn("ts_ltz", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ts_ltz", "10 minutes")
+            .groupBy(F.session_window("ts_ltz", "30 minutes"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.unix_micros("session_window.start").alias("ss"),
+                F.unix_micros("session_window.end").alias("se"),
+                "n",
+            )
+        )
+        return sorted(
+            (r["ss"], r["se"], r["n"])
+            for r in run_to_table(spark, agg, "complete").collect()
+        )
+
+    # exactly gap apart -> ONE merged session ending last+gap
+    assert sessions("eq", [base, base + gap]) == [(base, base + gap + gap, 2)]
+    # 1 µs over the gap -> TWO sessions
+    assert sessions("over", [base, base + gap + 1]) == [
+        (base, base + gap, 1),
+        (base + gap + 1, base + gap + 1 + gap, 1),
+    ]
+    # 1 µs under -> one session
+    assert sessions("under", [base, base + gap - 1]) == [
+        (base, base + gap - 1 + gap, 2)
+    ]
+    # sub-ms event: session bounds stay µs-exact (no ms rounding)
+    assert sessions("subms", [base + 999]) == [(base + 999, base + 999 + gap, 1)]
+
+
+def test_stream_inner_join_range_boundary(spark, tmp_path):
+    """Pin the r15 P3 calibration (scripts/probe_stream_boundaries.py):
+    the stream-stream JOIN CONDITION itself evaluates at full µs
+    precision — a purchase at exactly click + 1 h matches (inclusive
+    <=), at +1 h + 1 µs does not, and a sub-ms click keeps the bound
+    µs-exact. The r14 ms-rounding machinery is confined to the
+    watermark/state-cleanup side (probed separately by
+    test_stream_join_outer_eviction_boundary); ORACLE_STREAM_STREAM_JOIN
+    and the matched half of ORACLE_STREAM_JOIN_OUTER rely on the
+    µs-exact rule pinned here."""
+    from louvain_modularity_spark.streaming import run_to_table
+
+    base = 1_000 * HOUR_US
+
+    def matches(case: str, c_us: int, p_us: int) -> int:
+        src = str(tmp_path / f"src_{case}")
+        rows = [(1, c_us * 1000, 10, "click"), (2, p_us * 1000, 10, "purchase")]
+        spark.createDataFrame(
+            rows, "event_id LONG, ts LONG, user_id LONG, event_type STRING"
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        ev = (
+            spark.readStream.schema(
+                "event_id LONG, ts LONG, user_id LONG, event_type STRING"
+            )
+            .parquet(src)
+            .withColumn("ts_ltz", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select("user_id", F.col("ts_ltz").alias("click_ltz"))
+            .withWatermark("click_ltz", "10 minutes")
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts_ltz").alias("purchase_ltz"),
+            )
+            .withWatermark("purchase_ltz", "10 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user_id AND purchase_ltz >= click_ltz AND "
+                "purchase_ltz <= click_ltz + INTERVAL 1 HOUR"
+            ),
+        )
+        return run_to_table(spark, joined, "append").count()
+
+    assert matches("eq", base, base + HOUR_US) == 1
+    assert matches("over", base, base + HOUR_US + 1) == 0
+    assert matches("under", base, base + HOUR_US - 1) == 1
+    assert matches("subms", base + 999, base + 999 + HOUR_US) == 1
+
+
 def test_stream_equals_batch_tumbling(spark):
     """availableNow streaming result == batch computation on the same
     data (the §2.11 equivalence that underpins the oracle checks)."""
