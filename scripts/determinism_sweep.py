@@ -248,6 +248,40 @@ def sweep(spark, names=None, verbose: bool = True, sf_dir: str = SF_DIR) -> dict
     }
 
 
+# Lane B of the standing invariance protocol (SCALE §7, r15): the
+# DRIVER-TAIL family — every query whose plan consumes a multi-row
+# collect/toPandas in driver-side Python (the layout-sensitivity bug
+# class the sf0.001 net provably missed in r14), plus the declared
+# rows-only set. Run per round at the driver-compare scale:
+#   python scripts/determinism_sweep.py --lane-b
+# Re-derive when a new collect site lands:
+#   grep -rn 'toPandas()\|\.collect()' louvain_modularity_spark/
+# keeping multi-row consumers (scalar 1-row aggregates stay out).
+LANE_B = [
+    # declared rows-only (sequential driver tails / sketch receipts)
+    "q_louvain_communities",
+    "q_louvain_dendrogram",
+    "q_louvain_directed",
+    "q_louvain_distributed",
+    "q_leiden_refine",
+    "q_bpe_learn",
+    "q_bpe_encode",
+    "q_pca_power",
+    "q_mst_boruvka",
+    "q_approx_quantile",
+    "q_hll_sketch",
+    # SQL-green queries with multi-row driver collects
+    "q_pq_ann",  # codebook training sample
+    "q_kmeans",  # training-sample collect
+    "q_dup_clusters",  # edge collect -> driver connected components
+    "q_betweenness_sampled",  # source-id collect
+    "q_dbscan",  # bounded union-find tail
+    # synchronized-round twins of the louvain family
+    "q_louvain_one_level",
+    "q_label_propagation",
+]
+
+
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
@@ -260,7 +294,14 @@ def main() -> int:
         i = argv.index("--sf-dir")
         sf_dir = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    lane_b = "--lane-b" in argv
+    if lane_b:
+        argv.remove("--lane-b")
+        if sf_dir == SF_DIR:  # lane B's whole point is the gate scale
+            sf_dir = "/root/testdata/sf0.01"
     names = [a for a in argv if not a.startswith("--")]
+    if lane_b:
+        names = LANE_B + names
     spark = get_spark("determinism-sweep")
     summary = sweep(spark, names or None, sf_dir=sf_dir)
     results = summary.pop("results")
