@@ -607,3 +607,78 @@ def test_grid_join_pair_set_matches_brute_nonempty(spark):
         f"pair-set mismatch: {len(got - want)} grid-only, "
         f"{len(want - got)} brute-only of {len(want)}"
     )
+
+
+def test_join_asof_equality_boundary(spark):
+    """Pin the r15 batch boundary calibration (SURVEY §2.45): the asof
+    rule at EXACT timestamp equality is INCLUSIVE in both engines —
+    Spark's window construction (q_join_asof orders by (ts_us,
+    is_purchase) with clicks=0 sorting before purchases=1, so an
+    equal-ts click is visible to the running last()) and DuckDB's
+    native ASOF LEFT JOIN with `p.ts >= c.ts`. The fixture has ZERO
+    same-user equal-ts click/purchase pairs at all three scales
+    (measured), so without this pin the agreement would be unexercised
+    fixture luck — the q_stream_session landmine class. Three probe
+    points: exact equality (match), click 1 µs after (no match),
+    click 1 µs before (match)."""
+    import duckdb
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    data = [
+        (1, 1_000_000_000_000, 7, "click"),
+        (2, 1_000_000_000_000, 7, "purchase"),  # equality
+        (3, 2_000_000_000_001, 8, "click"),
+        (4, 2_000_000_000_000, 8, "purchase"),  # click 1 µs after
+        (5, 3_000_000_000_000, 9, "click"),
+        (6, 3_000_000_000_001, 9, "purchase"),  # click 1 µs before
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id LONG, ts_us LONG, user_id LONG, event_type STRING"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", F.lit(1).alias("is_purchase")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("is_purchase"),
+    )
+    merged = purchases.unionByName(clicks).withColumn(
+        "click_ts_us",
+        F.last(
+            F.when(F.col("is_purchase") == 0, F.col("ts_us")), ignorenulls=True
+        ).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "is_purchase")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    got = {
+        r["user_id"]: r["click_ts_us"]
+        for r in merged.filter(F.col("is_purchase") == 1).collect()
+    }
+    want = {7: 1_000_000_000_000, 8: None, 9: 3_000_000_000_000}
+    assert got == want, f"spark asof rule drifted: {got}"
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE events AS SELECT * FROM (VALUES
+           (1, make_timestamp(1000000000000), 7, 'click'),
+           (2, make_timestamp(1000000000000), 7, 'purchase'),
+           (3, make_timestamp(2000000000001), 8, 'click'),
+           (4, make_timestamp(2000000000000), 8, 'purchase'),
+           (5, make_timestamp(3000000000000), 9, 'click'),
+           (6, make_timestamp(3000000000001), 9, 'purchase')
+         ) t(event_id, ts, user_id, event_type)"""
+    )
+    duck = dict(
+        con.execute(
+            """SELECT p.user_id, epoch_us(c.ts)
+               FROM (SELECT * FROM events WHERE event_type='purchase') p
+               ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+                 ON p.user_id = c.user_id AND p.ts >= c.ts"""
+        ).fetchall()
+    )
+    assert duck == want, f"duckdb ASOF rule drifted: {duck}"
