@@ -268,3 +268,130 @@ def test_xxh64_sql_layers_match_python(vals, seed):
         exp_l = _xxh64_long(int(v), seed) % M64
         assert int(hl) == exp_l, (v, seed, "long lane")
         assert int(hi) == _xxh64_int_unsigned(7, exp_l), (v, seed, "int lane")
+
+
+# timestamps on a coarse grid so exact-gap collisions (the r15
+# calibration's boundary case) are GENERATED, not astronomically rare:
+# values are multiples of GAP/2 plus occasional ±1 µs jitter
+_GAP_US = 1_800_000_000
+_ts_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.integers(0, 12),  # half-gap steps
+        st.sampled_from([-1, 0, 0, 0, 1]),  # µs jitter, biased to exact
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_SETTINGS
+@given(raw=_ts_strategy)
+def test_session_window_matches_calibrated_sweep(spark, raw):
+    """Property form of the r15 session-gap calibration
+    (SURVEY §2.45): Spark's session_window on ARBITRARY small inputs —
+    including generated exact-gap collisions, duplicate timestamps,
+    and ±1 µs jitter — must equal a pure-Python sweep implementing
+    the calibrated rule: events merge while next − last <= gap
+    (STRICT split), session end = last + gap, all at µs precision.
+    Batch session_window shares the streaming expression, so this
+    generalizes the 4-point boundary pin to randomized inputs."""
+    import pyspark.sql.functions as F
+
+    base = 1_000_000_000_000
+    rows = [
+        (u, base + step * (_GAP_US // 2) + jit) for (u, step, jit) in raw
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts_us LONG")
+    got = sorted(
+        (r["user_id"], r["ss"], r["se"], r["n"])
+        for r in df.withColumn("ts_ltz", F.timestamp_micros("ts_us"))
+        .groupBy(F.session_window("ts_ltz", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("ss"),
+            F.unix_micros("session_window.end").alias("se"),
+            "n",
+        )
+        .collect()
+    )
+    # pure-Python calibrated sweep
+    want = []
+    by_user: dict[int, list[int]] = {}
+    for u, ts in rows:
+        by_user.setdefault(u, []).append(ts)
+    for u, tss in by_user.items():
+        tss.sort()
+        start, last, n = tss[0], tss[0], 1
+        for ts in tss[1:]:
+            if ts - last > _GAP_US:  # STRICT split (merge at exact gap)
+                want.append((u, start, last + _GAP_US, n))
+                start, n = ts, 0
+            last = ts
+            n += 1
+        want.append((u, start, last + _GAP_US, n))
+    assert got == sorted(want), f"\ngot  {got}\nwant {sorted(want)}"
+
+
+_asof_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.integers(0, 20),  # µs step on a tiny grid -> frequent ties
+        st.booleans(),  # is_purchase
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@_SETTINGS
+@given(raw=_asof_strategy)
+def test_join_asof_matches_reference(spark, raw):
+    """Property form of the r15 asof equality pin: q_join_asof's
+    window construction on ARBITRARY small inputs — tiny timestamp
+    grid so equal-ts click/purchase pairs and duplicate timestamps
+    are generated constantly — must equal the reference rule: each
+    purchase takes the latest click with click_ts <= purchase_ts
+    (INCLUSIVE at equality), NULL when none precedes."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    base = 1_000_000_000_000
+    rows = [
+        (i + 1, base + step, u, "purchase" if p else "click")
+        for i, (u, step, p) in enumerate(raw)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts_us LONG, user_id LONG, event_type STRING"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", F.lit(1).alias("is_purchase")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("is_purchase"),
+    )
+    merged = purchases.unionByName(clicks).withColumn(
+        "click_ts_us",
+        F.last(
+            F.when(F.col("is_purchase") == 0, F.col("ts_us")), ignorenulls=True
+        ).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "is_purchase")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    got = {
+        r["event_id"]: r["click_ts_us"]
+        for r in merged.filter(F.col("is_purchase") == 1).collect()
+    }
+    want = {}
+    for eid, ts, u, et in rows:
+        if et != "purchase":
+            continue
+        cands = [t for (_e, t, uu, ee) in rows if uu == u and ee == "click" and t <= ts]
+        want[eid] = max(cands) if cands else None
+    assert got == want, f"\ngot  {got}\nwant {want}"
