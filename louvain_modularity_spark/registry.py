@@ -60,15 +60,14 @@ def _modules():
 # before anything new is registered. The full three-round plan is pinned
 # below as data (_WINDOW_R06 / _WINDOW_R07 / _WINDOW_R08) and
 # held_queries() derives the outstanding set — no hand-synced prose list.
-# ROUND 15 STATUS: _WINDOW_R14 (pinned in round 14) is the ACTIVE
-# window; all_queries() leads with it. It leads with the 17-query
-# r7-vintage staleness cohort (the oldest driver rows in the
-# registry — q_pca_power, q_theilsen, q_spearman, q_wilcoxon,
-# q_stream_join_outer et al.; note q_stream_join_outer's r14
-# eviction-boundary oracle recalibration makes its refresh doubly
-# valuable), then the 33 alphabetically-first r9 greens.
+# ROUND 16 STATUS: _WINDOW_R15 (pinned in round 15) is the ACTIVE
+# window; all_queries() leads with it. It is the first window with an
+# EMPTY rows-only pin: the 11 remaining r9-vintage names (q_ngram_jaccard,
+# q_sim_topk, q_text_tokens, q_tfidf et al.), then the 39
+# alphabetically-first r10 greens — the oldest driver rows in the
+# registry after the r15 window ran.
 # Backlog: NONE — held_queries() returns [].
-# _WINDOW_R15 below pins the next rotation, derived by
+# _WINDOW_R16 below pins the next rotation, derived by
 # scripts/window_plan.py.
 #
 # Every oracle-backed entry is local DuckDB-parity green at
@@ -865,6 +864,74 @@ _WINDOW_R15 = [
 # names carry value-exact DuckDB oracles.
 _WINDOW_R15_ROWS_ONLY: list[str] = []
 
+# Round-16 window, pinned in round 16 (derived by
+# scripts/window_plan.py after _WINDOW_R15 went active): rotation-only
+# re-greens — the 10 remaining r10-vintage names (alphabetically after
+# the 39 the r15 window took), then the 40 alphabetically-first
+# r11-vintage names. One rows-only entry: q_hll_sketch (oracle REJECTED
+# with a measured receipt, SURVEY §2.33 — coupon-collision landmine).
+_WINDOW_R16 = [
+    # r10 remainder (last 10 of the r10 cohort, alphabetical)
+    "q_sssp_weighted",
+    "q_stopword_remove",
+    "q_stream_file_sink",
+    "q_stream_foreach_batch",
+    "q_token_vocab",
+    "q_tpch_q10",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q3",
+    "q_udf_pandas",
+    # r11 greens, alphabetical, first 40 (10 + 40 = 50)
+    "q_approx_topk",
+    "q_bipartite_project",
+    "q_entropy_tokens",
+    "q_filtered_agg",
+    "q_fn_date",
+    "q_fn_json",
+    "q_fn_map",
+    "q_fn_variant",
+    "q_gap_fill",
+    "q_harmonic_centrality",
+    "q_hll_sketch",
+    "q_join_asof",
+    "q_join_theta_range",
+    "q_latest_per_key",
+    "q_pagerank",
+    "q_pmi_cooccur",
+    "q_read_csv",
+    "q_read_json",
+    "q_read_orc",
+    "q_read_text_log",
+    "q_robust_scale",
+    "q_rolling_7d",
+    "q_semdedup",
+    "q_stats_agg",
+    "q_stream_dedup",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_stateful_count",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_tumbling",
+    "q_string_agg",
+    "q_time_weighted_avg",
+    "q_tpch_q1",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q19",
+    "q_tpch_q2",
+]
+
+# Rows-only-by-contract entries inside the R16 window: q_hll_sketch
+# only (HLL++ register-layout sketch; the exact-regime oracle was
+# REJECTED in r14 with a measured coupon-collision receipt).
+_WINDOW_R16_ROWS_ONLY = [
+    "q_hll_sketch",
+]
+
 # Every query name that has appeared in a driver CORRECTNESS window,
 # rounds 1-5 (= union of CORRECTNESS_r0{1..5}.json keys; 193 names).
 # Frozen history — append-only as windows run.
@@ -938,10 +1005,10 @@ def all_queries() -> dict[str, QueryFn]:
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         merged.update(mod.QUERIES)
-    missing = [n for n in _WINDOW_R14 if n not in merged]
+    missing = [n for n in _WINDOW_R15 if n not in merged]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R14}
+    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R15}
     out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
 
@@ -966,6 +1033,7 @@ def held_queries() -> list[str]:
         | set(_WINDOW_R13)
         | set(_WINDOW_R14)
         | set(_WINDOW_R15)
+        | set(_WINDOW_R16)
     )
     return sorted(n for n in all_queries() if n not in windowed)
 

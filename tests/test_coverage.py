@@ -46,26 +46,25 @@ def test_documented_counts_match_registry():
     )
 
 
-def test_r14_window_leads_registry():
+def test_r15_window_leads_registry():
     """The driver checks the first 50 registry entries; the pinned
-    round-14 window must lead the iteration order: the 17-query
-    r7-vintage staleness cohort first (the oldest driver rows in the
-    registry), then the 33 alphabetically-first r9 greens. Every
-    entry must be oracle-backed EXCEPT the pinned rows-only set
-    (the Louvain family's in-driver tails, PCA's numpy-eigh golden,
-    approx_quantile's GK rejection receipt)."""
+    round-15 window must lead the iteration order: the 11 remaining
+    r9-vintage names first (the oldest driver rows in the registry),
+    then the 39 alphabetically-first r10 greens. Every entry is
+    oracle-backed — the r15 window is the first with an EMPTY
+    rows-only pin."""
     from louvain_modularity_spark.registry import (
-        _WINDOW_R14,
-        _WINDOW_R14_ROWS_ONLY,
+        _WINDOW_R15,
+        _WINDOW_R15_ROWS_ONLY,
     )
 
     q, o = all_queries(), all_oracles()
-    assert list(q)[: len(_WINDOW_R14)] == _WINDOW_R14
-    assert len(_WINDOW_R14) == 50 == len(set(_WINDOW_R14))
-    not_backed = [n for n in _WINDOW_R14 if n not in o]
-    assert sorted(not_backed) == sorted(_WINDOW_R14_ROWS_ONLY), (
+    assert list(q)[: len(_WINDOW_R15)] == _WINDOW_R15
+    assert len(_WINDOW_R15) == 50 == len(set(_WINDOW_R15))
+    not_backed = [n for n in _WINDOW_R15 if n not in o]
+    assert sorted(not_backed) == sorted(_WINDOW_R15_ROWS_ONLY), (
         f"unplanned rows-only queries in driver window: "
-        f"{sorted(set(not_backed) - set(_WINDOW_R14_ROWS_ONLY))}"
+        f"{sorted(set(not_backed) - set(_WINDOW_R15_ROWS_ONLY))}"
     )
 
 
@@ -246,6 +245,33 @@ def test_backlog_empty_after_r10_window():
         _WINDOW_R15_ROWS_ONLY
     ), "r15 rows-only pin out of sync with the registry's oracle map"
     assert _WINDOW_R15_ROWS_ONLY == []
+    # r16 plan shape: rotation-only (no r16 registrations), 50
+    # distinct, disjoint from r15, every name a previously-windowed
+    # re-green: 10 r10 remainders + 40 alphabetically-first r11 names;
+    # exactly one rows-only entry (q_hll_sketch, oracle rejected with a
+    # measured receipt in r14)
+    from louvain_modularity_spark.registry import (
+        _WINDOW_R16,
+        _WINDOW_R16_ROWS_ONLY,
+    )
+
+    assert len(_WINDOW_R16) == 50 == len(set(_WINDOW_R16))
+    assert not set(_WINDOW_R16) & set(_WINDOW_R15)
+    unknown_r16 = set(_WINDOW_R16) - set(all_queries())
+    assert not unknown_r16, f"r16 window names not registered: {sorted(unknown_r16)}"
+    assert set(_WINDOW_R16) <= (
+        _EVER_WINDOWED_PRE_R06
+        | set(_WINDOW_R06)
+        | set(_WINDOW_R07)
+        | set(_WINDOW_R08)
+        | set(_WINDOW_R09)
+        | set(_WINDOW_R10)
+        | set(_WINDOW_R11)
+    )
+    assert sorted(n for n in _WINDOW_R16 if n not in all_oracles()) == sorted(
+        _WINDOW_R16_ROWS_ONLY
+    ), "r16 rows-only pin out of sync with the registry's oracle map"
+    assert _WINDOW_R16_ROWS_ONLY == ["q_hll_sketch"]
     assert len(_WINDOW_R07) == 50 == len(set(_WINDOW_R07))
     assert len(_WINDOW_R08) == 50 == len(set(_WINDOW_R08))
     assert not set(_WINDOW_R07) & set(_WINDOW_R08)
