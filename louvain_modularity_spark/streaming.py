@@ -216,7 +216,12 @@ GROUP BY user_id, session_id
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on (user_id, event_type) within the
-    watermark; single-batch availableNow ⇒ equals batch DISTINCT."""
+    watermark; single-batch availableNow ⇒ equals batch DISTINCT.
+    The single-batch scoping (staged dir = ONE parquet file ⇒ one
+    availableNow batch ⇒ wm = 0 while every row is deduped) is itself
+    pinned by tests/test_streaming.py::test_single_file_staging_invariant
+    — under multi-batch staging a key replayed past the watermark
+    re-emits and the DISTINCT oracle breaks (§2.45 P4 probe)."""
     ev = stream_events(spark, sf_dir)
     deduped = (
         ev.withWatermark("ts_ltz", "10 minutes")
@@ -384,6 +389,10 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     state-cleanup side rounds up), and Spark's trailing no-data batch
     evicts state up to it; the ±1 µs boundary behavior is pinned by
     tests/test_streaming.py::test_stream_join_outer_eviction_boundary.
+    The rule presumes ALL rows arrive in one availableNow batch (so
+    both per-side maxes are final before any eviction); that staging
+    invariant is pinned by
+    tests/test_streaming.py::test_single_file_staging_invariant.
     Matched rows are the inner-join rows. 100 TB shape: join state is bounded by the watermark ±
     range bound exactly as in q_stream_stream_join; the outer rows
     add no state — eviction emits them as state expires."""
@@ -485,7 +494,11 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     but per-window n_events could undercount — rows below the
     already-advanced watermark are dropped before aggregation. If
     stream_events ever stages multiple files, re-derive (pin
-    maxFilesPerTrigger or drop the oracle). The boundary INclusive
+    maxFilesPerTrigger or drop the oracle) — the staging invariant
+    itself (one file, one data batch) is pinned by
+    tests/test_streaming.py::test_single_file_staging_invariant, so
+    that drift fails a test instead of silently skewing per-window
+    counts. The boundary INclusive
     rule (window_end == watermark → EMITTED) was calibrated
     empirically with a crafted parquet and is pinned by
     tests/test_streaming.py::test_watermark_append_boundary so a

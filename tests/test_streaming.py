@@ -362,3 +362,66 @@ def test_stream_equals_batch_tumbling(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_single_file_staging_invariant(spark):
+    """Guard for the single-batch scoping three oracles rest on (r15
+    verdict, What's wrong #2): ORACLE_STREAM_DEDUP (batch DISTINCT),
+    ORACLE_STREAM_WATERMARK (pure cut — wm = 0 during aggregation) and
+    ORACLE_STREAM_JOIN_OUTER (final-watermark eviction rule) are valid
+    *because* the staged source directory contains exactly ONE parquet
+    file, so trigger(availableNow) ingests ALL data in a single
+    micro-batch (the §2.45 P4 probe SHOWED a replayed key re-emits and
+    late rows drop under multi-batch staging). This test pins the
+    invariant itself at both oracle scales: (a) the staged directory
+    holds exactly one data file after staging, and (b) an availableNow
+    run over it reports exactly one data-carrying micro-batch via the
+    progress API (trailing no-data batches — which DRIVE eviction —
+    are allowed and expected). If stream_events ever stages multiple
+    files or splits the batch, this fails loudly instead of silently
+    invalidating the three oracles' scoping arguments."""
+    import os
+    import uuid
+
+    from louvain_modularity_spark.streaming import (
+        _staged_events_dir,
+        stream_events,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        staged, _sig = _staged_events_dir(sf_dir)
+        data_files = [
+            f
+            for f in os.listdir(staged)
+            if not f.startswith((".", "_"))  # ignore spark/stream metadata
+        ]
+        assert data_files == ["events.parquet"], (
+            f"{staged}: single-file staging invariant broken: {data_files}"
+        )
+
+        ev = stream_events(spark, sf_dir)
+        name = f"staging_guard_{uuid.uuid4().hex[:12]}"
+        q = (
+            ev.groupBy()
+            .count()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.recentProgress
+        data_batches = [
+            p for p in progress if p["numInputRows"] and p["numInputRows"] > 0
+        ]
+        assert len(data_batches) == 1, (
+            f"{sf_dir}: expected exactly one data-carrying micro-batch, "
+            f"got {[(p['batchId'], p['numInputRows']) for p in progress]}"
+        )
+        # and that one batch carried the WHOLE file
+        n_batch = data_batches[0]["numInputRows"]
+        n_total = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+        assert n_batch == n_total, (
+            f"{sf_dir}: single batch ingested {n_batch} of {n_total} rows"
+        )
