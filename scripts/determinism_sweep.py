@@ -290,14 +290,18 @@ def main() -> int:
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     sf_dir = SF_DIR
-    if "--sf-dir" in argv:
+    sf_dir_explicit = "--sf-dir" in argv
+    if sf_dir_explicit:
         i = argv.index("--sf-dir")
         sf_dir = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     lane_b = "--lane-b" in argv
     if lane_b:
         argv.remove("--lane-b")
-        if sf_dir == SF_DIR:  # lane B's whole point is the gate scale
+        # lane B defaults to the gate scale, but an EXPLICIT --sf-dir
+        # wins even when its value equals the sf0.001 default (a
+        # deliberate sf0.001 lane-b run must not be silently redirected)
+        if not sf_dir_explicit:
             sf_dir = "/root/testdata/sf0.01"
     names = [a for a in argv if not a.startswith("--")]
     if lane_b:

@@ -42,6 +42,7 @@ Usage:  python scripts/probe_stream_boundaries.py
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 
@@ -126,8 +127,10 @@ def probe_session_gap(spark, root: str) -> None:
             run_to_table(spark, agg, "complete").collect(), key=lambda r: r["ss"]
         )
         ends = [(r["ss"] - BASE_US, r["se"] - BASE_US, r["n"]) for r in rows]
-        # oracle rule: new session iff diff >= gap; end = last + gap
-        oracle_sessions = 2 if diff >= GAP_US else 1
+        # oracle rule (calibrated r15, ORACLE_STREAM_SESSION): split is
+        # STRICT — new session iff diff > gap (two events exactly one
+        # gap apart MERGE); end = last + gap
+        oracle_sessions = 2 if diff > GAP_US else 1
         print(
             f"  diff=gap{name[3:] or '+0'}: engine {len(rows)} session(s)"
             f" {ends} (us rel BASE); oracle {oracle_sessions} ->"
@@ -275,6 +278,7 @@ def probe_dedup_horizon(spark, root: str) -> None:
 
 def main() -> int:
     spark = get_spark()
+    os.makedirs("/root/repo/.tmp", exist_ok=True)  # gitignored; may not exist on a fresh clone
     with tempfile.TemporaryDirectory(dir="/root/repo/.tmp") as root:
         probe_window_assignment(spark, root)
         probe_session_gap(spark, root)
