@@ -285,7 +285,7 @@ _ts_strategy = st.lists(
 )
 
 
-@_SETTINGS
+@_SETTINGS_ITERATIVE  # full Spark session_window job per example (r16 budget trim)
 @given(raw=_ts_strategy)
 def test_session_window_matches_calibrated_sweep(spark, raw):
     """Property form of the r15 session-gap calibration
@@ -345,7 +345,7 @@ _asof_strategy = st.lists(
 )
 
 
-@_SETTINGS
+@_SETTINGS_ITERATIVE  # full Spark window-join job per example (r16 budget trim)
 @given(raw=_asof_strategy)
 def test_join_asof_matches_reference(spark, raw):
     """Property form of the r15 asof equality pin: q_join_asof's
