@@ -1979,9 +1979,21 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate) plus one broadcast anti-join count for the foreign key.
     Emits one row per constraint with the observed metric and a pass
     flag — the gate a 100 TB ingest runs before publishing a
-    partition; nothing here scales worse than the scan itself."""
+    partition; nothing here scales worse than the scan itself.
+
+    Kernel split out as expectations_frame so crafted-violation inputs
+    are testable: the fixture passes every gate at all scales (r16
+    vacuity audit — the violations column is all-zero), so the
+    violation branch is pinned by
+    tests/test_analytics.py::test_expectations_violation_branch."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
+    return expectations_frame(o, c)
+
+
+def expectations_frame(o: DataFrame, c: DataFrame) -> DataFrame:
+    """The q_expectations suite over caller-supplied orders/customer
+    frames (same five constraints, same output schema)."""
     stats = o.agg(
         F.count("*").alias("n"),
         F.countDistinct("o_orderkey").alias("n_keys"),
@@ -2065,8 +2077,19 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``inline``. The multi-countDistinct expands the scan k ways
     map-side (Spark's Expand), still a single shuffle; swap
     ``approx_count_distinct`` in at extreme scale for the same plan
-    minus the expand."""
+    minus the expand.
+
+    Kernel split out as profile_frame: the fixture has no NULLs in
+    the profiled columns (r16 vacuity audit — n_nulls is all-zero at
+    every scale), so the null-counting branch is pinned on crafted
+    input by tests/test_analytics.py::test_profile_null_branch."""
     e = load(spark, sf_dir, "events")
+    return profile_frame(e)
+
+
+def profile_frame(e: DataFrame) -> DataFrame:
+    """q_profile_columns' one-pass profiler over a caller-supplied
+    events frame (same three profiled columns, same output schema)."""
     agg = e.agg(
         F.count("*").alias("n"),
         F.sum(F.col("event_type").isNull().cast("long")).alias("et_nulls"),

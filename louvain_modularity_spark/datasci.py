@@ -1534,6 +1534,15 @@ def q_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-cardinality categoricals where one-hot explodes.
     """
     c = load(spark, sf_dir, "customer")
+    return one_hot_frame(c)
+
+
+def one_hot_frame(c: DataFrame) -> DataFrame:
+    """q_one_hot's projection over a caller-supplied customer frame.
+    Split out for the r16 vacuity audit: the fixture's segments all
+    belong to the fixed domain, so seg_other is all-zero at every
+    scale — the out-of-domain branch is pinned on crafted input by
+    tests/test_llm_ops.py::test_one_hot_other_branch."""
     cols = [
         (F.col("c_mktsegment") == s).cast("int").alias(f"seg_{s.lower()}")
         for s in ONE_HOT_SEGMENTS

@@ -13,7 +13,15 @@ This sweep runs every DuckDB oracle at sf0.001 AND sf0.01 and flags:
   - two or more rows that are ALL identical — a result with no
     per-key variation verifies almost nothing about the operator
     (registry-wide scan before adding this detector: zero hits, so it
-    landed with an empty adjudication list).
+    landed with an empty adjudication list), or
+  - (r16) a COLUMN whose every value is degenerate at EVERY swept
+    scale — a branch the hash check never exercises (the q_pii_scrub
+    lesson: events.props carry zero emails at all scales, so its
+    n_emails/email-replace branch was vacuously green from r10 to
+    r16). Columns that vary at either scale are exercised and not
+    flagged. Adjudicated entries live in ADJUDICATED_COLUMNS and must
+    name the crafted-input pin (or the reason the constant is the
+    point).
 
 Findings must either be fixed or adjudicated below with a reason the
 emptiness is CORRECT for that fixture (e.g. a data-quality gate that
@@ -51,6 +59,38 @@ ADJUDICATED: dict[str, str] = {
     # (empty until the first sweep run surfaces candidates)
 }
 
+# Adjudicated degenerate COLUMNS (r16 detector): "query.column" -> why
+# the all-degenerate column is correct AND where the branch is pinned
+# non-vacuously. Only listed entries may stay flagged without failing
+# the sweep.
+ADJUDICATED_COLUMNS: dict[str, str] = {
+    "q_pii_scrub.n_emails": (
+        "fixture props carry zero email-shaped substrings at all scales "
+        "(probe_regex_dialect.py P1); branch pinned on crafted input by "
+        "tests/test_dialect.py::test_pii_scrub_email_branch_not_vacuous"
+    ),
+    "q_udf_pandas.diff": (
+        "all-zero IS the assertion: diff = |pandas-UDF norm - builtin "
+        "norm| and the oracle hardcodes 0.0, so any UDF/builtin "
+        "divergence hash-fails; tests/test_llm_ops.py asserts it too"
+    ),
+    "q_expectations.violations": (
+        "the fixture genuinely passes all five quality gates; the "
+        "violation-counting branch is pinned on crafted input by "
+        "tests/test_analytics.py::test_expectations_violation_branch"
+    ),
+    "q_one_hot.seg_other": (
+        "every fixture segment belongs to the fixed one-hot domain; "
+        "the out-of-domain bucket is pinned on crafted input by "
+        "tests/test_llm_ops.py::test_one_hot_other_branch"
+    ),
+    "q_profile_columns.n_nulls": (
+        "the profiled events columns have no NULLs in the fixture; the "
+        "null-counting branch is pinned on crafted input by "
+        "tests/test_analytics.py::test_profile_null_branch"
+    ),
+}
+
 
 def _degenerate(v) -> bool:
     if v is None:
@@ -82,18 +122,30 @@ def sweep() -> dict:
     oracles = all_oracles()
     findings: list[dict] = []
     counts: dict[str, dict[str, int]] = {}
+    # "query.column" -> set of scales where the column was all-degenerate
+    # over a >=2-row result; flagged only when that's EVERY swept scale
+    degen_cols: dict[str, set[str]] = {}
+    col_seen: dict[str, set[str]] = {}
     for sf_name, sf_dir in SF_DIRS.items():
         con = duckdb_con(sf_dir)
         _self_check(con)
         for name, sql in sorted(oracles.items()):
             try:
-                rows = con.execute(sql).fetchall()
+                cur = con.execute(sql)
+                colnames = [c[0] for c in cur.description]
+                rows = cur.fetchall()
             except Exception as exc:  # an oracle that errors is worse than vacuous
                 findings.append(
                     {"query": name, "sf": sf_name, "kind": "error", "detail": str(exc)[:200]}
                 )
                 continue
             counts.setdefault(name, {})[sf_name] = len(rows)
+            if len(rows) >= 2:
+                for j, col in enumerate(colnames):
+                    key = f"{name}.{col}"
+                    col_seen.setdefault(key, set()).add(sf_name)
+                    if all(_degenerate(r[j]) for r in rows):
+                        degen_cols.setdefault(key, set()).add(sf_name)
             if len(rows) == 0:
                 findings.append({"query": name, "sf": sf_name, "kind": "zero_rows"})
             elif len(rows) == 1 and all(_degenerate(c) for c in rows[0]):
@@ -115,7 +167,22 @@ def sweep() -> dict:
                     }
                 )
         con.close()
-    unadjudicated = [f for f in findings if f["query"] not in ADJUDICATED]
+    for key, scales in sorted(degen_cols.items()):
+        if scales == col_seen.get(key, set()) == set(SF_DIRS):
+            findings.append(
+                {
+                    "query": key.split(".", 1)[0],
+                    "column": key,
+                    "sf": "all",
+                    "kind": "degenerate_column",
+                }
+            )
+    unadjudicated = [
+        f
+        for f in findings
+        if f["query"] not in ADJUDICATED
+        and f.get("column") not in ADJUDICATED_COLUMNS
+    ]
     return {
         "oracles_swept": len(oracles),
         "scales": list(SF_DIRS),
@@ -138,8 +205,10 @@ def main() -> int:
         f"{len(report['unadjudicated'])} unadjudicated"
     )
     for f in report["findings"]:
-        tag = "ADJUDICATED" if f["query"] in ADJUDICATED else "UNADJUDICATED"
-        print(f"  [{tag}] {f['query']} @ {f['sf']}: {f['kind']} {f.get('detail', '')}")
+        adj = f["query"] in ADJUDICATED or f.get("column") in ADJUDICATED_COLUMNS
+        tag = "ADJUDICATED" if adj else "UNADJUDICATED"
+        what = f.get("column") or f["query"]
+        print(f"  [{tag}] {what} @ {f['sf']}: {f['kind']} {f.get('detail', '')}")
     return 1 if report["unadjudicated"] else 0
 
 

@@ -682,3 +682,68 @@ def test_join_asof_equality_boundary(spark):
         ).fetchall()
     )
     assert duck == want, f"duckdb ASOF rule drifted: {duck}"
+
+
+def test_expectations_violation_branch(spark):
+    """r16 vacuity audit: the fixture passes all five q_expectations
+    gates at every scale, so the driver's hash check never exercises
+    a nonzero violations value. Crafted input with one violation of
+    each kind pins the counting branch."""
+    import datetime
+
+    from louvain_modularity_spark.analytics import expectations_frame
+
+    orders = spark.createDataFrame(
+        [
+            # (o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_orderdate)
+            (1, 10, 100.0, "O", datetime.date(2024, 1, 1)),
+            (1, 10, 50.0, "F", datetime.date(2024, 1, 2)),   # dup key
+            (2, 99, 10.0, "P", datetime.date(2024, 1, 3)),   # orphan cust
+            (3, 11, -5.0, "O", datetime.date(2024, 1, 4)),   # negative price
+            (4, 11, 20.0, "X", datetime.date(2024, 1, 5)),   # bad status
+            (5, 11, 30.0, "O", None),                         # null date
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderstatus string, o_orderdate date",
+    )
+    customer = spark.createDataFrame(
+        [(10,), (11,)], "c_custkey long"
+    )
+    got = {
+        r["constraint"]: (r["violations"], r["passed"])
+        for r in expectations_frame(orders, customer).collect()
+    }
+    assert got == {
+        "orderkey_unique": (1, False),
+        "custkey_references_customer": (1, False),
+        "totalprice_non_negative": (1, False),
+        "orderstatus_in_domain": (1, False),
+        "orderdate_complete": (1, False),
+    }, got
+
+
+def test_profile_null_branch(spark):
+    """r16 vacuity audit: the fixture has no NULLs in the profiled
+    events columns, so n_nulls is all-zero at every scale. Crafted
+    input with NULLs in each profiled column pins the null-counting
+    branch (and that countDistinct/min/max ignore NULLs)."""
+    from louvain_modularity_spark.analytics import profile_frame
+
+    e = spark.createDataFrame(
+        [
+            ("click", 1, "p1"),
+            (None, 2, "p2"),
+            ("view", None, None),
+            ("click", 3, None),
+        ],
+        "event_type string, user_id long, props string",
+    )
+    got = {
+        r["column"]: (r["n_nulls"], r["n_distinct"])
+        for r in profile_frame(e).collect()
+    }
+    assert got == {
+        "event_type": (1, 2),
+        "user_id": (1, 3),
+        "props": (2, 2),
+    }, got

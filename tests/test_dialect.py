@@ -1,0 +1,180 @@
+"""Pins for the r16 regex/locale/split dialect audit (SURVEY §2.49).
+
+scripts/probe_regex_dialect.py measured (P1) that the fixtures never
+exercise the string-dialect edges these oracles cross, then probed
+both engines at crafted points (P2-P4). These tests pin the probe
+results so an engine upgrade (Spark regex/collation or DuckDB RE2 /
+case tables) fails a named test loudly instead of flaking a driver
+hash — the same treatment the stream/event-time (r13-r15) and batch
+(r15) boundary classes got.
+
+Findings pinned here:
+- split empty-token placement: Spark F.split (Java, limit -1) and
+  DuckDB string_split / string_split_regex AGREE at every edge
+  (leading/trailing/interior empties, empty input, all-delimiter
+  input) — the split-family oracles are robust by probe, not by
+  fixture luck (the documents fixture has ZERO such edges).
+- q_pii_scrub: the fixture's props contain ZERO email-shaped
+  substrings at all three scales, so the oracle's email branch was
+  vacuously green — the crafted-case pin below is the non-vacuous
+  evidence for that branch (Java and RE2 agree on the shared
+  patterns, including greedy trailing-'.'/'-' absorption into the
+  domain match).
+- q_collation: UTF8_LCASE grouping and DuckDB LOWER() grouping agree
+  on ASCII (the measured fixture shape: 0 non-ASCII segments at all
+  scales) and DIVERGE beyond it in both directions — Spark folds
+  Greek final sigma (ΣΟΦΙΑΣ = σοφιας) where DuckDB's lower() does
+  not; DuckDB's lower('İ') drops the combining dot (merging
+  İstanbul = istanbul) where Spark's does not; neither side folds
+  ß = SS. The oracle is therefore SCOPED to ASCII keys, and the
+  fixture-scope guard below keeps that scoping measured.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Row
+
+from louvain_modularity_spark.textprep import _EMAIL_RE, _NUM_RE
+
+TOKEN_RE = "[^a-z0-9]+"
+
+SPLIT_SPACE_CASES = ["", " ", "  ", "a", " a", "a ", "a  b", " a b ", "a b"]
+SPLIT_RE_CASES = ["a,b", ",a", "a,", "a,,b", ",", "A,b", "a1!?2b", "!!!", ""]
+PII_CASES = [
+    "contact a@b.com today",
+    "end-of-sentence a@b.com.",
+    "dash a@b-c.org- tail",
+    "double a@b..c dots",
+    "at a@@b twice",
+    "UPPER A@B.COM case",
+    "plus user+tag%x_y.z@ex-ample.co 42",
+    "adjacent a@b.c123 digits",
+    "unicode é@x.com and ١٢٣ digits",
+    "bare %_@-. symbols",
+    "digits 007 and 42x9",
+]
+
+
+def test_split_empty_token_dialect_agrees(spark):
+    """Both split dialects place empty tokens identically at every
+    crafted edge (probe P2, 18/18 AGREE)."""
+    con = duckdb.connect()
+    rows = [Row(i=i, s=s) for i, s in enumerate(SPLIT_SPACE_CASES)]
+    got = {
+        r["i"]: (r["lit"], r["re"])
+        for r in spark.createDataFrame(rows)
+        .select(
+            "i",
+            F.split("s", " ").alias("lit"),
+            F.split("s", TOKEN_RE).alias("re"),
+        )
+        .collect()
+    }
+    for i, s in enumerate(SPLIT_SPACE_CASES):
+        d = con.execute("SELECT string_split(?, ' ')", [s]).fetchone()[0]
+        assert got[i][0] == d, f"split(' ') dialect drift on {s!r}"
+    rows = [Row(i=i, s=s) for i, s in enumerate(SPLIT_RE_CASES)]
+    got = {
+        r["i"]: r["re"]
+        for r in spark.createDataFrame(rows)
+        .select("i", F.split("s", TOKEN_RE).alias("re"))
+        .collect()
+    }
+    for i, s in enumerate(SPLIT_RE_CASES):
+        d = con.execute(
+            f"SELECT string_split_regex(?, '{TOKEN_RE}')", [s]
+        ).fetchone()[0]
+        assert got[i] == d, f"split(regex) dialect drift on {s!r}"
+
+
+def test_pii_scrub_email_branch_not_vacuous(spark):
+    """The fixture carries ZERO emails (probe P1) — this crafted-case
+    pin is the non-vacuous evidence for q_pii_scrub's email branch:
+    Spark's Java regex and DuckDB's RE2 must agree on the exact
+    shared patterns, counts AND scrubbed output (probe P3, 11/11)."""
+    con = duckdb.connect()
+    rows = [Row(i=i, props=s) for i, s in enumerate(PII_CASES)]
+    got = {
+        r["i"]: (r["nd"], r["ne"], r["scrubbed"])
+        for r in spark.createDataFrame(rows)
+        .select(
+            "i",
+            F.size(F.expr(f"regexp_extract_all(props, '{_NUM_RE}', 0)")).alias("nd"),
+            F.size(F.expr(f"regexp_extract_all(props, '{_EMAIL_RE}', 0)")).alias("ne"),
+            F.regexp_replace(
+                F.regexp_replace("props", _EMAIL_RE, "<EMAIL>"), _NUM_RE, "<NUM>"
+            ).alias("scrubbed"),
+        )
+        .collect()
+    }
+    saw_email = 0
+    for i, s in enumerate(PII_CASES):
+        d = con.execute(
+            f"""
+            SELECT CAST(len(regexp_extract_all(?, '{_NUM_RE}')) AS INTEGER),
+                   CAST(len(regexp_extract_all(?, '{_EMAIL_RE}')) AS INTEGER),
+                   regexp_replace(regexp_replace(?, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_NUM_RE}', '<NUM>', 'g')
+            """,
+            [s, s, s],
+        ).fetchone()
+        assert got[i] == tuple(d), f"pii regex dialect drift on {s!r}"
+        saw_email += d[1]
+    assert saw_email >= 5, "crafted cases must exercise the email branch"
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_collation_oracle_ascii_scope_guard(sf_dir):
+    """q_collation's oracle (LOWER() grouping) equals UTF8_LCASE
+    grouping ONLY on ASCII keys — probe P4 showed real divergence in
+    both directions beyond ASCII (final sigma, dotted capital I).
+    Guard the measured scoping: the fixture's c_mktsegment must stay
+    pure ASCII at both oracle scales, so a fixture regeneration that
+    introduces non-ASCII segments fails HERE with the explanation
+    instead of flaking the driver hash."""
+    con = duckdb.connect()
+    n = con.execute(
+        f"""
+        SELECT COUNT(*) FROM read_parquet('{sf_dir}/customer.parquet')
+        WHERE regexp_matches(c_mktsegment, '[^\\x00-\\x7F]')
+        """
+    ).fetchone()[0]
+    assert n == 0, (
+        f"{sf_dir}: {n} non-ASCII segments — q_collation's LOWER() oracle "
+        "is only calibrated for ASCII (see scripts/probe_regex_dialect.py P4)"
+    )
+
+
+def test_utf8_lcase_fold_rules_pinned(spark):
+    """Pin the Spark-side UTF8_LCASE fold behavior the P4 probe
+    discovered, so a Spark collation change is caught by name:
+    - ASCII tri-case merges (the fixture shape);
+    - Greek capital/final-sigma pair MERGES (full case fold);
+    - dotted-capital-İ does NOT merge with plain 'i...' (fold keeps
+      the combining dot);
+    - ß does NOT merge with SS (no full ß->ss expansion)."""
+    cases = [
+        "STREET", "Street", "street",
+        "straße", "STRASSE",
+        "İstanbul", "istanbul",
+        "ΣΟΦΙΑΣ", "σοφιας",
+    ]
+    rows = [Row(s=s) for s in cases]
+    groups = sorted(
+        tuple(sorted(r["members"]))
+        for r in spark.createDataFrame(rows)
+        .groupBy(F.expr("collate(s, 'UTF8_LCASE')").alias("k"))
+        .agg(F.collect_list("s").alias("members"))
+        .collect()
+    )
+    assert groups == [
+        ("STRASSE",),
+        ("STREET", "Street", "street"),
+        ("istanbul",),
+        ("straße",),
+        ("İstanbul",),
+        ("ΣΟΦΙΑΣ", "σοφιας"),
+    ], f"UTF8_LCASE fold rules drifted: {groups}"

@@ -453,3 +453,25 @@ def test_bpe_encode_matches_python_golden(spark):
             sub[s] += c
     want = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert got == want
+
+
+def test_one_hot_other_branch(spark):
+    """r16 vacuity audit: every fixture segment belongs to the fixed
+    one-hot domain, so seg_other is all-zero at every scale. A
+    crafted out-of-domain segment pins the `other` bucket (the schema
+    contract: a new upstream category lands in seg_other, it does not
+    reshape the columns)."""
+    from louvain_modularity_spark.datasci import ONE_HOT_SEGMENTS, one_hot_frame
+
+    c = spark.createDataFrame(
+        [(1, "AUTOMOBILE"), (2, "WEIRD_NEW_SEGMENT"), (3, "BUILDING")],
+        "c_custkey long, c_mktsegment string",
+    )
+    rows = {r["c_custkey"]: r.asDict() for r in one_hot_frame(c).collect()}
+    assert rows[2]["seg_other"] == 1
+    assert sum(v for k, v in rows[2].items() if k.startswith("seg_") and k != "seg_other") == 0
+    assert rows[1]["seg_automobile"] == 1 and rows[1]["seg_other"] == 0
+    assert rows[3]["seg_building"] == 1 and rows[3]["seg_other"] == 0
+    assert set(rows[1]) == {"c_custkey", "seg_other"} | {
+        f"seg_{s.lower()}" for s in ONE_HOT_SEGMENTS
+    }
