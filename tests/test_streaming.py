@@ -132,12 +132,22 @@ def test_stream_join_outer_eviction_boundary(spark, tmp_path):
     TENMIN = 600_000_000
     BASE = 1_000 * HOUR  # away from the epoch edge
 
-    def probe(case: str, ts_c_us: int, max_p_us: int) -> bool:
+    def probe(case: str, probes: dict[int, int], max_p_us: int) -> set[int]:
+        """Run the probed clicks {click_id: ts_us} plus the far click
+        and the watermark-setting purchase in ONE availableNow join;
+        return the click_ids emitted as outer NULLs. Eviction is a
+        per-row predicate against the single global watermark, and
+        every probed click shares this run's watermark configuration
+        exactly as in the original one-probe-per-run form, so cases
+        with the same max_p_us merge into one run (r16 suite-budget
+        merge; assertions unchanged)."""
         src = str(tmp_path / f"src_{case}")
         rows = [
-            (1, (BASE + ts_c_us) * 1000, 10, "click"),
-            (2, (BASE + max_p_us + 2 * HOUR) * 1000, 11, "click"),
-            (3, (BASE + max_p_us) * 1000, 99, "purchase"),
+            (cid, (BASE + ts_c_us) * 1000, 10, "click")
+            for cid, ts_c_us in probes.items()
+        ] + [
+            (100, (BASE + max_p_us + 2 * HOUR) * 1000, 11, "click"),
+            (200, (BASE + max_p_us) * 1000, 99, "purchase"),
         ]
         spark.createDataFrame(
             rows, "event_id LONG, ts LONG, user_id LONG, event_type STRING"
@@ -176,25 +186,37 @@ def test_stream_join_outer_eviction_boundary(spark, tmp_path):
             "left_outer",
         )
         out = run_to_table(spark, joined, "append").collect()
-        return 1 in {r["click_id"] for r in out if r["purchase_id"] is None}
+        return {r["click_id"] for r in out if r["purchase_id"] is None}
 
     W = 20 * HOUR  # whole-ms purchase-side max
     wm = W - TENMIN
-    # whole-ms click exactly ON the boundary: ceil(c)+1h == wm -> withhold
-    assert not probe("eq", wm - HOUR, W), "wm==bound must WITHHOLD (strict <)"
-    # whole-ms click 1 ms below: emit
-    assert probe("m1ms", wm - HOUR - 1000, W), "1ms below must emit"
-    # sub-ms click 1 us below the µs-exact boundary: ceil rounds it back
-    # to the boundary -> withhold (the case a µs-precision oracle gets wrong)
-    assert not probe("m1us", wm - HOUR - 1, W), "1us below must WITHHOLD (ms ceil)"
-    # sub-ms ceil discriminators: c+1h = wm-1ms-1us emits (ceil lands
-    # 1 ms clear), c+1h = wm-999us is withheld (ceil lands ON wm)
-    assert probe("ceilA", wm - HOUR - 1000 - 1, W)
-    assert not probe("ceilB", wm - HOUR - 999, W)
-    # watermark-floor discriminator: purchase max carries +999 us; a
-    # whole-ms click whose c+1h equals the FLOORED wm must be withheld
-    # (an unfloored watermark would emit it)
-    assert not probe("floorC", wm - HOUR, W + 999)
+    # five probes share the W watermark configuration -> one run:
+    #   1 eq:    whole-ms click exactly ON the boundary, ceil(c)+1h == wm
+    #            -> WITHHOLD (strict <)
+    #   2 m1ms:  whole-ms click 1 ms below -> EMIT
+    #   3 m1us:  sub-ms click 1 µs below the µs-exact boundary: ceil
+    #            rounds it back to the boundary -> WITHHOLD (the case a
+    #            µs-precision oracle gets wrong)
+    #   4 ceilA: c+1h = wm-1ms-1µs -> EMIT (ceil lands 1 ms clear)
+    #   5 ceilB: c+1h = wm-999µs -> WITHHOLD (ceil lands ON wm)
+    emitted = probe(
+        "sharedW",
+        {
+            1: wm - HOUR,
+            2: wm - HOUR - 1000,
+            3: wm - HOUR - 1,
+            4: wm - HOUR - 1000 - 1,
+            5: wm - HOUR - 999,
+        },
+        W,
+    )
+    assert emitted & {1, 2, 3, 4, 5} == {2, 4}, (
+        f"eviction boundary rules drifted: emitted {sorted(emitted)}, want {{2, 4}}"
+    )
+    # watermark-floor discriminator needs its own run (purchase max
+    # carries +999 µs): a whole-ms click whose c+1h equals the FLOORED
+    # wm must be withheld (an unfloored watermark would emit it)
+    assert 6 not in probe("floorC", {6: wm - HOUR}, W + 999)
 
 
 def test_window_assignment_boundary(spark, tmp_path):
@@ -209,24 +231,38 @@ def test_window_assignment_boundary(spark, tmp_path):
 
     base = 1_000 * HOUR_US
 
-    def window_start(case: str, ts_us: int) -> int:
-        src = str(tmp_path / f"src_{case}")
-        _write_batch(spark, src, [(1, ts_us * 1000, 1)])
-        agg = (
-            spark.readStream.schema("event_id LONG, ts LONG, user_id LONG")
-            .parquet(src)
-            .withColumn("ts_ltz", F.timestamp_micros(F.expr("ts div 1000")))
-            .withWatermark("ts_ltz", "10 minutes")
-            .groupBy(F.window("ts_ltz", "1 hour"))
-            .agg(F.count("*").alias("n"))
-            .select(F.unix_micros("window.start").alias("ws"))
-        )
-        return run_to_table(spark, agg, "complete").collect()[0]["ws"]
-
-    assert window_start("below", base + HOUR_US - 1) == base
-    assert window_start("eq", base + HOUR_US) == base + HOUR_US
-    assert window_start("above", base + HOUR_US + 1) == base + HOUR_US
-    assert window_start("subms", base + HOUR_US + 999) == base + HOUR_US
+    # One probe event per user_id — window assignment is a pure per-row
+    # function and the aggregation keys on (window, user_id), so the
+    # four boundary cases are independent inside ONE availableNow run
+    # (r16 suite-budget merge; previously four separate runs asserting
+    # exactly the same per-case assignments).
+    cases = {
+        1: base + HOUR_US - 1,  # below: stays in the old window
+        2: base + HOUR_US,  # eq: opens the NEW window ([start, end))
+        3: base + HOUR_US + 1,  # above
+        4: base + HOUR_US + 999,  # subms: no ms rounding in assignment
+    }
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [(uid, ts * 1000, uid) for uid, ts in cases.items()])
+    agg = (
+        spark.readStream.schema("event_id LONG, ts LONG, user_id LONG")
+        .parquet(src)
+        .withColumn("ts_ltz", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts_ltz", "10 minutes")
+        .groupBy(F.window("ts_ltz", "1 hour"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros("window.start").alias("ws"), "user_id")
+    )
+    got = {
+        r["user_id"]: r["ws"]
+        for r in run_to_table(spark, agg, "complete").collect()
+    }
+    assert got == {
+        1: base,
+        2: base + HOUR_US,
+        3: base + HOUR_US,
+        4: base + HOUR_US,
+    }, got
 
 
 def test_session_gap_boundary(spark, tmp_path):
@@ -243,42 +279,47 @@ def test_session_gap_boundary(spark, tmp_path):
     base = 1_000 * HOUR_US
     gap = 1_800_000_000
 
-    def sessions(case: str, ts_list: list[int]) -> list[tuple[int, int, int]]:
-        src = str(tmp_path / f"src_{case}")
-        _write_batch(
-            spark, src, [(i, ts * 1000, 7) for i, ts in enumerate(ts_list)]
+    # session_window state is per-key, so the four boundary cases run
+    # as four user_ids inside ONE availableNow run (r16 suite-budget
+    # merge; identical per-case assertions as the previous four runs).
+    cases = {
+        1: [base, base + gap],  # exactly gap apart -> ONE merged session
+        2: [base, base + gap + 1],  # 1 µs over -> TWO sessions
+        3: [base, base + gap - 1],  # 1 µs under -> one session
+        4: [base + 999],  # sub-ms: bounds stay µs-exact (no ms rounding)
+    }
+    src = str(tmp_path / "src")
+    rows = [
+        (uid * 100 + i, ts * 1000, uid)
+        for uid, ts_list in cases.items()
+        for i, ts in enumerate(ts_list)
+    ]
+    _write_batch(spark, src, rows)
+    agg = (
+        spark.readStream.schema("event_id LONG, ts LONG, user_id LONG")
+        .parquet(src)
+        .withColumn("ts_ltz", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts_ltz", "10 minutes")
+        .groupBy(F.session_window("ts_ltz", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("ss"),
+            F.unix_micros("session_window.end").alias("se"),
+            "n",
         )
-        agg = (
-            spark.readStream.schema("event_id LONG, ts LONG, user_id LONG")
-            .parquet(src)
-            .withColumn("ts_ltz", F.timestamp_micros(F.expr("ts div 1000")))
-            .withWatermark("ts_ltz", "10 minutes")
-            .groupBy(F.session_window("ts_ltz", "30 minutes"), "user_id")
-            .agg(F.count("*").alias("n"))
-            .select(
-                F.unix_micros("session_window.start").alias("ss"),
-                F.unix_micros("session_window.end").alias("se"),
-                "n",
-            )
-        )
-        return sorted(
-            (r["ss"], r["se"], r["n"])
-            for r in run_to_table(spark, agg, "complete").collect()
-        )
-
-    # exactly gap apart -> ONE merged session ending last+gap
-    assert sessions("eq", [base, base + gap]) == [(base, base + gap + gap, 2)]
-    # 1 µs over the gap -> TWO sessions
-    assert sessions("over", [base, base + gap + 1]) == [
+    )
+    got: dict[int, list[tuple[int, int, int]]] = {}
+    for r in run_to_table(spark, agg, "complete").collect():
+        got.setdefault(r["user_id"], []).append((r["ss"], r["se"], r["n"]))
+    got = {uid: sorted(v) for uid, v in got.items()}
+    assert got[1] == [(base, base + gap + gap, 2)], got[1]
+    assert got[2] == [
         (base, base + gap, 1),
         (base + gap + 1, base + gap + 1 + gap, 1),
-    ]
-    # 1 µs under -> one session
-    assert sessions("under", [base, base + gap - 1]) == [
-        (base, base + gap - 1 + gap, 2)
-    ]
-    # sub-ms event: session bounds stay µs-exact (no ms rounding)
-    assert sessions("subms", [base + 999]) == [(base + 999, base + 999 + gap, 1)]
+    ], got[2]
+    assert got[3] == [(base, base + gap - 1 + gap, 2)], got[3]
+    assert got[4] == [(base + 999, base + 999 + gap, 1)], got[4]
 
 
 def test_stream_inner_join_range_boundary(spark, tmp_path):
@@ -295,45 +336,56 @@ def test_stream_inner_join_range_boundary(spark, tmp_path):
 
     base = 1_000 * HOUR_US
 
-    def matches(case: str, c_us: int, p_us: int) -> int:
-        src = str(tmp_path / f"src_{case}")
-        rows = [(1, c_us * 1000, 10, "click"), (2, p_us * 1000, 10, "purchase")]
-        spark.createDataFrame(
-            rows, "event_id LONG, ts LONG, user_id LONG, event_type STRING"
-        ).coalesce(1).write.mode("overwrite").parquet(src)
-        ev = (
-            spark.readStream.schema(
-                "event_id LONG, ts LONG, user_id LONG, event_type STRING"
-            )
-            .parquet(src)
-            .withColumn("ts_ltz", F.timestamp_micros(F.expr("ts div 1000")))
+    # The join condition requires user_id = p_user_id, so four
+    # (click, purchase) probe pairs on four distinct user_ids are
+    # independent inside ONE availableNow run (r16 suite-budget merge;
+    # identical per-case assertions as the previous four runs).
+    cases = {
+        10: (base, base + HOUR_US, True),  # purchase exactly click+1h: inclusive
+        11: (base, base + HOUR_US + 1, False),  # +1 µs over the bound
+        12: (base, base + HOUR_US - 1, True),  # 1 µs under
+        13: (base + 999, base + 999 + HOUR_US, True),  # sub-ms click, µs-exact bound
+    }
+    src = str(tmp_path / "src")
+    rows = []
+    for uid, (c_us, p_us, _want) in cases.items():
+        rows.append((uid * 10, c_us * 1000, uid, "click"))
+        rows.append((uid * 10 + 1, p_us * 1000, uid, "purchase"))
+    spark.createDataFrame(
+        rows, "event_id LONG, ts LONG, user_id LONG, event_type STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    ev = (
+        spark.readStream.schema(
+            "event_id LONG, ts LONG, user_id LONG, event_type STRING"
         )
-        clicks = (
-            ev.filter(F.col("event_type") == "click")
-            .select("user_id", F.col("ts_ltz").alias("click_ltz"))
-            .withWatermark("click_ltz", "10 minutes")
+        .parquet(src)
+        .withColumn("ts_ltz", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts_ltz").alias("click_ltz"))
+        .withWatermark("click_ltz", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts_ltz").alias("purchase_ltz"),
         )
-        purchases = (
-            ev.filter(F.col("event_type") == "purchase")
-            .select(
-                F.col("user_id").alias("p_user_id"),
-                F.col("ts_ltz").alias("purchase_ltz"),
-            )
-            .withWatermark("purchase_ltz", "10 minutes")
-        )
-        joined = clicks.join(
-            purchases,
-            F.expr(
-                "user_id = p_user_id AND purchase_ltz >= click_ltz AND "
-                "purchase_ltz <= click_ltz + INTERVAL 1 HOUR"
-            ),
-        )
-        return run_to_table(spark, joined, "append").count()
-
-    assert matches("eq", base, base + HOUR_US) == 1
-    assert matches("over", base, base + HOUR_US + 1) == 0
-    assert matches("under", base, base + HOUR_US - 1) == 1
-    assert matches("subms", base + 999, base + 999 + HOUR_US) == 1
+        .withWatermark("purchase_ltz", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ltz >= click_ltz AND "
+            "purchase_ltz <= click_ltz + INTERVAL 1 HOUR"
+        ),
+    )
+    matched = {
+        r["user_id"] for r in run_to_table(spark, joined, "append").collect()
+    }
+    want = {uid for uid, (_c, _p, w) in cases.items() if w}
+    assert matched == want, f"join-condition boundary drifted: {matched} != {want}"
 
 
 def test_stream_equals_batch_tumbling(spark):
