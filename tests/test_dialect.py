@@ -178,3 +178,141 @@ def test_utf8_lcase_fold_rules_pinned(spark):
         ("İstanbul",),
         ("ΣΟΦΙΑΣ", "σοφιας"),
     ], f"UTF8_LCASE fold rules drifted: {groups}"
+
+
+# ---------------------------------------------------------------------------
+# class-4 pins (r16 head start on the JSON-path / URL-parse dialect —
+# scripts/probe_json_url_dialect.py; SURVEY §2.51)
+# ---------------------------------------------------------------------------
+
+JSON_SCOPE_SQL = """
+SELECT COUNT(*) FROM read_parquet('{d}/events.parquet')
+WHERE NOT json_valid(props)
+   OR (props->>'k') IS NULL
+   OR json_type(props, '$.k') NOT IN ('UBIGINT', 'BIGINT', 'INTEGER')
+"""
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_json_oracle_scope_guard(sf_dir):
+    """ORACLE_FN_JSON casts props->>'k' with a PLAIN CAST, which
+    THROWS on any non-integer token where Spark's from_json("k INT")
+    quietly NULLs (probe P2: strings, objects, arrays, booleans all
+    ConversionException on the DuckDB side; '1.0'/'1e2'/'\"1\"'
+    lenient-cast to ints Spark's strict JSON schema rejects). The
+    oracle is valid because every fixture props document is valid
+    JSON whose k is an integer token — keep that measured, so a
+    fixture regeneration fails HERE with the explanation instead of
+    aborting (or silently skewing) the driver compare."""
+    con = duckdb.connect()
+    n = con.execute(JSON_SCOPE_SQL.format(d=sf_dir)).fetchone()[0]
+    assert n == 0, (
+        f"{sf_dir}: {n} props rows outside the integer-k JSON scope — "
+        "see scripts/probe_json_url_dialect.py P2 before trusting "
+        "ORACLE_FN_JSON on this fixture"
+    )
+
+
+def test_json_extraction_dialect_rules(spark):
+    """Pin the Spark-side JSON extraction rules probe P2 discovered,
+    so an engine upgrade is caught by name:
+    - from_json('k INT') is STRICT on the JSON token type: float
+      tokens (1.0, 1e2) and numeric strings ("1") extract as NULL
+      (DuckDB's text-cast path lenient-casts all three — the
+      documented dialect divergence the scope guard above confines);
+    - duplicate keys: get_json_object returns the FIRST occurrence,
+      from_json returns the LAST — Spark disagrees with itself, so an
+      oracle over duplicate-key documents could not use both;
+    - invalid JSON and missing keys NULL (never throw) in both Spark
+      expressions."""
+    cases = [
+        '{"k": 1}',
+        '{"k": 1.0}',
+        '{"k": 1e2}',
+        '{"k": "1"}',
+        '{"k": 1, "k": 2}',
+        "not json",
+        "",
+        '{"x": 1}',
+    ]
+    rows = [Row(i=i, props=s) for i, s in enumerate(cases)]
+    got = {
+        r["i"]: (r["k_str"], r["k_int"])
+        for r in spark.createDataFrame(rows)
+        .select(
+            "i",
+            F.get_json_object("props", "$.k").alias("k_str"),
+            F.from_json("props", "k INT")["k"].alias("k_int"),
+        )
+        .collect()
+    }
+    assert got == {
+        0: ("1", 1),
+        1: ("1.0", None),   # strict: float token is not INT
+        2: ("100.0", None),  # strict: exponent token is not INT
+        3: ("1", None),      # strict: string is not INT
+        4: ("1", 2),         # first (path) vs last (schema) on dup keys
+        5: (None, None),     # invalid json NULLs, never throws
+        6: (None, None),
+        7: (None, None),     # missing key
+    }, got
+    # and the DuckDB side of the divergence (the reason for the scope
+    # guard): the lenient text-cast path accepts what Spark rejects
+    con = duckdb.connect()
+    assert con.execute("SELECT CAST('{\"k\": 1.0}'->>'k' AS INTEGER)").fetchone()[0] == 1
+    assert con.execute("SELECT CAST('{\"k\": 1e2}'->>'k' AS INTEGER)").fetchone()[0] == 100
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_url_parse_oracle_alphabet_scope_guard(sf_dir):
+    """q_url_parse's oracle reconstructs URL components from the
+    source columns, which is valid only if parse_url INVERTS the
+    construction. Probe P3: the inversion BREAKS outside
+    ^[a-z0-9-]+$ — underscore (Java URI rejects '_' in a hostname →
+    HOST is NULL), space (whole parse NULL; plain parse_url THROWS),
+    '?'/'#' (host truncation + query loss), '@' (userinfo
+    reinterpretation), non-ASCII (NULL). Keep the fixture alphabet
+    measured so a regeneration fails HERE with the explanation."""
+    con = duckdb.connect()
+    n = con.execute(
+        f"""
+        SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE regexp_matches(source, '[^a-z0-9-]')
+           OR regexp_matches(lang, '[^a-z0-9-]')
+        """
+    ).fetchone()[0]
+    assert n == 0, (
+        f"{sf_dir}: {n} documents outside the URL-safe alphabet — see "
+        "scripts/probe_json_url_dialect.py P3 before trusting "
+        "ORACLE_URL_PARSE on this fixture"
+    )
+
+
+def test_url_parse_hostile_host_rules(spark):
+    """Pin the Spark-side parse_url failure modes probe P3 found (so
+    an engine upgrade that starts accepting them is caught and the
+    scope guard's alphabet can be relaxed deliberately):
+    underscore and space hosts parse to NULL host via try_parse_url,
+    and '@' reassigns the host past the userinfo. Also pins that
+    plain parse_url THROWS on the space case — the reason q_url_parse
+    oracles must stay inside the alphabet rather than lean on NULLs."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import IllegalArgumentException
+
+    urls = {
+        1: "https://a_b.example.org/en/doc-1?ref=1&k=1",
+        2: "https://has space.example.org/en/doc-1?ref=1&k=1",
+        3: "https://user@host.example.org/en/doc-1?ref=1&k=1",
+    }
+    rows = [Row(i=i, url=u) for i, u in urls.items()]
+    got = {
+        r["i"]: r["host"]
+        for r in spark.createDataFrame(rows)
+        .select("i", F.try_parse_url("url", F.lit("HOST")).alias("host"))
+        .collect()
+    }
+    assert got == {1: None, 2: None, 3: "host.example.org"}, got
+    with _pytest.raises(IllegalArgumentException):
+        spark.createDataFrame([Row(url=urls[2])]).select(
+            F.parse_url("url", F.lit("HOST"))
+        ).collect()
