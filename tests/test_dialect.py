@@ -316,3 +316,49 @@ def test_url_parse_hostile_host_rules(spark):
         spark.createDataFrame([Row(url=urls[2])]).select(
             F.parse_url("url", F.lit("HOST"))
         ).collect()
+
+
+def test_round_midpoint_dialect_and_decimal_convention(spark):
+    """Pin the repo-wide money-rounding convention's REASON with
+    concrete witnesses (the rule was documented atop relational.py
+    since r1 but never pinned): plain ROUND(double, 2) DISAGREES
+    between Spark (exact BigDecimal HALF_UP on the binary value) and
+    DuckDB (FP path) at .xx5 midpoints whose double sits just below
+    the decimal midpoint — 1.005 rounds to 1.01 in Spark but 1.0 in
+    DuckDB; 10.075 to 10.08 vs 10.07 — while the decimal-domain
+    pattern every money oracle uses (CAST to DECIMAL, ROUND in the
+    decimal domain, CAST back) agrees on every probed midpoint. If an
+    engine upgrade changes either side, this fails by name and the
+    convention note must be revisited."""
+    cases = [2.675, 0.125, 1.005, 3.335, 0.015, 2.665, 7.775, 0.625, 10.075]
+    rows = [Row(i=i, x=x) for i, x in enumerate(cases)]
+    sp = {
+        r["i"]: (r["r2"], r["d2"])
+        for r in spark.createDataFrame(rows)
+        .select(
+            "i",
+            F.round("x", 2).alias("r2"),
+            F.round(F.col("x").cast("decimal(12,3)"), 2)
+            .cast("double")
+            .alias("d2"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    double_disagreements = []
+    for i, x in enumerate(cases):
+        dd = con.execute(
+            "SELECT ROUND(?, 2),"
+            " CAST(ROUND(CAST(? AS DECIMAL(12,3)), 2) AS DOUBLE)",
+            [x, x],
+        ).fetchone()
+        # the convention path must agree on EVERY midpoint
+        assert sp[i][1] == dd[1], f"decimal-domain ROUND drifted on {x}"
+        if sp[i][0] != dd[0]:
+            double_disagreements.append(x)
+    # the plain-double path must still exhibit the documented
+    # divergence — if it stops, the convention's cost/benefit changed
+    assert double_disagreements == [1.005, 10.075], (
+        f"plain ROUND(double) midpoint dialect changed: "
+        f"disagreements now {double_disagreements}"
+    )
