@@ -167,6 +167,12 @@ def sweep() -> dict:
                     }
                 )
         con.close()
+    # Flag only columns all-degenerate at EVERY swept scale (a column
+    # that varies at either scale is exercised). A column seen (>=2
+    # rows) at only ONE scale and degenerate there would slip through
+    # this condition — measured r16: zero such columns registry-wide,
+    # so the conservative condition loses nothing today; re-measure if
+    # an oracle's tiny-scale result ever collapses to one row.
     for key, scales in sorted(degen_cols.items()):
         if scales == col_seen.get(key, set()) == set(SF_DIRS):
             findings.append(
