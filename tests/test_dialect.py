@@ -203,7 +203,11 @@ def test_json_oracle_scope_guard(sf_dir):
     oracle is valid because every fixture props document is valid
     JSON whose k is an integer token — keep that measured, so a
     fixture regeneration fails HERE with the explanation instead of
-    aborting (or silently skewing) the driver compare."""
+    aborting (or silently skewing) the driver compare. A registry
+    scan (r16) found exactly TWO oracles in the throwing-CAST class,
+    ORACLE_FN_JSON and ORACLE_FN_MAP — both cast the same
+    events.props->>'k' this guard measures, so one guard covers the
+    class."""
     con = duckdb.connect()
     n = con.execute(JSON_SCOPE_SQL.format(d=sf_dir)).fetchone()[0]
     assert n == 0, (
