@@ -60,14 +60,14 @@ def _modules():
 # before anything new is registered. The full three-round plan is pinned
 # below as data (_WINDOW_R06 / _WINDOW_R07 / _WINDOW_R08) and
 # held_queries() derives the outstanding set — no hand-synced prose list.
-# ROUND 16 STATUS: _WINDOW_R15 (pinned in round 15) is the ACTIVE
-# window; all_queries() leads with it. It is the first window with an
-# EMPTY rows-only pin: the 11 remaining r9-vintage names (q_ngram_jaccard,
-# q_sim_topk, q_text_tokens, q_tfidf et al.), then the 39
-# alphabetically-first r10 greens — the oldest driver rows in the
-# registry after the r15 window ran.
+# ROUND 17 STATUS: _WINDOW_R16 (pinned in round 16) is the ACTIVE
+# window; all_queries() leads with it. Rows-only pin: q_hll_sketch
+# only. The 10 remaining r10-vintage names, then the 40
+# alphabetically-first r11 greens — the oldest driver rows in the
+# registry after the r16 window ran (CORRECTNESS_r16 = 50/50
+# hash-green, the first perfect window).
 # Backlog: NONE — held_queries() returns [].
-# _WINDOW_R16 below pins the next rotation, derived by
+# _WINDOW_R17 below pins the next rotation, derived by
 # scripts/window_plan.py.
 #
 # Every oracle-backed entry is local DuckDB-parity green at
@@ -932,6 +932,71 @@ _WINDOW_R16_ROWS_ONLY = [
     "q_hll_sketch",
 ]
 
+# Round-17 window, pinned in round 17 (derived by
+# scripts/window_plan.py after _WINDOW_R16 went active): rotation-only
+# re-greens — the 9 remaining r11-vintage names (alphabetically after
+# the 40 the r16 window took), then the 41 alphabetically-first
+# r12-vintage names. Rows-only entries: NONE — all 50 names carry
+# value-exact DuckDB oracles.
+_WINDOW_R17 = [
+    # r11 remainder (last 9 of the r11 cohort, alphabetical)
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_tpch_q4",
+    "q_triangle_count",
+    "q_udtf_tokens",
+    "q_unigram_surprise",
+    "q_unpivot_metrics",
+    "q_write_partitioned",
+    "q_zscore_outlier",
+    # r12 greens, alphabetical, first 41 (9 + 41 = 50)
+    "q_adjacency_pivot",
+    "q_agg_distinct",
+    "q_agg_groupby",
+    "q_ann_lsh",
+    "q_betweenness_sampled",
+    "q_coarsen_edges",
+    "q_cross_small",
+    "q_cube",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_default_weight",
+    "q_degree_inout",
+    "q_degree_weighted",
+    "q_eccentricity",
+    "q_edge_agg_parallel",
+    "q_edges_from_relational",
+    "q_filter_pred",
+    "q_fn_array",
+    "q_fn_cond",
+    "q_fn_math",
+    "q_fn_string",
+    "q_fn_struct",
+    "q_graph_size_m",
+    "q_grouping_sets",
+    "q_grouping_sets_explicit",
+    "q_join_broadcast",
+    "q_join_full_outer",
+    "q_join_inner",
+    "q_join_outer",
+    "q_join_semi_anti",
+    "q_lateral_topk",
+    "q_membership_rollup",
+    "q_null_semantics",
+    "q_pivot_status",
+    "q_quantiles",
+    "q_read_edgelist",
+    "q_read_merge_schema",
+    "q_scan_parquet",
+    "q_selfloop_filter",
+    "q_set_ops",
+    "q_simhash",
+]
+
+# Rows-only-by-contract entries inside the R17 window: NONE — all 50
+# names carry value-exact DuckDB oracles.
+_WINDOW_R17_ROWS_ONLY: list[str] = []
+
 # Every query name that has appeared in a driver CORRECTNESS window,
 # rounds 1-5 (= union of CORRECTNESS_r0{1..5}.json keys; 193 names).
 # Frozen history — append-only as windows run.
@@ -1005,10 +1070,10 @@ def all_queries() -> dict[str, QueryFn]:
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         merged.update(mod.QUERIES)
-    missing = [n for n in _WINDOW_R15 if n not in merged]
+    missing = [n for n in _WINDOW_R16 if n not in merged]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R15}
+    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R16}
     out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
 
@@ -1034,6 +1099,7 @@ def held_queries() -> list[str]:
         | set(_WINDOW_R14)
         | set(_WINDOW_R15)
         | set(_WINDOW_R16)
+        | set(_WINDOW_R17)
     )
     return sorted(n for n in all_queries() if n not in windowed)
 

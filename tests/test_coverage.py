@@ -46,25 +46,25 @@ def test_documented_counts_match_registry():
     )
 
 
-def test_r15_window_leads_registry():
+def test_r16_window_leads_registry():
     """The driver checks the first 50 registry entries; the pinned
-    round-15 window must lead the iteration order: the 11 remaining
-    r9-vintage names first (the oldest driver rows in the registry),
-    then the 39 alphabetically-first r10 greens. Every entry is
-    oracle-backed — the r15 window is the first with an EMPTY
-    rows-only pin."""
+    round-16 window must lead the iteration order: the 10 remaining
+    r10-vintage names first (the oldest driver rows in the registry),
+    then the 40 alphabetically-first r11 greens. Exactly one
+    rows-only entry (q_hll_sketch — oracle REJECTED with a measured
+    coupon-collision receipt, SURVEY §2.33)."""
     from louvain_modularity_spark.registry import (
-        _WINDOW_R15,
-        _WINDOW_R15_ROWS_ONLY,
+        _WINDOW_R16,
+        _WINDOW_R16_ROWS_ONLY,
     )
 
     q, o = all_queries(), all_oracles()
-    assert list(q)[: len(_WINDOW_R15)] == _WINDOW_R15
-    assert len(_WINDOW_R15) == 50 == len(set(_WINDOW_R15))
-    not_backed = [n for n in _WINDOW_R15 if n not in o]
-    assert sorted(not_backed) == sorted(_WINDOW_R15_ROWS_ONLY), (
+    assert list(q)[: len(_WINDOW_R16)] == _WINDOW_R16
+    assert len(_WINDOW_R16) == 50 == len(set(_WINDOW_R16))
+    not_backed = [n for n in _WINDOW_R16 if n not in o]
+    assert sorted(not_backed) == sorted(_WINDOW_R16_ROWS_ONLY), (
         f"unplanned rows-only queries in driver window: "
-        f"{sorted(set(not_backed) - set(_WINDOW_R15_ROWS_ONLY))}"
+        f"{sorted(set(not_backed) - set(_WINDOW_R16_ROWS_ONLY))}"
     )
 
 
@@ -272,6 +272,33 @@ def test_backlog_empty_after_r10_window():
         _WINDOW_R16_ROWS_ONLY
     ), "r16 rows-only pin out of sync with the registry's oracle map"
     assert _WINDOW_R16_ROWS_ONLY == ["q_hll_sketch"]
+    # r17 plan shape: rotation-only (no r17 registrations), 50
+    # distinct, disjoint from r16, every name a previously-windowed
+    # re-green: 9 r11 remainders + 41 alphabetically-first r12 names;
+    # all 50 oracle-backed (empty rows-only pin)
+    from louvain_modularity_spark.registry import (
+        _WINDOW_R17,
+        _WINDOW_R17_ROWS_ONLY,
+    )
+
+    assert len(_WINDOW_R17) == 50 == len(set(_WINDOW_R17))
+    assert not set(_WINDOW_R17) & set(_WINDOW_R16)
+    unknown_r17 = set(_WINDOW_R17) - set(all_queries())
+    assert not unknown_r17, f"r17 window names not registered: {sorted(unknown_r17)}"
+    assert set(_WINDOW_R17) <= (
+        _EVER_WINDOWED_PRE_R06
+        | set(_WINDOW_R06)
+        | set(_WINDOW_R07)
+        | set(_WINDOW_R08)
+        | set(_WINDOW_R09)
+        | set(_WINDOW_R10)
+        | set(_WINDOW_R11)
+        | set(_WINDOW_R12)
+    )
+    assert sorted(n for n in _WINDOW_R17 if n not in all_oracles()) == sorted(
+        _WINDOW_R17_ROWS_ONLY
+    ), "r17 rows-only pin out of sync with the registry's oracle map"
+    assert _WINDOW_R17_ROWS_ONLY == []
     assert len(_WINDOW_R07) == 50 == len(set(_WINDOW_R07))
     assert len(_WINDOW_R08) == 50 == len(set(_WINDOW_R08))
     assert not set(_WINDOW_R07) & set(_WINDOW_R08)
