@@ -170,11 +170,13 @@ def sweep() -> dict:
     # Flag only columns all-degenerate at EVERY swept scale (a column
     # that varies at either scale is exercised). A column seen (>=2
     # rows) at only ONE scale and degenerate there would slip through
-    # this condition — measured r16: zero such columns registry-wide,
-    # so the conservative condition loses nothing today; re-measure if
-    # an oracle's tiny-scale result ever collapses to one row.
+    # the all-scales condition, so that blind spot is re-surfaced as a
+    # distinct low-priority finding on every run (r16 measured zero
+    # such columns; the partial_scale_coverage kind keeps that a live
+    # measurement instead of a snapshot).
     for key, scales in sorted(degen_cols.items()):
-        if scales == col_seen.get(key, set()) == set(SF_DIRS):
+        seen = col_seen.get(key, set())
+        if scales == seen == set(SF_DIRS):
             findings.append(
                 {
                     "query": key.split(".", 1)[0],
@@ -183,11 +185,32 @@ def sweep() -> dict:
                     "kind": "degenerate_column",
                 }
             )
+        elif scales == seen and set() < seen < set(SF_DIRS):
+            findings.append(
+                {
+                    "query": key.split(".", 1)[0],
+                    "column": key,
+                    "sf": ",".join(sorted(seen)),
+                    "kind": "partial_scale_coverage",
+                    "detail": "degenerate at every scale where the "
+                    "column produced >=2 rows, but not seen at all "
+                    "swept scales — the all-scales detector cannot "
+                    "rule on it",
+                }
+            )
+    # Adjudication is matched to the finding KIND: column-level
+    # findings (degenerate_column / partial_scale_coverage) suppress
+    # only via ADJUDICATED_COLUMNS; query-level findings only via
+    # ADJUDICATED — so a future query-level entry cannot silently
+    # swallow that query's column findings (or vice versa).
     unadjudicated = [
         f
         for f in findings
-        if f["query"] not in ADJUDICATED
-        and f.get("column") not in ADJUDICATED_COLUMNS
+        if (
+            f.get("column") not in ADJUDICATED_COLUMNS
+            if f["kind"] in ("degenerate_column", "partial_scale_coverage")
+            else f["query"] not in ADJUDICATED
+        )
     ]
     return {
         "oracles_swept": len(oracles),
