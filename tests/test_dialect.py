@@ -366,3 +366,238 @@ def test_round_midpoint_dialect_and_decimal_convention(spark):
         f"plain ROUND(double) midpoint dialect changed: "
         f"disagreements now {double_disagreements}"
     )
+
+
+# ---------------------------------------------------------------------------
+# r17 class-5 pins: date/time dialect (scripts/probe_datetime_dialect.py)
+# ---------------------------------------------------------------------------
+
+MONTH_CASES = [
+    ("2020-01-31", 1),   # into leap Feb -> clamp to 29
+    ("2019-01-31", 1),   # into plain Feb -> clamp to 28
+    ("2020-02-29", 12),  # leap day + 1y -> clamp to 2021-02-28
+    ("2019-02-28", 1),   # month-END source: stickiness would give Mar 31
+    ("2019-03-31", 1),   # 31 -> 30-day month clamp
+    ("2019-12-31", 2),   # year rollover + clamp into leap Feb
+    ("2020-08-31", 6),   # 31 -> plain Feb across year boundary
+    ("2019-06-15", 1),   # mid-month control: no clamp
+    ("2020-01-31", -2),  # negative months, clamp into Nov 30
+    ("2020-03-31", -1),  # negative into leap Feb
+]
+
+WEEK_CASES = [
+    "2024-01-01", "2024-01-04", "2024-01-07",  # Mon / Thu / Sun
+    "2021-01-01",  # Fri of ISO week 53 of 2020
+    "2020-12-31",  # Thu of ISO week 53 of 2020
+    "2024-12-30",  # Mon of ISO week 1 of 2025
+    "2016-01-03",  # Sun of ISO week 53 of 2015
+]
+
+
+def test_month_arithmetic_clamp_dialect(spark):
+    """Pin the r17 class-5 probe's month-arithmetic agreement: Spark
+    add_months and DuckDB (m)*INTERVAL 1 MONTH clamp END-OF-MONTH
+    identically (leap and plain Feb, 30-day months, negative months)
+    and NEITHER has last-day stickiness (Feb 28 + 1mo = Mar 28, not
+    Mar 31). This is the convention q_fn_date's plus2m column rides
+    on — and P1 measured the clamp branch IS fixture-exercised (12 /
+    154 / 1444 clamped rows at sf0.001/0.01/0.1, incl. leap-Feb-29
+    targets), so the driver green is calibrated, not lucky. An engine
+    upgrade that changes either side fails here by name."""
+    import datetime as dt
+
+    rows = [
+        Row(i=i, d=dt.date.fromisoformat(d), m=m)
+        for i, (d, m) in enumerate(MONTH_CASES)
+    ]
+    got = {
+        r["i"]: r["out"]
+        for r in spark.createDataFrame(rows)
+        .select("i", F.add_months("d", F.col("m")).alias("out"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for i, (d, m) in enumerate(MONTH_CASES):
+        dd = con.execute(
+            f"SELECT CAST(DATE '{d}' + ({m}) * INTERVAL 1 MONTH AS DATE)"
+        ).fetchone()[0]
+        assert got[i] == dd, f"month-arith dialect drift on {d} {m:+d}mo"
+
+
+def test_week_convention_dialect(spark):
+    """Pin the week-convention agreement the r17 probe measured:
+    Spark weekday() = DuckDB isodow-1 (0=Monday), Spark dayofweek()
+    = DuckDB dayofweek()+1 (1=Sunday), date_trunc('week') starts
+    Monday in BOTH engines, and weekofyear is ISO in both (incl. the
+    week-53 year-boundary cases). Only 'month'/'hour' truncs are
+    load-bearing in oracles today; this pin means a future week-grain
+    oracle starts calibrated."""
+    import datetime as dt
+
+    rows = [Row(i=i, d=dt.date.fromisoformat(d)) for i, d in enumerate(WEEK_CASES)]
+    got = {
+        r["i"]: (r["wd"], r["dow"], r["wk"], r["woy"])
+        for r in spark.createDataFrame(rows)
+        .select(
+            "i",
+            F.weekday("d").alias("wd"),
+            F.dayofweek("d").alias("dow"),
+            F.date_trunc("week", "d").cast("date").alias("wk"),
+            F.weekofyear("d").alias("woy"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    for i, d in enumerate(WEEK_CASES):
+        dd = con.execute(
+            f"""SELECT CAST(isodow(DATE '{d}') - 1 AS INT),
+                       CAST(dayofweek(DATE '{d}') + 1 AS INT),
+                       CAST(date_trunc('week', DATE '{d}') AS DATE),
+                       CAST(weekofyear(DATE '{d}') AS INT)"""
+        ).fetchone()
+        assert got[i] == tuple(dd), f"week-convention dialect drift on {d}"
+
+
+def test_interval_day_boundary_dialect(spark):
+    """Pin the TPC-H q21 INTERVAL-DAY boundary convention: DuckDB's
+    date + INTERVAL 60 DAY yields a midnight-aligned TIMESTAMP while
+    Spark yields a DATE, but the strict comparison agrees EXACTLY at
+    the boundary (order+60d is NOT greater in either engine). P1
+    measured the boundary is fixture-HIT (3 / 33 / 244 lineitems ship
+    exactly order+60d at sf0.001/0.01/0.1), so q21's green depends on
+    this agreement on real rows."""
+    import datetime as dt
+
+    base = dt.date(2020, 1, 1)
+    rows = [
+        Row(i=i, o=base, s=base + dt.timedelta(days=k))
+        for i, k in enumerate([59, 60, 61])
+    ]
+    got = {
+        r["i"]: r["gt"]
+        for r in spark.createDataFrame(rows)
+        .select("i", (F.col("s") > F.expr("o + INTERVAL 60 DAY")).alias("gt"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for i, k in enumerate([59, 60, 61]):
+        dd = con.execute(
+            f"""SELECT DATE '2020-01-01' + {k}
+                       > DATE '2020-01-01' + INTERVAL 60 DAY"""
+        ).fetchone()[0]
+        assert got[i] == dd, f"INTERVAL DAY boundary drift at +{k}d"
+    assert [got[0], got[1], got[2]] == [False, False, True]
+
+
+def test_ns_to_us_truncation_dialect(spark, tmp_path):
+    """Pin the events ns->us path on a crafted TIMESTAMP_NS parquet:
+    Spark's nanos-as-long ``ts div 1000`` (sources.ts_us_expr) and
+    DuckDB's ``epoch_us(ts)`` BOTH truncate toward zero — including
+    pre-1970 negatives (-1 ns -> 0 us, -1500 ns -> -1 us) — so the
+    oracle convention holds even off the fixture's range. The r17 P1
+    measurement: the generated fixtures are 100% us-aligned and
+    post-1970 at every scale, so this crafted pin is the ONLY
+    non-vacuous evidence for the truncation branch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nanos = [0, 1, 999, 1000, 1500, -1, -999, -1000, -1500,
+             1_000_000_001, -86_400_000_000_000]
+    path = str(tmp_path / "ns_probe.parquet")
+    pq.write_table(
+        pa.table({
+            "i": pa.array(range(len(nanos)), pa.int32()),
+            "ts": pa.array(nanos, pa.timestamp("ns")),
+        }),
+        path,
+    )
+    sdf = spark.read.parquet(path)
+    # nanosAsLong (session.ensure_conf) must surface the column as long
+    from pyspark.sql.types import LongType
+
+    assert isinstance(sdf.schema["ts"].dataType, LongType)
+    got = {
+        r["i"]: r["us"]
+        for r in sdf.select("i", F.expr("ts div 1000").alias("us")).collect()
+    }
+    con = duckdb.connect()
+    duck = dict(con.execute(
+        f"SELECT i, CAST(epoch_us(ts) AS BIGINT) FROM read_parquet('{path}') ORDER BY i"
+    ).fetchall())
+    for i, ns in enumerate(nanos):
+        assert got[i] == duck[i], f"ns->us truncation drift at ns={ns}"
+    # the toward-zero (NOT floor) direction, pinned explicitly
+    assert got[5] == 0 and got[8] == -1
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_events_ts_us_aligned_scope_guard(sf_dir):
+    """Scope guard for the ns->us truncation class: the generated
+    events fixtures are exactly us-aligned and post-1970 (r17 P1:
+    sub_us_nanos=0, pre_1970=0 at every scale), so no oracle hash can
+    depend on sub-us truncation TODAY. If a fixture regeneration
+    introduces sub-us nanos or pre-1970 instants, this fails HERE
+    with the pointer to the crafted calibration
+    (test_ns_to_us_truncation_dialect) instead of flaking a driver
+    hash."""
+    con = duckdb.connect()
+    sub_us, pre = con.execute(
+        f"""SELECT SUM(CASE WHEN epoch_ns(ts) % 1000 != 0 THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN epoch_ns(ts) < 0 THEN 1 ELSE 0 END)
+            FROM read_parquet('{sf_dir}/events.parquet')"""
+    ).fetchone()
+    assert (sub_us, pre) == (0, 0), (
+        f"{sf_dir}: events ts no longer us-aligned/post-1970 "
+        f"(sub_us={sub_us}, pre_1970={pre}) — the ns->us truncation "
+        "branch is now live; see scripts/probe_datetime_dialect.py P5"
+    )
+
+
+def test_round6_shortest_repr_midpoint_witness(spark):
+    """Pin the r17 ROUND(x,6) bit-compare probe's finding
+    (scripts/probe_round_bits.py; SURVEY §2.53): the §2.51
+    "measure-zero" rule for the continuous-score ROUND(...,6)
+    inventory holds for TRANSCENDENTAL families (ln/sqrt/exp/
+    cosines — shortest decimal repr never terminates at 7 digits) but
+    NOT for terminating-decimal ratios: a money amount divided by a
+    2^a·5^b denominator can produce a double whose SHORTEST repr ends
+    exactly ...5 at the 7th fractional digit while the binary value
+    sits just below the true midpoint. There Spark's BigDecimal
+    HALF_UP (on the shortest repr) rounds UP and DuckDB's FP path
+    (on the binary value) rounds DOWN — the same mechanism as the
+    pinned ROUND(1.005, 2) money witness, at the 6th decimal.
+    Measured rate: 2 / 68,056 on deliberately ratio-rich fixture
+    sampling; ZERO occurrences in any actual oracle output across 16
+    rounds of two-scale hash history (the load-bearing evidence for
+    the 60-oracle pure-arithmetic subclass). If either engine changes
+    its rounding path, this fails by name."""
+    # fixture-derived witness: l_extendedprice 33377.395 / 16 lineitems
+    witnesses = [2086.0871875, 0.1250005]
+    rows = [Row(i=i, x=x) for i, x in enumerate(witnesses)]
+    sp = {
+        r["i"]: r["r"]
+        for r in spark.createDataFrame(rows)
+        .select("i", F.round("x", 6).alias("r"))
+        .collect()
+    }
+    con = duckdb.connect()
+    assert sp[0] == 2086.087188, "Spark shortest-repr HALF_UP path changed"
+    assert con.execute("SELECT round(?, 6)", [2086.0871875]).fetchone()[0] == 2086.087187, (
+        "DuckDB binary-value rounding path changed"
+    )
+    assert sp[1] == 0.125001
+    assert con.execute("SELECT round(?, 6)", [0.1250005]).fetchone()[0] == 0.125
+    # and the transcendental family stays bit-identical (spot sample)
+    import math
+
+    vals = [math.log(33377.395), math.sqrt(2086.0871875), math.exp(0.07)]
+    rows = [Row(i=i, x=x) for i, x in enumerate(vals)]
+    sp = {
+        r["i"]: r["r"]
+        for r in spark.createDataFrame(rows)
+        .select("i", F.round("x", 6).alias("r"))
+        .collect()
+    }
+    for i, v in enumerate(vals):
+        dd = con.execute("SELECT round(?, 6)", [v]).fetchone()[0]
+        assert sp[i] == dd, f"transcendental ROUND(,6) drift on {v!r}"
