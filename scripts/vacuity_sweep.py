@@ -140,6 +140,33 @@ def sweep() -> dict:
                 )
                 continue
             counts.setdefault(name, {})[sf_name] = len(rows)
+            # r17 class-6 standing net: a NaN / Inf / -0.0 cell in an
+            # oracle output crosses the special-value dialect boundary
+            # (Spark and DuckDB diverge SILENTLY on round-to-zero sign;
+            # see scripts/probe_float_edges.py + SURVEY §2.54). Zero
+            # occurrences measured r17; any future appearance is a
+            # finding, not a hash flake to diagnose after the fact.
+            for j, col in enumerate(colnames):
+                special = sum(
+                    1
+                    for r in rows
+                    if isinstance(r[j], float)
+                    and (
+                        math.isnan(r[j])
+                        or math.isinf(r[j])
+                        or (r[j] == 0.0 and math.copysign(1.0, r[j]) < 0)
+                    )
+                )
+                if special:
+                    findings.append(
+                        {
+                            "query": name,
+                            "column": f"{name}.{col}",
+                            "sf": sf_name,
+                            "kind": "special_value_cell",
+                            "detail": f"{special} NaN/Inf/-0.0 cells",
+                        }
+                    )
             if len(rows) >= 2:
                 for j, col in enumerate(colnames):
                     key = f"{name}.{col}"
@@ -208,7 +235,8 @@ def sweep() -> dict:
         for f in findings
         if (
             f.get("column") not in ADJUDICATED_COLUMNS
-            if f["kind"] in ("degenerate_column", "partial_scale_coverage")
+            if f["kind"]
+            in ("degenerate_column", "partial_scale_coverage", "special_value_cell")
             else f["query"] not in ADJUDICATED
         )
     ]

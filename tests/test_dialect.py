@@ -601,3 +601,190 @@ def test_round6_shortest_repr_midpoint_witness(spark):
     for i, v in enumerate(vals):
         dd = con.execute("SELECT round(?, 6)", [v]).fetchone()[0]
         assert sp[i] == dd, f"transcendental ROUND(,6) drift on {v!r}"
+
+
+# ---------------------------------------------------------------------------
+# r17 class-6 pins: float special values (scripts/probe_float_edges.py)
+# ---------------------------------------------------------------------------
+
+
+def test_float_special_value_dialect_rules(spark):
+    """Pin the class-6 probe's AGREEMENTS (SURVEY §2.54): NaN groups
+    as one key, sorts greatest (above +Inf), and absorbs MIN/MAX/SUM
+    identically in both engines; -0.0 survives projection with its
+    sign in BOTH engines and both NORMALIZE a grouped -0.0 key to
+    +0.0. P1 measured zero NaN/Inf/-0.0 cells across all 321 float
+    columns of the 297 oracle outputs at both scales, so these
+    conventions are fixture-unexercised — this pin is the evidence
+    (and scripts/vacuity_sweep.py now re-measures the zero-occurrence
+    fact every round as the special_value_cell net). DuckDB client
+    gotchas the probe measured: binding a LIST of floats converts NaN
+    members to NULL, and a bare -0.0 literal is DECIMAL and loses its
+    sign — NaN/-0.0 are constructed in SQL below."""
+    nan, inf = float("nan"), float("inf")
+    cases = [nan, -inf, -1.0, -0.0, 0.0, 1.0, inf, nan]
+    sdf = spark.createDataFrame([(v,) for v in cases], "x DOUBLE")
+    con = duckdb.connect()
+    dd_list = ("['nan'::DOUBLE, '-inf'::DOUBLE, -1.0::DOUBLE, -(0.0::DOUBLE), "
+               "0.0::DOUBLE, 1.0::DOUBLE, 'inf'::DOUBLE, 'nan'::DOUBLE]")
+    # grouping: NaN is one key and ±0.0 merge into one group in BOTH
+    # engines — but the merged ZERO KEY's sign differs: Spark always
+    # normalizes it to +0.0 (NormalizeFloatingNumbers) while DuckDB
+    # keeps the FIRST-SEEN value (-0.0 here, since the crafted list
+    # leads with it) — a third silent -0.0 class, caught when this
+    # pin's first draft asserted exact key equality. Guarded by the
+    # same zero-occurrence net as the round-sign class.
+    sp = sorted(
+        (repr(r["x"]), r["n"])
+        for r in sdf.groupBy("x").agg(F.count("*").alias("n")).collect()
+    )
+    dd = sorted(
+        (repr(x), n)
+        for x, n in con.execute(
+            f"SELECT x, COUNT(*) FROM (SELECT unnest({dd_list}) AS x) GROUP BY x"
+        ).fetchall()
+    )
+    norm = lambda groups: sorted((k.lstrip("-") if k in ("0.0", "-0.0") else k, n)
+                                 for k, n in groups)
+    assert norm(sp) == norm(dd), f"special-value grouping drift: {sp} vs {dd}"
+    assert ("nan", 2) in sp and ("0.0", 2) in sp  # Spark key normalized
+    assert ("-0.0", 2) in dd, (
+        "DuckDB's merged zero key stopped being first-seen -0.0 — the "
+        "order-sensitivity rule changed; update SURVEY §2.54"
+    )
+    # ordering: NaN greatest in both
+    sp_sorted = [repr(r["x"]) for r in sdf.orderBy("x").collect()]
+    dd_sorted = [repr(r[0]) for r in con.execute(
+        f"SELECT x FROM (SELECT unnest({dd_list}) AS x) ORDER BY x"
+    ).fetchall()]
+    assert sp_sorted == dd_sorted, "special-value sort drift"
+    assert sp_sorted[-1] == "nan" and sp_sorted[0] == "-inf"
+    # MIN/MAX/SUM: NaN is the MAX and poisons SUM in both
+    agg = sdf.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
+    dd_mn, dd_mx = con.execute(
+        f"SELECT MIN(x), MAX(x) FROM (SELECT unnest({dd_list}) AS x)"
+    ).fetchone()
+    assert (repr(agg["mn"]), repr(agg["mx"])) == (repr(dd_mn), repr(dd_mx)) == ("-inf", "nan")
+    # projected -0.0 keeps its sign in both engines
+    sp0 = spark.createDataFrame([(-0.0,)], "x DOUBLE").collect()[0]["x"]
+    dd0 = con.execute("SELECT -(0.0::DOUBLE)").fetchone()[0]
+    import math as _m
+
+    assert _m.copysign(1.0, sp0) < 0 and _m.copysign(1.0, dd0) < 0
+
+
+def test_round_zero_sign_witness(spark):
+    """Pin the class-6 probe's one SILENT divergence: rounding a tiny
+    NEGATIVE double to 6 places crosses zero with DIFFERENT signs —
+    Spark's BigDecimal path yields +0.0, DuckDB's FP path yields
+    -0.0. The local canonicalizer collapses both to "0" but the
+    driver's value-hash need not, so a continuous score that goes
+    tiny-negative by floating cancellation (a near-zero correlation,
+    a centered mean) is a latent one-sided -0.0 flake. Exposure today
+    is ZERO — the r17 P1 scan found no -0.0 cell in any oracle output
+    and scripts/vacuity_sweep.py re-measures that every round — so no
+    oracle was changed; this witness fails by name if either engine's
+    rounding path changes."""
+    sp = {}
+    for v in (-1e-9, -4.9e-7):
+        sp[v] = (
+            spark.createDataFrame([(v,)], "x DOUBLE")
+            .select(F.round("x", 6).alias("r"))
+            .collect()[0]["r"]
+        )
+    import math as _m
+
+    con = duckdb.connect()
+    for v, got in sp.items():
+        dd = con.execute("SELECT round(?::DOUBLE, 6)", [v]).fetchone()[0]
+        assert got == 0.0 and _m.copysign(1.0, got) > 0, "Spark round sign changed"
+        assert dd == 0.0 and _m.copysign(1.0, dd) < 0, "DuckDB round sign changed"
+
+
+def test_fractional_cast_direction_witness(spark):
+    """Pin the other SILENT class-6 divergence: casting an in-range
+    FRACTIONAL double to an integral type TRUNCATES in Spark
+    (2.7 -> 2, -2.7 -> -2) but ROUNDS in DuckDB (2.7 -> 3,
+    -2.7 -> -3). A mechanical scan of all 297 oracle strings (r17)
+    found zero integral-CAST sites with a possibly-fractional
+    argument — every CAST arg is integer arithmetic (DuckDB `//`,
+    integer SUMs, epoch divisions) or explicitly FLOOR/ROUND-ed — and
+    the scan is replayed here so a new oracle that introduces one
+    fails loudly with the convention note instead of hash-flaking."""
+    got = spark.sql(
+        "SELECT CAST(CAST(2.7 AS DOUBLE) AS BIGINT), "
+        "CAST(CAST(-2.7 AS DOUBLE) AS BIGINT)"
+    ).collect()[0]
+    assert (got[0], got[1]) == (2, -2), "Spark cast truncation changed"
+    con = duckdb.connect()
+    dd = con.execute("SELECT CAST(2.7 AS BIGINT), CAST(-2.7 AS BIGINT)").fetchone()
+    assert dd == (3, -3), "DuckDB cast rounding changed"
+    # replay the registry scan: no possibly-fractional integral casts
+    import re
+
+    from louvain_modularity_spark.registry import all_oracles
+
+    pat = re.compile(r"CAST\s*\(", re.I)
+    frac_hint = re.compile(
+        r"[/]|avg|median|quantile|stddev|corr|covar|ln\(|log|sqrt|exp\(|power"
+        r"|\*\s*1\.0|0\.5|percent",
+        re.I,
+    )
+    offenders = []
+    for name, sql in sorted(all_oracles().items()):
+        for m in pat.finditer(sql):
+            i, depth = m.end(), 1
+            while depth and i < len(sql):
+                depth += {"(": 1, ")": -1}.get(sql[i], 0)
+                i += 1
+            inner = sql[m.end(): i - 1]
+            mm = re.search(
+                r"\s+AS\s+(BIGINT|INTEGER|INT|SMALLINT|TINYINT|HUGEINT)\s*$",
+                inner,
+                re.I,
+            )
+            if not mm:
+                continue
+            arg = inner[: mm.start()]
+            # integer division `a // b` is integral; strip it before
+            # the fractional-division heuristic fires on its slashes
+            arg_stripped = arg.replace("//", "")
+            if frac_hint.search(arg_stripped) and not re.search(
+                r"\b(floor|ceil|ceiling|round)\s*\(", arg, re.I
+            ):
+                offenders.append((name, arg.strip()[:80]))
+    assert not offenders, (
+        "oracle casts a possibly-fractional double to an integral type — "
+        "Spark truncates where DuckDB rounds; FLOOR/ROUND it explicitly: "
+        f"{offenders}"
+    )
+
+
+def test_ansi_and_zero_division_conventions(spark):
+    """Pin the LOUD class-6 conventions so a conf or engine drift is
+    caught by name: this engine's sessions run Spark 4's ANSI default
+    (division by zero THROWS; overflowing double->int casts THROW),
+    while DuckDB 1.0 returns NULL for x/0 and throws OutOfRange for
+    ln(0)/sqrt(-1) where Spark returns NULL/NaN. Every such
+    divergence is LOUD (one side errors, the driver records a
+    failure, 16 rounds have recorded none) — the pins here are what
+    keeps the 'loud' classification true."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.sql("SELECT 1/0").collect()
+    con = duckdb.connect()
+    assert con.execute("SELECT 1/0").fetchone()[0] is None
+    assert con.execute("SELECT 1.0::DOUBLE / 0.0::DOUBLE").fetchone()[0] is None
+    # Spark NULL / NaN where DuckDB throws
+    row = spark.sql(
+        "SELECT ln(CAST(0.0 AS DOUBLE)), sqrt(CAST(-1.0 AS DOUBLE))"
+    ).collect()[0]
+    import math as _m
+
+    assert row[0] is None and _m.isnan(row[1])
+    with _pytest.raises(Exception):
+        con.execute("SELECT ln(0.0::DOUBLE)")
+    with _pytest.raises(Exception):
+        con.execute("SELECT sqrt(-1.0::DOUBLE)")
