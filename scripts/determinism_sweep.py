@@ -116,6 +116,24 @@ def _run(spark, fn, sf_dir):
     return df.columns, [tuple(r) for r in df.collect()]
 
 
+def count_special_cells(rows) -> int:
+    """NaN / ±Inf / -0.0 cells in a collected result — the Spark-side
+    twin of vacuity_sweep's DuckDB-side special_value_cell net (r17
+    class-6, SURVEY §2.54). Kept as a named kernel so the crafted-row
+    pin in tests/test_dialect.py can exercise every branch."""
+    return sum(
+        1
+        for row in rows
+        for v in row
+        if isinstance(v, float)
+        and (
+            math.isnan(v)
+            or math.isinf(v)
+            or (v == 0.0 and math.copysign(1.0, v) < 0)
+        )
+    )
+
+
 def _compare(a, b):
     """-> 'identical' | 'roundoff' | mismatch message."""
     (a_cols, a_rows), (b_cols, b_rows) = a, b
@@ -200,12 +218,23 @@ def sweep(spark, names=None, verbose: bool = True, sf_dir: str = SF_DIR) -> dict
     results: dict[str, str] = {}
     findings: list[str] = []
     roundoff: list[str] = []
+    special_values: dict[str, int] = {}
     t_start = time.time()
     for i, name in enumerate(names, 1):
         fn = queries[name]
         t0 = time.time()
         try:
             a = _run(spark, fn, sf_dir)
+            # r17 class-6 standing net, SPARK side (the twin of
+            # vacuity_sweep's DuckDB-side special_value_cell scan): a
+            # NaN / Inf / -0.0 cell in a SPARK output crosses the
+            # special-value dialect boundary (SURVEY §2.54) even when
+            # the DuckDB side emits a clean zero — count them so a
+            # one-sided -0.0 surfaces as a named finding here instead
+            # of a driver hash flake
+            n_special = count_special_cells(a[1])
+            if n_special:
+                special_values[name] = n_special
             for k, v in PERTURB.items():
                 spark.conf.set(k, v)
             try:
@@ -242,6 +271,7 @@ def sweep(spark, names=None, verbose: bool = True, sf_dir: str = SF_DIR) -> dict
         "roundoff": sorted(roundoff),
         "allowed": sorted(n for n in ALLOW if n in results and results[n] not in ("identical", "roundoff")),
         "findings": {n: results[n] for n in findings},
+        "special_value_cells": special_values,
         "stale_allow_entries": stale_allow if len(results) == len(queries) else [],
         "wall_s": round(time.time() - t_start, 1),
         "results": results,

@@ -788,3 +788,30 @@ def test_ansi_and_zero_division_conventions(spark):
         con.execute("SELECT ln(0.0::DOUBLE)")
     with _pytest.raises(Exception):
         con.execute("SELECT sqrt(-1.0::DOUBLE)")
+
+
+def test_special_value_counters_on_crafted_rows():
+    """Exercise every branch of the two special-value net kernels on
+    crafted rows (the r16 detector-condition pattern: a net whose
+    trigger has never fired needs crafted-input evidence that it CAN):
+    determinism_sweep.count_special_cells (Spark-side collected rows)
+    must count NaN, ±Inf and -0.0 but not +0.0 / ints / None /
+    strings; the vacuity_sweep DuckDB-side condition is the same
+    predicate inline."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ds_mod", "/root/repo/scripts/determinism_sweep.py"
+    )
+    ds = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ds)
+    rows = [
+        (float("nan"), 1, "x"),          # 1 hit (NaN)
+        (float("inf"), float("-inf")),   # 2 hits
+        (-0.0, 0.0),                     # 1 hit (-0.0 only)
+        (None, 7, "nan"),                # 0 hits (not floats)
+        (1e-300, -1e-300),               # 0 hits (tiny but normal)
+    ]
+    assert ds.count_special_cells(rows) == 4
+    assert ds.count_special_cells([]) == 0
+    assert ds.count_special_cells([(0.0, 1.0)]) == 0
