@@ -815,3 +815,109 @@ def test_special_value_counters_on_crafted_rows():
     assert ds.count_special_cells(rows) == 4
     assert ds.count_special_cells([]) == 0
     assert ds.count_special_cells([(0.0, 1.0)]) == 0
+
+
+# ---------------------------------------------------------------------------
+# r17 class-7 pins: array/struct ordering (scripts/probe_array_dialect.py)
+# ---------------------------------------------------------------------------
+
+
+def test_array_sort_dialect_rules(spark):
+    """Pin the class-7 probe results (SURVEY §2.56). Scope fact
+    measured first: ZERO of the 308 queries output an ARRAY/MAP/
+    STRUCT column (the q_fn_array fold-to-scalar rule holds
+    registry-wide, verified schema-by-schema), so the driver hash
+    never sees element order — these pins protect the FOLDED
+    intermediates (top3_sorted, segments). Agreements pinned: binary
+    UTF-8 string order incl. non-ASCII (ß sorts after z in BOTH),
+    empty/digit strings, float special values (-0.0 before 0.0, NaN
+    last), DESC NULL placement, and collect_set+array_sort =
+    string_agg(DISTINCT..ORDER BY). The ONE silent divergence:
+    ASC sort of a NULL-bearing array — Spark sort_array puts NULLs
+    FIRST, DuckDB list_sort puts them LAST. Exposure is zero by
+    construction: split() never yields NULL elements and Spark
+    collect_set DROPS NULLs (both pinned below), so no oracle sorts
+    a NULL-bearing array."""
+    con = duckdb.connect()
+    cases = [
+        ["b", "A", "a", "", "Z", "10", "2"],
+        ["é", "e", "ß", "ss", "Z", "z"],
+        ["the", "The", "THE"],
+    ]
+    for case in cases:
+        sp = (
+            spark.createDataFrame([Row(a=case)])
+            .select(F.sort_array("a").alias("s"))
+            .collect()[0]["s"]
+        )
+        dd = con.execute("SELECT list_sort(?)", [case]).fetchone()[0]
+        assert sp == dd, f"in-array string sort drift on {case}"
+    # the ASC-NULL divergence witness (DESC agrees)
+    nullcase = ["b", None, "a", None, ""]
+    sp_asc = (
+        spark.createDataFrame([Row(a=nullcase)])
+        .select(F.sort_array("a").alias("s"))
+        .collect()[0]["s"]
+    )
+    dd_asc = con.execute("SELECT list_sort(?)", [nullcase]).fetchone()[0]
+    assert sp_asc == [None, None, "", "a", "b"], "Spark NULLS-FIRST changed"
+    assert dd_asc == ["", "a", "b", None, None], "DuckDB NULLS-LAST changed"
+    sp_desc = (
+        spark.createDataFrame([Row(a=nullcase)])
+        .select(F.sort_array("a", asc=False).alias("s"))
+        .collect()[0]["s"]
+    )
+    dd_desc = con.execute("SELECT list_sort(?, 'DESC')", [nullcase]).fetchone()[0]
+    assert sp_desc == dd_desc == ["b", "a", "", None, None]
+    # the zero-exposure facts: split never yields NULL elements
+    # (empty input -> ['']) and collect_set drops NULLs
+    sp_split = spark.sql("SELECT split('', ' ')").collect()[0][0]
+    dd_split = con.execute("SELECT string_split('', ' ')").fetchone()[0]
+    assert sp_split == dd_split == [""]
+    sp_set = (
+        spark.createDataFrame([("a",), (None,), ("a",)], "s STRING")
+        .agg(F.sort_array(F.collect_set("s")).alias("x"))
+        .collect()[0]["x"]
+    )
+    assert sp_set == ["a"], "collect_set stopped dropping NULLs"
+    # distinct + order interplay
+    vals = ["b", "a", "b", "A", "a", "c"]
+    sp = (
+        spark.createDataFrame([(v,) for v in vals], "s STRING")
+        .agg(F.array_join(F.array_sort(F.collect_set("s")), "|").alias("j"))
+        .collect()[0]["j"]
+    )
+    dd = con.execute(
+        "SELECT string_agg(DISTINCT s, '|' ORDER BY s) FROM (SELECT unnest(?) AS s)",
+        [vals],
+    ).fetchone()[0]
+    assert sp == dd == "A|a|b|c"
+
+
+def test_array_indexing_dialect_rules(spark):
+    """Pin the indexing conventions (class-7 P3): 1-based agreement,
+    negative index = from-the-end in both, slice-beyond-length
+    truncates identically (the q_fn_array top3 path). The LOUD
+    divergence: out-of-range (and empty-array) access THROWS in Spark
+    under this engine's ANSI default but returns NULL in DuckDB — an
+    oracle that indexed past an array's length would fail loudly on
+    the Spark side, and none can today: every indexed array is a
+    split() result (never empty — split('') = [''], pinned in the
+    sort test)."""
+    con = duckdb.connect()
+    sp = spark.sql(
+        "SELECT element_at(array('x','y'), 1), element_at(array('x','y'), -1), "
+        "slice(array('x','y'), 1, 3), slice(array('a','b','c','d'), 1, 3)"
+    ).collect()[0]
+    dd = con.execute(
+        "SELECT (['x','y'])[1], (['x','y'])[-1], (['x','y'])[1:3], "
+        "(['a','b','c','d'])[1:3]"
+    ).fetchone()
+    assert (sp[0], sp[1], sp[2], sp[3]) == (dd[0], dd[1], dd[2], dd[3]) == (
+        "x", "y", ["x", "y"], ["a", "b", "c"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.sql("SELECT element_at(array('x','y'), 5)").collect()
+    assert con.execute("SELECT (['x','y'])[5]").fetchone()[0] is None
