@@ -921,3 +921,58 @@ def test_array_indexing_dialect_rules(spark):
     with _pytest.raises(Exception):
         spark.sql("SELECT element_at(array('x','y'), 5)").collect()
     assert con.execute("SELECT (['x','y'])[5]").fetchone()[0] is None
+
+
+def test_window_frame_peer_semantics(spark):
+    """Class-8 (window frames) closed at pin-scale rather than a full
+    probe session (SURVEY §2.57): the three RANGE-frame oracle pairs
+    (q_rolling_7d, q_bollinger, q_rolling_median) all ORDER BY a
+    key that is UNIQUE within the partition by groupBy construction,
+    so value-peer edges are structurally unexercised — this crafted
+    pin is the evidence that the peer rules agree anyway:
+    - RANGE frames include ALL peers of the current row's order value
+      in BOTH engines (2 PRECEDING here means value-distance);
+    - the DEFAULT frame of a windowed aggregate with ORDER BY is
+      peer-inclusive RANGE UNBOUNDED..CURRENT in BOTH (the classic
+      cumulative-sum-with-duplicates trap);
+    - ROWS peer ambiguity (physical order within equal keys) is
+      netted LIVE by the determinism lanes: the partition
+      perturbation would flip a peer-ambiguous ROWS cumulative, and
+      Lane A/C read 308/308 byte-identical at both scales."""
+    rows = [(1, 10.0), (1, 20.0), (2, 1.0), (4, 2.0), (4, 3.0), (5, 4.0)]
+    sdf = spark.createDataFrame(rows, "x INT, v DOUBLE")
+    from pyspark.sql import Window
+
+    w_range = Window.orderBy("x").rangeBetween(-2, Window.currentRow)
+    w_default = Window.orderBy("x")
+    sp = sorted(
+        (r["x"], r["v"], r["rsum"], r["csum"])
+        for r in sdf.select(
+            "x", "v",
+            F.sum("v").over(w_range).alias("rsum"),
+            F.sum("v").over(w_default).alias("csum"),
+        ).collect()
+    )
+    con = duckdb.connect()
+    dd = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT x, v,
+                   SUM(v) OVER (ORDER BY x RANGE BETWEEN 2 PRECEDING
+                                AND CURRENT ROW) AS rsum,
+                   SUM(v) OVER (ORDER BY x) AS csum
+            FROM (VALUES (1, 10.0::DOUBLE), (1, 20.0::DOUBLE),
+                         (2, 1.0::DOUBLE), (4, 2.0::DOUBLE),
+                         (4, 3.0::DOUBLE), (5, 4.0::DOUBLE)) t(x, v)
+            """
+        ).fetchall()
+    )
+    assert sp == dd, f"window peer-semantics drift: {sp} vs {dd}"
+    # both engines: x=1 rows see BOTH x=1 peers in every frame
+    assert sp[0][2] == sp[1][2] == 30.0   # range frame, peers included
+    assert sp[0][3] == sp[1][3] == 30.0   # default frame, peer-inclusive
+    # x=4 rows: range(-2) covers x in [2,4] = 1+2+3; cumulative covers
+    # both x=4 peers
+    assert sp[3][2] == sp[4][2] == 6.0
+    assert sp[3][3] == sp[4][3] == 36.0
