@@ -122,8 +122,10 @@ SORT_CASES = [NAN, -INF, -1.0, NEG0, 0.0, 1.0, INF]
 
 
 #: DuckDB-side literal list matching GROUP_CASES / SORT_CASES — the
-#: Python client's parameter binding converts float('nan') to NULL on
-#: the way in (measured r17), so NaN must be constructed IN SQL
+#: Python client binds a SCALAR float('nan') faithfully but converts
+#: NaN members of a LIST parameter to NULL (measured r17), and a bare
+#: -0.0 literal is DECIMAL and loses its sign — so NaN/-0.0 must be
+#: constructed IN SQL
 DD_GROUP = ("['nan'::DOUBLE, 'nan'::DOUBLE, 0.0::DOUBLE, -(0.0::DOUBLE), "
             "1.0::DOUBLE, 'inf'::DOUBLE, '-inf'::DOUBLE]")
 DD_SORT = ("['nan'::DOUBLE, '-inf'::DOUBLE, -1.0::DOUBLE, -(0.0::DOUBLE), "
