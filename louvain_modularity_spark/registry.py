@@ -60,14 +60,14 @@ def _modules():
 # before anything new is registered. The full three-round plan is pinned
 # below as data (_WINDOW_R06 / _WINDOW_R07 / _WINDOW_R08) and
 # held_queries() derives the outstanding set — no hand-synced prose list.
-# ROUND 17 STATUS: _WINDOW_R16 (pinned in round 16) is the ACTIVE
-# window; all_queries() leads with it. Rows-only pin: q_hll_sketch
-# only. The 10 remaining r10-vintage names, then the 40
-# alphabetically-first r11 greens — the oldest driver rows in the
-# registry after the r16 window ran (CORRECTNESS_r16 = 50/50
-# hash-green, the first perfect window).
+# ROUND 18 STATUS: _WINDOW_R17 (pinned in round 17) is the ACTIVE
+# window; all_queries() leads with it. Rows-only pin: NONE — the
+# second all-oracle window. The 9 remaining r11-vintage names, then
+# the 41 alphabetically-first r12 greens — the oldest driver rows in
+# the registry after the r17 window ran (CORRECTNESS_r17 = 49/50
+# hash-green + the documented rows-only q_hll_sketch).
 # Backlog: NONE — held_queries() returns [].
-# _WINDOW_R17 below pins the next rotation, derived by
+# _WINDOW_R18 below pins the next rotation, derived by
 # scripts/window_plan.py.
 #
 # Every oracle-backed entry is local DuckDB-parity green at
@@ -997,6 +997,76 @@ _WINDOW_R17 = [
 # names carry value-exact DuckDB oracles.
 _WINDOW_R17_ROWS_ONLY: list[str] = []
 
+# Round-18 window, pinned in round 18 (derived by
+# scripts/window_plan.py after _WINDOW_R17 went active): rotation-only
+# re-greens — the 8 remaining r12-vintage names (alphabetically after
+# the 41 the r17 window took), then the 42 alphabetically-first
+# r13-vintage names. Rows-only entries: q_bpe_learn (driver-sequenced
+# merge recurrence, SURVEY §2.40) and q_mst_boruvka (DuckDB 1.0
+# recursive-CTE limitation, re-probe trigger DuckDB ≥1.3).
+_WINDOW_R18 = [
+    # r12 remainder (last 8 of the r12 cohort, alphabetical)
+    "q_sort_limit",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_window_laglead",
+    "q_window_ntile",
+    "q_write_shards",
+    # r13 greens, alphabetical, first 42 (8 + 42 = 50)
+    "q_ab_ttest",
+    "q_attribution",
+    "q_auc_rank",
+    "q_bigram_lm",
+    "q_bloom_prefilter",
+    "q_bpe_learn",
+    "q_butterfly_sampled",
+    "q_ccnet_bucket",
+    "q_cdc_apply",
+    "q_conductance",
+    "q_containment",
+    "q_count_min",
+    "q_dbscan",
+    "q_decayed_count",
+    "q_diff_snapshot",
+    "q_dsir_weights",
+    "q_equi_depth_hist",
+    "q_expectations",
+    "q_feature_hash",
+    "q_fn_try",
+    "q_freq_pairs",
+    "q_gaps_islands",
+    "q_gopher_quality",
+    "q_graph_coloring",
+    "q_hits",
+    "q_incremental_agg",
+    "q_interval_overlap",
+    "q_kcore",
+    "q_ktruss",
+    "q_label_noise",
+    "q_label_propagation",
+    "q_louvain_one_level",
+    "q_mad_outlier",
+    "q_markov_transitions",
+    "q_mode_agg",
+    "q_mst_boruvka",
+    "q_partition_nmi",
+    "q_profile_columns",
+    "q_random_walk",
+    "q_seeded_order",
+    "q_subquery_scalar",
+    "q_symmetrize",
+]
+
+# Rows-only-by-contract entries inside the R18 window: q_bpe_learn
+# (exact pure-Python merge-list golden) and q_mst_boruvka (networkx
+# MSF-weight golden) — both documented rejections in SURVEY §2.40.
+_WINDOW_R18_ROWS_ONLY = [
+    "q_bpe_learn",
+    "q_mst_boruvka",
+]
+
 # Every query name that has appeared in a driver CORRECTNESS window,
 # rounds 1-5 (= union of CORRECTNESS_r0{1..5}.json keys; 193 names).
 # Frozen history — append-only as windows run.
@@ -1070,10 +1140,10 @@ def all_queries() -> dict[str, QueryFn]:
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         merged.update(mod.QUERIES)
-    missing = [n for n in _WINDOW_R16 if n not in merged]
+    missing = [n for n in _WINDOW_R17 if n not in merged]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R16}
+    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R17}
     out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
 
@@ -1100,6 +1170,7 @@ def held_queries() -> list[str]:
         | set(_WINDOW_R15)
         | set(_WINDOW_R16)
         | set(_WINDOW_R17)
+        | set(_WINDOW_R18)
     )
     return sorted(n for n in all_queries() if n not in windowed)
 
