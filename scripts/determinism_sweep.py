@@ -88,6 +88,16 @@ ALLOW: dict[str, str] = {
     # (empty until the first sweep run surfaces candidates)
 }
 
+#: Adjudicated special-value emitters: name -> reason a NaN/Inf/-0.0
+#: cell in that query's SPARK output is part of the documented
+#: contract. Only listed names may emit special cells without failing
+#: the sweep (r18, ADVICE item 1 — the net now GATES like the DuckDB
+#: twin in vacuity_sweep instead of relying on a human reading the
+#: summary). Zero emitters measured r17/r18.
+SPECIAL_ALLOW: dict[str, str] = {
+    # (empty — every registry output is special-value-free, SURVEY §2.54)
+}
+
 
 def _round_sig(v: float, sig: int = 6) -> float:
     if v == 0 or math.isnan(v) or math.isinf(v):
@@ -116,22 +126,34 @@ def _run(spark, fn, sf_dir):
     return df.columns, [tuple(r) for r in df.collect()]
 
 
-def count_special_cells(rows) -> int:
-    """NaN / ±Inf / -0.0 cells in a collected result — the Spark-side
-    twin of vacuity_sweep's DuckDB-side special_value_cell net (r17
-    class-6, SURVEY §2.54). Kept as a named kernel so the crafted-row
-    pin in tests/test_dialect.py can exercise every branch."""
-    return sum(
-        1
-        for row in rows
-        for v in row
-        if isinstance(v, float)
-        and (
+def _special_cells_in(v) -> int:
+    """Recursive cell counter: floats anywhere inside list/tuple/Row
+    (arrays, structs) and dict (maps) values are scanned, not just
+    top-level scalars — the r17 ADVICE blind spot (a future
+    array-output oracle must not bypass the net silently). The class-7
+    audit measured zero composite output columns registry-wide, so
+    today this recursion is exercised only by the crafted pins in
+    tests/test_dialect.py."""
+    if isinstance(v, float):
+        return int(
             math.isnan(v)
             or math.isinf(v)
             or (v == 0.0 and math.copysign(1.0, v) < 0)
         )
-    )
+    if isinstance(v, (list, tuple)):  # array columns and Row structs
+        return sum(_special_cells_in(x) for x in v)
+    if isinstance(v, dict):  # map columns (and DuckDB struct dicts)
+        return sum(_special_cells_in(x) for x in v.values())
+    return 0
+
+
+def count_special_cells(rows) -> int:
+    """NaN / ±Inf / -0.0 cells in a collected result — the Spark-side
+    twin of vacuity_sweep's DuckDB-side special_value_cell net (r17
+    class-6, SURVEY §2.54). Kept as a named kernel so the crafted-row
+    pin in tests/test_dialect.py can exercise every branch. Recurses
+    into composite cells (r18, ADVICE item 3)."""
+    return sum(_special_cells_in(v) for row in rows for v in row)
 
 
 def _compare(a, b):
@@ -229,9 +251,10 @@ def sweep(spark, names=None, verbose: bool = True, sf_dir: str = SF_DIR) -> dict
             # vacuity_sweep's DuckDB-side special_value_cell scan): a
             # NaN / Inf / -0.0 cell in a SPARK output crosses the
             # special-value dialect boundary (SURVEY §2.54) even when
-            # the DuckDB side emits a clean zero — count them so a
-            # one-sided -0.0 surfaces as a named finding here instead
-            # of a driver hash flake
+            # the DuckDB side emits a clean zero. Hits land in
+            # summary['special_value_cells'] and GATE in main() via
+            # SPECIAL_ALLOW (exit 1 when unadjudicated) so a one-sided
+            # -0.0 fails the sweep instead of hiding in the summary
             n_special = count_special_cells(a[1])
             if n_special:
                 special_values[name] = n_special
@@ -349,6 +372,19 @@ def main() -> int:
         print(f"UNADJUDICATED FINDINGS ({len(findings)}):")
         for n in findings:
             print(f"  {n}: {results[n]}")
+        return 1
+    # r18 (ADVICE item 1): the Spark-side special-value net gates like
+    # its DuckDB twin — an unadjudicated NaN/Inf/-0.0 cell fails the
+    # sweep instead of relying on a human reading the summary dict.
+    special = {
+        n: c
+        for n, c in summary["special_value_cells"].items()
+        if n not in SPECIAL_ALLOW
+    }
+    if special:
+        print(f"UNADJUDICATED SPECIAL-VALUE CELLS ({len(special)}):")
+        for n, c in sorted(special.items()):
+            print(f"  {n}: {c} NaN/Inf/-0.0 cells")
         return 1
     if stale_allow:
         print(f"STALE ALLOW ENTRIES (no longer variant): {stale_allow}")

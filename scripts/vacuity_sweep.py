@@ -106,6 +106,25 @@ def _degenerate(v) -> bool:
     return False
 
 
+def _special_cells_in(v) -> int:
+    """Recursive NaN/Inf/-0.0 cell counter — the DuckDB-side twin of
+    determinism_sweep._special_cells_in. Recurses into list/tuple
+    (DuckDB arrays) and dict (DuckDB structs/maps) so a composite-typed
+    oracle output cannot bypass the net silently (r18, ADVICE item 3;
+    the class-7 audit measured zero composite output columns today)."""
+    if isinstance(v, float):
+        return int(
+            math.isnan(v)
+            or math.isinf(v)
+            or (v == 0.0 and math.copysign(1.0, v) < 0)
+        )
+    if isinstance(v, (list, tuple)):
+        return sum(_special_cells_in(x) for x in v)
+    if isinstance(v, dict):
+        return sum(_special_cells_in(x) for x in v.values())
+    return 0
+
+
 def _self_check(con) -> None:
     """Canary: the detector must flag a known-empty and a known-
     degenerate result, or the whole sweep could pass vacuously."""
@@ -147,16 +166,7 @@ def sweep() -> dict:
             # occurrences measured r17; any future appearance is a
             # finding, not a hash flake to diagnose after the fact.
             for j, col in enumerate(colnames):
-                special = sum(
-                    1
-                    for r in rows
-                    if isinstance(r[j], float)
-                    and (
-                        math.isnan(r[j])
-                        or math.isinf(r[j])
-                        or (r[j] == 0.0 and math.copysign(1.0, r[j]) < 0)
-                    )
-                )
+                special = sum(_special_cells_in(r[j]) for r in rows)
                 if special:
                     findings.append(
                         {
@@ -261,9 +271,11 @@ def main() -> int:
         f"{len(report['findings'])} findings, "
         f"{len(report['unadjudicated'])} unadjudicated"
     )
+    # Tag by membership in the kind-matched unadjudicated list (r18,
+    # ADVICE item 2) — the old mixed OR could print [ADJUDICATED] on a
+    # finding that still counts as unadjudicated and forces exit 1.
     for f in report["findings"]:
-        adj = f["query"] in ADJUDICATED or f.get("column") in ADJUDICATED_COLUMNS
-        tag = "ADJUDICATED" if adj else "UNADJUDICATED"
+        tag = "UNADJUDICATED" if f in report["unadjudicated"] else "ADJUDICATED"
         what = f.get("column") or f["query"]
         print(f"  [{tag}] {what} @ {f['sf']}: {f['kind']} {f.get('detail', '')}")
     return 1 if report["unadjudicated"] else 0

@@ -815,6 +815,29 @@ def test_special_value_counters_on_crafted_rows():
     assert ds.count_special_cells(rows) == 4
     assert ds.count_special_cells([]) == 0
     assert ds.count_special_cells([(0.0, 1.0)]) == 0
+    # r18 (ADVICE item 3): the kernel recurses into composite cells —
+    # arrays, structs (Row is a tuple subclass), and map values — so a
+    # future composite-typed output column cannot bypass the net.
+    from pyspark.sql import Row
+
+    nested = [
+        ([1.0, float("nan"), -0.0], "x"),             # 2 hits in an array
+        (Row(a=float("inf"), b=0.0), 3),              # 1 hit in a struct
+        ({"k": float("-inf"), "j": 1.0}, None),       # 1 hit in a map value
+        ([[-0.0], [0.0, float("nan")]], "y"),         # 2 hits, doubly nested
+        ([], {}, ()),                                 # 0 hits (empties)
+    ]
+    assert ds.count_special_cells(nested) == 6
+    # and the vacuity twin counts the same crafted cells identically
+    spec_v = importlib.util.spec_from_file_location(
+        "vs_mod", "/root/repo/scripts/vacuity_sweep.py"
+    )
+    vs = importlib.util.module_from_spec(spec_v)
+    spec_v.loader.exec_module(vs)
+    for row in rows + nested:
+        assert sum(vs._special_cells_in(v) for v in row) == sum(
+            ds._special_cells_in(v) for v in row
+        )
 
 
 # ---------------------------------------------------------------------------
