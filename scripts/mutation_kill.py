@@ -1,0 +1,325 @@
+"""Mutation-kill audit of the verification nets (r18, VERDICT task 2).
+
+Six straight evidence rounds found zero engine defects; this audit
+answers the complementary question — WOULD the standing nets catch
+one? Each mutant below is a plausible single-line engine defect
+(the kind a hurried refactor introduces: a flipped frame bound, a
+dropped guard, a changed default). For each, the harness:
+
+  1. applies the one-line edit to the live source (exact-match
+     replace, asserted unique),
+  2. runs the mutant's nets — oracle parity at BOTH scales
+     (tests/run_parity.py, the driver window's check), targeted
+     pytest pins (the golden/invariant evidence rows-only queries
+     rely on), and Lane B of the invariance protocol where the
+     mutation touches a driver tail,
+  3. reverts the edit (git checkout, in a finally:), and
+  4. records which net(s) killed the mutant.
+
+A SURVIVING mutant is the audit's yield: it means a plausible defect
+class no standing net detects, and it must either gain a new pin/net
+or be adjudicated as out-of-contract (e.g. a perf-only knob whose
+output is provably unchanged). The kill matrix is committed to
+sweeps/r18_mutation_kill.json and summarized in SCALE.md §8.
+
+Usage:
+    python scripts/mutation_kill.py --dry          # verify all edits apply
+    python scripts/mutation_kill.py                # full audit (~40 min)
+    python scripts/mutation_kill.py --only M05     # one mutant
+    python scripts/mutation_kill.py --json OUT     # write the matrix
+
+SAFETY: the working tree must be clean before the run (asserted); the
+edit is reverted in a finally: even on crash/interrupt.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+REPO = "/root/repo"
+
+PKG = f"{REPO}/louvain_modularity_spark"
+
+#: Each mutant: one-line defect, the nets expected to see it, and the
+#: honest prior (kill = some net should fail; survive = no value net
+#: CAN see it and the adjudication says why that is acceptable).
+MUTANTS = [
+    {
+        "id": "M01_louvain_parity_guard",
+        "defect": "Louvain oscillation guard pinned to parity class 0 "
+        "(only half the nodes ever move)",
+        "file": f"{PKG}/louvain.py",
+        "old": 'F.pmod(F.xxhash64(F.col("src"), F.lit(seed)), F.lit(2)) == F.lit(rnd % 2)',
+        "new": 'F.pmod(F.xxhash64(F.col("src"), F.lit(seed)), F.lit(2)) == F.lit(0)',
+        "nets": {
+            "parity": ["q_louvain_one_level", "q_best_move"],
+            "pytest": [
+                "tests/test_louvain.py::test_karate_louvain_quality",
+                "tests/test_louvain.py::test_distributed_level_path",
+                "tests/test_louvain.py::test_directed_louvain_g1",
+                "tests/test_louvain.py::test_karate_golden_modularity",
+            ],
+            "laneb": True,
+        },
+    },
+    {
+        "id": "M02_rolling_frame_bound",
+        "defect": "7-day rolling window frame widened to 8 days "
+        "(rangeBetween(-6,..) -> (-7,..))",
+        "file": f"{PKG}/analytics.py",
+        "old": ".rangeBetween(-6, Window.currentRow)",
+        "new": ".rangeBetween(-7, Window.currentRow)",
+        "nets": {"parity": ["q_rolling_7d"]},
+    },
+    {
+        "id": "M03_hub_salt_disabled",
+        "defect": "hub salting silently disabled (salt_hubs <= 1 guard "
+        "widened so the salted path never runs)",
+        "file": f"{PKG}/louvain.py",
+        "old": "    if salt_hubs <= 1:",
+        "new": "    if salt_hubs <= 1024:",
+        "nets": {
+            "parity": ["q_louvain_one_level", "q_pagerank"],
+            "pytest": [
+                "tests/test_louvain.py::test_hub_salting_identical_results",
+            ],
+        },
+        "survival_ok": "perf-only knob: salting is value-neutral by "
+        "contract (the salting test asserts salted == unsalted, which "
+        "still holds when both sides are unsalted). Catchable only by "
+        "the per-round full-sweep timing diff / plan read.",
+    },
+    {
+        "id": "M04_default_weight_zero",
+        "defect": "NULL edge weights default to 0.0 instead of 1.0",
+        "file": f"{PKG}/graph.py",
+        "old": '"src", "dst", F.coalesce("weight", F.lit(1.0)).alias("weight")',
+        "new": '"src", "dst", F.coalesce("weight", F.lit(0.0)).alias("weight")',
+        "nets": {"parity": ["q_default_weight"]},
+    },
+    {
+        "id": "M05_louvain_tail_unsorted",
+        "defect": "canonical lexsort dropped from the Louvain inline "
+        "tail (the r14 layout-sensitivity bug, resurrected)",
+        "file": f"{PKG}/louvain.py",
+        "old": "order = np.lexsort((w_a, dst_a, src_a))",
+        "new": "order = np.arange(src_a.shape[0])",
+        "nets": {
+            "pytest": [
+                "tests/test_louvain.py::test_karate_louvain_quality",
+                "tests/test_louvain.py::test_karate_golden_modularity",
+            ],
+            "laneb": True,
+        },
+    },
+    {
+        "id": "M06_chunk_slice_short",
+        "defect": "sliding chunk slice one token short",
+        "file": f"{PKG}/textprep.py",
+        "old": 'F.expr(f"slice(toks, start_pos, {CHUNK_TOKENS})").alias("chunk"),',
+        "new": 'F.expr(f"slice(toks, start_pos, {CHUNK_TOKENS - 1})").alias("chunk"),',
+        "nets": {"parity": ["q_chunk_sliding"]},
+    },
+    {
+        "id": "M07_minhash_denominator",
+        "defect": "MinHash Jaccard estimate divided by PERMS-1",
+        "file": f"{PKG}/llm_ops.py",
+        "old": '(matches / float(MINHASH_PERMS)).alias("est_jaccard"),',
+        "new": '(matches / float(MINHASH_PERMS - 1)).alias("est_jaccard"),',
+        "nets": {"parity": ["q_dedup_minhash"]},
+    },
+    {
+        "id": "M08_gapfill_keep_nulls",
+        "defect": "gap-fill forward-fill loses ignorenulls (carries "
+        "NULL instead of the last observation)",
+        "file": f"{PKG}/relational.py",
+        "old": 'F.last("value", ignorenulls=True).over(fill).alias("value"),',
+        "new": 'F.last("value", ignorenulls=False).over(fill).alias("value"),',
+        "nets": {"parity": ["q_gap_fill"]},
+    },
+    {
+        "id": "M09_watermark_delay",
+        "defect": "append-mode watermark delay tripled (10 -> 30 min), "
+        "cutting more windows from the emitted set",
+        "file": f"{PKG}/streaming.py",
+        "old": '        ev.withWatermark("ts_ltz", "10 minutes")\n'
+        '        .groupBy(F.window("ts_ltz", "1 hour"))\n'
+        '        .agg(F.count("*").alias("n_events"))',
+        "new": '        ev.withWatermark("ts_ltz", "30 minutes")\n'
+        '        .groupBy(F.window("ts_ltz", "1 hour"))\n'
+        '        .agg(F.count("*").alias("n_events"))',
+        "nets": {"parity": ["q_stream_watermark"]},
+    },
+    {
+        "id": "M10_bpe_tiebreak_flip",
+        "defect": "BPE merge tie-break flipped to (left DESC, right "
+        "DESC) — a rows-only query defect",
+        "file": f"{PKG}/textprep.py",
+        "old": '.orderBy(F.desc("n"), F.asc("l"), F.asc("r"))',
+        "new": '.orderBy(F.desc("n"), F.desc("l"), F.desc("r"))',
+        "nets": {
+            "parity": ["q_bpe_learn"],
+            "pytest": [
+                "tests/test_llm_ops.py::test_bpe_learn_matches_reference",
+                "tests/test_llm_ops.py::test_bpe_encode_matches_python_golden",
+            ],
+        },
+    },
+    {
+        "id": "M11_modularity_half_penalty",
+        "defect": "modularity null-model penalty halved (4m^2 -> 2m^2)",
+        "file": f"{PKG}/metrics.py",
+        "old": 'F.expr(f"intra / m - {gamma!r} * sumk2 / (4.0 * m * m)").alias("q"),',
+        "new": 'F.expr(f"intra / m - {gamma!r} * sumk2 / (2.0 * m * m)").alias("q"),',
+        "nets": {
+            "parity": ["q_modularity"],
+            "pytest": [
+                "tests/test_louvain.py::test_karate_golden_modularity",
+                "tests/test_louvain.py::test_barbell_exact_modularity",
+            ],
+        },
+    },
+    {
+        "id": "M12_hll_lgk_halved",
+        "defect": "HLL sketch precision halved (lgK 12 -> 11) — a "
+        "rows-only query defect behind the rejected oracle",
+        "file": f"{PKG}/relational.py",
+        "old": 'F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")',
+        "new": 'F.hll_sketch_agg("user_id", F.lit(11)).alias("sk")',
+        "nets": {
+            "parity": ["q_hll_sketch"],
+            "pytest": ["tests/test_coverage.py::test_hll_sketch_accuracy"],
+        },
+    },
+]
+
+
+def _run(cmd: list[str], timeout: int = 3600) -> tuple[int, float, str]:
+    t0 = time.time()
+    p = subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=timeout
+    )
+    tail = (p.stdout + p.stderr)[-2000:]
+    return p.returncode, round(time.time() - t0, 1), tail
+
+
+def apply_mutant(m) -> None:
+    src = open(m["file"]).read()
+    n = src.count(m["old"])
+    assert n == 1, f"{m['id']}: old string occurs {n} times in {m['file']}"
+    open(m["file"], "w").write(src.replace(m["old"], m["new"], 1))
+
+
+def revert(m) -> None:
+    subprocess.run(
+        ["git", "checkout", "--", m["file"]], cwd=REPO, check=True
+    )
+
+
+def run_nets(m) -> dict:
+    nets = {}
+    spec = m["nets"]
+    if spec.get("parity"):
+        code, wall, tail = _run(
+            ["python", "tests/run_parity.py", *spec["parity"]]
+        )
+        nets["parity_both_scales"] = {
+            "killed": code != 0,
+            "wall_s": wall,
+            "queries": spec["parity"],
+            "tail": tail if code != 0 else "",
+        }
+    if spec.get("pytest"):
+        code, wall, tail = _run(["python", "-m", "pytest", "-q", *spec["pytest"]])
+        nets["pytest_pins"] = {
+            "killed": code != 0,
+            "wall_s": wall,
+            "tests": spec["pytest"],
+            "tail": tail if code != 0 else "",
+        }
+    if spec.get("laneb"):
+        code, wall, tail = _run(
+            ["python", "scripts/determinism_sweep.py", "--lane-b"]
+        )
+        nets["lane_b_invariance"] = {
+            "killed": code != 0,
+            "wall_s": wall,
+            "tail": tail if code != 0 else "",
+        }
+    return nets
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    dry = "--dry" in argv
+    only = None
+    if "--only" in argv:
+        only = argv[argv.index("--only") + 1]
+    json_out = None
+    if "--json" in argv:
+        json_out = argv[argv.index("--json") + 1]
+
+    status = subprocess.run(
+        ["git", "status", "--porcelain", "louvain_modularity_spark"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout.strip()
+    assert not status, f"package tree not clean, refusing to mutate:\n{status}"
+
+    matrix = []
+    for m in MUTANTS:
+        if only and m["id"] != only:
+            continue
+        if dry:
+            src = open(m["file"]).read()
+            n = src.count(m["old"])
+            print(f"{m['id']}: old-string count = {n} "
+                  f"({'OK' if n == 1 else 'NOT UNIQUE/MISSING'})")
+            continue
+        print(f"== {m['id']}: {m['defect']}", flush=True)
+        apply_mutant(m)
+        try:
+            nets = run_nets(m)
+        finally:
+            revert(m)
+        killed_by = [k for k, v in nets.items() if v["killed"]]
+        entry = {
+            "id": m["id"],
+            "defect": m["defect"],
+            "file": m["file"].replace(REPO + "/", ""),
+            "killed": bool(killed_by),
+            "killed_by": killed_by,
+            "nets": nets,
+        }
+        if not killed_by and m.get("survival_ok"):
+            entry["survival_adjudication"] = m["survival_ok"]
+        matrix.append(entry)
+        verdict = f"KILLED by {killed_by}" if killed_by else "SURVIVED"
+        print(f"   -> {verdict}", flush=True)
+
+    if dry:
+        return 0
+    survivors = [e for e in matrix if not e["killed"]]
+    unadjudicated = [e["id"] for e in survivors if "survival_adjudication" not in e]
+    out = {
+        "mutants": len(matrix),
+        "killed": sum(1 for e in matrix if e["killed"]),
+        "survivors": [e["id"] for e in survivors],
+        "unadjudicated_survivors": unadjudicated,
+        "matrix": matrix,
+    }
+    print(json.dumps({k: v for k, v in out.items() if k != "matrix"}, indent=2))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(out, f, indent=2)
+    # the audit FAILS if a mutant survives with no adjudication — that
+    # is exactly the "plausible defect no net catches" finding the
+    # audit exists to surface; it must become a new pin or a written
+    # adjudication before the audit goes green
+    return 1 if unadjudicated else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
