@@ -999,3 +999,75 @@ def test_window_frame_peer_semantics(spark):
     # both x=4 peers
     assert sp[3][2] == sp[4][2] == 6.0
     assert sp[3][3] == sp[4][3] == 36.0
+
+
+# ---------------------------------------------------------------------------
+# r18 class-9 pins: DECIMAL precision/scale inference
+# (scripts/probe_decimal_inference.py)
+# ---------------------------------------------------------------------------
+
+
+def test_decimal_inference_rules(spark):
+    """Pin the class-9 probe results (SURVEY §2.59). Measured scope
+    first: the registry's decimal domain sees only CAST, 1±d, d*d
+    chains (<=3 factors), SUM and ROUND — every division site casts to
+    double BEFORE dividing. The value risk is an inferred result scale
+    BELOW the exact product scale (silent intermediate rounding).
+    Probe result: neither engine truncates — Spark widens precision
+    (hitting the 38 cap at (38,6) for the 3-factor TPC-H revenue
+    shape, scale preserved), DuckDB stays at INT64 width (18,s) which
+    holds every registry-exercised magnitude. Folded doubles are
+    bit-equal on crafted max-precision money. An engine upgrade that
+    changes either inference rule fails here by name."""
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE r AS SELECT CAST(c0 AS DECIMAL(12,2)) p, "
+        "CAST(c1 AS DECIMAL(12,2)) d, CAST(c2 AS DECIMAL(12,2)) t "
+        "FROM (VALUES (9999999999.99, 0.99, 0.99), (0.01, 0.01, 0.01), "
+        "(12345678.91, 0.07, 0.08)) v(c0,c1,c2)"
+    )
+    sdf = spark.createDataFrame(
+        [("9999999999.99", "0.99", "0.99"), ("0.01", "0.01", "0.01"),
+         ("12345678.91", "0.07", "0.08")],
+        "p0 string, d0 string, t0 string",
+    ).select(
+        F.col("p0").cast("decimal(12,2)").alias("p"),
+        F.col("d0").cast("decimal(12,2)").alias("d"),
+        F.col("t0").cast("decimal(12,2)").alias("t"),
+    )
+    shapes = {
+        "one_minus": (F.lit(1) - F.col("d"), "1 - d", "DecimalType(13,2)",
+                      "DECIMAL(13,2)"),
+        "mul2": (F.col("p") * (F.lit(1) - F.col("d")), "p * (1 - d)",
+                 "DecimalType(26,4)", "DECIMAL(18,4)"),
+        "mul3": (F.col("p") * (F.lit(1) - F.col("d"))
+                 * (F.lit(1) + F.col("t")),
+                 "p * (1 - d) * (1 + t)", "DecimalType(38,6)",
+                 "DECIMAL(18,6)"),
+        "small_mul": (F.lit("0.5").cast("decimal(3,2)") * F.col("p"),
+                      "CAST('0.5' AS DECIMAL(3,2)) * p",
+                      "DecimalType(16,4)", "DECIMAL(15,4)"),
+    }
+    for name, (sx, dx, s_expect, d_expect) in shapes.items():
+        s_type = str(sdf.select(sx.alias("x")).schema["x"].dataType)
+        d_type = con.execute(f"SELECT typeof({dx}) FROM r LIMIT 1").fetchone()[0]
+        assert s_type == s_expect, f"{name}: Spark inference moved to {s_type}"
+        assert d_type == d_expect, f"{name}: DuckDB inference moved to {d_type}"
+        s_vals = sorted(
+            r["v"] for r in sdf.select(sx.cast("double").alias("v")).collect()
+        )
+        d_vals = sorted(
+            r[0] for r in con.execute(
+                f"SELECT CAST(({dx}) AS DOUBLE) FROM r"
+            ).fetchall()
+        )
+        assert s_vals == d_vals, f"{name}: folded doubles diverge"
+        s_sum = sdf.select(
+            F.round(F.sum(sx), 2).cast("double").alias("v")
+        ).collect()[0]["v"]
+        d_sum = con.execute(
+            f"SELECT CAST(ROUND(SUM({dx}), 2) AS DOUBLE) FROM r"
+        ).fetchone()[0]
+        assert s_sum == d_sum, f"{name}: sum+round diverges"
