@@ -191,7 +191,19 @@ MUTANTS = [
         "new": 'F.hll_sketch_agg("user_id", F.lit(11)).alias("sk")',
         "nets": {
             "parity": ["q_hll_sketch"],
-            "pytest": ["tests/test_coverage.py::test_hll_sketch_accuracy"],
+            "pytest": [
+                "tests/test_coverage.py::test_hll_sketch_accuracy",
+                # added AFTER the first audit run: M12 survived the two
+                # nets above (rows-only + ±2% tolerance). The fixture
+                # twin pin ALSO failed to kill (measured: 15/150
+                # distinct users per type = exact sparse regime, lgK
+                # unobservable at any fixture scale), so the
+                # dense-regime pin synthesizes 60k distinct users where
+                # adjacent lgK values diverge — the re-run receipt
+                # shows THAT one kills M12
+                "tests/test_coverage.py::test_hll_sketch_parameter_twin_pinned",
+                "tests/test_coverage.py::test_hll_sketch_lgk_observable_dense_regime",
+            ],
         },
     },
 ]

@@ -549,6 +549,119 @@ def test_hll_sketch_accuracy(spark):
         assert abs(got[k] - want) <= max(1, 0.02 * want), (k, got[k], want)
 
 
+def test_hll_sketch_parameter_twin_pinned(spark):
+    """Mutation-audit receipt (r18, M12_hll_lgk_halved): halving the
+    sketch precision (lgK 12 -> 11) SURVIVED both standing nets — the
+    rows-only driver check sees rows, and the ±2% accuracy tolerance
+    absorbs the coarser sketch at fixture cardinality. This twin pin
+    closes that gap without pinning coupon luck (the reason the DuckDB
+    oracle was rejected, SURVEY §2.40): it declares the CONTRACT —
+    DataSketches HLL at lgK=12, per-type agg + union — and recomputes
+    it independently on the same data, asserting EXACT estimate
+    equality. Robust to fixture regeneration (both sides recompute);
+    any change to the query's lgK, seed, estimator, or union path
+    diverges almost surely and fails here by name."""
+    import pyspark.sql.functions as FF
+
+    from louvain_modularity_spark.relational import q_hll_sketch
+    from louvain_modularity_spark.sources import load
+
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in q_hll_sketch(spark, "/root/testdata/sf0.001").collect()
+    }
+    e = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "user_id"
+    )
+    per = e.groupBy("event_type").agg(
+        FF.hll_sketch_agg("user_id", FF.lit(12)).alias("sk")
+    )
+    twin = {
+        r["event_type"]: r["n"]
+        for r in per.select(
+            "event_type",
+            FF.hll_sketch_estimate("sk").cast("bigint").alias("n"),
+        ).collect()
+    }
+    twin["__all__"] = (
+        per.agg(FF.hll_union_agg("sk").alias("sk"))
+        .select(FF.hll_sketch_estimate("sk").cast("bigint").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert got == twin, (
+        "q_hll_sketch diverged from the declared lgK=12 contract twin"
+    )
+
+
+def test_hll_sketch_lgk_observable_dense_regime(spark, tmp_path):
+    """Mutation-audit receipt part 2 (r18, M12): the fixture twin above
+    CANNOT discriminate lgK — measured: every event_type carries only
+    15 (sf0.001) / 150 (sf0.01) distinct users, deep in the sketch's
+    exact sparse regime where lgK=11 and lgK=12 return IDENTICAL
+    estimates. So this test synthesizes a DENSE-regime events table
+    (60k distinct users >> 2^12 registers, where the estimates of
+    adjacent lgK values diverge almost surely — measured at write
+    time: per-type lgK-12 estimates 31273/30528 vs lgK-11
+    31654/30602), drives q_hll_sketch ITSELF over it, and
+    asserts exact equality with the declared lgK=12 twin. A changed
+    lgK/seed/estimator in the ENGINE body now fails by name at a
+    cardinality where the parameter is observable."""
+    import pyspark.sql.functions as FF
+
+    from louvain_modularity_spark.relational import q_hll_sketch
+
+    sf_dir = str(tmp_path)
+    n = 60_000
+    spark.range(n).select(
+        FF.col("id").alias("event_id"),
+        (FF.lit("2024-01-01 00:00:00").cast("timestamp")).alias("ts"),
+        FF.col("id").alias("user_id"),
+        FF.when(FF.col("id") % 2 == 0, "click").otherwise("view").alias(
+            "event_type"
+        ),
+        FF.lit(1.0).alias("value"),
+        FF.lit("{}").alias("props"),
+    ).coalesce(4).write.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in q_hll_sketch(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    per = ev.groupBy("event_type").agg(
+        FF.hll_sketch_agg("user_id", FF.lit(12)).alias("sk")
+    )
+    twin = {
+        r["event_type"]: r["n"]
+        for r in per.select(
+            "event_type",
+            FF.hll_sketch_estimate("sk").cast("bigint").alias("n"),
+        ).collect()
+    }
+    twin["__all__"] = (
+        per.agg(FF.hll_union_agg("sk").alias("sk"))
+        .select(FF.hll_sketch_estimate("sk").cast("bigint").alias("n"))
+        .collect()[0]["n"]
+    )
+    # sanity: the crafted table is genuinely dense-regime — an lgK=11
+    # twin must DIVERGE here, or this test could not kill the mutant
+    alt = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(FF.hll_sketch_agg("user_id", FF.lit(11)).alias("sk"))
+        .select(
+            "event_type",
+            FF.hll_sketch_estimate("sk").cast("bigint").alias("n"),
+        )
+        .collect()
+    }
+    assert alt != twin, "crafted cardinality no longer discriminates lgK"
+    assert got == twin, (
+        "q_hll_sketch diverged from the lgK=12 twin on dense-regime data"
+    )
+
+
 def test_approx_cd_linear_counting_regime(spark):
     """Regime guard + convention pin backing the r13 q_approx_cd
     oracle (_oracle_approx_cd): Spark's HLL++ at default rsd=0.05 was
