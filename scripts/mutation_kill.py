@@ -206,6 +206,53 @@ MUTANTS = [
             ],
         },
     },
+    # --- plan-level mutants (r18 extension): exercise the PLAN nets
+    # (scripts/plan_sweep.py hazard detectors + the pytest plan pins)
+    # that the value-net matrix above never touches ---
+    {
+        "id": "P13_join_theta_typo",
+        "defect": "equi-join comparison typo'd to >= (the classic "
+        "accidental-cartesian: every non-equi pair matches)",
+        "file": f"{PKG}/relational.py",
+        "old": 'o.join(c, o.o_custkey == c.c_custkey, "inner")',
+        "new": 'o.join(c, o.o_custkey >= c.c_custkey, "inner")',
+        "nets": {
+            "parity": ["q_join_inner"],
+            "plansweep": ["q_join_inner"],
+        },
+    },
+    {
+        "id": "P14_window_partition_dropped",
+        "defect": "rolling window loses partitionBy (single-partition "
+        "global window — the scale killer)",
+        "file": f"{PKG}/analytics.py",
+        "old": "    w = (\n"
+        '        Window.partitionBy("user_id")\n'
+        '        .orderBy("day")\n'
+        "        .rangeBetween(-6, Window.currentRow)\n"
+        "    )",
+        "new": "    w = (\n"
+        '        Window.orderBy("day")\n'
+        "        .rangeBetween(-6, Window.currentRow)\n"
+        "    )",
+        "nets": {
+            "parity": ["q_rolling_7d"],
+            "plansweep": ["q_rolling_7d"],
+        },
+    },
+    {
+        "id": "P15_pushdown_blocked",
+        "defect": "no-op arithmetic (+0) on a Q6 predicate column — "
+        "values identical, parquet pushdown of that predicate lost",
+        "file": f"{PKG}/tpch.py",
+        "old": '        & (F.col("l_discount") >= 0.05)',
+        "new": '        & (F.col("l_discount") + 0 >= 0.05)',
+        "nets": {
+            "parity": ["q_tpch_q6"],
+            "pytest": ["tests/test_coverage.py::test_tpch_q6_full_pushdown"],
+            "plansweep": ["q_tpch_q6"],
+        },
+    },
 ]
 
 
@@ -259,6 +306,16 @@ def run_nets(m) -> dict:
         nets["lane_b_invariance"] = {
             "killed": code != 0,
             "wall_s": wall,
+            "tail": tail if code != 0 else "",
+        }
+    if spec.get("plansweep"):
+        code, wall, tail = _run(
+            ["python", "scripts/plan_sweep.py", *spec["plansweep"]]
+        )
+        nets["plan_sweep"] = {
+            "killed": code != 0,
+            "wall_s": wall,
+            "queries": spec["plansweep"],
             "tail": tail if code != 0 else "",
         }
     return nets

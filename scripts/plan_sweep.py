@@ -163,10 +163,19 @@ def _is_scalar_broadcast_bnlj(node):
 
 
 def main() -> None:
+    # optional name filter (r18, mutation-kill audit support): with
+    # positional names, sweep only those plans — the detectors and
+    # allow-lists are unchanged
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
     spark = get_spark("plan-sweep")
     findings: list[str] = []
     n = 0
-    for name, fn in all_queries().items():
+    queries = all_queries()
+    if only:
+        unknown = sorted(set(only) - set(queries))
+        assert not unknown, f"unknown query names: {unknown}"
+        queries = {k: queries[k] for k in only}
+    for name, fn in queries.items():
         try:
             root = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan()
             plan = root.toString()

@@ -386,17 +386,36 @@ def test_no_raw_ts_arithmetic():
     )
 
 
+def _untruncated_plan(spark, df):
+    """executedPlan().toString() with the metadata-string cap raised so
+    PushedFilters is NOT truncated — the r18 mutation audit (P15)
+    showed the default-truncated prefix pin passes even when a
+    COMPARISON predicate silently stops pushing (the inferred IsNotNull
+    triple still leads the list). Save/restore the conf."""
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "2000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def test_scan_pushdown(spark):
-    """Predicate + projection must reach the parquet scan."""
+    """Predicate + projection must reach the parquet scan — the full
+    COMPARISON predicates, not just the inferred IsNotNull prefix
+    (mutation-audit corrective, r18 P15)."""
     from louvain_modularity_spark.relational import q_scan_parquet
 
-    plan = (
-        q_scan_parquet(spark, "/root/testdata/sf0.001")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+    plan = _untruncated_plan(
+        spark, q_scan_parquet(spark, "/root/testdata/sf0.001")
     )
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_shipdate,1998-01-01T00:00)" in plan, plan
+    assert "LessThan(l_quantity,10.0)" in plan, plan
     assert "l_extendedprice" not in plan  # unused column pruned away
 
 
@@ -839,17 +858,20 @@ def test_tpch_q6_full_pushdown(spark):
     would be wrong at any scale)."""
     from louvain_modularity_spark.tpch import q_tpch_q6
 
-    plan = (
-        q_tpch_q6(spark, "/root/testdata/sf0.001")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    # toString truncates the PushedFilters list; the IsNotNull triple
-    # leads it, so its presence proves all three columns reached the scan
+    plan = _untruncated_plan(spark, q_tpch_q6(spark, "/root/testdata/sf0.001"))
+    # r18 mutation-audit corrective (P15): the old truncated-prefix pin
+    # (IsNotNull triple only) SURVIVED a +0-wrapped predicate — the
+    # inferred IsNotNulls keep pushing while the comparison silently
+    # stops. Pin every COMPARISON predicate against the untruncated
+    # list so a partial pushdown loss fails by name.
     assert (
         "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
-        "IsNotNull(l_quantity)" in plan
+        "IsNotNull(l_quantity), "
+        "GreaterThanOrEqual(l_shipdate,1997-01-01T00:00), "
+        "LessThan(l_shipdate,1998-01-01T00:00), "
+        "GreaterThanOrEqual(l_discount,0.05), "
+        "LessThanOrEqual(l_discount,0.07), "
+        "LessThan(l_quantity,24.0)]" in plan
     ), plan
     assert (
         "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
