@@ -253,6 +253,68 @@ MUTANTS = [
             "plansweep": ["q_tpch_q6"],
         },
     },
+    # --- adapter/streaming-state mutants (r18 extension 2): the single
+    # ts-encoding adapter everything depends on, and streaming state
+    # parameters ---
+    {
+        "id": "S16_tsus_dormant_nanos_unit",
+        "defect": "unit error in the DORMANT legacy nanos-as-long "
+        "branch of sources.ts_us_expr (div 1000 -> div 1000000) — "
+        "dead code on today's TIMESTAMP_NTZ fixtures",
+        "file": f"{PKG}/sources.py",
+        "old": '        return F.expr("ts div 1000")',
+        "new": '        return F.expr("ts div 1000000")',
+        "nets": {
+            "parity": ["q_gap_fill", "q_sessionize"],
+            "pytest": [
+                "tests/test_dialect.py::test_ns_to_us_truncation_dialect",
+                # added AFTER the first audit run: S16 survived (the
+                # pin above verifies the convention with an INLINE
+                # expression, never driving the adapter; the branch is
+                # dead code on TIMESTAMP_NTZ fixtures). The corrective
+                # drives sources.load itself on a crafted ns parquet —
+                # the re-run receipt shows it kills S16
+                "tests/test_dialect.py::test_ts_us_adapter_drives_both_branches",
+            ],
+        },
+    },
+    {
+        "id": "S17_tsus_live_ms_truncation",
+        "defect": "live ts_us branch truncated to milliseconds "
+        "(unix_micros -> unix_millis*1000; fixtures measured 999/1000 "
+        "rows with sub-ms micros)",
+        "file": f"{PKG}/sources.py",
+        "old": "    return F.unix_micros(F.col(\"ts\").cast(\"timestamp\"))",
+        "new": "    return F.unix_millis(F.col(\"ts\").cast(\"timestamp\")) * 1000",
+        "nets": {"parity": ["q_gap_fill", "q_sessionize"]},
+    },
+    {
+        "id": "S18_session_gap_shrunk",
+        "defect": "session window gap 30 -> 29 minutes",
+        "file": f"{PKG}/streaming.py",
+        "old": '.groupBy(F.session_window("ts_ltz", "30 minutes"), "user_id")',
+        "new": '.groupBy(F.session_window("ts_ltz", "29 minutes"), "user_id")',
+        "nets": {"parity": ["q_stream_session"]},
+    },
+    {
+        "id": "S19_dedup_key_dropped",
+        "defect": "streaming dedup loses event_type from its key list",
+        "file": f"{PKG}/streaming.py",
+        "old": '.dropDuplicatesWithinWatermark(["user_id", "event_type"])',
+        "new": '.dropDuplicatesWithinWatermark(["user_id"])',
+        "nets": {"parity": ["q_stream_dedup"]},
+    },
+    {
+        "id": "S20_session_tz_drifted",
+        "defect": "the self-healing session timezone conf drifts from "
+        "UTC to America/New_York (ts_us NTZ->instant casts shift)",
+        "file": f"{PKG}/session.py",
+        "old": '    "spark.sql.session.timeZone": "UTC",',
+        "new": '    "spark.sql.session.timeZone": "America/New_York",',
+        "nets": {
+            "parity": ["q_gap_fill", "q_fn_date", "q_stream_tumbling"],
+        },
+    },
 ]
 
 

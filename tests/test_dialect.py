@@ -1071,3 +1071,54 @@ def test_decimal_inference_rules(spark):
             f"SELECT CAST(ROUND(SUM({dx}), 2) AS DOUBLE) FROM r"
         ).fetchone()[0]
         assert s_sum == d_sum, f"{name}: sum+round diverges"
+
+
+def test_ts_us_adapter_drives_both_branches(spark, tmp_path):
+    """Mutation-audit corrective (r18, S16): the crafted ns->us pin
+    above verifies the CONVENTION with an inline expression, so a unit
+    error inside sources.ts_us_expr's dormant legacy-nanos branch
+    survived every net (dead code on today's TIMESTAMP_NTZ fixtures).
+    This test drives the ADAPTER itself — sources.load attaching ts_us
+    — on a crafted ns-encoded events.parquet, asserting equality with
+    DuckDB's epoch_us on every crafted instant, and re-checks the live
+    NTZ branch against the real fixture. A unit/rounding defect in
+    EITHER branch of ts_us_expr now fails here by name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from louvain_modularity_spark.sources import load
+
+    nanos = [0, 1, 999, 1000, 1500, -1, -999, -1000, -1500,
+             1_000_000_001, -86_400_000_000_000]
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(len(nanos)), pa.int64()),
+            "ts": pa.array(nanos, pa.timestamp("ns")),
+        }),
+        path,
+    )
+    got = {
+        r["event_id"]: r["ts_us"]
+        for r in load(spark, str(tmp_path), "events")
+        .select("event_id", "ts_us")
+        .collect()
+    }
+    con = duckdb.connect()
+    want = dict(con.execute(
+        f"SELECT event_id, CAST(epoch_us(ts) AS BIGINT) "
+        f"FROM read_parquet('{path}') ORDER BY event_id"
+    ).fetchall())
+    assert got == want, "legacy-nanos adapter branch drifted from epoch_us"
+    # live NTZ branch, against the real fixture (999/1000 rows carry
+    # sub-ms micros, so a ms-truncation defect cannot hide)
+    sf = "/root/testdata/sf0.001"
+    got_live = {
+        r["event_id"]: r["ts_us"]
+        for r in load(spark, sf, "events").select("event_id", "ts_us").collect()
+    }
+    want_live = dict(con.execute(
+        f"SELECT event_id, CAST(epoch_us(ts) AS BIGINT) "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall())
+    assert got_live == want_live, "live NTZ adapter branch drifted from epoch_us"
