@@ -1122,3 +1122,42 @@ def test_ts_us_adapter_drives_both_branches(spark, tmp_path):
         f"FROM read_parquet('{sf}/events.parquet')"
     ).fetchall())
     assert got_live == want_live, "live NTZ adapter branch drifted from epoch_us"
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_fixture_strings_pure_ascii_scope_guard(sf_dir):
+    """Class-10 zero-surface negative, held as a standing guard (r18,
+    SURVEY §2.61): Unicode normalization (NFC vs NFD — visually equal
+    keys with different codepoints that both engines would group
+    apart, and that Spark's UTF8_LCASE vs DuckDB's lower() would fold
+    differently) has ZERO registry surface because every string column
+    of every fixture table is pure ASCII at both oracle scales
+    (measured: 0 non-ASCII rows anywhere). ASCII has no normalization
+    forms, so the class is fenced BY THIS FACT — which therefore must
+    be a standing measurement, not a snapshot: a fixture regeneration
+    that introduces non-ASCII text fails here with the explanation
+    (and would also need the q_collation ASCII-scope guard above
+    re-derived)."""
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    offenders = []
+    for t in tables:
+        cols = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        ).fetchall()
+        for c, typ, *_ in cols:
+            if typ == "VARCHAR":
+                n = con.execute(
+                    f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/{t}.parquet') "
+                    f"WHERE regexp_matches(\"{c}\", '[^\\x00-\\x7F]')"
+                ).fetchone()[0]
+                if n:
+                    offenders.append(f"{t}.{c}: {n} non-ASCII rows")
+    assert not offenders, (
+        f"{sf_dir}: fixture strings are no longer pure ASCII — the "
+        f"Unicode-normalization zero-surface fence (SURVEY §2.61) no "
+        f"longer holds: {offenders}"
+    )
