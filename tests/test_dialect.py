@@ -1161,3 +1161,33 @@ def test_fixture_strings_pure_ascii_scope_guard(sf_dir):
         f"Unicode-normalization zero-surface fence (SURVEY §2.61) no "
         f"longer holds: {offenders}"
     )
+
+
+def test_intdiv_modulo_sign_dialect(spark):
+    """Class-11 pin (r18, SURVEY §2.62): integer division direction.
+    Spark's BIGINT ``DIV`` truncates toward zero; DuckDB's INTEGER
+    ``//`` ALSO truncates toward zero (floor-division semantics apply
+    only to its FLOAT ``//``) — probed on the full sign grid plus the
+    int64 extreme, engines agree on quotient AND remainder at every
+    point. The registry's two money DIV sites (q_allocation,
+    q_cohort_ltv) pair Spark DIV with DuckDB // — valid for ANY sign,
+    not just the fixtures' positive totalprice domain. An engine
+    change to floor semantics on either side fails here by name."""
+    cases = [(-7, 2), (7, 2), (-7, -2), (7, -2), (-1, 3), (-6, 3),
+             (-9223372036854775807, 2)]
+    con = duckdb.connect()
+    for a, b in cases:
+        s = spark.sql(
+            f"SELECT CAST({a} AS BIGINT) DIV {b} AS d, "
+            f"CAST({a} AS BIGINT) % {b} AS m"
+        ).collect()[0]
+        d = con.execute(
+            f"SELECT CAST({a} AS BIGINT) // {b}, CAST({a} AS BIGINT) % {b}"
+        ).fetchone()
+        assert (s["d"], s["m"]) == (d[0], d[1]), (
+            f"intdiv/modulo sign dialect drift at ({a}, {b}): "
+            f"spark=({s['d']}, {s['m']}) duckdb={d}"
+        )
+    # the truncation (NOT floor) direction, pinned explicitly on both
+    assert spark.sql("SELECT CAST(-7 AS BIGINT) DIV 2 AS d").collect()[0]["d"] == -3
+    assert con.execute("SELECT CAST(-7 AS BIGINT) // 2").fetchone()[0] == -3
