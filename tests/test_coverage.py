@@ -1524,3 +1524,29 @@ def test_ann_ivf_assignment_is_aggregate_not_window(spark):
         f"not, an argmax regressed to a window. Plan nodes: {names}"
     )
     assert "max_by" in root.toString()
+
+
+def test_mutation_audit_sites_still_apply():
+    """Drift guard for the r18 mutation-kill matrix (SCALE §8): every
+    mutant's old-string must still occur EXACTLY ONCE in its target
+    file, or the committed kill matrix no longer describes this
+    engine. A refactor that moves/rewords a mutation site must update
+    scripts/mutation_kill.py in the same commit (and ideally re-run
+    the affected mutant) — the same keep-in-sync contract every pin
+    has. Runs the harness's --dry check in-process (no Spark)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "mk_mod", "/root/repo/scripts/mutation_kill.py"
+    )
+    mk = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mk)
+    stale = []
+    for m in mk.MUTANTS:
+        n = open(m["file"]).read().count(m["old"])
+        if n != 1:
+            stale.append(f"{m['id']}: old-string count {n} in {m['file']}")
+    assert not stale, (
+        "mutation-kill sites drifted — update scripts/mutation_kill.py "
+        "alongside the refactor:\n" + "\n".join(stale)
+    )
