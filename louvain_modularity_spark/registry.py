@@ -60,14 +60,14 @@ def _modules():
 # before anything new is registered. The full three-round plan is pinned
 # below as data (_WINDOW_R06 / _WINDOW_R07 / _WINDOW_R08) and
 # held_queries() derives the outstanding set — no hand-synced prose list.
-# ROUND 18 STATUS: _WINDOW_R17 (pinned in round 17) is the ACTIVE
-# window; all_queries() leads with it. Rows-only pin: NONE — the
-# second all-oracle window. The 9 remaining r11-vintage names, then
-# the 41 alphabetically-first r12 greens — the oldest driver rows in
-# the registry after the r17 window ran (CORRECTNESS_r17 = 49/50
-# hash-green + the documented rows-only q_hll_sketch).
+# ROUND 19 STATUS: _WINDOW_R18 (pinned in round 18) is the ACTIVE
+# window; all_queries() leads with it. Rows-only pin: q_bpe_learn and
+# q_mst_boruvka (documented rejections, SURVEY §2.40). The 8 remaining
+# r12-vintage names, then the 42 alphabetically-first r13 greens — the
+# oldest driver rows in the registry after the r18 window ran
+# (CORRECTNESS_r18 = 50/50 hash-green, the second all-oracle window).
 # Backlog: NONE — held_queries() returns [].
-# _WINDOW_R18 below pins the next rotation, derived by
+# _WINDOW_R19 below pins the next rotation, derived by
 # scripts/window_plan.py.
 #
 # Every oracle-backed entry is local DuckDB-parity green at
@@ -1067,6 +1067,74 @@ _WINDOW_R18_ROWS_ONLY = [
     "q_mst_boruvka",
 ]
 
+# Round-19 window, pinned in round 19 (derived by
+# scripts/window_plan.py after _WINDOW_R18 went active): rotation-only
+# re-greens — the 8 remaining r13-vintage names (alphabetically after
+# the 42 the r18 window took), then the 42 alphabetically-first
+# r14-vintage names. Rows-only entry: q_bpe_encode (driver-sequenced
+# BPE merge recurrence, SURVEY §2.40).
+_WINDOW_R19 = [
+    # r13 remainder (last 8 of the r13 cohort, alphabetical)
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_tpch_q9",
+    "q_union_by_name",
+    "q_window_frame",
+    "q_window_rank",
+    "q_write_edgelist",
+    # r14 greens, alphabetical, first 42 (8 + 42 = 50)
+    "q_allocation",
+    "q_anova",
+    "q_approx_cd",
+    "q_arrow_batch",
+    "q_assoc_rules",
+    "q_autocorr",
+    "q_benford",
+    "q_bin_pack",
+    "q_bollinger",
+    "q_bpe_encode",
+    "q_butterfly",
+    "q_cogroup_udf",
+    "q_cohort_ltv",
+    "q_collation",
+    "q_crosstab_chi2",
+    "q_cusum",
+    "q_e2e_curation",
+    "q_ewma",
+    "q_gini",
+    "q_graph_drift",
+    "q_histogram_2d",
+    "q_interval_merge",
+    "q_item_cf",
+    "q_kaplan_meier",
+    "q_kmv_sketch",
+    "q_mann_whitney",
+    "q_neighbor_agg",
+    "q_nested_prune",
+    "q_null_imputation",
+    "q_ohlc_bars",
+    "q_one_hot",
+    "q_pareto_abc",
+    "q_pq_ann",
+    "q_recursive_cte",
+    "q_reservoir_group",
+    "q_rfm",
+    "q_running_distinct",
+    "q_seasonal_baseline",
+    "q_session_paths",
+    "q_skew_stats",
+    "q_skyline",
+    "q_sorted_neighborhood",
+]
+
+# Rows-only-by-contract entries inside the R19 window: q_bpe_encode
+# (exact pure-Python BPE-encode golden over the learned merge list) —
+# a documented rejection in SURVEY §2.40.
+_WINDOW_R19_ROWS_ONLY = [
+    "q_bpe_encode",
+]
+
 # Every query name that has appeared in a driver CORRECTNESS window,
 # rounds 1-5 (= union of CORRECTNESS_r0{1..5}.json keys; 193 names).
 # Frozen history — append-only as windows run.
@@ -1140,10 +1208,10 @@ def all_queries() -> dict[str, QueryFn]:
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         merged.update(mod.QUERIES)
-    missing = [n for n in _WINDOW_R17 if n not in merged]
+    missing = [n for n in _WINDOW_R18 if n not in merged]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R17}
+    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R18}
     out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
 
@@ -1171,6 +1239,7 @@ def held_queries() -> list[str]:
         | set(_WINDOW_R16)
         | set(_WINDOW_R17)
         | set(_WINDOW_R18)
+        | set(_WINDOW_R19)
     )
     return sorted(n for n in all_queries() if n not in windowed)
 

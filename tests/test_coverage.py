@@ -46,24 +46,24 @@ def test_documented_counts_match_registry():
     )
 
 
-def test_r17_window_leads_registry():
+def test_r18_window_leads_registry():
     """The driver checks the first 50 registry entries; the pinned
-    round-17 window must lead the iteration order: the 9 remaining
-    r11-vintage names first (the oldest driver rows in the registry),
-    then the 41 alphabetically-first r12 greens. Zero rows-only
-    entries — the second all-oracle window."""
+    round-18 window must lead the iteration order: the 8 remaining
+    r12-vintage names first (the oldest driver rows in the registry),
+    then the 42 alphabetically-first r13 greens. Two rows-only
+    entries (q_bpe_learn, q_mst_boruvka — documented rejections)."""
     from louvain_modularity_spark.registry import (
-        _WINDOW_R17,
-        _WINDOW_R17_ROWS_ONLY,
+        _WINDOW_R18,
+        _WINDOW_R18_ROWS_ONLY,
     )
 
     q, o = all_queries(), all_oracles()
-    assert list(q)[: len(_WINDOW_R17)] == _WINDOW_R17
-    assert len(_WINDOW_R17) == 50 == len(set(_WINDOW_R17))
-    not_backed = [n for n in _WINDOW_R17 if n not in o]
-    assert sorted(not_backed) == sorted(_WINDOW_R17_ROWS_ONLY), (
+    assert list(q)[: len(_WINDOW_R18)] == _WINDOW_R18
+    assert len(_WINDOW_R18) == 50 == len(set(_WINDOW_R18))
+    not_backed = [n for n in _WINDOW_R18 if n not in o]
+    assert sorted(not_backed) == sorted(_WINDOW_R18_ROWS_ONLY), (
         f"unplanned rows-only queries in driver window: "
-        f"{sorted(set(not_backed) - set(_WINDOW_R17_ROWS_ONLY))}"
+        f"{sorted(set(not_backed) - set(_WINDOW_R18_ROWS_ONLY))}"
     )
 
 
@@ -327,6 +327,36 @@ def test_backlog_empty_after_r10_window():
         _WINDOW_R18_ROWS_ONLY
     ), "r18 rows-only pin out of sync with the registry's oracle map"
     assert _WINDOW_R18_ROWS_ONLY == ["q_bpe_learn", "q_mst_boruvka"]
+    # r19 plan shape: rotation-only (no r19 registrations), 50
+    # distinct, disjoint from r18, every name a previously-windowed
+    # re-green: 8 r13 remainders + 42 alphabetically-first r14 names;
+    # one rows-only entry (q_bpe_encode — documented rejection,
+    # SURVEY §2.40)
+    from louvain_modularity_spark.registry import (
+        _WINDOW_R19,
+        _WINDOW_R19_ROWS_ONLY,
+    )
+
+    assert len(_WINDOW_R19) == 50 == len(set(_WINDOW_R19))
+    assert not set(_WINDOW_R19) & set(_WINDOW_R18)
+    unknown_r19 = set(_WINDOW_R19) - set(all_queries())
+    assert not unknown_r19, f"r19 window names not registered: {sorted(unknown_r19)}"
+    assert set(_WINDOW_R19) <= (
+        _EVER_WINDOWED_PRE_R06
+        | set(_WINDOW_R06)
+        | set(_WINDOW_R07)
+        | set(_WINDOW_R08)
+        | set(_WINDOW_R09)
+        | set(_WINDOW_R10)
+        | set(_WINDOW_R11)
+        | set(_WINDOW_R12)
+        | set(_WINDOW_R13)
+        | set(_WINDOW_R14)
+    )
+    assert sorted(n for n in _WINDOW_R19 if n not in all_oracles()) == sorted(
+        _WINDOW_R19_ROWS_ONLY
+    ), "r19 rows-only pin out of sync with the registry's oracle map"
+    assert _WINDOW_R19_ROWS_ONLY == ["q_bpe_encode"]
     assert len(_WINDOW_R07) == 50 == len(set(_WINDOW_R07))
     assert len(_WINDOW_R08) == 50 == len(set(_WINDOW_R08))
     assert not set(_WINDOW_R07) & set(_WINDOW_R08)
