@@ -22,6 +22,15 @@ or be adjudicated as out-of-contract (e.g. a perf-only knob whose
 output is provably unchanged). The kill matrix is committed to
 sweeps/r18_mutation_kill.json and summarized in SCALE.md §8.
 
+r19 extension (VERDICT r18 task 3): the matrix also mutates the
+ORACLE side (O21-O26) — single-line defects in oracle SQL strings
+(dropped predicate, flipped tie-break, corrupted hash replication,
+widened watermark cut, narrowed rounding, dropped FILTER clause).
+For these the kill criterion is the same (parity fails), but the
+MEANING inverts: a kill proves the oracle clause CONSTRAINS the
+engine at fixture scales; a survivor is a vacuous-oracle finding
+that needs a measured adjudication or a vacuity-sweep entry.
+
 Usage:
     python scripts/mutation_kill.py --dry          # verify all edits apply
     python scripts/mutation_kill.py                # full audit (~40 min)
@@ -85,12 +94,15 @@ MUTANTS = [
             "parity": ["q_louvain_one_level", "q_pagerank"],
             "pytest": [
                 "tests/test_louvain.py::test_hub_salting_identical_results",
+                # added r19 (closing the r18 audit's one adjudicated
+                # survivor): salting is value-neutral, so the kill net
+                # is a PLAN-fingerprint pin — the (dst, salt) join
+                # shuffle, the salt-array explode, and the
+                # pmod(xxhash64(src)) assignment must all appear in the
+                # salted w2c plan on a crafted hub-heavy fixture
+                "tests/test_coverage.py::test_hub_salt_plan_fingerprint",
             ],
         },
-        "survival_ok": "perf-only knob: salting is value-neutral by "
-        "contract (the salting test asserts salted == unsalted, which "
-        "still holds when both sides are unsalted). Catchable only by "
-        "the per-round full-sweep timing diff / plan read.",
     },
     {
         "id": "M04_default_weight_zero",
@@ -315,6 +327,84 @@ MUTANTS = [
             "parity": ["q_gap_fill", "q_fn_date", "q_stream_tumbling"],
         },
     },
+    # --- ORACLE-side mutants (r19 extension, VERDICT r18 task 3): all
+    # twenty mutants above attack the ENGINE; these attack the ORACLE
+    # SQL itself. Here a KILL (parity FAILS under the mutated oracle)
+    # proves the oracle CONSTRAINS the engine — the clause being
+    # mutated is load-bearing at fixture scales, not an echo of
+    # fixture luck. A SURVIVOR means that oracle clause is vacuous on
+    # today's fixtures and must be adjudicated (measured receipt) or
+    # become a vacuity-sweep finding. ---
+    {
+        "id": "O21_oracle_q6_predicate_dropped",
+        "defect": "oracle: Q6 quantity cap effectively dropped "
+        "(l_quantity < 24 -> < 240; fixture max is 50)",
+        "file": f"{PKG}/tpch.py",
+        "old": "  AND l_quantity < 24\n",
+        "new": "  AND l_quantity < 240\n",
+        "nets": {"parity": ["q_tpch_q6"]},
+    },
+    {
+        "id": "O22_oracle_topk_tiebreak_flipped",
+        "defect": "oracle: top-100 tie-break flipped to DESC on both "
+        "key columns (selects different rows iff price ties straddle "
+        "the LIMIT cut)",
+        "file": f"{PKG}/relational.py",
+        "old": "ORDER BY price DESC, l_orderkey, l_linenumber",
+        "new": "ORDER BY price DESC, l_orderkey DESC, l_linenumber DESC",
+        "nets": {"parity": ["q_sort_limit"]},
+        "survival_ok": "measured BEFORE the run (r19, class-12a "
+        "probe): the top-100 rounded prices are all DISTINCT at both "
+        "oracle scales (sf0.001 cut 103155.53, sf0.01 cut 104793.77, "
+        "ties_in_top100=1=ties_total, 100 distinct prices), so the "
+        "tie-break clause is unexercised and flipping it is "
+        "value-neutral on today's fixtures. The clause is defensive "
+        "(it makes the cut deterministic on ANY data); its vacuity "
+        "here is a fixture property, pinned by "
+        "tests/test_dialect.py::test_topk_cut_tie_exposure.",
+    },
+    {
+        "id": "O23_oracle_xxh64_rotl_corrupted",
+        "defect": "oracle: XXH64 SQL replication rotl constant 31 -> "
+        "30 (the DuckDB-side hash layers diverge from Spark's "
+        "built-in xxhash64)",
+        "file": f"{PKG}/graph.py",
+        "old": '(f"{tag}_k1", _sql_mul64(_sql_rotl64(f"{tag}_k0", 31), _XXH64_P1)),',
+        "new": '(f"{tag}_k1", _sql_mul64(_sql_rotl64(f"{tag}_k0", 30), _XXH64_P1)),',
+        "nets": {"parity": ["q_seeded_order"]},
+    },
+    {
+        "id": "O24_oracle_watermark_cut_widened",
+        "defect": "oracle: stream-watermark delay constant 10 min -> "
+        "70 min (the calibrated append-mode cut keeps windows the "
+        "engine actually emits... or would, if the clause is "
+        "load-bearing)",
+        "file": f"{PKG}/streaming.py",
+        "old": "  SELECT (MAX(epoch_us(ts)) // 1000) * 1000 - 600000000 AS wm FROM events",
+        "new": "  SELECT (MAX(epoch_us(ts)) // 1000) * 1000 - 4200000000 AS wm FROM events",
+        "nets": {"parity": ["q_stream_watermark"]},
+    },
+    {
+        "id": "O25_oracle_round_digits_narrowed",
+        "defect": "oracle: Q1 avg_disc rounding 6 -> 5 digits (the "
+        "tolerance-widening class: a sloppier oracle round must not "
+        "still match the engine's 6-digit round)",
+        "file": f"{PKG}/tpch.py",
+        "old": ", 6) AS avg_disc",
+        "new": ", 5) AS avg_disc",
+        "nets": {"parity": ["q_tpch_q1"]},
+    },
+    {
+        "id": "O26_oracle_filter_clause_dropped",
+        "defect": "oracle: FILTER (WHERE l_quantity > 25) dropped from "
+        "the conditional count (n_bulk silently becomes n_rows)",
+        "file": f"{PKG}/analytics.py",
+        # 7-space indent = the ORACLE_FILTERED_AGG copy; the Spark-side
+        # spark.sql twin at 15 spaces must NOT be touched
+        "old": "\nSELECT l_linestatus,\n       COUNT(*)                                              AS n_rows,\n       COUNT(*)    FILTER (WHERE l_quantity > 25)            AS n_bulk,",
+        "new": "\nSELECT l_linestatus,\n       COUNT(*)                                              AS n_rows,\n       COUNT(*)                                              AS n_bulk,",
+        "nets": {"parity": ["q_filtered_agg"]},
+    },
 ]
 
 
@@ -330,7 +420,13 @@ def _run(cmd: list[str], timeout: int = 3600) -> tuple[int, float, str]:
 def apply_mutant(m) -> None:
     src = open(m["file"]).read()
     n = src.count(m["old"])
-    assert n == 1, f"{m['id']}: old string occurs {n} times in {m['file']}"
+    # explicit raise, not assert: this guard (and the clean-tree one in
+    # main) must survive `python -O` — a non-unique replace followed by
+    # the unconditional git-checkout revert could clobber real edits
+    if n != 1:
+        raise SystemExit(
+            f"{m['id']}: old string occurs {n} times in {m['file']}"
+        )
     open(m["file"], "w").write(src.replace(m["old"], m["new"], 1))
 
 
@@ -397,7 +493,10 @@ def main() -> int:
         ["git", "status", "--porcelain", "louvain_modularity_spark"],
         cwd=REPO, capture_output=True, text=True,
     ).stdout.strip()
-    assert not status, f"package tree not clean, refusing to mutate:\n{status}"
+    if status:
+        raise SystemExit(
+            f"package tree not clean, refusing to mutate:\n{status}"
+        )
 
     matrix = []
     for m in MUTANTS:

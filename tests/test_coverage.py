@@ -533,6 +533,65 @@ def test_bucketed_join_query_plan(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_hub_salt_plan_fingerprint(spark):
+    """Mutation-audit corrective (r19, closing the M03 hole): hub-salt
+    disablement is VALUE-neutral by contract (salted == unsalted w2c),
+    so no value net can catch a silent de-salting regression — the
+    defect only resurfaces as the hub-partition straggler at 100x
+    scale. Pin the PLAN instead, on a crafted hub-heavy graph (hub 0
+    with 400 spokes, hub_min_neighbors=50): the salted w2c physical
+    plan must carry the three pieces of real salt machinery —
+      1. the join shuffle keyed on (dst, salt) — the mechanism that
+         actually spreads a hub over salt_hubs partitions,
+      2. the salt-array Generate/explode replicating each hub's
+         assignment row across all salts,
+      3. the pmod(xxhash64(src)) salt assignment on the edge side —
+    and the unsalted plan must contain NONE of them (proving the
+    fingerprints are the salting machinery itself, not incidental
+    strings). A guard widening (M03: `salt_hubs <= 1` -> `<= 1024`)
+    routes this call down the plain path and trips all three."""
+    import re
+
+    from louvain_modularity_spark.louvain import neighbor_com_weights
+
+    rows = [(0, i, 1.0) for i in range(1, 401)]
+    rows += [(i, i + 1, 2.0) for i in range(1, 400, 3)]
+    edges = spark.createDataFrame(rows, "src LONG, dst LONG, weight DOUBLE")
+    assign = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select("dst"))
+        .distinct()
+        .select("id", F.pmod("id", F.lit(7)).alias("community"))
+    )
+
+    salted_plan = (
+        neighbor_com_weights(edges, assign, salt_hubs=4, hub_min_neighbors=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    plain_plan = (
+        neighbor_com_weights(edges, assign)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+    fingerprints = {
+        "(dst, salt) join shuffle": r"hashpartitioning\(dst#\d+L?, salt#\d+",
+        "salt-array explode": r"Generate explode\(\[0,1,2,3\]\)",
+        "pmod(xxhash64(src)) salt assignment": r"pmod\(xxhash64\(src#\d+",
+    }
+    for label, pat in fingerprints.items():
+        assert re.search(pat, salted_plan), f"salted plan lost: {label}\n{salted_plan}"
+        assert not re.search(pat, plain_plan), (
+            f"fingerprint vacuous — unsalted plan also matches: {label}"
+        )
+    # the fixture genuinely exceeds the hub threshold (the salted path
+    # is driven, not dormant): hub 0 has 400 >= 50 incident rows
+    assert "salt" not in plain_plan
+
+
 def test_kcore_golden(spark):
     """Distributed peeling must reproduce networkx core_number on the
     karate fixture (the stand-in reference implementation)."""

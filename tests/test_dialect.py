@@ -1191,3 +1191,133 @@ def test_intdiv_modulo_sign_dialect(spark):
     # the truncation (NOT floor) direction, pinned explicitly on both
     assert spark.sql("SELECT CAST(-7 AS BIGINT) DIV 2 AS d").collect()[0]["d"] == -3
     assert con.execute("SELECT CAST(-7 AS BIGINT) // 2").fetchone()[0] == -3
+
+
+def test_string_to_number_cast_dialect(spark):
+    """Class-12(b) pin (r19, SURVEY §2.64; probe:
+    scripts/probe_cast_dialect.py). The hypothesized whitespace/sign
+    dialect is EMPTY: both engines trim leading/trailing
+    space/tab/newline, accept a leading +/-, reject inner spaces, and
+    map ''/' ' to NULL — on BIGINT and DOUBLE alike. The REAL
+    divergence is the numeric-FORMAT class on string->BIGINT only:
+    DuckDB routes integer casts through a numeric parse that accepts
+    exponents ('1e3'->1000), fractional forms with round-half-away
+    ('42.7'->43, '.5'->1), and hex ('0x1A'->26), where Spark's
+    try_cast returns NULL for every one of those. string->DOUBLE
+    agrees on the entire grid (including NaN/Infinity spellings).
+    Rule for future oracles: a Spark string->integer cast may only be
+    paired with DuckDB TRY_CAST(s AS BIGINT) when s is scoped to
+    plain optionally-signed digit strings — which every registry site
+    is, by measurement (q_fn_try's str(custkey)/'x'+str(custkey),
+    engine-written edgelist fields, TPC-H CSV round-trips); otherwise
+    the oracle must TRY_CAST via DOUBLE or pre-filter the format."""
+    con = duckdb.connect()
+    agree_grid = [
+        " 42", "42 ", "\t42", "42\n", "  42  ", "+42", "-42",
+        "+ 42", "- 42", "4 2", "", " ", "-0", "9223372036854775807",
+        "9223372036854775808",
+    ]
+    diverge_grid = {
+        "1e3": 1000, "1E3": 1000, "1e-2": 0, ".5": 1, "5.": 5,
+        "+.5": 1, "0x1A": 26, "42.7": 43, "-42.7": -43, "42.": 42,
+    }
+    rows = spark.createDataFrame(
+        [(s,) for s in agree_grid + list(diverge_grid)], "s STRING"
+    ).select(
+        "s",
+        F.col("s").try_cast("long").alias("l"),
+        F.col("s").try_cast("double").alias("d"),
+    ).collect()
+    by_s = {r["s"]: r for r in rows}
+    for s in agree_grid:
+        dl = con.execute("SELECT TRY_CAST(? AS BIGINT)", [s]).fetchone()[0]
+        dd = con.execute("SELECT TRY_CAST(? AS DOUBLE)", [s]).fetchone()[0]
+        assert by_s[s]["l"] == dl, (
+            f"BIGINT whitespace/sign drift at {s!r}: "
+            f"spark={by_s[s]['l']} duckdb={dl}"
+        )
+        assert by_s[s]["d"] == dd, (
+            f"DOUBLE whitespace/sign drift at {s!r}: "
+            f"spark={by_s[s]['d']} duckdb={dd}"
+        )
+    for s, duck_expected in diverge_grid.items():
+        dl = con.execute("SELECT TRY_CAST(? AS BIGINT)", [s]).fetchone()[0]
+        assert by_s[s]["l"] is None, (
+            f"Spark now parses {s!r} as BIGINT ({by_s[s]['l']}) — the "
+            "measured format-divergence rule changed; re-run "
+            "scripts/probe_cast_dialect.py"
+        )
+        assert dl == duck_expected, (
+            f"DuckDB BIGINT parse of {s!r} changed: {dl} != "
+            f"{duck_expected} — re-run scripts/probe_cast_dialect.py"
+        )
+        # DOUBLE stays the agreement domain even for the format edges
+        dd = con.execute("SELECT TRY_CAST(? AS DOUBLE)", [s]).fetchone()[0]
+        assert by_s[s]["d"] == dd, (
+            f"DOUBLE drift at {s!r}: spark={by_s[s]['d']} duckdb={dd}"
+        )
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_topk_cut_tie_exposure(sf_dir):
+    """Class-12(a) scope guard (r19, SURVEY §2.64; probe:
+    scripts/probe_topk_ties.py). Spark defaults NULLS FIRST on
+    ascending sorts where DuckDB defaults NULLS LAST, and an ordered
+    cut whose full sort key ties across the boundary is
+    engine-defined. Measured zero-surface at both oracle scales:
+    every declared-unique tie-break is genuinely unique within its
+    partition with zero NULL sort keys (q_sort_limit, q_window_rank,
+    q_lateral_topk, q_latest_per_key, q_reservoir_group — receipts in
+    the probe), and the ONE cut with no tie-break — q_approx_topk's
+    ORDER BY cnt DESC LIMIT 20 — has a strict count drop at the
+    rank-20 boundary (917>913 at sf0.001, 888>886 at sf0.01). This
+    guard re-measures the two fixture-luck-dependent facts so a
+    regenerated testdata set with a tie at a cut fails HERE by name
+    (with the probe pointer) instead of flaking a driver hash. The
+    O22 oracle-mutant adjudication (tie-break flip value-neutral)
+    rests on the q_sort_limit fact."""
+    con = duckdb.connect()
+    # q_sort_limit: top-100 rounded prices must stay tie-free at the
+    # cut (the O22 adjudication's measured receipt)
+    cut_ties, n_distinct = con.execute(
+        f"""
+        WITH t AS (SELECT ROUND(l_extendedprice, 2) AS price
+                   FROM read_parquet('{sf_dir}/lineitem.parquet')
+                   ORDER BY price DESC LIMIT 100)
+        SELECT (SELECT COUNT(*) FROM t
+                WHERE price = (SELECT MIN(price) FROM t)),
+               COUNT(DISTINCT price) FROM t
+        """
+    ).fetchone()
+    assert (cut_ties, n_distinct) == (1, 100), (
+        f"{sf_dir}: q_sort_limit top-100 prices now tie "
+        f"(cut_ties={cut_ties}, distinct={n_distinct}) — the oracle "
+        "tie-break clause is now load-bearing; re-run "
+        "scripts/probe_topk_ties.py and re-adjudicate O22"
+    )
+    # q_approx_topk: the ONLY ordered cut with no tie-break — the
+    # rank-20/21 counts must stay strictly ordered, else the oracle's
+    # selected set is under-determined vs the sketch's
+    cnt20, cnt21 = con.execute(
+        f"""
+        WITH counts AS (
+          SELECT token, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM read_parquet('{sf_dir}/documents.parquet')
+          ) WHERE token <> '' GROUP BY token
+        ), ranked AS (
+          SELECT cnt, row_number() OVER (ORDER BY cnt DESC) AS rn
+          FROM counts
+        )
+        SELECT (SELECT cnt FROM ranked WHERE rn = 20),
+               (SELECT cnt FROM ranked WHERE rn = 21)
+        """
+    ).fetchone()
+    assert cnt20 > cnt21, (
+        f"{sf_dir}: q_approx_topk rank-20 boundary is now a tie "
+        f"({cnt20} == {cnt21}) — the oracle's LIMIT 20 set is "
+        "under-determined; add a tie-break or re-scope the oracle "
+        "(scripts/probe_topk_ties.py)"
+    )
