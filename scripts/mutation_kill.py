@@ -484,7 +484,10 @@ def main() -> int:
     dry = "--dry" in argv
     only = None
     if "--only" in argv:
-        only = argv[argv.index("--only") + 1]
+        # comma-separated list of mutant ids (r19: targeted re-runs —
+        # the M03 corrective + the oracle-side extension — without
+        # paying the full ~40-min matrix)
+        only = set(argv[argv.index("--only") + 1].split(","))
     json_out = None
     if "--json" in argv:
         json_out = argv[argv.index("--json") + 1]
@@ -500,7 +503,7 @@ def main() -> int:
 
     matrix = []
     for m in MUTANTS:
-        if only and m["id"] != only:
+        if only and m["id"] not in only:
             continue
         if dry:
             src = open(m["file"]).read()
