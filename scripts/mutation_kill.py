@@ -503,7 +503,7 @@ def main() -> int:
 
     matrix = []
     for m in MUTANTS:
-        if only and m["id"] not in only:
+        if only and not any(m["id"].startswith(o) for o in only):
             continue
         if dry:
             src = open(m["file"]).read()
