@@ -143,7 +143,10 @@ def _special_cells_in(v) -> int:
     if isinstance(v, (list, tuple)):  # array columns and Row structs
         return sum(_special_cells_in(x) for x in v)
     if isinstance(v, dict):  # map columns (and DuckDB struct dicts)
-        return sum(_special_cells_in(x) for x in v.values())
+        # keys AND values: a map<double,...> output would carry its
+        # special values in the KEY position (r19, ADVICE item 1 —
+        # the value-only scan was a real bypass)
+        return sum(_special_cells_in(x) for kv in v.items() for x in kv)
     return 0
 
 
@@ -288,6 +291,12 @@ def sweep(spark, names=None, verbose: bool = True, sf_dir: str = SF_DIR) -> dict
                 print(f"    {verdict}", flush=True)
 
     stale_allow = sorted(set(ALLOW) - {n for n, v in results.items() if v not in ("identical", "roundoff")})
+    # r19 (ADVICE item 2): mirror the staleness rule for the
+    # special-value allow-list — an adjudicated emitter that stops
+    # emitting must leave SPECIAL_ALLOW, or the list erodes silently
+    stale_special = sorted(
+        set(SPECIAL_ALLOW) - set(special_values)
+    ) if len(results) == len(queries) else []
     return {
         "checked": len(results),
         "identical": sum(1 for v in results.values() if v == "identical"),
@@ -296,6 +305,7 @@ def sweep(spark, names=None, verbose: bool = True, sf_dir: str = SF_DIR) -> dict
         "findings": {n: results[n] for n in findings},
         "special_value_cells": special_values,
         "stale_allow_entries": stale_allow if len(results) == len(queries) else [],
+        "stale_special_allow_entries": stale_special,
         "wall_s": round(time.time() - t_start, 1),
         "results": results,
     }
@@ -388,6 +398,13 @@ def main() -> int:
         return 1
     if stale_allow:
         print(f"STALE ALLOW ENTRIES (no longer variant): {stale_allow}")
+        return 1
+    stale_special = summary["stale_special_allow_entries"]
+    if stale_special:
+        print(
+            "STALE SPECIAL_ALLOW ENTRIES (no longer emitting "
+            f"special cells): {stale_special}"
+        )
         return 1
     return 0
 

@@ -121,7 +121,9 @@ def _special_cells_in(v) -> int:
     if isinstance(v, (list, tuple)):
         return sum(_special_cells_in(x) for x in v)
     if isinstance(v, dict):
-        return sum(_special_cells_in(x) for x in v.values())
+        # keys AND values (r19, ADVICE item 1): a float-keyed map
+        # must not bypass the net through the key position
+        return sum(_special_cells_in(x) for kv in v.items() for x in kv)
     return 0
 
 

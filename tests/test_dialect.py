@@ -826,8 +826,12 @@ def test_special_value_counters_on_crafted_rows():
         ({"k": float("-inf"), "j": 1.0}, None),       # 1 hit in a map value
         ([[-0.0], [0.0, float("nan")]], "y"),         # 2 hits, doubly nested
         ([], {}, ()),                                 # 0 hits (empties)
+        # r19 (ADVICE item 1): float map KEYS count too — a future
+        # map<double,...> output must not bypass through the key slot
+        ({float("nan"): 1.0, 2.0: -0.0}, "z"),        # 2 hits (NaN key, -0.0 value)
+        ({-0.0: float("inf")}, None),                 # 2 hits (key and value)
     ]
-    assert ds.count_special_cells(nested) == 6
+    assert ds.count_special_cells(nested) == 10
     # and the vacuity twin counts the same crafted cells identically
     spec_v = importlib.util.spec_from_file_location(
         "vs_mod", "/root/repo/scripts/vacuity_sweep.py"
