@@ -405,6 +405,51 @@ MUTANTS = [
         "new": "\nSELECT l_linestatus,\n       COUNT(*)                                              AS n_rows,\n       COUNT(*)                                              AS n_bulk,",
         "nets": {"parity": ["q_filtered_agg"]},
     },
+    {
+        "id": "O27_oracle_ktruss_unroll_below_fixpoint",
+        "defect": "oracle: k-truss unroll budget cut BELOW the "
+        "measured 3-round fixpoint (KTRUSS_ROUNDS 5 -> 2) — the "
+        "truncated peel must NOT reproduce the converged edge set",
+        "file": f"{PKG}/graph.py",
+        "old": "KTRUSS_ROUNDS = 5",
+        "new": "KTRUSS_ROUNDS = 2",
+        "nets": {"parity": ["q_ktruss"]},
+    },
+    {
+        "id": "O28_oracle_ktruss_margin_shaved",
+        "defect": "oracle: k-truss unroll margin shaved by one round "
+        "(KTRUSS_ROUNDS 5 -> 4, still >= the measured 3-round "
+        "fixpoint)",
+        "file": f"{PKG}/graph.py",
+        "old": "KTRUSS_ROUNDS = 5",
+        "new": "KTRUSS_ROUNDS = 4",
+        "nets": {"parity": ["q_ktruss"]},
+        "survival_ok": "survives BY DESIGN, not by vacuity: the peel "
+        "operator is idempotent at fixpoint (documented at the "
+        "constant's definition — karate's 4-truss converges in 3 "
+        "rounds, measured incl. the confirming round), so any unroll "
+        ">= 3 produces the identical edge set. The margin exists to "
+        "absorb fixture drift; O27 proves the unroll is a REAL peel "
+        "by cutting below the fixpoint and dying.",
+    },
+    {
+        "id": "O29_oracle_asof_inclusivity_flipped",
+        "defect": "oracle: ASOF join inclusivity >= flipped to > "
+        "(equal-timestamp click no longer matches its purchase)",
+        "file": f"{PKG}/relational.py",
+        "old": "  ON p.user_id = c.user_id AND p.ts >= c.ts",
+        "new": "  ON p.user_id = c.user_id AND p.ts > c.ts",
+        "nets": {"parity": ["q_join_asof"]},
+        "survival_ok": "survives with the r15 MEASURED receipt "
+        "(SURVEY batch-boundary audit): zero equal-ts "
+        "(purchase, click) pairs per user at every fixture scale, so "
+        "the boundary is unexercised in-data. The >= rule itself is "
+        "NOT fixture luck: it was probed engine-vs-oracle at crafted "
+        "equal-ts points and pinned by "
+        "tests/test_analytics.py::test_join_asof_equality_boundary "
+        "plus two hypothesis property generalizations — the exact "
+        "pre-existing treatment this mutant class asks for.",
+    },
 ]
 
 
