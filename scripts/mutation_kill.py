@@ -407,12 +407,16 @@ MUTANTS = [
     },
     {
         "id": "O27_oracle_ktruss_unroll_below_fixpoint",
-        "defect": "oracle: k-truss unroll budget cut BELOW the "
-        "measured 3-round fixpoint (KTRUSS_ROUNDS 5 -> 2) — the "
-        "truncated peel must NOT reproduce the converged edge set",
+        "defect": "oracle: k-truss unroll budget cut BELOW convergence "
+        "(KTRUSS_ROUNDS 5 -> 1) — the truncated peel must NOT "
+        "reproduce the converged edge set. (First attempt used -> 2 "
+        "and SURVIVED, which MEASURED the convergence point: the "
+        "documented '3 rounds incl. the confirming round' means the "
+        "edge set stabilizes after round 2, so 2 is AT fixpoint, not "
+        "below it — the mutant was re-aimed at 1.)",
         "file": f"{PKG}/graph.py",
         "old": "KTRUSS_ROUNDS = 5",
-        "new": "KTRUSS_ROUNDS = 2",
+        "new": "KTRUSS_ROUNDS = 1",
         "nets": {"parity": ["q_ktruss"]},
     },
     {
