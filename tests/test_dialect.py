@@ -1197,6 +1197,61 @@ def test_intdiv_modulo_sign_dialect(spark):
     assert con.execute("SELECT CAST(-7 AS BIGINT) // 2").fetchone()[0] == -3
 
 
+def test_nan_equality_join_semantics(spark):
+    """Class-13 pin (r19, SURVEY §2.67; probe:
+    scripts/probe_nan_semantics.py). The class-6 pin above covers NaN
+    as a GROUP key and in ORDER BY; this pins the remaining
+    set-operator axes the probe measured: both engines deviate from
+    IEEE-754 the SAME way for equality-driven operators — NaN = NaN
+    evaluates TRUE in a plain predicate AND in join matching, and
+    COUNT(DISTINCT) collapses NaNs to one value (with ±0.0 also
+    merged). P1 measured ZERO NaN/Inf cells in every float/double
+    INPUT column of every fixture table at both oracle scales
+    (including the embeddings float arrays), so the class has no live
+    surface; this pin is the calibrated rule for any future oracle
+    whose join/filter keys could carry NaN."""
+    nan = float("nan")
+    rows = [(nan, 1), (nan, 2), (float("inf"), 3), (-0.0, 4), (0.0, 5), (1.5, 6)]
+    sdf = spark.createDataFrame(rows, "k DOUBLE, v INT")
+    sdf.createOrReplaceTempView("nan_probe")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE nan_probe AS SELECT * FROM (VALUES "
+        "('nan'::DOUBLE, 1), ('nan'::DOUBLE, 2), ('inf'::DOUBLE, 3), "
+        "(-(0.0::DOUBLE), 4), (0.0::DOUBLE, 5), (1.5::DOUBLE, 6)) t(k, v)"
+    )
+    # self-join on the double key: NaN matches NaN (4 pairs), ±0.0
+    # cross-match (4 pairs), inf and 1.5 self-match (1 each) = 10
+    s_join = spark.sql(
+        "SELECT COUNT(*) AS n FROM nan_probe a JOIN nan_probe b ON a.k = b.k"
+    ).collect()[0]["n"]
+    d_join = con.execute(
+        "SELECT COUNT(*) FROM nan_probe a JOIN nan_probe b ON a.k = b.k"
+    ).fetchone()[0]
+    assert s_join == d_join == 10, (
+        f"NaN/±0 join-matching drift: spark={s_join} duckdb={d_join} "
+        "(expected 10 = 4 NaN + 4 zero-cross + inf + 1.5)"
+    )
+    # plain equality predicate keeps NaN rows in BOTH engines
+    s_eq = spark.sql(
+        "SELECT COUNT(*) AS n FROM nan_probe WHERE k = k"
+    ).collect()[0]["n"]
+    d_eq = con.execute(
+        "SELECT COUNT(*) FROM nan_probe WHERE k = k"
+    ).fetchone()[0]
+    assert s_eq == d_eq == 6, (
+        f"NaN self-equality drift: spark={s_eq} duckdb={d_eq} — an "
+        "engine moved toward IEEE NaN != NaN; re-run "
+        "scripts/probe_nan_semantics.py and re-audit join oracles"
+    )
+    # COUNT DISTINCT collapses the two NaNs and the two zeros
+    s_d = spark.sql(
+        "SELECT COUNT(DISTINCT k) AS n FROM nan_probe"
+    ).collect()[0]["n"]
+    d_d = con.execute("SELECT COUNT(DISTINCT k) FROM nan_probe").fetchone()[0]
+    assert s_d == d_d == 4, f"NaN distinct drift: spark={s_d} duckdb={d_d}"
+
+
 def test_string_to_number_cast_dialect(spark):
     """Class-12(b) pin (r19, SURVEY §2.64; probe:
     scripts/probe_cast_dialect.py). The hypothesized whitespace/sign
