@@ -34,6 +34,31 @@ from .sources import (
 # core graph algebra (operators)
 # ---------------------------------------------------------------------------
 
+#: per-vertex state tables at or below this many rows get an explicit
+#: broadcast hint in the iterative engines' edge⋈state joins (r19,
+#: guide §3.1): iterative state is a localCheckpoint RDD whose size
+#: estimate is the planner default (huge), so Spark re-shuffles the
+#: STATIC edge table every superstep unless told the state side fits.
+#: 8M rows of (long, long/double) builds a ~300 MB hash relation —
+#: inside the "few hundred MB is usually fine" broadcast envelope and
+#: far under the 8 GB / 512M-row hard cap; above the threshold the
+#: callers keep the shuffle join (the 100 TB shape, where per-vertex
+#: state outgrows every executor). Env-tunable for small executors.
+BROADCAST_STATE_ROWS = int(
+    os.environ.get("SPARK_GRAFT_BROADCAST_STATE_ROWS", 8_000_000)
+)
+
+
+def maybe_broadcast(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Explicit broadcast hint when a DRIVER-KNOWN row count (or a safe
+    upper bound — the gate is a memory bound, so any over-estimate is
+    conservative) fits BROADCAST_STATE_ROWS; the caller's shuffle plan
+    otherwise. Values are unaffected: a broadcast hash join emits the
+    same multiset as the sort-merge/shuffled-hash join it replaces."""
+    if n_rows is not None and n_rows <= BROADCAST_STATE_ROWS:
+        return F.broadcast(df)
+    return df
+
 
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected expansion: every non-loop edge visible from both
@@ -1199,6 +1224,12 @@ def betweenness(
         .transform(lineage_cut)
     )
     verts = vertices_of(edges)
+    # one count up front serves double duty (r19): the Brandes–Pich
+    # scale denominator AND the broadcast gate for every per-level
+    # state join below — σ/δ state is O(sources·V) rows, so when V (an
+    # upper bound via the running n_state counter) fits the broadcast
+    # envelope the static edge table never reshuffles per level.
+    n_verts = verts.count()
     seeds = (
         verts
         if sources is None
@@ -1212,18 +1243,26 @@ def betweenness(
         F.lit(1.0).alias("sigma"),
     ).transform(lineage_cut)
     frontier = state
+    n_state = n_frontier = n_verts if sources is None else len(sources)
     for h in range(1, max_hops + 1):
-        msgs = frontier.join(sym.withColumnRenamed("src", "id"), "id").select(
-            "source", F.col("dst").alias("id"), "sigma"
-        )
+        msgs = maybe_broadcast(frontier, n_frontier).join(
+            sym.withColumnRenamed("src", "id"), "id"
+        ).select("source", F.col("dst").alias("id"), "sigma")
+        # lazy cut + count: one job both materializes the level's
+        # checkpoint and answers the old isEmpty() probe
         newly = (
-            msgs.join(state.select("source", "id"), ["source", "id"], "left_anti")
+            msgs.join(
+                maybe_broadcast(state.select("source", "id"), n_state),
+                ["source", "id"],
+                "left_anti",
+            )
             .groupBy("source", "id")
             .agg(F.sum("sigma").alias("sigma"))
             .select("source", "id", F.lit(h).cast("int").alias("dist"), "sigma")
-            .transform(lineage_cut)
+            .transform(lambda df: lineage_cut(df, eager=False))
         )
-        if newly.isEmpty():
+        n_frontier = newly.count()
+        if n_frontier == 0:
             break
         # re-checkpointing the unioned state each level was A/B-tested
         # against keeping the union lazy over the checkpointed frames
@@ -1232,6 +1271,7 @@ def betweenness(
         # frame per round, which costs more than the one sequential
         # rewrite it avoids — so the checkpointed union stays
         state = state.unionByName(newly).transform(lineage_cut)
+        n_state += n_frontier
         frontier = newly
     max_level = state.agg(F.max("dist")).collect()[0][0]
     # backward: per-level dependency accumulation. Brandes' δ(v) takes
@@ -1246,6 +1286,8 @@ def betweenness(
         .transform(lineage_cut)
     }
     for level in range(max_level, 0, -1):
+        # per-level σ/δ frames are all ≤ n_state rows — the same
+        # driver-known broadcast bound as the forward pass
         deeper = by_level[level].select(
             F.col("id").alias("dst"),
             F.col("source").alias("w_source"),
@@ -1256,14 +1298,14 @@ def betweenness(
             "source", "id", F.col("sigma").alias("sigma_v")
         )
         contrib = (
-            sym.join(deeper, "dst")
+            sym.join(maybe_broadcast(deeper, n_state), "dst")
             .select(
                 F.col("src").alias("id"),
                 F.col("w_source").alias("source"),
                 "sigma_w",
                 "delta_w",
             )
-            .join(up, ["source", "id"])
+            .join(maybe_broadcast(up, n_state), ["source", "id"])
             .groupBy("source", "id")
             .agg(
                 F.sum(
@@ -1272,7 +1314,7 @@ def betweenness(
             )
         )
         by_level[level - 1] = (
-            up.join(contrib, ["source", "id"], "left")
+            up.join(maybe_broadcast(contrib, n_state), ["source", "id"], "left")
             .select(
                 "source",
                 "id",
@@ -1285,7 +1327,7 @@ def betweenness(
     for level in range(1, max_level + 1):
         delta = delta.unionByName(by_level[level])
     # Brandes–Pich extrapolation: sampled sums estimate k/n of the total
-    scale = 1.0 if sources is None else verts.count() / float(len(sources))
+    scale = 1.0 if sources is None else n_verts / float(len(sources))
     return (
         delta.filter(F.col("source") != F.col("id"))
         .groupBy("id")
@@ -1437,7 +1479,11 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     run would execute, not 34-node job-launch overhead. Oracle:
     _oracle_betweenness_sampled (r12) — the engine's own
     level-synchronous σ/δ shape unrolled over the fixed hop budget."""
-    edges = copurchase_edges(spark, sf_dir)
+    # checkpoint the derived edge list once (r19): the seed collect,
+    # the symmetrized message graph and the vertex count inside
+    # betweenness() all consume it — without the cut each re-ran the
+    # lineitem⋈orders derivation from the parquet scans
+    edges = copurchase_edges(spark, sf_dir).transform(lineage_cut)
     srcs = [
         r["id"]
         for r in vertices_of(edges)
@@ -2528,6 +2574,16 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = edges.select(
         "src", "dst", F.col("weight").cast("double").alias("w")
     ).transform(lineage_cut)
+    # one aggregate over the checkpointed edge list gives both score-
+    # table sizes, so every superstep join below can broadcast the
+    # side that provably fits (maybe_broadcast / guide §3.1) — the
+    # static edge table then never reshuffles per alternation. Above
+    # the threshold (real 100 TB vertex counts) the shuffle join stays.
+    sizes = e.agg(
+        F.countDistinct("src").alias("n_src"),
+        F.countDistinct("dst").alias("n_dst"),
+    ).collect()[0]
+    n_src, n_dst = sizes["n_src"], sizes["n_dst"]
     hubs = (
         e.select(F.col("src").alias("id"))
         .distinct()
@@ -2535,14 +2591,14 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     def _auth_of(h):
         return (
-            e.join(h.select(F.col("id").alias("src"), "hub"), "src")
+            e.join(maybe_broadcast(h.select(F.col("id").alias("src"), "hub"), n_src), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("hub") * F.col("w")).alias("auth"))
         )
 
     def _hubs_of(a):
         return (
-            e.join(a.select(F.col("id").alias("dst"), "auth"), "dst")
+            e.join(maybe_broadcast(a.select(F.col("id").alias("dst"), "auth"), n_dst), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum(F.col("auth") * F.col("w")).alias("hub"))
         )
@@ -2675,16 +2731,29 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.col("id").alias("comp"))
         .transform(lineage_cut)
     )
+    # comp maps every original vertex in every round — count it once so
+    # the per-round e⋈comp joins can broadcast the assignment when it
+    # fits (maybe_broadcast): the edge table then never reshuffles per
+    # Borůvka round. Above the threshold the shuffle join stays.
+    n_vertices = comp.count()
     chosen_all = e.limit(0)
     for _ in range(MST_MAX_ROUNDS):
-        cu = comp.select(F.col("id").alias("u"), F.col("comp").alias("cu"))
-        cv = comp.select(F.col("id").alias("v"), F.col("comp").alias("cv"))
+        cu = maybe_broadcast(
+            comp.select(F.col("id").alias("u"), F.col("comp").alias("cu")), n_vertices
+        )
+        cv = maybe_broadcast(
+            comp.select(F.col("id").alias("v"), F.col("comp").alias("cv")), n_vertices
+        )
         ec = e.join(cu, "u").join(cv, "v").filter(F.col("cu") != F.col("cv"))
-        if ec.isEmpty():
-            break
         cand = ec.select(F.col("cu").alias("c"), "u", "v", "w").unionByName(
             ec.select(F.col("cv").alias("c"), "u", "v", "w")
         )
+        # best is computed FIRST and doubles as the termination probe
+        # (r19): best is empty exactly when ec is empty (min_by over an
+        # empty group set), so the old separate `ec.isEmpty()` pass —
+        # a full e⋈comp⋈comp join per round — is folded into the one
+        # materialization. The lazy cut + isEmpty materializes the
+        # checkpoint in the same job that answers the probe.
         best = (
             cand.groupBy("c")
             .agg(
@@ -2694,8 +2763,10 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("e.u", "e.v", "e.w")
             .distinct()
-            .transform(lineage_cut)
+            .transform(lambda df: lineage_cut(df, eager=False))
         )
+        if best.isEmpty():
+            break
         chosen_all = (
             chosen_all.unionByName(best).distinct().transform(lineage_cut)
         )
@@ -2752,11 +2823,17 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("c", F.col("c").alias("lbl"))
                 .transform(lineage_cut)
             )
+            # touched components ≤ the symmetrized merge-edge endpoints
+            # — a driver-known bound for the broadcast gates below
+            lbl_bound = 2 * ce_rows
             while True:
                 nb = (
                     ce.join(
-                        lbl.select(
-                            F.col("c").alias("b"), F.col("lbl").alias("nlbl")
+                        maybe_broadcast(
+                            lbl.select(
+                                F.col("c").alias("b"), F.col("lbl").alias("nlbl")
+                            ),
+                            lbl_bound,
                         ),
                         "b",
                     )
@@ -2764,7 +2841,7 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .agg(F.min("nlbl").alias("mn"))
                 )
                 new_lbl = (
-                    lbl.join(nb, "c", "left")
+                    lbl.join(maybe_broadcast(nb, lbl_bound), "c", "left")
                     .select(
                         "c",
                         F.least(
@@ -2775,16 +2852,24 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 moved = (
                     new_lbl.select("c", F.col("lbl").alias("nl"))
-                    .join(lbl, "c")
+                    .join(maybe_broadcast(lbl, lbl_bound), "c")
                     .filter(F.col("nl") != F.col("lbl"))
                 )
                 done = moved.isEmpty()
                 lbl = new_lbl
                 if done:
                     break
+        # inline-branch lbl is a LocalRelation (accurate size → the
+        # planner broadcasts it itself); the distributed branch's lbl
+        # gets the explicit gate
         comp = (
             comp.join(
-                lbl.select(F.col("c").alias("comp"), F.col("lbl").alias("newc")),
+                maybe_broadcast(
+                    lbl.select(
+                        F.col("c").alias("comp"), F.col("lbl").alias("newc")
+                    ),
+                    n_vertices,
+                ),
                 "comp",
                 "left",
             )

@@ -42,6 +42,7 @@ from .graph import (
     aggregate_parallel_edges,
     coarsen_edges,
     degree_weighted,
+    maybe_broadcast,
     mod10_assignment,
     symmetrize,
     vertices_of,
@@ -62,6 +63,7 @@ def _w2c_from_sym(
     a_dst: DataFrame,
     salt_hubs: int = 0,
     hub_min_neighbors: int = 10_000,
+    a_rows: int | None = None,
 ) -> DataFrame:
     """w2c over an already-symmetrized self-loop-free edge view.
 
@@ -79,8 +81,11 @@ def _w2c_from_sym(
     shuffle itself. Identical output with and without salting is
     asserted on a synthetic star graph in tests/test_louvain.py."""
     if salt_hubs <= 1:
+        # ``a_rows``: driver-known assignment row count (the loop's
+        # n_nodes) — when it fits the broadcast envelope the static sym
+        # side never reshuffles per round (maybe_broadcast, guide §3.1)
         return (
-            sym.join(a_dst, "dst")
+            sym.join(maybe_broadcast(a_dst, a_rows), "dst")
             .groupBy(F.col("src").alias("id"), "community")
             .agg(F.sum("weight").alias("w2c"))
         )
@@ -627,7 +632,9 @@ def _one_level(
         sym_active = sym.filter(
             F.pmod(F.xxhash64(F.col("src"), F.lit(seed)), F.lit(2)) == F.lit(rnd % 2)
         )
-        w2c = _w2c_from_sym(sym_active, a_dst, salt_hubs, hub_min_neighbors)
+        w2c = _w2c_from_sym(
+            sym_active, a_dst, salt_hubs, hub_min_neighbors, a_rows=n_nodes
+        )
         own_w2c = w2c.withColumnRenamed("w2c", "w2c_own")
         if directed:
             sigma = state.groupBy("community").agg(
@@ -643,23 +650,29 @@ def _one_level(
                     F.coalesce("w2c_own", F.lit(0.0)).alias("w2c_own"),
                 )
                 .join(
-                    sigma.select(
-                        F.col("community").alias("own_com"),
-                        F.col("sigma_in").alias("sigma_in_own"),
-                        F.col("sigma_out").alias("sigma_out_own"),
+                    maybe_broadcast(
+                        sigma.select(
+                            F.col("community").alias("own_com"),
+                            F.col("sigma_in").alias("sigma_in_own"),
+                            F.col("sigma_out").alias("sigma_out_own"),
+                        ),
+                        n_nodes,
                     ),
                     "own_com",
                 )
             )
             cand = (
                 w2c.withColumnRenamed("w2c", "w2c_cand")
-                .join(node, "id")
+                .join(maybe_broadcast(node, n_nodes), "id")
                 .filter(F.col("community") != F.col("own_com"))
                 .join(
-                    sigma.select(
-                        "community",
-                        F.col("sigma_in").alias("sigma_in_cand"),
-                        F.col("sigma_out").alias("sigma_out_cand"),
+                    maybe_broadcast(
+                        sigma.select(
+                            "community",
+                            F.col("sigma_in").alias("sigma_in_cand"),
+                            F.col("sigma_out").alias("sigma_out_cand"),
+                        ),
+                        n_nodes,
                     ),
                     "community",
                 )
@@ -692,19 +705,27 @@ def _one_level(
                     F.coalesce("w2c_own", F.lit(0.0)).alias("w2c_own"),
                 )
                 .join(
-                    sigma.select(
-                        F.col("community").alias("own_com"),
-                        F.col("sigma_tot").alias("sigma_own"),
+                    maybe_broadcast(
+                        sigma.select(
+                            F.col("community").alias("own_com"),
+                            F.col("sigma_tot").alias("sigma_own"),
+                        ),
+                        n_nodes,
                     ),
                     "own_com",
                 )
             )
             cand = (
                 w2c.withColumnRenamed("w2c", "w2c_cand")
-                .join(node, "id")
+                .join(maybe_broadcast(node, n_nodes), "id")
                 .filter(F.col("community") != F.col("own_com"))
                 .join(
-                    sigma.select("community", F.col("sigma_tot").alias("sigma_cand")),
+                    maybe_broadcast(
+                        sigma.select(
+                            "community", F.col("sigma_tot").alias("sigma_cand")
+                        ),
+                        n_nodes,
+                    ),
                     "community",
                 )
             )
@@ -734,17 +755,20 @@ def _one_level(
                     F.struct(F.col("delta"), (-F.col("community")).alias("nc")),
                 ).alias("new_community")
             )
-            # materialize once: n_moves comes free, the state update
-            # below broadcast-joins the tiny checkpointed result, and a
-            # fused single-checkpoint variant measured SLOWER (the
-            # unmaterialized moves side loses its broadcast sizing)
-            .transform(lineage_cut)
+            # lazy cut + count (r19): ONE job materializes the round's
+            # moves checkpoint and yields n_moves. The r7 objection to
+            # fusing — "the unmaterialized moves side loses its
+            # broadcast sizing" — no longer applies: the state update
+            # below broadcast-gates moves EXPLICITLY on the known
+            # n_moves (≤ n_nodes), so the planner never needs a size
+            # estimate for it
+            .transform(lambda df: lineage_cut(df, eager=False))
         )
         n_moves = moves.count()
         if n_moves > 0:
             carry = ["k_in", "k_out"] if directed else ["k"]
             state = (
-                state.join(moves, "id", "left")
+                state.join(maybe_broadcast(moves, n_moves), "id", "left")
                 .select(
                     "id",
                     F.coalesce("new_community", "community").alias("community"),

@@ -23,6 +23,19 @@ from pyspark.sql import SparkSession
 _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # r19 (guide §2.2/§2.4): let AQE's SIZE-BASED partition coalescing
+    # apply to cached/persisted plans too (off by default). Every
+    # iterative engine here checkpoints or persists its per-round
+    # state; without this conf those plans keep the raw
+    # shuffle-partition count forever — at bench scale a 250 KB state
+    # table was pinned at 32 partitions, so every superstep paid 32
+    # task launches per scan of it. With it, partition counts follow
+    # DATA SIZE at every scale (tiny state → 1 partition locally;
+    # 100 TB state → thousands of 1 MB+ partitions), which is exactly
+    # the scale-adaptive partitioning the optimization guide asks for.
+    # parallelismFirst stays at its default (true), so large shuffles
+    # keep their parallelism — only sub-minPartitionSize chunks merge.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
