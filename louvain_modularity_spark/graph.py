@@ -874,21 +874,27 @@ def bfs_hops(spark: SparkSession, edges: DataFrame, source: int = 0) -> DataFram
         [(source, 0)], "id LONG, hops INT"
     ).transform(lineage_cut)
     frontier = state
+    n_state = n_frontier = 1
     h = 0
     while True:
         h += 1
         reached = (
             sym.join(
-                frontier.select(F.col("id").alias("src")), "src"
+                maybe_broadcast(frontier.select(F.col("id").alias("src")), n_frontier),
+                "src",
             )
             .select(F.col("dst").alias("id"))
             .distinct()
         )
-        newly = reached.join(state, "id", "left_anti").select(
+        # lazy cut + count: one job materializes the level and answers
+        # the old isEmpty probe; counts feed the broadcast gates
+        newly = reached.join(maybe_broadcast(state, n_state), "id", "left_anti").select(
             "id", F.lit(h).cast("int").alias("hops")
-        ).transform(lineage_cut)
-        if newly.isEmpty():
+        ).transform(lambda df: lineage_cut(df, eager=False))
+        n_frontier = newly.count()
+        if n_frontier == 0:
             break
+        n_state += n_frontier
         # re-checkpointing the unioned state each level was A/B-tested
         # against keeping the union lazy over the checkpointed frames
         # (r7): lazy measured SLOWER (13.6 s vs 11.0 s on sampled
@@ -2897,22 +2903,25 @@ def topo_layers(spark: SparkSession, edges: DataFrame) -> DataFrame:
         .distinct()
     )
     layer = nodes.select("id", F.lit(0).alias("layer")).transform(lineage_cut)
+    # vertex count (constant) gates the per-round state broadcasts;
+    # lazy cut + changed-count fusion as in connected_components (r19)
+    n = layer.count()
     while True:
         pushed = (
-            edges.join(layer.withColumnRenamed("id", "src"), "src")
+            edges.join(maybe_broadcast(layer.withColumnRenamed("id", "src"), n), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg((F.max("layer") + 1).alias("cand"))
         )
         merged = (
-            layer.join(pushed, "id", "left")
+            layer.join(maybe_broadcast(pushed, n), "id", "left")
             .select(
                 "id",
                 F.greatest("layer", F.coalesce("cand", F.lit(0))).alias("layer"),
             )
-            .transform(lineage_cut)
+            .transform(lambda df: lineage_cut(df, eager=False))
         )
         changed = (
-            merged.join(layer.withColumnRenamed("layer", "old"), "id")
+            merged.join(maybe_broadcast(layer.withColumnRenamed("layer", "old"), n), "id")
             .filter(F.col("layer") != F.col("old"))
             .count()
         )

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .session import lineage_cut
 
 from .graph import (
+    BROADCAST_STATE_ROWS,
     _sql_layers_to_ctes,
     _sql_signed64,
     _xxh64_int_sql_layers,
@@ -615,6 +616,12 @@ def _one_level(
         )
     state = state.transform(lineage_cut)
     n_nodes = state.count()
+    # symmetrized-edge count: a driver-known upper bound on the
+    # per-round w2c table's rows (one row per (active node, adjacent
+    # community) ≤ active sym rows), gating the own-w2c broadcast and
+    # the once-per-round w2c materialization below. Counting here also
+    # materializes the sym cache before the round loop.
+    n_sym = sym.count()
 
     total_moves = 0
     idle_rounds = 0
@@ -635,7 +642,19 @@ def _one_level(
         w2c = _w2c_from_sym(
             sym_active, a_dst, salt_hubs, hub_min_neighbors, a_rows=n_nodes
         )
-        own_w2c = w2c.withColumnRenamed("w2c", "w2c_own")
+        # w2c is consumed twice (own-community lookup + candidate set).
+        # When the broadcast gate can bound it (w2c rows ≤ sym rows),
+        # materialize it ONCE per round with a lazy cut — the own_w2c
+        # broadcast build materializes the checkpoint, the cand path
+        # rescans the blocks — instead of evaluating the edge-scale
+        # join+aggregate twice. Above the gate (cluster-scale levels)
+        # the plan is left intact: a per-round edge-scale checkpoint
+        # would cost more than the exchange reuse it replaces.
+        if n_sym <= BROADCAST_STATE_ROWS:
+            w2c = lineage_cut(w2c, eager=False)
+        own_w2c = maybe_broadcast(
+            w2c.withColumnRenamed("w2c", "w2c_own"), n_sym
+        )
         if directed:
             sigma = state.groupBy("community").agg(
                 F.sum("k_in").alias("sigma_in"), F.sum("k_out").alias("sigma_out")
@@ -858,13 +877,21 @@ def louvain_communities(
     mod_prev: float | None = None
     level = 0
     while True:
-        # persist before count so the inline tail's toPandas (or the
-        # distributed level's reuse) doesn't recompute the edge DAG
-        edges = edges.persist()
-        n_edges = edges.count()
-        if n_edges <= inline_threshold:
+        # fused inline probe (r19): ONE limit-bounded Arrow collect
+        # decides the inline-vs-distributed branch AND, when inline,
+        # IS the driver transfer — replacing the old persist + count +
+        # toPandas (two full passes + a pinned cache). limit(T+1)
+        # returns min(n, T+1) rows, so len(pdf) <= T  <=>  n <= T: the
+        # branch decision is exactly the old count comparison, and on
+        # the inline branch the limit did not truncate, so the edge
+        # multiset (canonically sorted below) is unchanged. At scale
+        # the probe short-circuits (CollectLimit reads a few
+        # partitions) and transfers at most T+1 rows before the
+        # distributed branch persists the full set as before.
+        pdf = edges.limit(inline_threshold + 1).toPandas()
+        if len(pdf) <= inline_threshold:
             # ---- in-driver exact tail (Arrow transfer, not Row objects) ----
-            pdf = edges.toPandas()
+            n_edges = len(pdf)
             import numpy as np
 
             src_a = pdf["src"].to_numpy()
@@ -895,16 +922,24 @@ def louvain_communities(
             if _VERBOSE:
                 print(f"  level {level}: inline tail ({n_edges} edges)", flush=True)
             remaining = None if max_level is None else max_level - level
-            edges.unpersist()
             if rows and (remaining is None or remaining > 0):
                 maps, mods = _sequential_louvain(
                     rows, gamma, threshold, seed + level, remaining, directed=directed
                 )
                 for lmap, q in zip(maps, mods):
                     # createDataFrame over local data is already concrete
-                    # — no lineage to truncate, no checkpoint needed
+                    # — no lineage to truncate, no checkpoint needed.
+                    # Arrow path via pandas (guide §6): an order of
+                    # magnitude faster than pickled Row conversion for
+                    # the 10k+-row level maps; LONG columns are
+                    # value-exact either way
+                    import pandas as pd
+
                     lvl_df = spark.createDataFrame(
-                        list(lmap.items()), "id LONG, community LONG"
+                        pd.DataFrame(
+                            {"id": list(lmap.keys()), "community": list(lmap.values())}
+                        ),
+                        "id LONG, community LONG",
                     )
                     if global_assign is None:
                         cum = lvl_df
@@ -921,8 +956,14 @@ def louvain_communities(
                     global_assign = result.dendrogram[-1]
             break
         # ---- distributed level ----
+        # persist for the level's many consumers (sym, deg, m,
+        # modularity, coarsen), exactly as the pre-probe code did
+        edges = edges.persist()
         if _VERBOSE:
-            print(f"  level {level}: distributed ({n_edges} edges)", flush=True)
+            print(
+                f"  level {level}: distributed (>{inline_threshold} edges)",
+                flush=True,
+            )
         level_assign, n_moves = _one_level(
             spark,
             edges,
@@ -1005,11 +1046,14 @@ def label_propagation(
     sym = symmetrize(edges).filter(F.col("src") != F.col("dst")).persist()
     state = vertices_of(edges).select("id", F.col("id").alias("label"))
     state = state.transform(lineage_cut)
+    # vertex count, known once: the label/vote tables hold ≤ n rows in
+    # every round — the broadcast gate for all per-round joins (r19)
+    n = state.count()
     idle_rounds = 0
     for rnd in range(max_iter):
         lbl = state.select(F.col("id").alias("dst"), "label")
         votes = (
-            sym.join(lbl, "dst")
+            sym.join(maybe_broadcast(lbl, n), "dst")
             .groupBy(F.col("src").alias("id"), "label")
             .agg(F.sum("weight").alias("w"))
         )
@@ -1029,14 +1073,19 @@ def label_propagation(
             )
             .select("id", "new_label")
         )
+        # lazy cut: the changed-count job below materializes the new
+        # state's checkpoint — one job where cut-then-count was two
         new_state = (
-            state.join(best, "id", "left")
+            state.join(maybe_broadcast(best, n), "id", "left")
             .select("id", F.coalesce("new_label", "label").alias("label"))
-            .transform(lineage_cut)
+            .transform(lambda df: lineage_cut(df, eager=False))
         )
         changed = (
             new_state.join(
-                state.select("id", F.col("label").alias("old")), "id"
+                maybe_broadcast(
+                    state.select("id", F.col("label").alias("old")), n
+                ),
+                "id",
             )
             .filter(F.col("label") != F.col("old"))
             .count()
@@ -1178,25 +1227,34 @@ def connected_components(spark: SparkSession, edges: DataFrame) -> DataFrame:
     sym = symmetrize(edges).persist()
     state = vertices_of(edges).select("id", F.col("id").alias("component"))
     state = state.transform(lineage_cut)
+    # vertex count (constant across rounds) gates the per-round
+    # state-side broadcasts; the lazy cut + changed-count fusion below
+    # mirrors label_propagation's (r19)
+    n = state.count()
     while True:
         comp = state.select(F.col("id").alias("dst"), "component")
         msgs = (
-            sym.join(comp, "dst")
+            sym.join(maybe_broadcast(comp, n), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
         new_state = (
-            state.join(msgs, "id", "left")
+            state.join(maybe_broadcast(msgs, n), "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
             )
-            .transform(lineage_cut)
+            .transform(lambda df: lineage_cut(df, eager=False))
         )
         changed = (
-            new_state.join(state.select("id", F.col("component").alias("old")), "id")
+            new_state.join(
+                maybe_broadcast(
+                    state.select("id", F.col("component").alias("old")), n
+                ),
+                "id",
+            )
             .filter(F.col("component") != F.col("old"))
             .count()
         )

@@ -36,6 +36,14 @@ _RUNTIME_CONFS = {
     # parallelismFirst stays at its default (true), so large shuffles
     # keep their parallelism — only sub-minPartitionSize chunks merge.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # r19 (guide §6): Arrow for driver transfers — toPandas (the
+    # louvain hybrid tail, PQ/kmeans codebook collects) and
+    # createDataFrame(pandas) use columnar batches instead of pickled
+    # rows. get_spark always set this; a harness-SUPPLIED session
+    # (the driver's) did not have it, so its correctness runs paid the
+    # row path on every inline-tail transfer. Values are unchanged —
+    # the engine's tail columns are plain longs/doubles.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 

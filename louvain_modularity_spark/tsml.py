@@ -17,6 +17,7 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from .graph import maybe_broadcast
 from .session import lineage_cut
 
 from .sources import load
@@ -1065,6 +1066,11 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = c.select(
         F.col("c_custkey").alias("id"), xg.alias("x"), yg.alias("y")
     ).transform(lineage_cut)
+    # point count (r19): gates the broadcast of every ≤n-row frame
+    # below (grid probe side, core set, labeled sets) so the ε-graph
+    # join and the label attachments skip their shuffles when the
+    # point set fits; above the gate the shuffle joins stay
+    n_pts = pts.count()
     g = F.lit(DBSCAN_EPS)
     left = pts.select(
         "id",
@@ -1093,7 +1099,7 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     dx = F.col("x") - F.col("x2")
     dy = F.col("y") - F.col("y2")
     pairs = (
-        left.join(right, ["cx", "cy"])
+        left.join(maybe_broadcast(right, n_pts), ["cx", "cy"])
         .filter(F.col("id") != F.col("id2"))
         .filter(dx * dx + dy * dy <= F.lit(DBSCAN_EPS * DBSCAN_EPS))
         .select("id", "id2")
@@ -1102,8 +1108,8 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ncount = pairs.groupBy("id").agg((F.count("*") + 1).alias("n_eps"))
     core = ncount.filter(F.col("n_eps") >= DBSCAN_MINPTS).select("id")
     core_pairs = (
-        pairs.join(core, "id")
-        .join(core.select(F.col("id").alias("id2")), "id2")
+        pairs.join(maybe_broadcast(core, n_pts), "id")
+        .join(maybe_broadcast(core.select(F.col("id").alias("id2")), n_pts), "id2")
         .filter(F.col("id") < F.col("id2"))
         .select(
             F.col("id").alias("src"),
@@ -1115,20 +1121,27 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", F.col("component").alias("cluster")
     )
     # isolated core points (no core neighbor in ε) form singleton clusters
-    core_lab = core.join(comp, "id", "left").select(
+    core_lab = core.join(maybe_broadcast(comp, n_pts), "id", "left").select(
         "id", F.coalesce("cluster", F.col("id")).alias("cluster"), F.lit(1).alias("is_core")
     ).transform(lineage_cut)
     border = (
         pairs.join(
-            core_lab.select(F.col("id").alias("id2"), F.col("cluster")), "id2"
+            maybe_broadcast(
+                core_lab.select(F.col("id").alias("id2"), F.col("cluster")), n_pts
+            ),
+            "id2",
         )
-        .join(core_lab.select(F.col("id"), F.lit(1).alias("c0")), "id", "left_anti")
+        .join(
+            maybe_broadcast(core_lab.select(F.col("id"), F.lit(1).alias("c0")), n_pts),
+            "id",
+            "left_anti",
+        )
         .groupBy("id")
         .agg(F.min("cluster").alias("cluster"))
         .select("id", "cluster", F.lit(0).alias("is_core"))
     )
     labeled = core_lab.unionByName(border)
-    noise = pts.join(labeled.select("id"), "id", "left_anti").select(
+    noise = pts.join(maybe_broadcast(labeled.select("id"), 2 * n_pts), "id", "left_anti").select(
         "id", F.lit(-1).alias("cluster"), F.lit(0).alias("is_core")
     )
     return (
