@@ -563,6 +563,13 @@ def pagerank(
     has_dangling = not base.filter(F.col("wout").isNull()).isEmpty()
     if not has_dangling:
         ranks = base.select("id", "wout", F.lit(1.0).alias("rank"))
+        # NOT broadcast-gated (r19 A/B): with the batched 5-step
+        # lineage cadence, every per-step broadcast build re-executes
+        # the uncut chain below it — quadratic in the batch length,
+        # measured 11.9 s → 44.3 s. The eager-cut-per-round engines
+        # (LPA/CC/HITS/betweenness) broadcast cheaply because their
+        # build side is always a materialized checkpoint; this loop's
+        # is not, by its own A/B'd design.
         for it in range(iters):
             contribs = (
                 edges.join(
@@ -1415,6 +1422,10 @@ def eigenvector_centrality(
     per vertex."""
     sym = symmetrize(edges).transform(lineage_cut)
     verts = vertices_of(edges)
+    # NOT broadcast-gated (r19 A/B): same quadratic-rebuild hazard as
+    # pagerank — the 6-step batched lineage means each step's
+    # broadcast build would re-execute the chain below it (measured
+    # 5.7 s → 15.0 s with gates)
     r = verts.select("id", F.lit(1.0).alias("r"))
     for i in range(iters):
         r = (

@@ -16,7 +16,7 @@ import pandas as pd  # noqa: F401  (resolves pandas_udf string annotations)
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .session import lineage_cut
+from .session import fan_out, lineage_cut
 
 from .sources import load
 
@@ -26,7 +26,14 @@ from .sources import load
 
 
 def tokens_of(df: DataFrame) -> DataFrame:
-    """(doc_id, pos, token) — whitespace tokenization, 1-based pos."""
+    """(doc_id, pos, token) — whitespace tokenization, 1-based pos.
+
+    Deliberately NOT fanned out (r19 A/B): the explode itself is cheap
+    JVM work, and for every tokenizer consumer the measured cost of an
+    extra round-robin exchange (+0.4 s: shuffle + 32-task stages)
+    exceeded the single-task explode time it parallelized. Only the
+    md5-per-shingle minhash path clears that bar — see
+    minhash_sketches_wide."""
     return df.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
@@ -288,7 +295,11 @@ FROM documents GROUP BY 1
 
 
 def shingles_of(df: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct k-token shingles per document."""
+    """(doc_id, shingle) — distinct k-token shingles per document.
+    Not fanned out for the same measured reason as tokens_of — the
+    pure explode+distinct consumers (ngram_jaccard, containment,
+    contamination) got SLOWER with the extra exchange; callers whose
+    per-shingle work is heavy fan their input out themselves."""
     toks = F.split("text", " ")
     sh = F.expr(
         f"transform(sequence(1, greatest(size(split(text, ' ')) - {k - 1}, 1)),"
@@ -435,7 +446,13 @@ def minhash_sketches_wide(df: DataFrame, k: int = 3) -> DataFrame:
     permutation is an affine transform of the ONE parity base hash
     (r10: replaced 16 seeded xxhash64 calls; 1 md5 + 16 int64 FMAs per
     shingle, and the sketch becomes engine-reproducible)."""
-    sh = shingles_of(df, k).withColumn(
+    # fan the corpus scan out before the shingle explode (r19): the
+    # md5 permutation hashing over every shingle otherwise runs on the
+    # scan's partitioning — ONE task for a single-file corpus (a
+    # measured 4.4 s single-task job in a 6.6 s q_dedup_minhash
+    # profile; the A/B'd win is ~1.1 s at sf0.1). No-op at real scale
+    # where the corpus has >= cores input splits.
+    sh = shingles_of(fan_out(df), k).withColumn(
         "h31", parity_hash32(F.col("shingle")) % F.lit(2147483648)
     )
     return sh.groupBy("doc_id").agg(

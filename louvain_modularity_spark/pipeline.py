@@ -19,7 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .session import lineage_cut
+from .session import fan_out, lineage_cut
 
 from .llm_ops import _DOT_SQL, ngram_jaccard_pairs, shingles_of
 from .louvain import connected_components
@@ -855,8 +855,12 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every step is a bounded inverted-index join or a keyed window; no
     corpus-sized state, no suffix array to build or hold."""
-    d = load(spark, sf_dir, "documents").filter(
-        F.size(F.split("text", " ")) >= SUBSTR_SHINGLE
+    # fan the filtered scan out before the positional-shingle explode
+    # (r19, same single-task-expansion fix as shingles_of)
+    d = fan_out(
+        load(spark, sf_dir, "documents").filter(
+            F.size(F.split("text", " ")) >= SUBSTR_SHINGLE
+        )
     )
     # materialize the shingle index ONCE (same checkpoint idiom as
     # q_assoc_rules' basket table): it feeds the df gate, the anti-join

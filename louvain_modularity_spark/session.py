@@ -136,6 +136,33 @@ def lineage_cut(df, eager: bool = True):
     return df.localCheckpoint(eager=eager)
 
 
+def fan_out(df, parts: int | None = None):
+    """Round-robin repartition of a narrow, exchange-free frame whose
+    SCAN parallelism is below the session's core count — the r19 fix
+    for expensive per-row expansion (shingle explode, 16-permutation
+    minhash hashing, centroid dot products) running on ONE task
+    because the input parquet is a single small file/row group.
+
+    Gate: a no-op whenever the frame already has >= cores partitions —
+    which is exactly the 100 TB case (thousands of input splits), so
+    no shuffle is ever added at scale; locally it costs one shuffle of
+    the NARROW input (text/keys, before any expansion) and buys full
+    parallelism for the expansion above it. Guide §2.5 "input skew:
+    one huge unsplittable file … repartition immediately after the
+    read" — the gate makes it scale-adaptive instead of a local-mode
+    constant. Values are unaffected: round-robin repartition preserves
+    the row multiset (and sortBeforeRepartition, on by default, keeps
+    the assignment deterministic under task retry).
+
+    Call it only on scan-only frames (``load()`` output, optionally
+    filtered/projected): the partition-count probe walks ``df.rdd``,
+    which would materialize query stages if the plan held exchanges."""
+    target = parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def get_spark(
     app_name: str = "louvain-modularity-spark",
     master: str | None = None,

@@ -148,3 +148,25 @@ def test_lineage_cut_checkpoint_retention_guard(spark, tmp_path, monkeypatch):
         assert len(hits) == 1, [str(x.message) for x in w]
     finally:
         spark.conf.unset("spark.graft.checkpointDir")
+
+
+def test_fan_out_gate_and_row_multiset(spark):
+    """fan_out (r19): below the core count it round-robins the scan up
+    to defaultParallelism and preserves the row MULTISET exactly (incl.
+    duplicates); at/above the target it is a plan no-op — the 100 TB
+    case, where the input already has >= cores splits."""
+    from louvain_modularity_spark.session import fan_out
+
+    rows = [(i % 3, f"t{i % 5}") for i in range(100)]  # duplicates
+    df = spark.createDataFrame(rows, "k int, t string").coalesce(1)
+    assert df.rdd.getNumPartitions() == 1
+    out = fan_out(df)
+    target = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == target
+    assert sorted(map(tuple, out.collect())) == sorted(rows)
+    # no-op gate: already-wide input comes back unchanged (same plan)
+    wide = df.repartition(target)
+    assert fan_out(wide) is wide
+    # explicit parts override honours the same gate
+    assert fan_out(wide, parts=2) is wide
+    assert fan_out(df, parts=4).rdd.getNumPartitions() == 4
