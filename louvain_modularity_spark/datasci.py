@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .session import lineage_cut
+from .session import fan_out, lineage_cut
 
 from .kernels import (
     _ntile_expr,
@@ -1122,7 +1122,14 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x", F.col("v").cast("double").alias("v"))
         .transform(lineage_cut)
     )
-    a = daily.select(F.col("x").alias("x1"), F.col("v").alias("v1"))
+    # fan the STREAM side of the non-equi pair join out (r19): the day
+    # table checkpoints to ~1 post-AQE partition, so the nested-loop
+    # pair expansion (D²/2 probes) and the rank kernel's range-exchange
+    # map ran as ONE task (a measured 1.5 s single-task job at sf0.1).
+    # Round-robin on the tiny day table parallelizes the expansion;
+    # the broadcast build side stays on the raw checkpoint. Pair
+    # multiset (and therefore every order statistic) is unchanged.
+    a = fan_out(daily).select(F.col("x").alias("x1"), F.col("v").alias("v1"))
     b = daily.select(F.col("x").alias("x2"), F.col("v").alias("v2"))
     # keep the (x1, x2) pair identity: slopes tie heavily (~2.9M pairs
     # over repeated daily values), and the rank kernel's contract

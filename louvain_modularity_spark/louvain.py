@@ -798,8 +798,10 @@ def _one_level(
                 # materialization into the next round's moves job —
                 # measured a wash at sf0.1 (warm same-boot alternating
                 # A/B, r11: eager min 20.06 s vs lazy 20.92 s,
-                # identical outputs); kept eager for the bounded-plan
-                # guarantee on the break-without-idle-round exit
+                # identical outputs; RE-MEASURED r19 on the gated plans:
+                # eager 18.6 s vs lazy 19.7 s — eager re-holds); kept
+                # eager for the bounded-plan guarantee on the
+                # break-without-idle-round exit
             )
         total_moves += n_moves
         if _VERBOSE:

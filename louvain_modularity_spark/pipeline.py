@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from .session import fan_out, lineage_cut
 
+from .graph import maybe_broadcast
 from .llm_ops import _DOT_SQL, ngram_jaccard_pairs, shingles_of
 from .louvain import connected_components
 from .sources import load
@@ -62,7 +63,14 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed costs); above it the distributed min-propagation runs."""
     d = load(spark, sf_dir, "documents")
     edges = (
-        ngram_jaccard_pairs(d)
+        # fan the corpus scan out before the shingle-index build (r19):
+        # the pair pipeline's lazy shingle checkpoint otherwise
+        # materializes the whole explode on the scan's ONE split (a
+        # measured 2.0 s single-task job at sf0.1) AND pins every
+        # downstream index stage to that single partition. No-op at
+        # real scale (gate in fan_out). Values: exact count aggregates
+        # over an unchanged row multiset.
+        ngram_jaccard_pairs(fan_out(d))
         .filter(F.col("jaccard") >= DUP_JACCARD)
         .select(
             F.col("doc_a").alias("src"),
@@ -778,8 +786,17 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_p = _dot(F.col("u_emb"), F.col("embedding")) / F.sqrt(
         F.col("u_n2") * F.col("n2")
     )
+    # the cluster id has only SEMDEDUP_K distinct values, so the
+    # shuffle self-join on it ran on ≤K tasks (a measured 2.1 s 2-task
+    # job at sf0.1 — guide §2.5 "synthetic partitioning keys with too
+    # few distinct values"). With a driver-known vector count from the
+    # checkpoint, broadcast the u-side (gate: maybe_broadcast) and fan
+    # the probe side out — per-pair cosine work then spreads over all
+    # cores instead of ≤K. Above the gate (corpus-scale vectors) the
+    # original cluster-shuffle join stays.
+    n_vecs = assigned.count()
     dup_of_earlier = (
-        assigned.join(a, "cluster")
+        fan_out(assigned).join(maybe_broadcast(a, n_vecs), "cluster")
         .filter(F.col("u_id") < F.col("vec_id"))
         .withColumn("cos_p", cos_p)
         .filter(F.col("cos_p") >= SEMDEDUP_TAU)
@@ -787,7 +804,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return assigned.join(
-        dup_of_earlier.withColumn("dup", F.lit(True)), "vec_id", "left"
+        maybe_broadcast(dup_of_earlier.withColumn("dup", F.lit(True)), n_vecs),
+        "vec_id",
+        "left",
     ).select(
         "vec_id",
         "cluster",

@@ -196,6 +196,22 @@ def get_spark(
         # see lineage_cut's retention note — still pair it with a
         # per-run checkpoint dir on real clusters)
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # r19 (guide §2.2 "fewer, larger" shuffle files / §6): always
+        # use the sort shuffle writer. The bypass-merge writer opens
+        # numPartitions files PER MAP TASK and then concatenates them;
+        # a thread dump showed the iterative engines' small per-round
+        # shuffles latency-bound on exactly those file creates+copies
+        # (32 files/map on this host's slow-syscall FS), and the A/B'd
+        # win is ~3-4 s on q_hits with the rest flat. Scale-neutral:
+        # the bypass path only ever activates when reduce count ≤ 200,
+        # so cluster-scale shuffles (thousands of partitions) never
+        # used it anyway; the sort writer writes 2 files per map task
+        # at every scale. Core conf (not runtime-settable), so it is
+        # parameterised here at session build.
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            os.environ.get("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
