@@ -170,3 +170,33 @@ def test_fan_out_gate_and_row_multiset(spark):
     # explicit parts override honours the same gate
     assert fan_out(wide, parts=2) is wide
     assert fan_out(df, parts=4).rdd.getNumPartitions() == 4
+
+
+def test_maybe_broadcast_gate(spark):
+    """maybe_broadcast (r19): a driver-known row count at or under
+    BROADCAST_STATE_ROWS applies an explicit broadcast hint (the join
+    plans a broadcast join even where the planner has no size
+    estimate); above the gate, or with no known count, the frame is
+    returned unchanged so the caller's shuffle plan survives — the
+    100 TB case."""
+    from louvain_modularity_spark.graph import (
+        BROADCAST_STATE_ROWS,
+        maybe_broadcast,
+    )
+
+    small = spark.range(10).toDF("id")
+    big = spark.range(1000).toDF("id")
+    hinted = maybe_broadcast(small, 10)
+    plan = (
+        big.join(hinted, "id")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    )
+    assert "Broadcast" in plan
+    # above the gate / unknown count: identity, no hint injected
+    assert maybe_broadcast(small, BROADCAST_STATE_ROWS + 1) is small
+    assert maybe_broadcast(small, None) is small
