@@ -252,7 +252,13 @@ class LouvainResult:
 #: co-purchase level, bit-identical trajectory). Module-level (r6
 #: advice) so tests can monkeypatch it to force the sparse branch and
 #: pin dense/sparse parity, like MST_INLINE_MERGE_EDGES.
-_PREPASS_DENSE_BUDGET = 40_000_000
+#: r19 re-tune, measured on the same level: mid-size rounds (n·C just
+#: under the old 40M budget) paid a ~320 MB bincount alloc+scan per
+#: round where the sparse radix path handles the same round in the
+#: stable argsort of 1.2M keys — prepass min 2.80 s (40M) → 2.27 s
+#: (5M) → 6.69 s (always-dense), outputs dict-identical at every
+#: budget (the dense/sparse parity the tests pin).
+_PREPASS_DENSE_BUDGET = 5_000_000
 
 
 def _numpy_prepass(
