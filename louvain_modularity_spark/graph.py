@@ -898,17 +898,21 @@ def bfs_hops(spark: SparkSession, edges: DataFrame, source: int = 0) -> DataFram
         newly = reached.join(maybe_broadcast(state, n_state), "id", "left_anti").select(
             "id", F.lit(h).cast("int").alias("hops")
         ).transform(lambda df: lineage_cut(df, eager=False))
-        n_frontier = newly.count()
+        # fused level probe (r20, the betweenness-forward fusion): ONE
+        # count over the lazily-cut union materializes the frontier AND
+        # the unioned state checkpoints and yields the frontier size as
+        # a delta — was a separate count + eager union cut. The
+        # checkpointed union itself stays (r7 A/B: a lazy multi-frame
+        # union makes the anti-join re-scan every level frame).
+        new_state = state.unionByName(newly).transform(
+            lambda df: lineage_cut(df, eager=False)
+        )
+        n_new_state = new_state.count()
+        n_frontier = n_new_state - n_state
+        state = new_state
         if n_frontier == 0:
             break
-        n_state += n_frontier
-        # re-checkpointing the unioned state each level was A/B-tested
-        # against keeping the union lazy over the checkpointed frames
-        # (r7): lazy measured SLOWER (13.6 s vs 11.0 s on sampled
-        # betweenness at sf0.1) — the anti-join re-scans every level
-        # frame per round, which costs more than the one sequential
-        # rewrite it avoids — so the checkpointed union stays
-        state = state.unionByName(newly).transform(lineage_cut)
+        n_state = n_new_state
         frontier = newly
     sym.unpersist()
     return state
@@ -1261,8 +1265,8 @@ def betweenness(
         msgs = maybe_broadcast(frontier, n_frontier).join(
             sym.withColumnRenamed("src", "id"), "id"
         ).select("source", F.col("dst").alias("id"), "sigma")
-        # lazy cut + count: one job both materializes the level's
-        # checkpoint and answers the old isEmpty() probe
+        # lazy cut on the level frontier; its checkpoint materializes
+        # inside the unioned-state count below
         newly = (
             msgs.join(
                 maybe_broadcast(state.select("source", "id"), n_state),
@@ -1274,17 +1278,26 @@ def betweenness(
             .select("source", "id", F.lit(h).cast("int").alias("dist"), "sigma")
             .transform(lambda df: lineage_cut(df, eager=False))
         )
-        n_frontier = newly.count()
+        # fused level probe (r20): ONE count over the lazily-cut union
+        # materializes the level's frontier checkpoint AND the unioned
+        # state checkpoint AND yields the frontier size as the delta
+        # against the running total — the r19 shape paid a separate
+        # frontier count before the eager union cut (2 driver calls /
+        # 3 SQL executions per level → 1 / 2). The checkpointed union
+        # itself stays (the r7 A/B against a lazy multi-frame union
+        # still holds: the anti-join must not re-scan every level
+        # frame). On the final level the union rewrite is computed for
+        # rows identical to the old state — one extra n_state-scan once
+        # per query, bought back by the per-level savings.
+        new_state = state.unionByName(newly).transform(
+            lambda df: lineage_cut(df, eager=False)
+        )
+        n_new_state = new_state.count()
+        n_frontier = n_new_state - n_state
+        state = new_state
         if n_frontier == 0:
             break
-        # re-checkpointing the unioned state each level was A/B-tested
-        # against keeping the union lazy over the checkpointed frames
-        # (r7): lazy measured SLOWER (13.6 s vs 11.0 s on sampled
-        # betweenness at sf0.1) — the anti-join re-scans every level
-        # frame per round, which costs more than the one sequential
-        # rewrite it avoids — so the checkpointed union stays
-        state = state.unionByName(newly).transform(lineage_cut)
-        n_state += n_frontier
+        n_state = n_new_state
         frontier = newly
     max_level = state.agg(F.max("dist")).collect()[0][0]
     # backward: per-level dependency accumulation. Brandes' δ(v) takes
@@ -1293,10 +1306,17 @@ def betweenness(
     # frame per level instead of rewriting (and re-checkpointing) the
     # whole O(sources·V) state every level: total checkpoint volume is
     # one pass over the state, not diameter passes over it.
+    # backward levels are lazy cuts (r20): no loop decision reads them,
+    # so the whole dependency accumulation materializes bottom-up in
+    # the ONE execution that consumes the final union — max_level
+    # driver calls and SQL executions collapse into one, while each
+    # level still checkpoints (localCheckpoint persists its blocks on
+    # first computation, so the two consumers — the next level's
+    # `deeper` side and the final union — share one evaluation).
     by_level: dict[int, DataFrame] = {
         max_level: state.filter(F.col("dist") == max_level)
         .select("source", "id", "sigma", F.lit(0.0).alias("delta"))
-        .transform(lineage_cut)
+        .transform(lambda df: lineage_cut(df, eager=False))
     }
     for level in range(max_level, 0, -1):
         # per-level σ/δ frames are all ≤ n_state rows — the same
@@ -1334,7 +1354,7 @@ def betweenness(
                 F.col("sigma_v").alias("sigma"),
                 F.coalesce("d_new", F.lit(0.0)).alias("delta"),
             )
-            .transform(lineage_cut)
+            .transform(lambda df: lineage_cut(df, eager=False))
         )
     delta = by_level[0]
     for level in range(1, max_level + 1):
@@ -2784,9 +2804,16 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if best.isEmpty():
             break
-        chosen_all = (
-            chosen_all.unionByName(best).distinct().transform(lineage_cut)
-        )
+        # lazy accumulation (r20): a chosen edge's two components merge
+        # this round, so both its endpoints share a component forever
+        # after and the edge can never re-enter ec (the cu != cv
+        # filter) — rounds contribute DISJOINT edge sets, and the old
+        # per-round distinct + eager checkpoint (one shuffle + one
+        # execution per round) rewrote the accumulated forest for
+        # nothing. The union of the per-round `best` checkpoints is the
+        # same multiset; within-round duplicates are already removed by
+        # best's own distinct.
+        chosen_all = chosen_all.unionByName(best)
         # merge touching components: min-label propagation over the
         # chosen component edges (a pseudo-forest: ≤1 chosen edge per
         # component, so this closes in O(log chain) tiny rounds)
@@ -2796,6 +2823,9 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         # collected every edge twice); the distributed branch
         # symmetrizes on demand since min-label propagation needs both
         # directions.
+        # lazy cut + count (r20): one driver call materializes the
+        # merge-edge checkpoint and yields its size for the inline-vs-
+        # distributed branch — the eager cut paid a separate execution
         ce = (
             best.join(cu, "u")
             .join(cv, "v")
@@ -2803,7 +2833,7 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least("cu", "cv").alias("a"), F.greatest("cu", "cv").alias("b")
             )
             .distinct()
-            .transform(lineage_cut)
+            .transform(lambda df: lineage_cut(df, eager=False))
         )
         ce_rows = ce.count()
         if ce_rows <= MST_INLINE_MERGE_EDGES:
@@ -2891,7 +2921,11 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "left",
             )
             .select("id", F.coalesce("newc", F.col("comp")).alias("comp"))
-            .transform(lineage_cut)
+            # lazy cut (r20): the next round's best materialization is
+            # the first (and, via its persisted blocks, only) evaluator
+            # — the eager cut paid one more execution per round for a
+            # table nothing reads until then
+            .transform(lambda df: lineage_cut(df, eager=False))
         )
     return chosen_all.select("u", "v", "w")
 
@@ -2923,20 +2957,24 @@ def topo_layers(spark: SparkSession, edges: DataFrame) -> DataFrame:
             .groupBy(F.col("dst").alias("id"))
             .agg((F.max("layer") + 1).alias("cand"))
         )
-        merged = (
+        # inline changed flag (r20, the LPA fusion): the layer grows
+        # exactly when an incoming candidate exceeds it, so the flag is
+        # cand > layer — no re-join of the old state needed
+        flagged = (
             layer.join(maybe_broadcast(pushed, n), "id", "left")
             .select(
                 "id",
                 F.greatest("layer", F.coalesce("cand", F.lit(0))).alias("layer"),
+                F.coalesce(F.col("cand") > F.col("layer"), F.lit(False)).alias(
+                    "changed"
+                ),
             )
             .transform(lambda df: lineage_cut(df, eager=False))
         )
-        changed = (
-            merged.join(maybe_broadcast(layer.withColumnRenamed("layer", "old"), n), "id")
-            .filter(F.col("layer") != F.col("old"))
-            .count()
+        changed = int(
+            flagged.agg(F.sum(F.col("changed").cast("long"))).collect()[0][0] or 0
         )
-        layer = merged
+        layer = flagged.select("id", "layer")
         if changed == 0:
             return layer
 

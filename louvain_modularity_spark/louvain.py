@@ -628,6 +628,16 @@ def _one_level(
     # the once-per-round w2c materialization below. Counting here also
     # materializes the sym cache before the round loop.
     n_sym = sym.count()
+    # fused round shape (r20): below the broadcast envelope the whole
+    # round runs as ONE driver call — the moves table and the updated
+    # state are lazy cuts materialized by the round's single
+    # moved-count aggregate, and the own-community w2c lookup is an
+    # n-row inner join instead of a broadcast of the FULL E'-row w2c
+    # table (guide §2.3 "shuffle fewer bytes" applied to the broadcast:
+    # the old plan shipped ~E' rows per round to every executor where
+    # n rows suffice). Above the envelope every join keeps the r19
+    # shuffle shape untouched — the 100 TB plan is unchanged.
+    fused = n_sym <= BROADCAST_STATE_ROWS and n_nodes <= BROADCAST_STATE_ROWS
 
     total_moves = 0
     idle_rounds = 0
@@ -650,23 +660,47 @@ def _one_level(
         )
         # w2c is consumed twice (own-community lookup + candidate set).
         # When the broadcast gate can bound it (w2c rows ≤ sym rows),
-        # materialize it ONCE per round with a lazy cut — the own_w2c
-        # broadcast build materializes the checkpoint, the cand path
-        # rescans the blocks — instead of evaluating the edge-scale
+        # materialize it ONCE per round with a lazy cut — the first
+        # consumer materializes the checkpoint, the cand path rescans
+        # the blocks — instead of evaluating the edge-scale
         # join+aggregate twice. Above the gate (cluster-scale levels)
         # the plan is left intact: a per-round edge-scale checkpoint
         # would cost more than the exchange reuse it replaces.
-        if n_sym <= BROADCAST_STATE_ROWS:
+        #
+        # own-community lookup (r20): the r19 plan broadcast the FULL
+        # E'-row w2c table just so each node could read its own row.
+        # Derive the n-row (id → w2c_own) table first — an inner join
+        # of the w2c checkpoint against the n-row (id, community) state
+        # projection — and broadcast THAT: per-round broadcast bytes
+        # drop from O(E') to O(n) (guide §2.3 applied to the broadcast
+        # build; exactness: w2c holds ≤1 row per (id, community) and
+        # state exactly one community per id, so the inner join emits
+        # precisely the old left-join's matched rows, and the node join
+        # below coalesces the misses to 0.0 as before).
+        if fused:
             w2c = lineage_cut(w2c, eager=False)
-        own_w2c = maybe_broadcast(
-            w2c.withColumnRenamed("w2c", "w2c_own"), n_sym
-        )
+            own_tbl = (
+                w2c.join(
+                    F.broadcast(state.select("id", "community")),
+                    ["id", "community"],
+                )
+                .select("id", F.col("w2c").alias("w2c_own"))
+            )
+
+            def _with_own(st_sel):
+                return st_sel.join(F.broadcast(own_tbl), "id", "left")
+
+        else:
+            own_w2c = w2c.withColumnRenamed("w2c", "w2c_own")
+
+            def _with_own(st_sel):
+                return st_sel.join(own_w2c, ["id", "community"], "left")
         if directed:
             sigma = state.groupBy("community").agg(
                 F.sum("k_in").alias("sigma_in"), F.sum("k_out").alias("sigma_out")
             )
             node = (
-                state.join(own_w2c, ["id", "community"], "left")
+                _with_own(state)
                 .select(
                     "id",
                     F.col("community").alias("own_com"),
@@ -721,8 +755,7 @@ def _one_level(
         else:
             sigma = state.groupBy("community").agg(F.sum("k").alias("sigma_tot"))
             node = (
-                state.select("id", "community", "k")
-                .join(own_w2c, ["id", "community"], "left")
+                _with_own(state.select("id", "community", "k"))
                 .select(
                     "id",
                     F.col("community").alias("own_com"),
@@ -780,35 +813,70 @@ def _one_level(
                     F.struct(F.col("delta"), (-F.col("community")).alias("nc")),
                 ).alias("new_community")
             )
-            # lazy cut + count (r19): ONE job materializes the round's
-            # moves checkpoint and yields n_moves. The r7 objection to
-            # fusing — "the unmaterialized moves side loses its
-            # broadcast sizing" — no longer applies: the state update
-            # below broadcast-gates moves EXPLICITLY on the known
-            # n_moves (≤ n_nodes), so the planner never needs a size
-            # estimate for it
+            # lazy cut (r19): the round's first consumer materializes
+            # the moves checkpoint. The r7 objection to fusing — "the
+            # unmaterialized moves side loses its broadcast sizing" —
+            # no longer applies: the state update broadcast-gates moves
+            # EXPLICITLY on a driver-known bound, so the planner never
+            # needs a size estimate for it
             .transform(lambda df: lineage_cut(df, eager=False))
         )
-        n_moves = moves.count()
-        if n_moves > 0:
-            carry = ["k_in", "k_out"] if directed else ["k"]
-            state = (
-                state.join(maybe_broadcast(moves, n_moves), "id", "left")
+        carry = ["k_in", "k_out"] if directed else ["k"]
+        if fused:
+            # fused round tail (r20): the state update carries a
+            # `moved` flag and is itself a lazy cut; ONE aggregate
+            # call materializes the new state checkpoint (building the
+            # nested moves checkpoint on the way) AND returns the
+            # round's move count — the r19 shape paid a separate
+            # moves-count execution plus a separate eager state cut
+            # (2 driver calls / 3 SQL executions per round → 1 / 2).
+            # Values: moves ids ⊆ state ids, so sum(moved) == the old
+            # count of moves rows, and on an idle round the rewritten
+            # state is row-identical to the old untouched state.
+            # moves ≤ n_nodes ≤ the gate here, so the unconditional
+            # broadcast is the same decision maybe_broadcast(n_moves)
+            # made in r19.
+            flagged = (
+                state.join(F.broadcast(moves), "id", "left")
                 .select(
                     "id",
                     F.coalesce("new_community", "community").alias("community"),
                     *carry,
+                    F.col("new_community").isNotNull().alias("moved"),
                 )
-                .transform(lineage_cut)
-                # a lazy (eager=False) cut here — deferring state
-                # materialization into the next round's moves job —
-                # measured a wash at sf0.1 (warm same-boot alternating
-                # A/B, r11: eager min 20.06 s vs lazy 20.92 s,
-                # identical outputs; RE-MEASURED r19 on the gated plans:
-                # eager 18.6 s vs lazy 19.7 s — eager re-holds); kept
-                # eager for the bounded-plan guarantee on the
-                # break-without-idle-round exit
+                .transform(lambda df: lineage_cut(df, eager=False))
             )
+            n_moves = int(
+                flagged.agg(
+                    F.sum(F.col("moved").cast("long")).alias("nm")
+                ).collect()[0][0]
+                or 0
+            )
+            state = flagged.select("id", "community", *carry)
+        else:
+            # above the broadcast envelope: the r19 count-then-update
+            # shape, untouched — the 100 TB plan (shuffle joins, moves
+            # counted before the update so its broadcast gate sees the
+            # true n_moves, no extra n-scale flag pass over state)
+            n_moves = moves.count()
+            if n_moves > 0:
+                state = (
+                    state.join(maybe_broadcast(moves, n_moves), "id", "left")
+                    .select(
+                        "id",
+                        F.coalesce("new_community", "community").alias("community"),
+                        *carry,
+                    )
+                    .transform(lineage_cut)
+                    # a lazy (eager=False) cut here — deferring state
+                    # materialization into the next round's moves job —
+                    # measured a wash at sf0.1 (warm same-boot
+                    # alternating A/B, r11: eager min 20.06 s vs lazy
+                    # 20.92 s, identical outputs; RE-MEASURED r19 on
+                    # the gated plans: eager 18.6 s vs lazy 19.7 s —
+                    # eager re-holds); kept eager for the bounded-plan
+                    # guarantee on the break-without-idle-round exit
+                )
         total_moves += n_moves
         if _VERBOSE:
             print(
@@ -1081,24 +1149,29 @@ def label_propagation(
             )
             .select("id", "new_label")
         )
-        # lazy cut: the changed-count job below materializes the new
-        # state's checkpoint — one job where cut-then-count was two
-        new_state = (
+        # lazy cut + inline changed flag (r20): the new state carries
+        # `changed` = (a parity-gated winner exists AND differs from the
+        # current label), so ONE aggregate materializes the round's
+        # checkpoint and returns the changed count — the r19 shape
+        # re-joined the OLD state (one more broadcast build + join per
+        # round) to compute the same per-row comparison. Strictly fewer
+        # joins at every scale; the flag column is projected away below.
+        flagged = (
             state.join(maybe_broadcast(best, n), "id", "left")
-            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .select(
+                "id",
+                F.coalesce("new_label", "label").alias("label"),
+                (
+                    F.col("new_label").isNotNull()
+                    & (F.col("new_label") != F.col("label"))
+                ).alias("changed"),
+            )
             .transform(lambda df: lineage_cut(df, eager=False))
         )
-        changed = (
-            new_state.join(
-                maybe_broadcast(
-                    state.select("id", F.col("label").alias("old")), n
-                ),
-                "id",
-            )
-            .filter(F.col("label") != F.col("old"))
-            .count()
+        changed = int(
+            flagged.agg(F.sum(F.col("changed").cast("long"))).collect()[0][0] or 0
         )
-        state = new_state
+        state = flagged.select("id", "label")
         # each round moves a single hash-parity class, so one idle round
         # does not prove the other class is at fixpoint — require both
         # classes (two consecutive rounds) idle, mirroring _one_level
@@ -1246,27 +1319,26 @@ def connected_components(spark: SparkSession, edges: DataFrame) -> DataFrame:
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_state = (
+        # inline changed flag (r20, the LPA fusion): component shrinks
+        # exactly when a neighbor min undercuts it, so the flag is
+        # nbr_min < component — no re-join of the old state needed
+        flagged = (
             state.join(maybe_broadcast(msgs, n), "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                F.coalesce(
+                    F.col("nbr_min") < F.col("component"), F.lit(False)
+                ).alias("changed"),
             )
             .transform(lambda df: lineage_cut(df, eager=False))
         )
-        changed = (
-            new_state.join(
-                maybe_broadcast(
-                    state.select("id", F.col("component").alias("old")), n
-                ),
-                "id",
-            )
-            .filter(F.col("component") != F.col("old"))
-            .count()
+        changed = int(
+            flagged.agg(F.sum(F.col("changed").cast("long"))).collect()[0][0] or 0
         )
-        state = new_state
+        state = flagged.select("id", "component")
         if changed == 0:
             break
     sym.unpersist()

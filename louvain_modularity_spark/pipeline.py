@@ -794,9 +794,22 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the probe side out — per-pair cosine work then spreads over all
     # cores instead of ≤K. Above the gate (corpus-scale vectors) the
     # original cluster-shuffle join stays.
-    n_vecs = assigned.count()
+    # one job gives both the vector count and the embedding width; the
+    # broadcast gate for the EMBEDDING-CARRYING side must be width-
+    # aware (r20 ADVICE): BROADCAST_STATE_ROWS is calibrated for
+    # ~16-byte (long, double) rows, while each row here hauls an
+    # 8·dim-byte array — a mid-scale corpus (4M × 128-d doubles ≈ 4 GB)
+    # would pass a bare row-count gate yet OOM the executors. Scale the
+    # effective row count by dim/2 (8·dim bytes ≈ dim/2 rows of the
+    # calibrated width) so the gate stays a ~300 MB byte budget.
+    stats = assigned.agg(
+        F.count("*").alias("n"), F.max(F.size("embedding")).alias("dim")
+    ).collect()[0]
+    n_vecs = stats["n"]
+    emb_dim = int(stats["dim"] or 0)
+    n_vecs_eff = n_vecs * max(1, emb_dim // 2)
     dup_of_earlier = (
-        fan_out(assigned).join(maybe_broadcast(a, n_vecs), "cluster")
+        fan_out(assigned).join(maybe_broadcast(a, n_vecs_eff), "cluster")
         .filter(F.col("u_id") < F.col("vec_id"))
         .withColumn("cos_p", cos_p)
         .filter(F.col("cos_p") >= SEMDEDUP_TAU)

@@ -60,14 +60,14 @@ def _modules():
 # before anything new is registered. The full three-round plan is pinned
 # below as data (_WINDOW_R06 / _WINDOW_R07 / _WINDOW_R08) and
 # held_queries() derives the outstanding set — no hand-synced prose list.
-# ROUND 19 STATUS: _WINDOW_R18 (pinned in round 18) is the ACTIVE
-# window; all_queries() leads with it. Rows-only pin: q_bpe_learn and
-# q_mst_boruvka (documented rejections, SURVEY §2.40). The 8 remaining
-# r12-vintage names, then the 42 alphabetically-first r13 greens — the
-# oldest driver rows in the registry after the r18 window ran
-# (CORRECTNESS_r18 = 50/50 hash-green, the second all-oracle window).
-# Backlog: NONE — held_queries() returns [].
-# _WINDOW_R19 below pins the next rotation, derived by
+# ROUND 20 STATUS: _WINDOW_R19 (pinned in round 19) is the ACTIVE
+# window; all_queries() leads with it. Rows-only pin: q_bpe_encode
+# (documented rejection, SURVEY §2.40). The 8 remaining r13-vintage
+# names, then the 42 alphabetically-first r14 greens — the oldest
+# driver rows in the registry after the r18 window ran
+# (CORRECTNESS_r19 = 48/48 oracle-backed hash-green + the 2 rows-only
+# pins). Backlog: NONE — held_queries() returns [].
+# _WINDOW_R20 below pins the next rotation, derived by
 # scripts/window_plan.py.
 #
 # Every oracle-backed entry is local DuckDB-parity green at
@@ -1135,6 +1135,82 @@ _WINDOW_R19_ROWS_ONLY = [
     "q_bpe_encode",
 ]
 
+# Round-20 window, pinned in round 20 (derived by
+# scripts/window_plan.py after _WINDOW_R19 went active): rotation-only
+# re-greens — the 8 remaining r14-vintage names (alphabetically after
+# the 42 the r19 window took), then the 42 alphabetically-first
+# r15-vintage names. Rows-only entries: the louvain-family end-to-end
+# results (parallel move order is engine-defined), q_approx_quantile
+# (sketch internals engine-defined) and q_pca_power (iterative float
+# convergence) — all documented rejections with golden/invariant
+# pytest evidence (SURVEY §2.40).
+_WINDOW_R20 = [
+    # r14 remainder (last 8 of the r14 cohort, alphabetical)
+    "q_stream_metrics",
+    "q_stream_watermark",
+    "q_substring_dup",
+    "q_target_encode",
+    "q_train_split",
+    "q_weighted_median",
+    "q_window_cume",
+    "q_zorder_layout",
+    # r15 greens, alphabetical, first 42 (8 + 42 = 50)
+    "q_ann_ivf",
+    "q_approx_quantile",
+    "q_best_move",
+    "q_calibration",
+    "q_com_totals",
+    "q_connected_components",
+    "q_data_mix",
+    "q_dedup_doc_exact",
+    "q_delta_q",
+    "q_delta_q_directed",
+    "q_dup_embedding",
+    "q_frame_sample",
+    "q_geo_density",
+    "q_grid_join",
+    "q_histogram",
+    "q_intra_inter_edges",
+    "q_is_partition",
+    "q_knn_label",
+    "q_ks_test",
+    "q_lang_id",
+    "q_lang_stats",
+    "q_leiden_refine",
+    "q_louvain_communities",
+    "q_louvain_dendrogram",
+    "q_louvain_directed",
+    "q_louvain_distributed",
+    "q_modularity",
+    "q_modularity_directed",
+    "q_mom_yoy",
+    "q_multimodal_features",
+    "q_multimodal_meta",
+    "q_ndcg",
+    "q_neighbor_com_weights",
+    "q_pca_power",
+    "q_quantile_normalize",
+    "q_read_xml",
+    "q_rich_club",
+    "q_sketch_union",
+    "q_spearman",
+    "q_sql_pipe",
+    "q_stream_join_outer",
+    "q_stream_topk",
+]
+
+# Rows-only-by-contract entries inside the R20 window (no DuckDB
+# oracle; each carries golden/invariant pytest evidence).
+_WINDOW_R20_ROWS_ONLY = [
+    "q_approx_quantile",
+    "q_leiden_refine",
+    "q_louvain_communities",
+    "q_louvain_dendrogram",
+    "q_louvain_directed",
+    "q_louvain_distributed",
+    "q_pca_power",
+]
+
 # Every query name that has appeared in a driver CORRECTNESS window,
 # rounds 1-5 (= union of CORRECTNESS_r0{1..5}.json keys; 193 names).
 # Frozen history — append-only as windows run.
@@ -1208,10 +1284,10 @@ def all_queries() -> dict[str, QueryFn]:
         if overlap:
             raise ValueError(f"duplicate query names from {mod.__name__}: {overlap}")
         merged.update(mod.QUERIES)
-    missing = [n for n in _WINDOW_R18 if n not in merged]
+    missing = [n for n in _WINDOW_R19 if n not in merged]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R18}
+    out: dict[str, QueryFn] = {n: merged[n] for n in _WINDOW_R19}
     out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
 
@@ -1240,6 +1316,7 @@ def held_queries() -> list[str]:
         | set(_WINDOW_R17)
         | set(_WINDOW_R18)
         | set(_WINDOW_R19)
+        | set(_WINDOW_R20)
     )
     return sorted(n for n in all_queries() if n not in windowed)
 

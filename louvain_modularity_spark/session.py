@@ -155,9 +155,15 @@ def fan_out(df, parts: int | None = None):
     the assignment deterministic under task retry).
 
     Call it only on scan-only frames (``load()`` output, optionally
-    filtered/projected): the partition-count probe walks ``df.rdd``,
-    which would materialize query stages if the plan held exchanges."""
+    filtered/projected, or a checkpointed RDD): the partition-count
+    probe walks ``df.rdd``, which would materialize query stages if
+    the plan held exchanges. The contract is self-enforcing (r20
+    ADVICE): a plan containing an Exchange is returned unchanged —
+    never probed, never repartitioned — so a future call site cannot
+    silently run shuffle jobs at plan-build time."""
     target = parts or df.sparkSession.sparkContext.defaultParallelism
+    if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
@@ -215,4 +221,22 @@ def get_spark(
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    # core confs are silently ignored when getOrCreate returns an
+    # ALREADY-RUNNING session (r20 ADVICE): surface the one perf-
+    # relevant case — the A/B'd sort-shuffle-writer setting — instead
+    # of depending on it without a signal
+    expected = os.environ.get("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1")
+    actual = spark.sparkContext.getConf().get(
+        "spark.shuffle.sort.bypassMergeThreshold", "200"
+    )
+    if actual != expected:
+        import warnings
+
+        warnings.warn(
+            "spark.shuffle.sort.bypassMergeThreshold is "
+            f"{actual} (wanted {expected}): get_spark attached to an "
+            "existing JVM session, so the sort-shuffle-writer setting "
+            "was not applied; small-shuffle latency may regress.",
+            stacklevel=2,
+        )
     return ensure_conf(spark)

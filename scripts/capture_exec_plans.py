@@ -9,7 +9,9 @@ including the per-round superstep plans in their AQE-final form — so
 before/after join-strategy and exchange-count claims are checkable.
 
 Usage: python scripts/capture_exec_plans.py <suffix> <query> [...]
-Writes plans/r19/<query>_exec_<suffix>.txt
+Writes $PLANS_DIR/<query>_exec_<suffix>.txt (default plans/r20) plus
+the declared frame's `explain("formatted")` as
+$PLANS_DIR/<query>_<suffix>.txt.
 """
 
 from __future__ import annotations
@@ -59,14 +61,24 @@ def main() -> None:
         with urllib.request.urlopen(url) as r:
             return json.loads(r.read())
 
-    os.makedirs("plans/r19", exist_ok=True)
+    plans_dir = os.environ.get("PLANS_DIR", "plans/r20")
+    os.makedirs(plans_dir, exist_ok=True)
     for name in names:
         before_ids = {e["id"] for e in execs()}
         df = queries[name](spark, sf_dir)
+        with open(f"{plans_dir}/{name}_{suffix}.txt", "w") as f:
+            f.write(
+                f"# explain('formatted') of the declared {name} frame at {sf_dir}\n"
+            )
+            f.write(
+                df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                )
+            )
         df.write.mode("overwrite").format("noop").save()
         new = [e for e in execs() if e["id"] not in before_ids]
         new.sort(key=lambda e: e["id"])
-        path = f"plans/r19/{name}_exec_{suffix}.txt"
+        path = f"{plans_dir}/{name}_exec_{suffix}.txt"
         with open(path, "w") as f:
             f.write(
                 f"# every SQL execution of one {name} run at {sf_dir}\n"

@@ -170,6 +170,16 @@ def test_fan_out_gate_and_row_multiset(spark):
     # explicit parts override honours the same gate
     assert fan_out(wide, parts=2) is wide
     assert fan_out(df, parts=4).rdd.getNumPartitions() == 4
+    # self-enforcing contract (r20): a plan containing an Exchange is
+    # returned unchanged even when its partition count is below the
+    # target — fan_out must never probe (and thereby materialize query
+    # stages of) an exchange-bearing plan
+    narrow_exchange = df.repartition(2)
+    assert narrow_exchange.rdd.getNumPartitions() < target
+    assert fan_out(narrow_exchange) is narrow_exchange
+    # ...and an exchange-free checkpointed frame is still fanned out
+    ckpt = df.localCheckpoint(eager=True)
+    assert fan_out(ckpt).rdd.getNumPartitions() == target
 
 
 def test_maybe_broadcast_gate(spark):

@@ -46,24 +46,25 @@ def test_documented_counts_match_registry():
     )
 
 
-def test_r18_window_leads_registry():
+def test_r19_window_leads_registry():
     """The driver checks the first 50 registry entries; the pinned
-    round-18 window must lead the iteration order: the 8 remaining
-    r12-vintage names first (the oldest driver rows in the registry),
-    then the 42 alphabetically-first r13 greens. Two rows-only
-    entries (q_bpe_learn, q_mst_boruvka — documented rejections)."""
+    round-19 window must lead the iteration order (rotated active in
+    round 20): the 8 remaining r13-vintage names first (the oldest
+    driver rows in the registry), then the 42 alphabetically-first
+    r14 greens. One rows-only entry (q_bpe_encode — documented
+    rejection)."""
     from louvain_modularity_spark.registry import (
-        _WINDOW_R18,
-        _WINDOW_R18_ROWS_ONLY,
+        _WINDOW_R19,
+        _WINDOW_R19_ROWS_ONLY,
     )
 
     q, o = all_queries(), all_oracles()
-    assert list(q)[: len(_WINDOW_R18)] == _WINDOW_R18
-    assert len(_WINDOW_R18) == 50 == len(set(_WINDOW_R18))
-    not_backed = [n for n in _WINDOW_R18 if n not in o]
-    assert sorted(not_backed) == sorted(_WINDOW_R18_ROWS_ONLY), (
+    assert list(q)[: len(_WINDOW_R19)] == _WINDOW_R19
+    assert len(_WINDOW_R19) == 50 == len(set(_WINDOW_R19))
+    not_backed = [n for n in _WINDOW_R19 if n not in o]
+    assert sorted(not_backed) == sorted(_WINDOW_R19_ROWS_ONLY), (
         f"unplanned rows-only queries in driver window: "
-        f"{sorted(set(not_backed) - set(_WINDOW_R18_ROWS_ONLY))}"
+        f"{sorted(set(not_backed) - set(_WINDOW_R19_ROWS_ONLY))}"
     )
 
 
@@ -357,6 +358,46 @@ def test_backlog_empty_after_r10_window():
         _WINDOW_R19_ROWS_ONLY
     ), "r19 rows-only pin out of sync with the registry's oracle map"
     assert _WINDOW_R19_ROWS_ONLY == ["q_bpe_encode"]
+    # r20 plan shape: rotation-only (no r20 registrations), 50
+    # distinct, disjoint from r19, every name a previously-windowed
+    # re-green: 8 r14 remainders + 42 alphabetically-first r15 names;
+    # seven rows-only entries (louvain-family end-to-ends, leiden,
+    # approx_quantile, pca_power — all documented rejections,
+    # SURVEY §2.40)
+    from louvain_modularity_spark.registry import (
+        _WINDOW_R20,
+        _WINDOW_R20_ROWS_ONLY,
+    )
+
+    assert len(_WINDOW_R20) == 50 == len(set(_WINDOW_R20))
+    assert not set(_WINDOW_R20) & set(_WINDOW_R19)
+    unknown_r20 = set(_WINDOW_R20) - set(all_queries())
+    assert not unknown_r20, f"r20 window names not registered: {sorted(unknown_r20)}"
+    assert set(_WINDOW_R20) <= (
+        _EVER_WINDOWED_PRE_R06
+        | set(_WINDOW_R06)
+        | set(_WINDOW_R07)
+        | set(_WINDOW_R08)
+        | set(_WINDOW_R09)
+        | set(_WINDOW_R10)
+        | set(_WINDOW_R11)
+        | set(_WINDOW_R12)
+        | set(_WINDOW_R13)
+        | set(_WINDOW_R14)
+        | set(_WINDOW_R15)
+    )
+    assert sorted(n for n in _WINDOW_R20 if n not in all_oracles()) == sorted(
+        _WINDOW_R20_ROWS_ONLY
+    ), "r20 rows-only pin out of sync with the registry's oracle map"
+    assert _WINDOW_R20_ROWS_ONLY == [
+        "q_approx_quantile",
+        "q_leiden_refine",
+        "q_louvain_communities",
+        "q_louvain_dendrogram",
+        "q_louvain_directed",
+        "q_louvain_distributed",
+        "q_pca_power",
+    ]
     assert len(_WINDOW_R07) == 50 == len(set(_WINDOW_R07))
     assert len(_WINDOW_R08) == 50 == len(set(_WINDOW_R08))
     assert not set(_WINDOW_R07) & set(_WINDOW_R08)
