@@ -69,12 +69,46 @@ def _staged_events_dir(sf_dir: str) -> tuple[str, tuple[int, int]]:
 _schema_cache: dict = {}
 
 
+#: single-slot mailbox: stream_events computes the input-sized state-
+#: store partition hint; the execution wrapper consumes (and clears)
+#: it around query start so the session conf is always restored
+_STATE_PARTS_HINT: list = [None]
+
+
+def _state_parts_for(spark: SparkSession, input_bytes: int) -> int:
+    """Scale-adaptive stateful-shuffle partition count (r20, guide
+    §2.2): the state-store partition count is fixed at query start
+    from ``spark.sql.shuffle.partitions``, so a bounded availableNow
+    run over a small file paid 32 state tasks per trigger (a measured
+    26–39% of the streaming lane at sf0.1 — A/B in
+    OPTIMIZATION_r20.md). Size it like a scan instead: the input's
+    split count (bytes / maxPartitionBytes), floored at min(8, session)
+    so per-key state work stays parallel (1 partition serialized the
+    flatMapGroupsWithState query 3.5×), capped at the session value —
+    which is exactly what a 100 TB source resolves to (splits ≫
+    session), leaving the cluster-scale plan untouched. Env override:
+    SPARK_GRAFT_STREAM_STATE_PARTITIONS."""
+    override = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if override:
+        return max(1, min(session, int(override)))
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try:
+        max_bytes = int(str(raw).lower().rstrip("b")) or 134217728
+    except ValueError:
+        max_bytes = 134217728
+    splits = max(1, -(-input_bytes // max_bytes))
+    floor = min(8, session)
+    return min(session, max(floor, splits))
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded stream (file source, explicit schema —
     streaming reads cannot infer; the schema comes from one cached
     metadata read of the staged file so both ``ts`` encodings work)."""
     ensure_conf(spark)
     staged, sig = _staged_events_dir(sf_dir)
+    _STATE_PARTS_HINT[0] = _state_parts_for(spark, sig[0])
     key = (staged, sig)
     schema = _schema_cache.get(key)
     if schema is None:
@@ -86,18 +120,42 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_parts_scope(spark: SparkSession):
+    """Apply (and ALWAYS restore) the stateful-shuffle partition hint
+    left by stream_events. Consume-and-clear semantics: a later query
+    on a different source (e.g. the pysource stream) never inherits a
+    stale hint, and the shared session's batch queries always see the
+    original spark.sql.shuffle.partitions again."""
+    hint = _STATE_PARTS_HINT[0]
+    _STATE_PARTS_HINT[0] = None
+    if hint is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(hint))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def run_to_table(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink; return the materialized table."""
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_parts_scope(spark):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -571,15 +629,16 @@ def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "ts_us", "user_id", "value"
     )
-    q = (
-        proj.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_parts_scope(spark):
+        q = (
+            proj.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     back = spark.read.parquet(out)
     return back.groupBy("user_id").agg(
         F.count("*").alias("n_purchases"),
@@ -643,14 +702,15 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    q = (
-        ev.select("event_type", "value")
-        .writeStream.foreachBatch(sink_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_parts_scope(spark):
+        q = (
+            ev.select("event_type", "value")
+            .writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     back = spark.read.parquet(out)
     # exactly-once repair: a retried micro-batch re-appends the same
     # (batch_id, event_type) partials, so keep one row per key pair
@@ -691,14 +751,15 @@ def q_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_parts_scope(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     input_rows = 0
     state_rows = 0
     for p in q.recentProgress:
