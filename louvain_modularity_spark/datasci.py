@@ -2352,14 +2352,31 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
+    # lazy cut + fused count (r20, guide §1.2): the distinct-orderkey
+    # count is the checkpoint's materializing job — the r19 shape paid
+    # a separate eager-cut execution before the count
+    baskets = lineage_cut(
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_brand")
-        .distinct()
-        .transform(lineage_cut)
+        .distinct(),
+        eager=False,
     )
-    n_baskets = baskets.select("l_orderkey").distinct().count()
+    n_baskets = int(
+        baskets.agg(F.countDistinct("l_orderkey").alias("n")).collect()[0][0]
+    )
     singles = baskets.groupBy("p_brand").agg(F.count("*").alias("n1"))
+    # pair mining stays the order-key self-join (r20, examined and
+    # KEPT): a sorted-basket-array rewrite (groupBy + collect_list +
+    # pair explode) was prototyped on the claim "2 shuffle sides → 1",
+    # but the executed plan shows the claim was false — both self-join
+    # sides come from the same checkpoint, so Spark plans ONE Exchange
+    # and a ReusedExchange (verified in
+    # plans/r20/q_assoc_rules_exec_before.txt op (8) "Reuses operator
+    # id: 4"): the join already shuffles the basket bytes once at any
+    # scale. The rewrite traded the join's two sorts for an
+    # ObjectHashAggregate + explode and measured ~0.3 s WORSE in every
+    # quiet interleaved leg at sf0.1 (2.27/2.39 old vs 2.48/2.75 new),
+    # value-identical. Rejected; receipts in OPTIMIZATION_r20.md.
     a = baskets.select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("ba"))
     b = baskets.select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("bb"))
     pairs = (

@@ -2650,17 +2650,23 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             # deep join chain a second time — checkpoint-first makes
             # the hubs materialization a single join over the pinned
             # auth (same values: checkpointing does not change the
-            # expression, only where evaluation is cut)
-            auth = auth.transform(lineage_cut)
-            hubs = _hubs_of(auth).transform(lineage_cut)
-            amax = auth.agg(F.max("auth").alias("m"))
-            auth = auth.crossJoin(F.broadcast(amax)).select(
-                "id", (F.col("auth") / F.col("m")).alias("auth")
-            )
-            hmax = hubs.agg(F.max("hub").alias("m"))
-            hubs = hubs.crossJoin(F.broadcast(hmax)).select(
-                "id", (F.col("hub") / F.col("m")).alias("hub")
-            )
+            # expression, only where evaluation is cut).
+            # fused norm step (r20, guide §1.2): the checkpoint is a
+            # lazy cut whose materializing job IS the max aggregate —
+            # the r19 shape paid a separate eager-cut job per table
+            # plus a crossJoin(broadcast(max)) build inside the next
+            # consumer; collecting the scalar instead folds both into
+            # one driver call per table and divides by a literal.
+            # Values: same MAX over the same checkpointed table (a
+            # commutative, order-exact reduction), and the collected
+            # double crosses py4j bit-exactly, so auth/m is the
+            # identical IEEE division.
+            auth = lineage_cut(auth, eager=False)
+            amax = auth.agg(F.max("auth")).collect()[0][0]
+            hubs = lineage_cut(_hubs_of(auth), eager=False)
+            hmax = hubs.agg(F.max("hub")).collect()[0][0]
+            auth = auth.select("id", (F.col("auth") / F.lit(amax)).alias("auth"))
+            hubs = hubs.select("id", (F.col("hub") / F.lit(hmax)).alias("hub"))
         else:
             hubs = _hubs_of(auth)
     return hubs.select(
@@ -2802,7 +2808,42 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .transform(lambda df: lineage_cut(df, eager=False))
         )
-        if best.isEmpty():
+        # merge touching components: min-label propagation over the
+        # chosen component edges (a pseudo-forest: ≤1 chosen edge per
+        # component, so this closes in O(log chain) tiny rounds)
+        # ONE canonical orientation (a < b): the threshold below then
+        # counts true undirected merge edges (the r6 advice: the old
+        # symmetric ce made the effective cap half the constant and
+        # collected every edge twice); the distributed branch
+        # symmetrizes on demand since min-label propagation needs both
+        # directions.
+        ce = (
+            best.join(cu, "u")
+            .join(cv, "v")
+            .select(
+                F.least("cu", "cv").alias("a"), F.greatest("cu", "cv").alias("b")
+            )
+            .distinct()
+            .transform(lambda df: lineage_cut(df, eager=False))
+        )
+        # fused round probe (r20, guide §1.2, the louvain-probe idiom):
+        # ONE limit-bounded Arrow collect materializes the best and ce
+        # checkpoints, answers the termination probe AND the inline-vs-
+        # distributed branch, and — on the inline branch — IS the
+        # driver transfer. The r19 round paid three driver calls
+        # (best.isEmpty(); ce.count(); ce.toLocalIterator()).
+        # Exactness: ce is empty ⟺ best is empty (best's endpoints
+        # always hit the comp map, and cu ≠ cv rows survive the
+        # distinct), so the break fires on exactly the rounds the old
+        # isEmpty broke on; limit(T+1) returns min(rows, T+1), so
+        # len(pdf) ≤ T ⟺ ce_rows ≤ T and on the inline branch the
+        # limit did not truncate — the edge multiset is intact. At
+        # scale the lazy checkpoint backfills its remaining partitions
+        # in the probe job's doCheckpoint (the same full
+        # materialization the old count paid), transferring at most
+        # T+1 narrow rows.
+        pdf = ce.limit(MST_INLINE_MERGE_EDGES + 1).toPandas()
+        if len(pdf) == 0:
             break
         # lazy accumulation (r20): a chosen edge's two components merge
         # this round, so both its endpoints share a component forever
@@ -2814,33 +2855,11 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same multiset; within-round duplicates are already removed by
         # best's own distinct.
         chosen_all = chosen_all.unionByName(best)
-        # merge touching components: min-label propagation over the
-        # chosen component edges (a pseudo-forest: ≤1 chosen edge per
-        # component, so this closes in O(log chain) tiny rounds)
-        # ONE canonical orientation (a < b): the threshold below then
-        # counts true undirected merge edges (the r6 advice: the old
-        # symmetric ce made the effective cap half the constant and
-        # collected every edge twice); the distributed branch
-        # symmetrizes on demand since min-label propagation needs both
-        # directions.
-        # lazy cut + count (r20): one driver call materializes the
-        # merge-edge checkpoint and yields its size for the inline-vs-
-        # distributed branch — the eager cut paid a separate execution
-        ce = (
-            best.join(cu, "u")
-            .join(cv, "v")
-            .select(
-                F.least("cu", "cv").alias("a"), F.greatest("cu", "cv").alias("b")
-            )
-            .distinct()
-            .transform(lambda df: lineage_cut(df, eager=False))
-        )
-        ce_rows = ce.count()
-        if ce_rows <= MST_INLINE_MERGE_EDGES:
+        if len(pdf) <= MST_INLINE_MERGE_EDGES:
             # in-driver union-find with min-id roots — identical labels
-            # to the min-propagation fixpoint (min id per component).
-            # toLocalIterator + tuple unpacking streams one partition
-            # at a time instead of materializing ce_rows Row objects.
+            # to the min-propagation fixpoint (min id per component);
+            # order-independent (the root of a component is always its
+            # minimum id), so the Arrow row order is immaterial.
             parent: dict = {}
 
             def _find(x):
@@ -2850,7 +2869,7 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
                     x = parent[x]
                 return x
 
-            for a, b in ((r[0], r[1]) for r in ce.toLocalIterator()):
+            for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
                 ra, rb = _find(a), _find(b)
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
@@ -2858,21 +2877,23 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [(c, _find(c)) for c in parent], "c LONG, lbl LONG"
             )
         else:
-            ce = (
+            # lazy cut + count (r20): one driver call materializes the
+            # symmetrized merge-edge checkpoint and yields the touched-
+            # component bound (each a < b row contributes exactly two
+            # symmetric rows, so the count equals the old 2 × ce_rows)
+            ce = lineage_cut(
                 ce.unionByName(
                     ce.select(F.col("b").alias("a"), F.col("a").alias("b"))
-                )
-                .transform(lineage_cut)
+                ),
+                eager=False,
             )
+            lbl_bound = ce.count()
             lbl = (
                 ce.select(F.col("a").alias("c"))
                 .distinct()
                 .select("c", F.col("c").alias("lbl"))
                 .transform(lineage_cut)
             )
-            # touched components ≤ the symmetrized merge-edge endpoints
-            # — a driver-known bound for the broadcast gates below
-            lbl_bound = 2 * ce_rows
             while True:
                 nb = (
                     ce.join(

@@ -1050,7 +1050,12 @@ def louvain_communities(
             salt_hubs=salt_hubs,
             hub_min_neighbors=hub_min_neighbors,
         )
-        level_assign = level_assign.transform(lineage_cut)
+        # lazy cut (r20): _one_level returns a projection over its
+        # final round's state checkpoint, so the eager re-persist paid
+        # one execution per level for blocks that already exist — the
+        # first consumer (the global-chain cut, or at level 0 the
+        # modularity aggregate) materializes the cut instead
+        level_assign = level_assign.transform(lambda df: lineage_cut(df, eager=False))
         if global_assign is None:
             global_assign = level_assign
         else:
@@ -1081,7 +1086,13 @@ def louvain_communities(
             edges.unpersist()
             break
         mod_prev = mod_new
-        coarse = coarsen_edges(edges, level_assign, directed=directed).transform(lineage_cut)
+        # lazy cut (r20): the next iteration's inline probe (the
+        # limit-bounded toPandas above) is the coarse graph's first
+        # consumer and materializes the checkpoint in the same job the
+        # eager cut paid separately
+        coarse = coarsen_edges(edges, level_assign, directed=directed).transform(
+            lambda df: lineage_cut(df, eager=False)
+        )
         edges.unpersist()
         edges = coarse
     if global_assign is None:
@@ -1221,17 +1232,27 @@ def connected_components_star(spark: SparkSession, edges: DataFrame) -> DataFram
     keeps the published O(log n) distributed rounds. Both branches are
     pinned equal by the monkeypatched golden in tests/test_louvain.py."""
     # edges kept in point-to-smaller form: (u, v) with v < u, distinct
-    e = (
+    # fused inline probe (r20, guide §1.2, the louvain-probe idiom):
+    # ONE limit-bounded Arrow collect materializes the edge checkpoint,
+    # decides the inline-vs-distributed branch AND, when inline, IS the
+    # driver transfer — the r19 shape paid an eager cut, a count and a
+    # toLocalIterator (3+ driver calls). limit(T+1) returns
+    # min(rows, T+1), so len(pdf) ≤ T ⟺ the old count comparison, and
+    # on the inline branch the limit did not truncate — the edge
+    # multiset is intact. verts becomes a lazy cut materialized by the
+    # final assembly join (same single evaluation, one fewer call).
+    e = lineage_cut(
         symmetrize(edges)
         .filter(F.col("src") != F.col("dst"))
         .select(
             F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
         )
-        .distinct()
-        .transform(lineage_cut)
+        .distinct(),
+        eager=False,
     )
-    verts = vertices_of(edges).transform(lineage_cut)
-    if e.count() <= CC_INLINE_EDGES:
+    verts = lineage_cut(vertices_of(edges), eager=False)
+    pdf = e.limit(CC_INLINE_EDGES + 1).toPandas()
+    if len(pdf) <= CC_INLINE_EDGES:
         parent: dict = {}
 
         def _find(x):
@@ -1241,7 +1262,9 @@ def connected_components_star(spark: SparkSession, edges: DataFrame) -> DataFram
                 x = parent[x]
             return x
 
-        for u, v in ((r[0], r[1]) for r in e.toLocalIterator()):
+        # order-independent result: the root of a component is always
+        # its minimum id, so the Arrow row order is immaterial
+        for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
             ru, rv = _find(u), _find(v)
             if ru != rv:
                 parent[max(ru, rv)] = min(ru, rv)
@@ -1283,7 +1306,10 @@ def connected_components_star(spark: SparkSession, edges: DataFrame) -> DataFram
             .distinct()
             .transform(lineage_cut)
         )
-        if e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty():
+        # one fixpoint probe per round (r20): the union of both
+        # exceptAll directions is empty ⟺ both are empty — the r19
+        # shape paid two isEmpty driver calls per round
+        if e2.exceptAll(e).unionAll(e.exceptAll(e2)).isEmpty():
             break
         e = e2
     # at fixpoint e2 is a star forest: u → component minimum (min-agg is

@@ -79,11 +79,22 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the dup-pair graph is minuscule next to the corpus; pin it so
         # downstream consumers don't re-run the inverted-index join
-        .transform(lineage_cut)
+        # (lazy cut, r20: the probe below materializes the blocks in
+        # the same job that answers the branch decision)
+        .transform(lambda df: lineage_cut(df, eager=False))
     )
     inline_threshold = 1_000_000
-    n_pairs = edges.count()
-    if n_pairs <= inline_threshold:
+    # fused inline probe (r20, guide §1.2, the louvain-probe idiom):
+    # ONE limit-bounded Arrow collect materializes the pair checkpoint,
+    # decides inline-vs-distributed AND, when inline, IS the driver
+    # transfer — the r19 shape paid an eager cut, a count and a
+    # pickled-Row collect (3 driver calls). limit(T+1) returns
+    # min(rows, T+1), so len(pdf) ≤ T ⟺ the old count comparison, and
+    # on the inline branch the limit did not truncate — the pair
+    # multiset is intact (union-find is order-independent anyway: the
+    # root of a component is always its minimum id).
+    pdf = edges.select("src", "dst").limit(inline_threshold + 1).toPandas()
+    if len(pdf) <= inline_threshold:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -92,8 +103,8 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x = parent[x]
             return x
 
-        for r in edges.select("src", "dst").collect():
-            ra, rb = find(int(r["src"])), find(int(r["dst"]))
+        for ra, rb in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            ra, rb = find(ra), find(rb)
             if ra != rb:
                 # union by min id so the root IS the component label
                 lo, hi = min(ra, rb), max(ra, rb)

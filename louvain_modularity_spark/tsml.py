@@ -1063,9 +1063,13 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey")
     xg = ((F.col("c_custkey") * GRID_A1 + GRID_B1) % GRID_P) % GRID_SIZE
     yg = ((F.col("c_custkey") * GRID_A2 + GRID_B2) % GRID_P) % GRID_SIZE
-    pts = c.select(
-        F.col("c_custkey").alias("id"), xg.alias("x"), yg.alias("y")
-    ).transform(lineage_cut)
+    # lazy cut + fused count (r20, guide §1.2): the gating point count
+    # is the checkpoint's materializing job — the r19 shape paid a
+    # separate eager-cut execution before the count
+    pts = lineage_cut(
+        c.select(F.col("c_custkey").alias("id"), xg.alias("x"), yg.alias("y")),
+        eager=False,
+    )
     # point count (r19): gates the broadcast of every ≤n-row frame
     # below (grid probe side, core set, labeled sets) so the ε-graph
     # join and the label attachments skip their shuffles when the
@@ -1098,12 +1102,15 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dx = F.col("x") - F.col("x2")
     dy = F.col("y") - F.col("y2")
+    # lazy cut (r20): the ε-graph checkpoint is materialized by its
+    # first consumer (the CC-star inline probe job, via core_pairs) —
+    # the eager cut paid a separate execution for the identical blocks
     pairs = (
         left.join(maybe_broadcast(right, n_pts), ["cx", "cy"])
         .filter(F.col("id") != F.col("id2"))
         .filter(dx * dx + dy * dy <= F.lit(DBSCAN_EPS * DBSCAN_EPS))
         .select("id", "id2")
-        .transform(lineage_cut)
+        .transform(lambda df: lineage_cut(df, eager=False))
     )
     ncount = pairs.groupBy("id").agg((F.count("*") + 1).alias("n_eps"))
     core = ncount.filter(F.col("n_eps") >= DBSCAN_MINPTS).select("id")
@@ -1121,9 +1128,11 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", F.col("component").alias("cluster")
     )
     # isolated core points (no core neighbor in ε) form singleton clusters
+    # lazy cut (r20): materialized once by the final assembly (border
+    # reads the persisted blocks) — the eager cut paid a separate job
     core_lab = core.join(maybe_broadcast(comp, n_pts), "id", "left").select(
         "id", F.coalesce("cluster", F.col("id")).alias("cluster"), F.lit(1).alias("is_core")
-    ).transform(lineage_cut)
+    ).transform(lambda df: lineage_cut(df, eager=False))
     border = (
         pairs.join(
             maybe_broadcast(
