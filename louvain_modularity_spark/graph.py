@@ -3156,22 +3156,48 @@ def q_butterfly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # checkpoint ONCE (r7): three branches (wedge stats, the wedge
     # self-join, the edge count) consume e — without the cut each
-    # re-evaluated the lineitem⋈orders fact join
-    e = (
-        copurchase_edges(spark, sf_dir)
-        .select("src", "dst")
-        .distinct()
-        .transform(lineage_cut)
+    # re-evaluated the lineitem⋈orders fact join. Lazy (r20): the
+    # wedge-stats collect below is the first consumer and materializes
+    # the blocks in the same driver call.
+    e = lineage_cut(
+        copurchase_edges(spark, sf_dir).select("src", "dst").distinct(),
+        eager=False,
     )
     # d*(d-1) is always even, so summing BIGINT products then halving
     # with integer `div` is exact at any scale; `/` would accumulate
     # doubles and lose exactness past 2^53 (r5 ADVICE).
-    wedge_stats = e.groupBy("dst").agg(F.count("*").alias("d")).agg(
-        F.expr("sum(d * (d - 1)) div 2").alias("n_wedges")
+    #
+    # wedge-sized join parallelism (r20, guide §2.2/§2.5): the wedge
+    # self-join EXPLODES its input — output rows = n_wedges·2 ≈ Σ_s d²,
+    # two orders of magnitude above the edge count here — but AQE
+    # sizes post-shuffle partitions from the tiny INPUT bytes, so the
+    # dominant join+partial-aggregate stage ran on 12 tasks on a
+    # 32-core box (57.8 s of a 78 s profile in one under-parallel
+    # job). The wedge count is already part of the output: collect the
+    # one-row wedge stats FIRST (a cheap aggregate over the edge
+    # checkpoint), emit it as an exact BIGINT literal, and size an
+    # explicit hash repartition of the join input from the OUTPUT
+    # volume — rows-per-task tunable, floor at the session
+    # parallelism, no cap (at 100 TB wedge counts the count grows the
+    # partitioning, exactly the scale-adaptive sizing §2.2 asks for).
+    # Both join sides derive from the same repartitioned frame, so the
+    # plan still shuffles e once (ReusedExchange), and an explicit
+    # numeric repartition is exempt from AQE input-byte coalescing.
+    n_wedges = (
+        e.groupBy("dst")
+        .agg(F.count("*").alias("d"))
+        .agg(F.expr("sum(d * (d - 1)) div 2").alias("n_wedges"))
+        .collect()[0]["n_wedges"]
     )
+    rows_per_task = int(os.environ.get("SPARK_GRAFT_WEDGE_ROWS_PER_TASK", 4_000_000))
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        -(-int(2 * (n_wedges or 0)) // rows_per_task),
+    )
+    er = e.repartition(n_parts, "dst")
     pairs = (
-        e.alias("a")
-        .join(e.alias("b"), "dst")
+        er.alias("a")
+        .join(er.alias("b"), "dst")
         .filter(F.col("a.src") < F.col("b.src"))
         .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
         .agg(F.count("*").alias("c"))
@@ -3182,9 +3208,13 @@ def q_butterfly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges_n = e.agg(F.count("*").alias("n_edges"))
     return (
-        edges_n.crossJoin(F.broadcast(wedge_stats))
-        .crossJoin(F.broadcast(pair_stats))
-        .select("n_edges", "n_wedges", "n_copairs", "n_butterflies")
+        edges_n.crossJoin(F.broadcast(pair_stats))
+        .select(
+            "n_edges",
+            F.lit(n_wedges).cast("long").alias("n_wedges"),
+            "n_copairs",
+            "n_butterflies",
+        )
     )
 
 
@@ -3248,7 +3278,9 @@ def q_butterfly_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .llm_ops import parity_hash32
 
-    e = (
+    # lazy cut (r20): the wedge-stats collect below materializes the
+    # kept-edge checkpoint in the same driver call
+    e = lineage_cut(
         copurchase_edges(spark, sf_dir)
         .select("src", "dst")
         .distinct()
@@ -3258,16 +3290,29 @@ def q_butterfly_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             % F.lit(BUTTERFLY_SAMPLE_RATE)
             == 0
-        )
-        .transform(lineage_cut)
+        ),
+        eager=False,
     )
     rate4 = BUTTERFLY_SAMPLE_RATE ** 4
-    wedge_stats = e.groupBy("dst").agg(F.count("*").alias("d")).agg(
-        F.expr("sum(d * (d - 1)) div 2").alias("n_wedges_sampled")
+    # wedge-sized join parallelism (r20): same output-volume
+    # repartition as q_butterfly — the sampled wedge count is the
+    # join's true output size, collected once as an exact BIGINT and
+    # emitted as a literal
+    n_wedges = (
+        e.groupBy("dst")
+        .agg(F.count("*").alias("d"))
+        .agg(F.expr("sum(d * (d - 1)) div 2").alias("n_wedges_sampled"))
+        .collect()[0]["n_wedges_sampled"]
     )
+    rows_per_task = int(os.environ.get("SPARK_GRAFT_WEDGE_ROWS_PER_TASK", 4_000_000))
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        -(-int(2 * (n_wedges or 0)) // rows_per_task),
+    )
+    er = e.repartition(n_parts, "dst")
     pairs = (
-        e.alias("a")
-        .join(e.alias("b"), "dst")
+        er.alias("a")
+        .join(er.alias("b"), "dst")
         .filter(F.col("a.src") < F.col("b.src"))
         .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
         .agg(F.count("*").alias("c"))
@@ -3277,12 +3322,11 @@ def q_butterfly_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges_n = e.agg(F.count("*").alias("n_edges_kept"))
     return (
-        edges_n.crossJoin(F.broadcast(wedge_stats))
-        .crossJoin(F.broadcast(pair_stats))
+        edges_n.crossJoin(F.broadcast(pair_stats))
         .select(
             F.lit(BUTTERFLY_SAMPLE_RATE).cast("int").alias("sample_rate"),
             "n_edges_kept",
-            "n_wedges_sampled",
+            F.lit(n_wedges).cast("long").alias("n_wedges_sampled"),
             "n_butterflies_observed",
             (F.col("n_butterflies_observed") * F.lit(rate4)).alias("n_butterflies_est"),
         )
