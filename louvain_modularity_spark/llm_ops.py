@@ -365,8 +365,14 @@ def ngram_jaccard_pairs(d: DataFrame, max_df: int = 100) -> DataFrame:
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over the documents table (see
-    ngram_jaccard_pairs for the skew-capped inverted-index design)."""
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+    ngram_jaccard_pairs for the skew-capped inverted-index design).
+    fan_out (r20): the corpus scan is one parquet split at bench
+    scale, so the shingle index build — the pipeline's dominant job —
+    ran on ONE task (2.2 s of a 6.5 s profile); q_dup_clusters'
+    identical call site got this fix in r19. No-op at real scale
+    (gate in fan_out); values are exact aggregates over an unchanged
+    row multiset."""
+    return ngram_jaccard_pairs(fan_out(load(spark, sf_dir, "documents")))
 
 
 ORACLE_NGRAM_JACCARD = """
@@ -1442,7 +1448,11 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same skew-capped inverted-index join as ngram_jaccard_pairs — the
     intersection is computed once per unordered pair, then emitted in
     both directions against each side's own shingle-set size."""
-    d = load(spark, sf_dir, "documents")
+    # fan_out (r20): the single-split corpus scan pinned the shingle-
+    # index materialization — this query's dominant job — to ONE task
+    # (2.3 s of a 5.2 s profile); same fix as q_ngram_jaccard /
+    # q_dup_clusters, no-op at real scale
+    d = fan_out(load(spark, sf_dir, "documents"))
     sh = lineage_cut(shingles_of(d), eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -1532,8 +1542,17 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag set is deterministic."""
     emb = load(spark, sf_dir, "embeddings")
     norm = _dot(F.col("embedding"), F.col("embedding"))
-    base = emb.select("vec_id", "label", "embedding", norm.alias("n2"))
-    qs = base.filter(F.pmod("vec_id", F.lit(NOISE_SAMPLE_MOD)) == 0).select(
+    # fan_out the PROBE side before the broadcast NLJ (r20): the
+    # embeddings scan is one parquet split at bench scale, so the
+    # 64-d dot product per (row × query) expansion — this query's
+    # whole cost — ran on ONE task (4.1 s of a 5.3 s profile); the
+    # same single-task-NLJ fix as q_theilsen's stream side (r19).
+    # The tiny query sample derives from the un-fanned scan (its
+    # broadcast needs no parallelism); no-op at real scale.
+    base = fan_out(emb.select("vec_id", "label", "embedding", norm.alias("n2")))
+    qs = emb.select("vec_id", "label", "embedding", norm.alias("n2")).filter(
+        F.pmod("vec_id", F.lit(NOISE_SAMPLE_MOD)) == 0
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("own_label"),
         F.col("embedding").alias("q_emb"),
